@@ -1,0 +1,89 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from longbow_tpu.index.flat import FlatIndex
+from longbow_tpu.ops.distance import Metric
+
+
+def _vecs(n, d, seed=0):
+    return np.random.default_rng(seed).standard_normal((n, d), dtype=np.float32)
+
+
+def test_add_search_roundtrip():
+    idx = FlatIndex(dim=32)
+    v = _vecs(200, 32)
+    rows = idx.add(v)
+    assert len(idx) == 200
+    assert rows.tolist() == list(range(200))
+    # query with corpus rows: nearest must be the row itself
+    dist, got = idx.search(jnp.asarray(v[:5]), 1)
+    assert np.asarray(got)[:, 0].tolist() == [0, 1, 2, 3, 4]
+    assert (np.asarray(dist)[:, 0] < 1e-3).all()
+
+
+def test_incremental_adds_and_growth():
+    idx = FlatIndex(dim=16, capacity=4096)
+    all_v = _vecs(5000, 16)
+    for i in range(0, 5000, 500):
+        idx.add(all_v[i : i + 500])
+    assert len(idx) == 5000
+    assert idx.capacity >= 5000
+    _, got = idx.search(jnp.asarray(all_v[4990:4995]), 1)
+    assert np.asarray(got)[:, 0].tolist() == [4990, 4991, 4992, 4993, 4994]
+
+
+def test_tombstoned_rows_not_returned():
+    idx = FlatIndex(dim=8)
+    v = _vecs(50, 8)
+    idx.add(v)
+    idx.delete_rows(np.array([7]))
+    _, got = idx.search(jnp.asarray(v[7:8]), 3)
+    assert 7 not in np.asarray(got)[0]
+
+
+def test_filter_mask():
+    idx = FlatIndex(dim=8)
+    v = _vecs(64, 8)
+    idx.add(v)
+    mask = np.zeros(idx.capacity, dtype=bool)
+    mask[10:20] = True
+    _, got = idx.search(jnp.asarray(v[:3]), 5, filter_mask=jnp.asarray(mask))
+    assert ((np.asarray(got) >= 10) & (np.asarray(got) < 20)).all()
+
+
+def test_cosine_metric():
+    idx = FlatIndex(dim=16, metric=Metric.COSINE)
+    v = _vecs(100, 16)
+    idx.add(v)
+    # scaled copy of a vector has cosine distance ~0 to it
+    q = v[42] * 7.5
+    dist, got = idx.search(jnp.asarray(q), 1)
+    assert np.asarray(got)[0, 0] == 42
+    assert np.asarray(dist)[0, 0] < 1e-3
+
+
+def test_bf16_storage():
+    idx = FlatIndex(dim=32, dtype=jnp.bfloat16)
+    v = _vecs(500, 32)
+    idx.add(v)
+    _, got = idx.search(jnp.asarray(v[:10]), 1)
+    assert np.asarray(got)[:, 0].tolist() == list(range(10))
+
+
+def test_export_import_state():
+    idx = FlatIndex(dim=8)
+    v = _vecs(30, 8)
+    idx.add(v)
+    idx.delete_rows(np.array([3, 4]))
+    st = idx.export_state()
+    idx2 = FlatIndex.import_state(st)
+    assert len(idx2) == 30
+    _, got = idx2.search(jnp.asarray(v[3:4]), 1)
+    assert np.asarray(got)[0, 0] != 3
+
+
+def test_dim_mismatch_raises():
+    idx = FlatIndex(dim=8)
+    with pytest.raises(ValueError):
+        idx.add(_vecs(10, 9))

@@ -1,0 +1,73 @@
+"""Fused Pallas scan kernel vs the XLA exact oracle (interpret mode on CPU)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from longbow_tpu.ops.distance import Metric, exact_search, squared_norms
+from longbow_tpu.ops.pallas_scan import fused_flat_search
+
+
+def _data(n=700, d=96, b=5, seed=0):
+    rng = np.random.default_rng(seed)
+    corpus = rng.standard_normal((n, d), dtype=np.float32)
+    queries = rng.standard_normal((b, d), dtype=np.float32)
+    return queries, corpus
+
+
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.DOT])
+def test_fused_scan_matches_oracle(metric):
+    q, c = _data()
+    k = 10
+    norms = squared_norms(jnp.asarray(c))
+    valid = jnp.ones((c.shape[0],), dtype=bool)
+    dist, idx = fused_flat_search(
+        jnp.asarray(q), jnp.asarray(c), norms, valid, k, metric,
+        tile_n=256, interpret=True,
+    )
+    want_d, want_i = exact_search(jnp.asarray(q), jnp.asarray(c), k, metric)
+    for i in range(q.shape[0]):
+        assert set(np.asarray(idx)[i].tolist()) == set(np.asarray(want_i)[i].tolist()), i
+    np.testing.assert_allclose(
+        np.asarray(dist), np.asarray(want_d), rtol=3e-3, atol=2e-2
+    )
+    # results sorted ascending
+    d_np = np.asarray(dist)
+    assert (np.diff(d_np, axis=1) >= -1e-6).all()
+
+
+def test_fused_scan_tombstones():
+    q, c = _data(n=300, d=32, b=3, seed=1)
+    q = c[:3].copy()  # query rows present in corpus
+    valid = np.ones(300, dtype=bool)
+    valid[:3] = False
+    norms = squared_norms(jnp.asarray(c))
+    _, idx = fused_flat_search(
+        jnp.asarray(q), jnp.asarray(c), norms, jnp.asarray(valid), 5,
+        Metric.L2, tile_n=256, interpret=True,
+    )
+    assert not np.isin(np.asarray(idx), [0, 1, 2]).any()
+
+
+def test_fused_scan_unaligned_shapes():
+    # n not a multiple of tile, d not 128-aligned, b odd
+    q, c = _data(n=513, d=33, b=3, seed=2)
+    norms = squared_norms(jnp.asarray(c))
+    valid = jnp.ones((513,), dtype=bool)
+    dist, idx = fused_flat_search(
+        jnp.asarray(q), jnp.asarray(c), norms, valid, 7, Metric.L2,
+        tile_n=256, interpret=True,
+    )
+    want_d, want_i = exact_search(jnp.asarray(q), jnp.asarray(c), 7, Metric.L2)
+    for i in range(3):
+        assert set(np.asarray(idx)[i].tolist()) == set(np.asarray(want_i)[i].tolist())
+
+
+def test_fused_scan_k_exceeds_limit():
+    q, c = _data(n=256, d=32, b=2)
+    norms = squared_norms(jnp.asarray(c))
+    valid = jnp.ones((256,), dtype=bool)
+    with pytest.raises(ValueError):
+        fused_flat_search(
+            jnp.asarray(q), jnp.asarray(c), norms, valid, 200, Metric.L2,
+            interpret=True,
+        )
