@@ -1,0 +1,223 @@
+"""Batched graph-traversal search over a fixed-fanout navigable graph.
+
+TPU-native re-design of the reference's ArrowHNSW search
+(reference: arrow_hnsw.go:754 SearchVectorsWithBitmap, searchLayer
+:1108-1388). The Go implementation is a per-query best-first loop with
+heaps, per-node locks and a SIMD-cleared visited bitset. None of that
+maps to a TPU, so the design here is:
+
+- **No pointer hierarchy.** The HNSW upper layers exist only to find a
+  good entry point. Here a strided sample of the corpus (a few thousand
+  rows) is scanned with one MXU matmul per query batch — same role,
+  one fixed-shape op, no sequential descent. (CAGRA makes the same
+  trade on GPUs.)
+- **One flat graph.** `neighbors [N_cap, M2] int32` padded with -1,
+  plus stored edge distances (the reference's PackedAdjacency keeps
+  f16 edge distances too, types/graph_data.go:89-96).
+- **Batched beam search.** B queries advance in lockstep through a
+  `lax.while_loop`; each iteration expands one node per query (gather
+  neighbors -> batched distance -> masked merge-sort into the beam).
+  Visited handling = dedup against the beam + a recent-visit ring
+  buffer; re-expansion of long-evicted nodes is possible but harmless
+  (wasted distance evals, never wrong results).
+- **Filtered search** keeps traversal unfiltered but feeds a separate
+  result set only with eligible rows (tombstones/predicates), matching
+  the reference's bitmap-search semantics.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from longbow_tpu.ops.distance import MASKED, Metric
+
+INVALID = jnp.int32(-1)
+_BIG = jnp.int32(2**30)
+
+
+class GraphState(NamedTuple):
+    """Device-resident graph index state (a pytree; all arrays padded
+    to N_cap rows)."""
+
+    vectors: jax.Array    # [N_cap, D] storage dtype (f32/bf16)
+    norms_sq: jax.Array   # [N_cap] f32
+    valid: jax.Array      # [N_cap] bool (allocated and not tombstoned)
+    nbrs: jax.Array       # [N_cap, M2] int32, -1 padded
+    nbr_dists: jax.Array  # [N_cap, M2] f32, MASKED padded
+    nbr_count: jax.Array  # [N_cap] int32
+
+
+def graph_init(capacity: int, dim: int, m2: int, dtype=jnp.float32) -> GraphState:
+    return GraphState(
+        vectors=jnp.zeros((capacity, dim), dtype=dtype),
+        norms_sq=jnp.zeros((capacity,), jnp.float32),
+        valid=jnp.zeros((capacity,), bool),
+        nbrs=jnp.full((capacity, m2), INVALID, jnp.int32),
+        nbr_dists=jnp.full((capacity, m2), MASKED, jnp.float32),
+        nbr_count=jnp.zeros((capacity,), jnp.int32),
+    )
+
+
+def _gather_dist(
+    state: GraphState, queries_f32: jax.Array, qn: jax.Array, rows: jax.Array
+) -> jax.Array:
+    """Distances from each query to its gathered rows.
+
+    queries_f32 [B, D], qn [B, 1] = |q|^2, rows [B, R] -> [B, R] f32
+    (L2 squared; out-of-range/-1 rows get garbage — mask outside).
+    """
+    safe = jnp.maximum(rows, 0)
+    vecs = jnp.take(state.vectors, safe, axis=0).astype(jnp.float32)  # [B,R,D]
+    vn = jnp.take(state.norms_sq, safe, axis=0)  # [B, R]
+    ip = jnp.einsum(
+        "bd,brd->br", queries_f32, vecs, preferred_element_type=jnp.float32
+    )
+    return jnp.maximum(qn - 2.0 * ip + vn, 0.0)
+
+
+def entry_candidates(
+    state: GraphState,
+    queries_f32: jax.Array,
+    qn: jax.Array,
+    sample_rows: jax.Array,
+    n_entry: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Scan a fixed row sample with one matmul -> per-query best rows.
+
+    Replaces the HNSW upper-layer greedy descent
+    (reference: arrow_hnsw.go:874-885) with a single MXU op.
+    Returns (dist [B, n_entry], rows [B, n_entry]).
+    """
+    svecs = jnp.take(state.vectors, sample_rows, axis=0).astype(jnp.float32)
+    svn = jnp.take(state.norms_sq, sample_rows, axis=0)
+    svalid = jnp.take(state.valid, sample_rows, axis=0)
+    ip = jax.lax.dot_general(
+        queries_f32, svecs, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dist = jnp.maximum(qn - 2.0 * ip + svn[None, :], 0.0)
+    dist = jnp.where(svalid[None, :], dist, MASKED)
+    neg, pos = jax.lax.top_k(-dist, n_entry)
+    return -neg, jnp.take(sample_rows, pos)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "ef", "max_iters", "ring_size")
+)
+def beam_search(
+    state: GraphState,
+    queries: jax.Array,
+    sample_rows: jax.Array,
+    k: int,
+    ef: int,
+    *,
+    eligible: Optional[jax.Array] = None,
+    max_iters: int = 0,
+    ring_size: int = 128,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched best-first graph search.
+
+    queries [B, D]; sample_rows [S] i32 entry-scan sample;
+    eligible: optional [N_cap] bool — rows allowed in *results*
+    (traversal ignores it; tombstoned rows route but never return,
+    mirroring reference bitmap search arrow_hnsw.go:754).
+    Returns (dist [B, k] f32, rows [B, k] i32) sorted ascending; empty
+    slots have dist >= MASKED and row -1.
+    """
+    b, d = queries.shape
+    m2 = state.nbrs.shape[1]
+    if max_iters <= 0:
+        max_iters = 2 * ef + 32
+    e = ef
+
+    qf = queries.astype(jnp.float32)
+    qn = jnp.sum(qf * qf, axis=1, keepdims=True)
+
+    res_mask = state.valid if eligible is None else (state.valid & eligible)
+
+    # ---- init beam from the entry scan ----
+    n_entry = min(e, sample_rows.shape[0])
+    ed, er = entry_candidates(state, qf, qn, sample_rows, n_entry)
+    pad = e - n_entry
+    beam_d = jnp.pad(ed, ((0, 0), (0, pad)), constant_values=MASKED)
+    beam_i = jnp.pad(er, ((0, 0), (0, pad)), constant_values=-1)
+    expanded = jnp.zeros((b, e), bool)
+
+    # result set: entries eligible for return
+    er_ok = jnp.take(res_mask, jnp.maximum(er, 0)) & (er >= 0)
+    rd0 = jnp.where(er_ok, ed, MASKED)
+    neg, pos = jax.lax.top_k(-rd0, k)
+    res_d = -neg
+    res_i = jnp.where(
+        res_d < MASKED, jnp.take_along_axis(er, pos, axis=1), -1
+    )
+
+    visited = jnp.full((b, ring_size), -1, jnp.int32)
+
+    def cond(carry):
+        beam_d, beam_i, expanded, res_d, res_i, visited, it = carry
+        frontier = jnp.where(expanded | (beam_d >= MASKED), MASKED, beam_d)
+        best_unexp = jnp.min(frontier, axis=1)  # [B]
+        # classic ef semantics: explore while the best unexpanded node
+        # beats the *worst beam entry* (the ef-wide working set W in
+        # HNSW), NOT the k-th result — terminating on the k-th result
+        # caps recall at a level independent of ef.
+        worst_beam = beam_d[:, -1]
+        active = best_unexp < jnp.minimum(worst_beam, MASKED)
+        return jnp.logical_and(it < max_iters, jnp.any(active))
+
+    def body(carry):
+        beam_d, beam_i, expanded, res_d, res_i, visited, it = carry
+
+        # -- pick the best unexpanded beam entry per query --
+        frontier = jnp.where(expanded | (beam_d >= MASKED), MASKED, beam_d)
+        pick = jnp.argmin(frontier, axis=1)  # [B]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (b, e), 1)
+        expanded = expanded | (cols == pick[:, None])
+        exp_row = jnp.take_along_axis(beam_i, pick[:, None], axis=1)  # [B,1]
+
+        # -- gather neighbors of the expanded node --
+        nbr = jnp.take(state.nbrs, jnp.maximum(exp_row[:, 0], 0), axis=0)  # [B, M2]
+        nbr_ok = nbr >= 0
+        # dedup vs beam and recent-visit ring
+        dup_beam = jnp.any(nbr[:, :, None] == beam_i[:, None, :], axis=2)
+        dup_ring = jnp.any(nbr[:, :, None] == visited[:, None, :], axis=2)
+        nbr_ok = nbr_ok & ~dup_beam & ~dup_ring
+
+        nd = _gather_dist(state, qf, qn, nbr)
+        nd = jnp.where(nbr_ok, nd, MASKED)
+
+        # -- fold eligible neighbors into the result set --
+        ok_res = jnp.take(res_mask, jnp.maximum(nbr, 0)) & nbr_ok
+        cd = jnp.where(ok_res, nd, MASKED)
+        all_d = jnp.concatenate([res_d, cd], axis=1)
+        all_i = jnp.concatenate([res_i, nbr], axis=1)
+        neg, pos = jax.lax.top_k(-all_d, k)
+        res_d = -neg
+        res_i = jnp.where(
+            res_d < MASKED, jnp.take_along_axis(all_i, pos, axis=1), -1
+        )
+
+        # -- merge neighbors into the beam (keep best e) --
+        md = jnp.concatenate([beam_d, nd], axis=1)
+        mi = jnp.concatenate([beam_i, jnp.where(nbr_ok, nbr, -1)], axis=1)
+        mx = jnp.concatenate([expanded, jnp.zeros((b, m2), bool)], axis=1)
+        neg, pos = jax.lax.top_k(-md, e)
+        beam_d = -neg
+        beam_i = jnp.take_along_axis(mi, pos, axis=1)
+        expanded = jnp.take_along_axis(mx, pos, axis=1)
+        # anything that fell out of beam may re-enter later; the ring
+        # guards the recently expanded
+        rcols = jax.lax.broadcasted_iota(jnp.int32, visited.shape, 1)
+        visited = jnp.where(
+            rcols == (it % ring_size), exp_row, visited
+        )
+
+        return beam_d, beam_i, expanded, res_d, res_i, visited, it + 1
+
+    carry = (beam_d, beam_i, expanded, res_d, res_i, visited, jnp.int32(0))
+    _, _, _, res_d, res_i, _, _ = jax.lax.while_loop(cond, body, carry)
+    return res_d, res_i

@@ -1,0 +1,379 @@
+"""Batched graph construction: the TPU re-design of HNSW insertion.
+
+The reference inserts one vector at a time under per-node versioned
+locks (reference: insertion_core.go:16, arrow_hnsw_insert.go:10-60,
+selectNeighbors diversity heuristic :20). On TPU, insertion is a pure
+batched function over the graph arrays:
+
+  1. search the current graph for each new node's neighborhood
+     (batched beam search + exact intra-batch kNN so batch members can
+     link to each other like sequential inserts would),
+  2. select M diverse neighbors per node with the classic
+     keep-pruned-connections heuristic, vectorized over the batch,
+  3. scatter forward edges (new rows are unique — conflict-free),
+  4. add reverse edges in R conflict-free passes: each pass picks at
+     most one incoming edge per target via scatter-min arbitration,
+     appends or replaces that target's worst edge, and retires the
+     edge. Leftovers beyond R per target in one batch are dropped
+     (bounded, rare, and harmless to recall — same spirit as the
+     reference dropping work under contention).
+
+Everything is fixed-shape and jittable; the host only orchestrates
+batch boundaries and capacity growth.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from longbow_tpu.index.graph import GraphState, beam_search
+from longbow_tpu.ops.distance import MASKED
+
+_BIG = jnp.float32(3.0e38)
+
+
+def _pairwise_l2(a: jax.Array, b: jax.Array) -> jax.Array:
+    """[Bi, C, D] x [Bi, S, D] -> [Bi, C, S] squared L2 (batched MXU)."""
+    ip = jnp.einsum("bcd,bsd->bcs", a, b, preferred_element_type=jnp.float32)
+    an = jnp.sum(a * a, axis=2)[:, :, None]
+    bn = jnp.sum(b * b, axis=2)[:, None, :]
+    return jnp.maximum(an - 2.0 * ip + bn, 0.0)
+
+
+def select_neighbors_heuristic(
+    cand_rows: jax.Array,   # [Bi, C] i32 (-1 = empty)
+    cand_dist: jax.Array,   # [Bi, C] f32 dist(candidate, q)
+    cand_vecs: jax.Array,   # [Bi, C, D] f32
+    m: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Vectorized keep-pruned-connections heuristic
+    (reference: arrow_hnsw_insert.go:20 selectNeighbors).
+
+    Greedily picks the closest remaining candidate; after each pick,
+    candidates closer to the picked node than to the query are pruned.
+    Returns (rows [Bi, m], dists [Bi, m]) padded with -1 / MASKED.
+    """
+    bi, c, d = cand_vecs.shape
+    pair = _pairwise_l2(cand_vecs, cand_vecs)  # [Bi, C, C]
+    avail = (cand_rows >= 0) & (cand_dist < MASKED)
+
+    def body(j, carry):
+        avail, sel_rows, sel_dists = carry
+        dd = jnp.where(avail, cand_dist, _BIG)
+        pick = jnp.argmin(dd, axis=1)  # [Bi]
+        pick_d = jnp.take_along_axis(dd, pick[:, None], axis=1)  # [Bi,1]
+        has = pick_d[:, 0] < _BIG
+        pick_row = jnp.where(
+            has, jnp.take_along_axis(cand_rows, pick[:, None], axis=1)[:, 0], -1
+        )
+        cols = jax.lax.broadcasted_iota(jnp.int32, sel_rows.shape, 1)
+        sel_rows = jnp.where(cols == j, pick_row[:, None], sel_rows)
+        sel_dists = jnp.where(
+            cols == j,
+            jnp.where(has, pick_d[:, 0], MASKED)[:, None],
+            sel_dists,
+        )
+        # prune: drop candidates closer to the pick than to the query
+        d_to_pick = jnp.take_along_axis(
+            pair, pick[:, None, None], axis=2
+        )[:, :, 0]  # [Bi, C]
+        prune = d_to_pick < cand_dist
+        ccols = jax.lax.broadcasted_iota(jnp.int32, avail.shape, 1)
+        avail = avail & ~prune & (ccols != pick[:, None]) & has[:, None]
+        return avail, sel_rows, sel_dists
+
+    sel_rows = jnp.full((bi, m), -1, jnp.int32)
+    sel_dists = jnp.full((bi, m), MASKED, jnp.float32)
+    _, sel_rows, sel_dists = jax.lax.fori_loop(
+        0, m, body, (avail, sel_rows, sel_dists)
+    )
+    return sel_rows, sel_dists
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ef_construction", "m", "cand_cap", "reverse_passes"),
+    donate_argnums=(0,),
+)
+def insert_batch(
+    state: GraphState,
+    new_rows: jax.Array,      # [Bi] i32 rows already holding vectors
+    sample_rows: jax.Array,   # [S] entry-scan sample
+    *,
+    ef_construction: int = 100,
+    m: int = 32,
+    cand_cap: int = 64,
+    reverse_passes: int = 8,
+) -> GraphState:
+    """Link a batch of already-stored vectors into the graph."""
+    bi = new_rows.shape[0]
+    m2 = state.nbrs.shape[1]
+    d = state.vectors.shape[1]
+
+    q = jnp.take(state.vectors, new_rows, axis=0).astype(jnp.float32)
+
+    # -- 1. candidates from the existing graph --
+    gd, gi = beam_search(
+        state, q, sample_rows, k=cand_cap, ef=ef_construction,
+        max_iters=ef_construction + 16,
+    )
+    # exclude self-matches (a re-inserted duplicate row is fine, the
+    # actual row id must not self-link)
+    self_hit = gi == new_rows[:, None]
+    gd = jnp.where(self_hit, MASKED, gd)
+    gi = jnp.where(self_hit, -1, gi)
+
+    # -- intra-batch exact kNN so batch members can link to each other
+    # (sequential-insert behavior the batch would otherwise lose) --
+    ip = jnp.einsum("bd,cd->bc", q, q, preferred_element_type=jnp.float32)
+    qn = jnp.sum(q * q, axis=1)
+    bd = jnp.maximum(qn[:, None] - 2.0 * ip + qn[None, :], 0.0)
+    eye = jnp.eye(bi, dtype=bool)
+    bd = jnp.where(eye, MASKED, bd)
+    kb = min(cand_cap, bi)
+    nb, pb = jax.lax.top_k(-bd, kb)
+    bd_k = -nb
+    bi_k = jnp.where(bd_k < MASKED, jnp.take(new_rows, pb), -1)
+
+    all_d = jnp.concatenate([gd, bd_k], axis=1)
+    all_i = jnp.concatenate([gi, bi_k], axis=1)
+    # dedup (graph search may already contain batch rows? it cannot —
+    # they are unlinked — but keep it cheap and safe by top_k select)
+    neg, pos = jax.lax.top_k(-all_d, cand_cap)
+    cand_d = -neg
+    cand_i = jnp.take_along_axis(all_i, pos, axis=1)
+
+    cand_vecs = jnp.take(
+        state.vectors, jnp.maximum(cand_i, 0), axis=0
+    ).astype(jnp.float32)
+
+    # -- 2. diverse neighbor selection --
+    sel_rows, sel_dists = select_neighbors_heuristic(
+        cand_i, cand_d, cand_vecs, m
+    )
+
+    # -- 3. forward edges (new rows unique -> plain scatter) --
+    pad_cols = m2 - m
+    fwd_rows = jnp.pad(sel_rows, ((0, 0), (0, pad_cols)), constant_values=-1)
+    fwd_dists = jnp.pad(
+        sel_dists, ((0, 0), (0, pad_cols)), constant_values=MASKED
+    )
+    nbrs = state.nbrs.at[new_rows].set(fwd_rows)
+    nbr_dists = state.nbr_dists.at[new_rows].set(fwd_dists)
+    nbr_count = state.nbr_count.at[new_rows].set(
+        jnp.sum(sel_rows >= 0, axis=1).astype(jnp.int32)
+    )
+
+    # -- 4. reverse edges in conflict-free passes --
+    n_cap = state.nbrs.shape[0]
+    tgt = sel_rows.reshape(-1)          # [E] target of reverse edge
+    src = jnp.repeat(new_rows, m)       # [E] the new node
+    edist = sel_dists.reshape(-1)       # [E]
+    alive = tgt >= 0
+
+    def rev_pass(p, carry):
+        nbrs, nbr_dists, nbr_count, alive = carry
+        # arbitration: per target keep the single lowest-distance edge
+        key = jnp.where(alive, edist, _BIG)
+        tgt_safe = jnp.where(alive, tgt, n_cap - 1)
+        best = jnp.full((n_cap,), _BIG, jnp.float32).at[tgt_safe].min(
+            jnp.where(alive, key, _BIG)
+        )
+        is_best = alive & (key == jnp.take(best, tgt_safe)) & (key < _BIG)
+        # first-of-equal wins: mask later duplicates of the same target
+        big_i = 2**30
+        eidx = jnp.arange(tgt.shape[0], dtype=jnp.int32)
+        first = jnp.full((n_cap,), big_i, jnp.int32).at[tgt_safe].min(
+            jnp.where(is_best, eidx, big_i)
+        )
+        chosen = is_best & (eidx == jnp.take(first, tgt_safe))
+
+        # apply chosen edges
+        t = jnp.where(chosen, tgt, n_cap)  # out-of-range rows -> dropped
+        t_safe = jnp.where(chosen, tgt, 0)
+        cnt = jnp.take(nbr_count, t_safe)                # [E]
+        row_n = jnp.take(nbrs, t_safe, axis=0)           # [E, M2]
+        row_d = jnp.take(nbr_dists, t_safe, axis=0)      # [E, M2]
+        worst_col = jnp.argmax(row_d, axis=1)            # [E]
+        worst_val = jnp.take_along_axis(row_d, worst_col[:, None], axis=1)[:, 0]
+        has_space = cnt < m2
+        slot = jnp.where(has_space, cnt, worst_col)
+        do = chosen & (has_space | (edist < worst_val))
+        cols = jax.lax.broadcasted_iota(jnp.int32, row_n.shape, 1)
+        at_slot = cols == slot[:, None]
+        new_row_n = jnp.where(at_slot & do[:, None], src[:, None], row_n)
+        new_row_d = jnp.where(at_slot & do[:, None], edist[:, None], row_d)
+        new_cnt = jnp.where(do & has_space, cnt + 1, cnt)
+
+        nbrs = nbrs.at[t].set(new_row_n, mode="drop")
+        nbr_dists = nbr_dists.at[t].set(new_row_d, mode="drop")
+        nbr_count = nbr_count.at[t].set(new_cnt, mode="drop")
+        alive = alive & ~chosen
+        return nbrs, nbr_dists, nbr_count, alive
+
+    nbrs, nbr_dists, nbr_count, _ = jax.lax.fori_loop(
+        0, reverse_passes, rev_pass, (nbrs, nbr_dists, nbr_count, alive)
+    )
+
+    return state._replace(
+        nbrs=nbrs, nbr_dists=nbr_dists, nbr_count=nbr_count
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bulk construction: exact kNN graph -> heuristic prune -> symmetrize.
+#
+# The TPU-native fast path for large static ingests (the reference has no
+# equivalent — its build is inherently sequential insert; this is where
+# the MXU wins by orders of magnitude). Incremental adds after a bulk
+# build keep using insert_batch.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from longbow_tpu.ops.distance import exact_search
+
+
+def _chunked_self_knn(
+    vectors: jax.Array,
+    norms_sq: jax.Array,
+    valid: jax.Array,
+    n: int,
+    k: int,
+    chunk_b: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact k-NN of each of the first n rows against all valid rows,
+    excluding self. Returns (dists [n_pad, k], rows [n_pad, k]) where
+    n_pad rounds n up to chunk_b."""
+    n_pad = -(-n // chunk_b) * chunk_b
+    out_d, out_i = [], []
+    vf = vectors
+    for off in range(0, n_pad, chunk_b):
+        rows = jnp.arange(off, off + chunk_b, dtype=jnp.int32)
+        rows = jnp.minimum(rows, n - 1)
+        q = jnp.take(vf, rows, axis=0).astype(jnp.float32)
+        d, i = exact_search(
+            q, vf.astype(jnp.float32), k + 1,
+            corpus_norms_sq=norms_sq, valid=valid, exact_precision=False,
+        )
+        self_hit = i == rows[:, None]
+        d = jnp.where(self_hit, MASKED, d)
+        i = jnp.where(self_hit, -1, i)
+        # re-sort so the masked self-slot falls to the end, keep k
+        neg, pos = jax.lax.top_k(-d, k)
+        out_d.append(-neg)
+        out_i.append(jnp.take_along_axis(i, pos, axis=1))
+    return jnp.concatenate(out_d), jnp.concatenate(out_i)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _prune_chunk(cand_i, cand_d, cand_vecs, m):
+    return select_neighbors_heuristic(cand_i, cand_d, cand_vecs, m)
+
+
+def bulk_build_edges(
+    state: GraphState,
+    n: int,
+    *,
+    m: int,
+    m_max: int,
+    knn_k: int = 64,
+    chunk_b: int = 1024,
+) -> GraphState:
+    """Build the whole adjacency for rows [0, n) from scratch.
+
+    1. exact kNN graph on the MXU (chunked flat scans)
+    2. keep-pruned-connections heuristic -> m forward edges per node
+    3. symmetrize: stable two-key sort of the edge list groups incoming
+       edges by target; each node keeps the best m_max of
+       (forward + incoming) — the fixed-shape, sort-based equivalent of
+       HNSW's bidirectional linking + pruning.
+    """
+    knn_d, knn_i = _chunked_self_knn(
+        state.vectors, state.norms_sq, state.valid, n, knn_k, chunk_b
+    )
+    n_pad = knn_d.shape[0]
+
+    # -- prune to m diverse forward edges (chunked: the candidate
+    #    vector gather is the memory hog) --
+    fwd_rows = []
+    fwd_dists = []
+    for off in range(0, n_pad, chunk_b):
+        ci = jax.lax.dynamic_slice_in_dim(knn_i, off, chunk_b)
+        cd = jax.lax.dynamic_slice_in_dim(knn_d, off, chunk_b)
+        cv = jnp.take(state.vectors, jnp.maximum(ci, 0), axis=0).astype(
+            jnp.float32
+        )
+        sr, sd = _prune_chunk(ci, cd, cv, m)
+        fwd_rows.append(sr)
+        fwd_dists.append(sd)
+    fwd_rows = jnp.concatenate(fwd_rows)[:n]    # [n, m]
+    fwd_dists = jnp.concatenate(fwd_dists)[:n]  # [n, m]
+
+    return _symmetrize_and_store(
+        state, fwd_rows, fwd_dists, n, m_max=m_max
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m_max"), donate_argnums=(0,))
+def _symmetrize_and_store(
+    state: GraphState,
+    fwd_rows: jax.Array,   # [n, m]
+    fwd_dists: jax.Array,  # [n, m]
+    n: int,
+    *,
+    m_max: int,
+) -> GraphState:
+    m = fwd_rows.shape[1]
+    e = n * m
+    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), m)  # [E]
+    dst = fwd_rows.reshape(-1)
+    d = fwd_dists.reshape(-1)
+    ok = dst >= 0
+    dst_s = jnp.where(ok, dst, n)  # invalid -> sentinel bucket n
+
+    # stable two-key sort: by distance first, then by target — within a
+    # target group edges end up ordered best-first
+    o1 = jnp.argsort(d, stable=True)
+    dst1, src1, d1 = dst_s[o1], src[o1], d[o1]
+    o2 = jnp.argsort(dst1, stable=True)
+    dst2, src2, d2 = dst1[o2], src1[o2], d1[o2]
+
+    starts = jnp.searchsorted(dst2, jnp.arange(n, dtype=jnp.int32))
+    ends = jnp.searchsorted(
+        dst2, jnp.arange(n, dtype=jnp.int32), side="right"
+    )
+    counts = ends - starts  # [n] incoming degree
+
+    r_slots = m_max  # incoming candidates kept per node
+    slot = jax.lax.broadcasted_iota(jnp.int32, (n, r_slots), 1)
+    pos = jnp.minimum(starts[:, None] + slot, e - 1)
+    inc_ok = slot < jnp.minimum(counts, r_slots)[:, None]
+    inc_src = jnp.where(inc_ok, jnp.take(src2, pos), -1)      # [n, R]
+    inc_d = jnp.where(inc_ok, jnp.take(d2, pos), MASKED)
+
+    # merge forward + incoming, dedup, keep best m_max
+    all_i = jnp.concatenate([fwd_rows, inc_src], axis=1)  # [n, m+R]
+    all_d = jnp.concatenate([fwd_dists, inc_d], axis=1)
+    # dedup (incoming may duplicate a forward edge): keep first
+    kk = all_i.shape[1]
+    eq = all_i[:, :, None] == all_i[:, None, :]
+    earlier = jnp.tril(jnp.ones((kk, kk), bool), k=-1)
+    dup = jnp.any(eq & earlier & (all_i[:, None, :] >= 0), axis=2)
+    all_d = jnp.where(dup, MASKED, all_d)
+    all_d = jnp.where(all_i >= 0, all_d, MASKED)
+
+    neg, ppos = jax.lax.top_k(-all_d, m_max)
+    sel_d = -neg
+    sel_i = jnp.where(
+        sel_d < MASKED, jnp.take_along_axis(all_i, ppos, axis=1), -1
+    )
+    cnt = jnp.sum(sel_i >= 0, axis=1).astype(jnp.int32)
+
+    rows = jnp.arange(n, dtype=jnp.int32)
+    nbrs = state.nbrs.at[rows].set(sel_i)
+    nbr_dists = state.nbr_dists.at[rows].set(sel_d)
+    nbr_count = state.nbr_count.at[rows].set(cnt)
+    return state._replace(nbrs=nbrs, nbr_dists=nbr_dists, nbr_count=nbr_count)

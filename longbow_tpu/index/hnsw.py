@@ -1,0 +1,287 @@
+"""HNSW-capability graph index, TPU-native.
+
+Public semantics match the reference's ArrowHNSW / hnsw2
+(reference: arrow_hnsw.go:77-99 defaults M=32, MMax=64, efC=400,
+efS=50; SearchVectorsWithBitmap :754; adaptive ef retry :920-947), but
+the machinery is the flat fixed-fanout graph of index/graph.py built
+with batched functional inserts (index/graph_build.py) — no hierarchy,
+no locks, no per-query heaps. See graph.py's module docstring for why.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from longbow_tpu.index.graph import GraphState, beam_search, graph_init
+from longbow_tpu.index.graph_build import bulk_build_edges, insert_batch
+from longbow_tpu.ops.distance import MASKED, Metric, pad_to, squared_norms
+
+MIN_CAPACITY = 4096
+
+
+class HNSWConfig:
+    """Mirrors ArrowHNSWConfig knobs (reference: arrow_hnsw.go:33-75)."""
+
+    def __init__(
+        self,
+        m: int = 32,
+        m_max: int = 64,
+        ef_construction: int = 100,
+        ef_search: int = 50,
+        insert_batch_size: int = 1024,
+        entry_sample_size: int = 2048,
+        adaptive_ef_retries: int = 2,
+    ):
+        self.m = m
+        self.m_max = m_max
+        self.ef_construction = ef_construction
+        self.ef_search = ef_search
+        self.insert_batch_size = insert_batch_size
+        self.entry_sample_size = entry_sample_size
+        # reference retries with ef*5 up to 3 attempts when under-full
+        # (arrow_hnsw.go:920-947); we keep the same escape hatch
+        self.adaptive_ef_retries = adaptive_ef_retries
+
+
+class HNSWIndex:
+    """Approximate k-NN graph index with tombstones and filtered search."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = Metric.L2,
+        config: Optional[HNSWConfig] = None,
+        dtype=jnp.float32,
+        capacity: int = MIN_CAPACITY,
+    ):
+        self.dim = dim
+        self.metric = Metric.validate(metric)
+        if self.metric == Metric.DOT:
+            raise NotImplementedError(
+                "dot/MIPS graph search needs the norm-augmentation "
+                "transform; use FlatIndex for dot until then"
+            )
+        self.config = config or HNSWConfig()
+        self.dtype = dtype
+        self.count = 0
+        cap = pad_to(capacity, MIN_CAPACITY)
+        self.state = graph_init(cap, dim, self.config.m_max, dtype)
+        self._pending: list[np.ndarray] = []  # rows stored, not yet linked
+        self._sample_dirty = True
+        self._sample_rows = jnp.zeros((1,), jnp.int32)
+
+    # ------------------------------------------------------------------
+
+    @property
+    def capacity(self) -> int:
+        return self.state.vectors.shape[0]
+
+    def __len__(self) -> int:
+        return self.count
+
+    def _grow_to(self, need: int) -> None:
+        new_cap = self.capacity
+        while new_cap < need:
+            new_cap *= 2
+        if new_cap == self.capacity:
+            return
+        pad = new_cap - self.capacity
+        s = self.state
+        self.state = GraphState(
+            vectors=jnp.pad(s.vectors, ((0, pad), (0, 0))),
+            norms_sq=jnp.pad(s.norms_sq, (0, pad)),
+            valid=jnp.pad(s.valid, (0, pad)),
+            nbrs=jnp.pad(s.nbrs, ((0, pad), (0, 0)), constant_values=-1),
+            nbr_dists=jnp.pad(
+                s.nbr_dists, ((0, pad), (0, 0)), constant_values=float(MASKED)
+            ),
+            nbr_count=jnp.pad(s.nbr_count, (0, pad)),
+        )
+        self._sample_dirty = True
+
+    def _refresh_sample(self) -> None:
+        """Strided sample of stored rows for the entry scan (the role of
+        HNSW's upper layers). Refreshed lazily as the index grows."""
+        if not self._sample_dirty and self._sample_rows.shape[0] > 1:
+            return
+        n = max(self.count, 1)
+        s = min(self.config.entry_sample_size, n)
+        rows = np.linspace(0, n - 1, s, dtype=np.int32)
+        self._sample_rows = jnp.asarray(rows)
+        self._sample_dirty = False
+
+    # ------------------------------------------------------------------
+
+    def add(self, vecs: np.ndarray) -> np.ndarray:
+        """Store + link vectors; returns assigned internal row ids."""
+        vecs = np.ascontiguousarray(vecs, dtype=np.float32)
+        if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+            raise ValueError(f"expected [n, {self.dim}], got {vecs.shape}")
+        n = vecs.shape[0]
+        self._grow_to(self.count + n)
+
+        jv = jnp.asarray(vecs)
+        if self.metric == Metric.COSINE:
+            jv = jv / jnp.maximum(
+                jnp.linalg.norm(jv, axis=1, keepdims=True), 1e-30
+            )
+        norms = squared_norms(jv)
+        s = self.state
+        start = self.count
+        self.state = s._replace(
+            vectors=jax.lax.dynamic_update_slice(
+                s.vectors, jv.astype(self.dtype), (start, 0)
+            ),
+            norms_sq=jax.lax.dynamic_update_slice(s.norms_sq, norms, (start,)),
+            valid=jax.lax.dynamic_update_slice(
+                s.valid, jnp.ones((n,), bool), (start,)
+            ),
+        )
+        rows = np.arange(start, start + n, dtype=np.int64)
+        was_empty = self.count == 0
+        self.count += n
+        self._sample_dirty = True
+
+        if was_empty and n >= 2 * self.config.insert_batch_size:
+            # bulk path: exact kNN graph on the MXU + symmetrize —
+            # orders of magnitude faster than insertion and a
+            # higher-quality graph (no reference equivalent; its build
+            # is inherently sequential, insertion_core.go:16)
+            self.state = bulk_build_edges(
+                self.state,
+                n,
+                m=self.config.m,
+                m_max=self.config.m_max,
+                knn_k=min(64, max(self.config.m * 2, 16)),
+            )
+            return rows
+
+        # incremental path: link in fixed-size batches (padding the
+        # tail batch by repeating its last row keeps shapes stable)
+        bs = self.config.insert_batch_size
+        self._refresh_sample()
+        for off in range(0, n, bs):
+            chunk = rows[off : off + bs].astype(np.int32)
+            if len(chunk) < bs:
+                chunk = np.pad(chunk, (0, bs - len(chunk)), mode="edge")
+            self.state = insert_batch(
+                self.state,
+                jnp.asarray(chunk),
+                self._sample_rows,
+                ef_construction=self.config.ef_construction,
+                m=self.config.m,
+                cand_cap=min(64, max(self.config.m * 2, 16)),
+            )
+        return rows
+
+    def delete_rows(self, rows: np.ndarray) -> None:
+        """Tombstone rows: they stop appearing in results but remain
+        routable (reference: tombstoned deletes + RepairAgent,
+        hnsw_repair_agent.go:31; repair/compaction comes separately)."""
+        if len(rows) == 0:
+            return
+        self.state = self.state._replace(
+            valid=self.state.valid.at[jnp.asarray(rows)].set(False)
+        )
+
+    # ------------------------------------------------------------------
+
+    def search(
+        self,
+        queries: jax.Array,
+        k: int,
+        *,
+        ef_search: Optional[int] = None,
+        filter_mask: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Batched ANN search -> (dist [B,k] f32, rows [B,k] i32).
+
+        Implements the reference's adaptive retry: if any query comes
+        back under-filled, retry with ef*5 (arrow_hnsw.go:920-947).
+        """
+        queries = jnp.asarray(queries, dtype=jnp.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if self.metric == Metric.COSINE:
+            queries = queries / jnp.maximum(
+                jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-30
+            )
+        self._refresh_sample()
+        ef = max(ef_search or self.config.ef_search, k)
+
+        eligible = filter_mask
+        d, r = beam_search(
+            self.state, queries, self._sample_rows, k, ef,
+            eligible=eligible,
+        )
+        for _ in range(self.config.adaptive_ef_retries):
+            filled = np.asarray(d[:, k - 1] < MASKED).all()
+            if filled or ef >= self.count:
+                break
+            ef = ef * 5
+            d, r = beam_search(
+                self.state, queries, self._sample_rows, k, ef,
+                eligible=eligible,
+            )
+        return d, r
+
+    # ------------------------------------------------------------------
+
+    def export_state(self) -> dict:
+        n = self.count
+        s = self.state
+        return {
+            "kind": "hnsw",
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": str(jnp.dtype(self.dtype)),
+            "count": n,
+            "m": self.config.m,
+            "m_max": self.config.m_max,
+            "ef_construction": self.config.ef_construction,
+            "ef_search": self.config.ef_search,
+            "vectors": np.asarray(s.vectors[:n]),
+            "norms_sq": np.asarray(s.norms_sq[:n]),
+            "valid": np.asarray(s.valid[:n]),
+            "nbrs": np.asarray(s.nbrs[:n]),
+            "nbr_dists": np.asarray(s.nbr_dists[:n]),
+            "nbr_count": np.asarray(s.nbr_count[:n]),
+        }
+
+    @classmethod
+    def import_state(cls, st: dict) -> "HNSWIndex":
+        cfg = HNSWConfig(
+            m=st["m"], m_max=st["m_max"],
+            ef_construction=st["ef_construction"],
+            ef_search=st["ef_search"],
+        )
+        idx = cls(
+            st["dim"], st["metric"], cfg, jnp.dtype(st["dtype"]),
+            capacity=max(MIN_CAPACITY, st["count"]),
+        )
+        n = st["count"]
+        if n:
+            cap = idx.capacity
+            m2 = cfg.m_max
+
+            def place(arr, fill, dt):
+                out = np.full(
+                    (cap,) + arr.shape[1:], fill, dtype=dt
+                )
+                out[:n] = arr
+                return jnp.asarray(out)
+
+            idx.state = GraphState(
+                vectors=place(st["vectors"], 0, st["vectors"].dtype),
+                norms_sq=place(st["norms_sq"], 0, np.float32),
+                valid=place(st["valid"], False, bool),
+                nbrs=place(st["nbrs"], -1, np.int32),
+                nbr_dists=place(st["nbr_dists"], float(MASKED), np.float32),
+                nbr_count=place(st["nbr_count"], 0, np.int32),
+            )
+            idx.count = n
+            idx._sample_dirty = True
+        return idx
