@@ -1,0 +1,69 @@
+"""Rank fusion for hybrid search results.
+
+reference: ReciprocalRankFusion (rrf.go:10), FuseLinear / hybrid
+pipeline stages (hybrid_pipeline.go:78-360), EstimateAlpha heuristic
+(hybrid_search.go:235).
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+
+RRF_K = 60  # standard RRF constant, same as the reference
+
+
+def fuse_rrf(result_lists: list[list], k: int, rrf_k: int = RRF_K) -> list:
+    """Reciprocal-rank fusion of N ranked id lists -> [(id, score)].
+
+    Each input is an ordered list of ids (or (id, score) pairs whose
+    scores are ignored — RRF is rank-only).
+    """
+    scores: dict = defaultdict(float)
+    for lst in result_lists:
+        for rank, item in enumerate(lst):
+            doc = item[0] if isinstance(item, tuple) else item
+            scores[doc] += 1.0 / (rrf_k + rank + 1)
+    return sorted(scores.items(), key=lambda kv: -kv[1])[:k]
+
+
+def _normalize(pairs: list[tuple]) -> dict:
+    if not pairs:
+        return {}
+    vals = [s for _, s in pairs]
+    lo, hi = min(vals), max(vals)
+    span = (hi - lo) or 1.0
+    return {d: (s - lo) / span for d, s in pairs}
+
+
+def fuse_linear(
+    dense: list[tuple],
+    sparse: list[tuple],
+    alpha: float,
+    k: int,
+) -> list:
+    """alpha * dense + (1-alpha) * sparse over min-max normalized
+    similarity scores -> [(id, fused_score)] best-first.
+
+    dense pairs carry *similarity* (higher better) — callers convert
+    distances before fusing. alpha semantics follow the reference:
+    0.0 = sparse only, 1.0 = dense only (requests.go:13).
+    """
+    dn = _normalize(dense)
+    sn = _normalize(sparse)
+    out: dict = defaultdict(float)
+    for d, s in dn.items():
+        out[d] += alpha * s
+    for d, s in sn.items():
+        out[d] += (1.0 - alpha) * s
+    return sorted(out.items(), key=lambda kv: -kv[1])[:k]
+
+
+def estimate_alpha(text_query: str) -> float:
+    """Query-length heuristic (reference: EstimateAlpha,
+    hybrid_search.go:235): short keyword-ish queries lean sparse,
+    longer natural-language queries lean dense."""
+    n_terms = len(text_query.split())
+    if n_terms <= 2:
+        return 0.3
+    if n_terms <= 5:
+        return 0.5
+    return 0.7

@@ -1,0 +1,162 @@
+"""AdaptiveIndex: exact scan for small datasets, graph ANN after a
+threshold — the reference's adaptive/auto-sharding migration semantics
+(reference: adaptive_index.go:59,357,539 migrateToHNSW at threshold;
+docs/autoshard.md interim-index dual-read).
+
+Below the threshold everything is a FlatIndex (on TPU the exact scan
+is so fast the threshold can be much higher than the reference's 10k).
+On crossing it, a graph index is bulk-built from the flat corpus
+(bulk_build_edges — seconds, not minutes) and subsequent adds use the
+graph's incremental insert. During the build the flat index keeps
+serving: "interim sharding" collapses to a plain atomic swap because
+index state is functional.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from longbow_tpu.index.flat import FlatIndex
+from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
+from longbow_tpu.ops.distance import Metric
+
+DEFAULT_MIGRATION_THRESHOLD = 200_000
+
+
+class AdaptiveIndex:
+    def __init__(
+        self,
+        dim: int,
+        metric: str = Metric.L2,
+        *,
+        dtype=jnp.float32,
+        migration_threshold: int = DEFAULT_MIGRATION_THRESHOLD,
+        hnsw_config: Optional[HNSWConfig] = None,
+    ):
+        self.dim = dim
+        self.metric = Metric.validate(metric)
+        self.dtype = dtype
+        self.migration_threshold = migration_threshold
+        self.hnsw_config = hnsw_config or HNSWConfig()
+        self._flat = FlatIndex(dim, metric, dtype)
+        self._graph: Optional[HNSWIndex] = None
+
+    # ------------------------------------------------------------------
+
+    @property
+    def kind(self) -> str:
+        return "hnsw" if self._graph is not None else "flat"
+
+    @property
+    def capacity(self) -> int:
+        return (self._graph or self._flat).capacity
+
+    def __len__(self) -> int:
+        return len(self._graph or self._flat)
+
+    # ------------------------------------------------------------------
+
+    def _maybe_migrate(self) -> None:
+        # dot/MIPS graph search not wired yet -> stay flat (scan is
+        # fast enough; MIPS augmentation lands with the quantized work)
+        if self.metric == Metric.DOT:
+            return
+        if self._graph is not None:
+            return
+        if len(self._flat) < self.migration_threshold:
+            return
+        g = HNSWIndex(
+            self.dim,
+            self.metric,
+            self.hnsw_config,
+            self.dtype,
+            capacity=self._flat.capacity,
+        )
+        vecs = np.asarray(self._flat.vectors[: self._flat.count]).astype(
+            np.float32
+        )
+        g.add(vecs)
+        dead = np.nonzero(~np.asarray(self._flat.valid[: self._flat.count]))[0]
+        if len(dead):
+            g.delete_rows(dead)
+        self._graph = g
+        self._flat = FlatIndex(self.dim, self.metric, self.dtype, capacity=1)
+
+    def add(self, vecs: np.ndarray) -> np.ndarray:
+        if self._graph is not None:
+            return self._graph.add(vecs)
+        rows = self._flat.add(vecs)
+        self._maybe_migrate()
+        return rows
+
+    def delete_rows(self, rows: np.ndarray) -> None:
+        (self._graph or self._flat).delete_rows(rows)
+
+    def search(
+        self,
+        queries: jax.Array,
+        k: int,
+        *,
+        filter_mask: Optional[jax.Array] = None,
+        ef_search: Optional[int] = None,
+        exact: bool = False,
+    ) -> tuple[jax.Array, jax.Array]:
+        if self._graph is not None and not exact:
+            return self._graph.search(
+                queries, k, filter_mask=filter_mask, ef_search=ef_search
+            )
+        if self._graph is not None and exact:
+            # exact post-migration: scan the graph's vector block
+            from longbow_tpu.ops.distance import exact_search
+
+            g = self._graph
+            return exact_search(
+                jnp.asarray(queries, jnp.float32),
+                g.state.vectors.astype(jnp.float32),
+                k,
+                self.metric,
+                corpus_norms_sq=g.state.norms_sq,
+                valid=(
+                    g.state.valid
+                    if filter_mask is None
+                    else g.state.valid & filter_mask
+                ),
+                exact_precision=False,
+            )
+        return self._flat.search(queries, k, filter_mask=filter_mask)
+
+    # ------------------------------------------------------------------
+
+    def get_vectors(self, rows: np.ndarray) -> np.ndarray:
+        src = (
+            self._graph.state.vectors
+            if self._graph is not None
+            else self._flat.vectors
+        )
+        return np.asarray(
+            jnp.take(src, jnp.asarray(rows), axis=0).astype(jnp.float32)
+        )
+
+    def export_state(self) -> dict:
+        st = (self._graph or self._flat).export_state()
+        st["migration_threshold"] = self.migration_threshold
+        return st
+
+    @classmethod
+    def import_state(cls, st: dict) -> "AdaptiveIndex":
+        idx = cls(
+            st["dim"],
+            st["metric"],
+            dtype=jnp.dtype(st["dtype"]),
+            migration_threshold=st.get(
+                "migration_threshold", DEFAULT_MIGRATION_THRESHOLD
+            ),
+        )
+        if st["kind"] == "hnsw":
+            idx._graph = HNSWIndex.import_state(st)
+        else:
+            idx._flat = FlatIndex.import_state(st)
+        return idx

@@ -166,10 +166,31 @@ class FlatIndex:
         if filter_mask is not None:
             valid = jnp.logical_and(valid, filter_mask)
 
-        if _on_tpu() and k <= 128:
-            return fused_flat_search(
-                queries, self.vectors, self.norms_sq, valid, k, metric
-            )
+        # Pallas fused path: bf16 corpora only — f32 variants of the
+        # fold kernel hit pathological (minutes-long) Mosaic compiles
+        # on v5e, and bf16 is the perf-right storage default anyway;
+        # f32 serves through the XLA chunked scan (~20% slower).
+        if _on_tpu() and k <= 128 and self.dtype == jnp.bfloat16:
+            # Fixed kernel shapes: B padded to 128, k bucketed to
+            # {16, 128}. Small/odd batch shapes trigger pathological
+            # Mosaic compile times (minutes); one canonical shape per
+            # (corpus, metric) compiles once and serves every request.
+            b = queries.shape[0]
+            k_pad = 16 if k <= 16 else 128
+            out_d, out_i = [], []
+            for off in range(0, b, 128):
+                chunk = queries[off : off + 128]
+                bc = chunk.shape[0]
+                if bc < 128:
+                    chunk = jnp.pad(chunk, ((0, 128 - bc), (0, 0)))
+                d, i = fused_flat_search(
+                    chunk, self.vectors, self.norms_sq, valid, k_pad, metric
+                )
+                out_d.append(d[:bc, :k])
+                out_i.append(i[:bc, :k])
+            if len(out_d) == 1:
+                return out_d[0], out_i[0]
+            return jnp.concatenate(out_d), jnp.concatenate(out_i)
         return exact_search(
             queries,
             self.vectors.astype(jnp.float32),

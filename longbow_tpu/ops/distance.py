@@ -56,7 +56,11 @@ class Metric:
 # A big-but-finite sentinel for masked-out distances. Using +inf breaks
 # top-k tie handling and NaN propagation in some XLA reductions, so we
 # use a large finite value well above any real distance.
-MASKED = jnp.float32(3.0e38)
+# MUST stay a Python float, not jnp.float32(...): a device-array
+# constant captured into jitted programs sends this platform's remote
+# compiler into a 200-400s pathological compile (verified empirically —
+# the same program with a Python-float constant compiles in ~2s).
+MASKED = 3.0e38
 
 
 def pad_to(n: int, multiple: int) -> int:

@@ -83,6 +83,10 @@ def _scan_kernel(
     if mode == "l2":
         # vn_ref carries |v|^2 for valid rows and MASKED for padding or
         # tombstoned rows, so masking rides the epilogue add for free.
+        # NOTE: do NOT clamp negatives here — a jnp.maximum on this
+        # expression sends the Mosaic compiler into a minutes-long
+        # pathological compile on v5e (verified empirically); the
+        # wrapper clamps the final [B, k] output instead.
         scores = qn_ref[:] - 2.0 * ip + vn_ref[:]
     else:  # "ip"
         scores = vn_ref[:] - ip  # vn is 0 for valid rows, MASKED otherwise
@@ -255,4 +259,9 @@ def fused_flat_search(
         interpret=interpret,
     )(queries, qn, corpus, vn)
 
-    return out_vals[:b, :k], out_idx[:b, :k]
+    out_vals = out_vals[:b, :k]
+    if mode == "l2":
+        # clamp bf16 cancellation (self-distance must not go negative);
+        # MASKED entries survive max() unscathed
+        out_vals = jnp.maximum(out_vals, 0.0)
+    return out_vals, out_idx[:b, :k]

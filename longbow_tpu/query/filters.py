@@ -1,0 +1,198 @@
+"""Predicate filtering: metadata columns -> device row bitmask.
+
+The reference evaluates typed filter ops with SIMD compare kernels into
+byte masks, AND-combined, cached by filter hash
+(reference: query/filter_evaluator.go:18-540, simd compare_amd64.s,
+dataset.go:226-297 GenerateFilterBitset + LRU cache). The TPU design
+keeps filterable columns as device arrays and evaluates the whole
+predicate as a handful of fused VPU compares producing one bool mask
+that feeds straight into the search kernels as `eligible`.
+"""
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from longbow_tpu.query.parser import Filter
+
+
+class ColumnStore:
+    """Filterable metadata columns for one dataset.
+
+    Numeric columns live on device (padded to the index capacity);
+    string columns are dictionary-encoded: host dict str->code plus a
+    device int32 code column, so string equality filters run on device
+    too (the reference's ColumnInvertedIndex serves the same purpose,
+    column_inverted_index.go:47).
+    """
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.count = 0
+        self._numeric: dict[str, jax.Array] = {}   # f32/i64 device cols
+        self._str_codes: dict[str, jax.Array] = {}  # i32 device cols
+        self._str_dicts: dict[str, dict] = {}       # value -> code
+
+    def _grow(self, new_cap: int) -> None:
+        if new_cap <= self.capacity:
+            return
+        pad = new_cap - self.capacity
+        self._numeric = {
+            k: jnp.pad(v, (0, pad)) for k, v in self._numeric.items()
+        }
+        self._str_codes = {
+            k: jnp.pad(v, (0, pad), constant_values=-1)
+            for k, v in self._str_codes.items()
+        }
+        self.capacity = new_cap
+
+    def append(self, columns: dict, n: int, capacity: int) -> None:
+        """Append n rows of column data ({name: list/ndarray}).
+
+        Columns absent from this batch get defaults (0 / NaN-free 0 /
+        code -1) so row alignment holds across batches with different
+        schemas (the reference's additive schema evolution,
+        schema_evolution.go:29).
+        """
+        self._grow(capacity)
+        start = self.count
+        known = set(self._numeric) | set(self._str_codes)
+        for name in known - set(columns):
+            # absent existing column: rows keep the zero/-1 fill that
+            # padding provides — nothing to write
+            pass
+        for name, vals in columns.items():
+            arr = np.asarray(vals)
+            if len(arr) != n:
+                raise ValueError(
+                    f"column {name!r} has {len(arr)} rows, expected {n}"
+                )
+            if arr.dtype.kind in "OUS":  # strings
+                d = self._str_dicts.setdefault(name, {})
+                codes = np.array(
+                    [d.setdefault(str(v), len(d)) for v in arr], np.int32
+                )
+                col = self._str_codes.get(name)
+                if col is None:
+                    col = jnp.full((self.capacity,), -1, jnp.int32)
+                self._str_codes[name] = jax.lax.dynamic_update_slice(
+                    col, jnp.asarray(codes), (start,)
+                )
+            else:
+                vals_f = arr.astype(
+                    np.int64 if arr.dtype.kind in "iu" else np.float32
+                )
+                dt = jnp.int64 if vals_f.dtype == np.int64 else jnp.float32
+                # int64 device columns downcast to f32 when x64 is off;
+                # store big ints as f64-safe float32 pairs is overkill —
+                # use int32 when values fit, else float32
+                if dt == jnp.int64:
+                    if (np.abs(vals_f) < 2**31).all():
+                        vals_f = vals_f.astype(np.int32)
+                        dt = jnp.int32
+                    else:
+                        vals_f = vals_f.astype(np.float32)
+                        dt = jnp.float32
+                col = self._numeric.get(name)
+                if col is None or col.dtype != dt:
+                    base = jnp.zeros((self.capacity,), dt)
+                    if col is not None:
+                        base = col.astype(dt)
+                    col = base
+                self._numeric[name] = jax.lax.dynamic_update_slice(
+                    col, jnp.asarray(vals_f), (start,)
+                )
+        self.count = start + n
+
+    def fields(self) -> list[str]:
+        return sorted(set(self._numeric) | set(self._str_codes))
+
+    # ------------------------------------------------------------------
+
+    def _eval_one(self, f: Filter) -> jax.Array:
+        op = f.operator
+        if f.field in self._str_codes:
+            if op not in ("eq", "neq"):
+                raise ValueError(
+                    f"operator {op!r} unsupported for string column "
+                    f"{f.field!r} (eq/neq only)"
+                )
+            code = self._str_dicts[f.field].get(f.value, -2)  # -2: no match
+            col = self._str_codes[f.field]
+            m = col == code
+            return m if op == "eq" else (col >= 0) & ~m
+        if f.field in self._numeric:
+            col = self._numeric[f.field]
+            try:
+                val = (
+                    int(f.value)
+                    if col.dtype in (jnp.int32, jnp.int64)
+                    else float(f.value)
+                )
+            except ValueError as e:
+                raise ValueError(
+                    f"filter value {f.value!r} not numeric for column "
+                    f"{f.field!r}"
+                ) from e
+            if op == "eq":
+                return col == val
+            if op == "neq":
+                return col != val
+            if op == "gt":
+                return col > val
+            if op == "lt":
+                return col < val
+            if op == "ge":
+                return col >= val
+            return col <= val
+        raise KeyError(f"unknown filter field {f.field!r}")
+
+    def evaluate(self, filters: list[Filter]) -> Optional[jax.Array]:
+        """Filters -> [capacity] bool mask; AND by default, a filter
+        with logic=="or" ORs into the running mask (reference combines
+        per-filter bitmaps the same way, dataset.go:226-297)."""
+        if not filters:
+            return None
+        mask = None
+        for f in filters:
+            m = self._eval_one(f)
+            if mask is None:
+                mask = m
+            elif f.logic.lower() == "or":
+                mask = mask | m
+            else:
+                mask = mask & m
+        return mask
+
+
+class FilterCache:
+    """LRU cache of evaluated filter masks keyed by the filters' hash
+    (reference: dataset.go filter cache, ~100-entry LRU)."""
+
+    def __init__(self, max_entries: int = 100):
+        self.max_entries = max_entries
+        self._d: OrderedDict[str, jax.Array] = OrderedDict()
+        self._version = 0  # bumped on every append/delete
+
+    def invalidate(self) -> None:
+        self._version += 1
+        self._d.clear()
+
+    def get_or_eval(
+        self, store: ColumnStore, filters: list[Filter]
+    ) -> Optional[jax.Array]:
+        if not filters:
+            return None
+        key = "|".join(f.cache_key() for f in filters)
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        mask = store.evaluate(filters)
+        self._d[key] = mask
+        if len(self._d) > self.max_entries:
+            self._d.popitem(last=False)
+        return mask

@@ -1,0 +1,143 @@
+"""Ticket parsing — reference-compatible JSON query format.
+
+Wire format (reference: query/requests.go:4-21, zero_alloc_parser.go:
+13-20,114-141,243-284):
+
+    {"name"|"dataset": str, "limit": int,
+     "search": {"dataset": str, "vector": [f32], "vectors": [[f32]],
+                "k": int, "filters": [{"field","operator"|"op",
+                "value","logic"}], "local_only": bool,
+                "text_query": str, "alpha": f32, "graph_alpha": f32,
+                "include_vectors": bool, "vector_format": str}}
+
+The reference hand-rolls a zero-allocation parser because Go GC
+pressure sits on its hot path (zero_alloc_parser.go:47-640); here the
+hot path is on-device, ticket parsing is host-edge work, and stdlib
+json is both correct and fast enough — so this is deliberately simple.
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+# Operator aliases (reference: filter_evaluator.go:63-90)
+_OP_ALIASES = {
+    "=": "eq", "==": "eq", "eq": "eq",
+    "!=": "neq", "neq": "neq", "ne": "neq",
+    ">": "gt", "gt": "gt",
+    "<": "lt", "lt": "lt",
+    ">=": "ge", "ge": "ge", "gte": "ge",
+    "<=": "le", "le": "le", "lte": "le",
+}
+
+
+@dataclass
+class Filter:
+    field: str
+    operator: str
+    value: str
+    logic: str = ""  # "and" (default) / "or"
+
+    def __post_init__(self):
+        op = _OP_ALIASES.get(self.operator.lower().strip())
+        if op is None:
+            raise ValueError(f"unknown filter operator {self.operator!r}")
+        self.operator = op
+
+    def cache_key(self) -> str:
+        # reference: Filter.Hash (zero_alloc_parser.go:31)
+        return f"{self.field}:{self.operator}:{self.value}:{self.logic}"
+
+
+@dataclass
+class VectorSearchRequest:
+    dataset: str = ""
+    vector: Optional[list] = None
+    vectors: Optional[list] = None
+    k: int = 10
+    filters: list = field(default_factory=list)
+    local_only: bool = False
+    text_query: str = ""
+    alpha: float = 0.0
+    graph_alpha: float = 0.0
+    include_vectors: bool = False
+    vector_format: str = ""
+
+    def query_vectors(self) -> list:
+        """Normalized batch of query vectors."""
+        if self.vectors:
+            return self.vectors
+        if self.vector is not None:
+            return [self.vector]
+        return []
+
+
+@dataclass
+class TicketQuery:
+    name: str = ""
+    limit: int = 0
+    search: Optional[VectorSearchRequest] = None
+
+
+def _parse_filters(raw) -> list:
+    out = []
+    for f in raw or []:
+        if not isinstance(f, dict):
+            raise ValueError("filter must be an object")
+        out.append(
+            Filter(
+                field=f.get("field", ""),
+                operator=f.get("operator", f.get("op", "eq")),
+                value=str(f.get("value", "")),
+                logic=f.get("logic", ""),
+            )
+        )
+    return out
+
+
+def parse_search_request(obj: dict) -> VectorSearchRequest:
+    if not isinstance(obj, dict):
+        raise ValueError("search request must be an object")
+    req = VectorSearchRequest(
+        dataset=obj.get("dataset", ""),
+        vector=obj.get("vector"),
+        vectors=obj.get("vectors"),
+        k=int(obj.get("k", 10) or 10),
+        filters=_parse_filters(obj.get("filters")),
+        local_only=bool(obj.get("local_only", False)),
+        text_query=obj.get("text_query", "") or "",
+        alpha=float(obj.get("alpha", 0.0) or 0.0),
+        graph_alpha=float(obj.get("graph_alpha", 0.0) or 0.0),
+        include_vectors=bool(obj.get("include_vectors", False)),
+        vector_format=obj.get("vector_format", "") or "",
+    )
+    if req.k <= 0:
+        raise ValueError(f"k must be positive, got {req.k}")
+    return req
+
+
+def parse_ticket(data: bytes | str) -> TicketQuery:
+    """Parse a DoGet ticket (reference: ParseTicketQuerySafe,
+    zero_alloc_parser.go:639)."""
+    if isinstance(data, bytes):
+        data = data.decode("utf-8")
+    try:
+        obj = json.loads(data)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"malformed ticket JSON: {e}") from e
+    if not isinstance(obj, dict):
+        raise ValueError("ticket must be a JSON object")
+    tq = TicketQuery(
+        # "dataset" is an alias for "name" (zero_alloc_parser.go:121)
+        name=obj.get("name") or obj.get("dataset") or "",
+        limit=int(obj.get("limit", 0) or 0),
+    )
+    if "search" in obj and obj["search"] is not None:
+        tq.search = parse_search_request(obj["search"])
+        if not tq.search.dataset:
+            tq.search.dataset = tq.name
+        if not tq.name:
+            tq.name = tq.search.dataset
+    return tq

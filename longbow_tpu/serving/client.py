@@ -1,0 +1,184 @@
+"""Python client SDK — mirrors the reference SDK surface
+(reference: longbowclientsdk/src/longbow/client.py:16 LongbowClient —
+write/search/search_by_id/delete/namespaces over pyarrow.flight).
+"""
+from __future__ import annotations
+
+import json
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.flight as flight
+
+from longbow_tpu.store.dataset import METRIC_METADATA_KEY
+
+
+class LongbowClient:
+    def __init__(
+        self,
+        host: str = "localhost",
+        data_port: int = 3000,
+        meta_port: int = 3001,
+    ):
+        self.data_location = f"grpc://{host}:{data_port}"
+        self.meta_location = f"grpc://{host}:{meta_port}"
+        self._data: Optional[flight.FlightClient] = None
+        self._meta: Optional[flight.FlightClient] = None
+
+    def connect(self) -> "LongbowClient":
+        self._data = flight.FlightClient(self.data_location)
+        self._meta = flight.FlightClient(self.meta_location)
+        return self
+
+    def close(self) -> None:
+        for c in (self._data, self._meta):
+            if c is not None:
+                c.close()
+
+    def _dc(self) -> flight.FlightClient:
+        if self._data is None:
+            self.connect()
+        return self._data
+
+    def _mc(self) -> flight.FlightClient:
+        if self._meta is None:
+            self.connect()
+        return self._meta
+
+    # ------------------------------------------------------------------
+
+    def write(
+        self,
+        dataset: str,
+        ids,
+        vectors: np.ndarray,
+        columns: Optional[dict] = None,
+        metric: Optional[str] = None,
+    ) -> None:
+        """DoPut a batch (reference: client.py write :113)."""
+        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        n, d = vectors.shape
+        ids = np.asarray(ids)
+        id_arr = (
+            pa.array([str(i) for i in ids], pa.string())
+            if ids.dtype.kind in "OUS"
+            else pa.array(ids.astype(np.int64), pa.int64())
+        )
+        cols = {
+            "id": id_arr,
+            "vector": pa.FixedSizeListArray.from_arrays(
+                pa.array(vectors.reshape(-1), pa.float32()), d
+            ),
+        }
+        for name, vals in (columns or {}).items():
+            cols[name] = pa.array(np.asarray(vals))
+        meta = {METRIC_METADATA_KEY: metric} if metric else None
+        table = pa.table(cols)
+        if meta:
+            table = table.replace_schema_metadata(meta)
+        descriptor = flight.FlightDescriptor.for_path(dataset)
+        writer, _ = self._dc().do_put(descriptor, table.schema)
+        writer.write_table(table)
+        writer.close()
+
+    def search(
+        self,
+        dataset: str,
+        vector=None,
+        k: int = 10,
+        *,
+        vectors=None,
+        filters: Optional[list] = None,
+        text_query: str = "",
+        alpha: float = 0.0,
+        graph_alpha: float = 0.0,
+        include_vectors: bool = False,
+    ) -> pa.Table:
+        """DoGet search -> arrow table {id, score, query_index[, vector]}
+        (reference: client.py search :192 ticket format)."""
+        req: dict[str, Any] = {"dataset": dataset, "k": k}
+        if vector is not None:
+            req["vector"] = np.asarray(vector, dtype=np.float32).ravel().tolist()
+        if vectors is not None:
+            req["vectors"] = np.asarray(vectors, dtype=np.float32).tolist()
+        if filters:
+            req["filters"] = filters
+        if text_query:
+            req["text_query"] = text_query
+            req["alpha"] = alpha
+        if graph_alpha:
+            req["graph_alpha"] = graph_alpha
+        if include_vectors:
+            req["include_vectors"] = True
+        ticket = flight.Ticket(json.dumps({"search": req}).encode())
+        return self._dc().do_get(ticket).read_all()
+
+    def scan(self, dataset: str, limit: int = 0) -> pa.Table:
+        ticket = flight.Ticket(
+            json.dumps({"name": dataset, "limit": limit}).encode()
+        )
+        return self._dc().do_get(ticket).read_all()
+
+    # -- actions -------------------------------------------------------
+
+    def _action(self, name: str, body: dict, meta: bool = True):
+        client = self._mc() if meta else self._dc()
+        action = flight.Action(name, json.dumps(body).encode())
+        out = [json.loads(r.body.to_pybytes()) for r in client.do_action(action)]
+        return out[0] if out else {}
+
+    def search_by_id(self, dataset: str, id, k: int = 10) -> dict:
+        return self._action(
+            "VectorSearchByID", {"dataset": dataset, "id": id, "k": k}
+        )
+
+    def hybrid_search(
+        self, dataset: str, vector=None, text_query: str = "",
+        k: int = 10, alpha: float = 0.5,
+    ) -> dict:
+        body = {"dataset": dataset, "k": k, "alpha": alpha,
+                "text_query": text_query}
+        if vector is not None:
+            body["vector"] = np.asarray(vector, np.float32).ravel().tolist()
+        return self._action("HybridSearch", body)
+
+    def delete(self, dataset: str, ids: list) -> int:
+        ids = [i.item() if hasattr(i, "item") else i for i in ids]
+        return self._action("delete", {"dataset": dataset, "ids": ids})[
+            "deleted"
+        ]
+
+    def delete_namespace(self, dataset: str) -> bool:
+        return self._action("delete-dataset", {"name": dataset})["dropped"]
+
+    def create_namespace(self, name: str, force: bool = False) -> dict:
+        return self._action(
+            "CreateNamespace", {"name": name, "overwrite": force}
+        )
+
+    def list_namespaces(self) -> list:
+        return [
+            f.descriptor.path[0].decode()
+            for f in self._mc().list_flights()
+        ]
+
+    def check_readiness(self) -> dict:
+        return self._action("check_readiness", {})
+
+    def cluster_status(self) -> dict:
+        return self._action("cluster-status", {})
+
+    def add_edge(self, dataset: str, src, dst, edge_type="", weight=1.0):
+        return self._action(
+            "add-edge",
+            {"dataset": dataset, "from": src, "to": dst,
+             "type": edge_type, "weight": weight},
+        )
+
+    def traverse_graph(self, dataset: str, src, dst=None, max_hops=3):
+        return self._action(
+            "traverse-graph",
+            {"dataset": dataset, "from": src, "to": dst,
+             "max_hops": max_hops},
+        )["path"]

@@ -1,0 +1,384 @@
+"""Arrow Flight server: the reference-compatible serving edge.
+
+Protocol surface (reference: servers.go:28-190):
+- DoPut:   descriptor path = dataset; batch schema `id` + `vector`
+           (+ metadata columns); fixed/variable list<float32> vectors;
+           `longbow.metric` schema metadata selects the metric
+- DoGet:   ticket JSON {"name"|"dataset", "limit", "search": {...}} —
+           search streams {id, score[, vector]}; no search = table scan
+- DoAction: VectorSearch, VectorSearchByID, HybridSearch, delete,
+           delete-dataset, CreateNamespace, check_readiness,
+           cluster-status, list-datasets, GetGraphStats, add-edge,
+           traverse-graph (reference action names, store_actions.go)
+- ListFlights / GetFlightInfo / GetSchema for discovery
+
+The reference runs separate data (:3000) and meta (:3001) gRPC servers
+to isolate heavy transfers from metadata (README.md:73-82); `serve()`
+spawns both against one shared VectorStore.
+"""
+from __future__ import annotations
+
+import json
+import threading
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.flight as flight
+
+from longbow_tpu.ops.distance import Metric
+from longbow_tpu.query.parser import (
+    Filter,
+    parse_search_request,
+    parse_ticket,
+)
+from longbow_tpu.store.dataset import METRIC_METADATA_KEY
+from longbow_tpu.store.vector_store import VectorStore
+
+
+def _vector_column_to_numpy(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<f32> / fixed_size_list<f32> column -> [n, d] f32."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        return np.asarray(col.values, dtype=np.float32).reshape(-1, d)
+    arrs = col.to_pylist()
+    return np.asarray(arrs, dtype=np.float32)
+
+
+def _ids_column_to_numpy(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.to_pylist())
+
+
+_RESERVED = {"id", "vector", "timestamp"}
+
+
+class LongbowFlightServer(flight.FlightServerBase):
+    def __init__(
+        self,
+        store: VectorStore,
+        location: str = "grpc://0.0.0.0:3000",
+        *,
+        metrics_registry=None,
+        **kw,
+    ):
+        super().__init__(location, **kw)
+        self.store = store
+        self.location = location
+        self.metrics = metrics_registry
+
+    # -- ingestion (reference: servers.go:44 DoPut -> store_actions.go:426) --
+
+    def do_put(self, context, descriptor, reader, writer):
+        if not descriptor.path:
+            raise flight.FlightServerError("DoPut requires a path descriptor")
+        dataset = descriptor.path[0].decode()
+        metric = None
+        schema_meta = reader.schema.metadata or {}
+        mkey = METRIC_METADATA_KEY.encode()
+        if mkey in schema_meta:
+            metric = schema_meta[mkey].decode()
+        for chunk in reader:
+            batch = chunk.data
+            if batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch])
+            names = tbl.column_names
+            if "vector" not in names:
+                raise flight.FlightServerError(
+                    "DoPut batch needs a 'vector' column"
+                )
+            vecs = _vector_column_to_numpy(tbl.column("vector"))
+            if "id" in names:
+                ids = _ids_column_to_numpy(tbl.column("id"))
+            else:
+                base = len(self.store.get_or_create(dataset, vecs.shape[1], metric))
+                ids = np.arange(base, base + len(vecs))
+            columns = {
+                n: np.asarray(tbl.column(n).to_pylist())
+                for n in names
+                if n not in _RESERVED
+            }
+            self.store.put(dataset, ids, vecs, columns or None, metric=metric)
+            if self.metrics:
+                self.metrics.counter("longbow_flight_do_put_rows_total").inc(
+                    batch.num_rows
+                )
+
+    # -- queries (reference: servers.go:28 DoGet -> store_query.go:126) --
+
+    def do_get(self, context, ticket):
+        try:
+            tq = parse_ticket(ticket.ticket)
+            if tq.search is not None:
+                return self._do_search(tq)
+            return self._do_scan(tq)
+        except KeyError as e:
+            raise flight.FlightServerError(f"not found: {e}") from e
+        except ValueError as e:
+            raise flight.FlightServerError(f"bad request: {e}") from e
+
+    def _do_search(self, tq):
+        req = tq.search
+        ds = self.store.get(req.dataset or tq.name)
+        qv = np.asarray(req.query_vectors(), dtype=np.float32)
+        if qv.size == 0:
+            raise flight.FlightServerError("search needs vector or vectors")
+
+        if req.text_query and 0.0 <= req.alpha < 1.0:
+            ids, scores, ok = self.store.hybrid_search(
+                ds.name, qv, req.k,
+                text_query=req.text_query, alpha=req.alpha,
+                filters=req.filters, graph_alpha=req.graph_alpha,
+            )
+        else:
+            ids, scores, ok = self.store.search(
+                ds.name, qv, req.k, filters=req.filters
+            )
+            if req.graph_alpha > 0.0:
+                ids, scores, ok = self.store.graph_rerank(
+                    ds.name, ids, scores, ok, req.graph_alpha
+                )
+        if self.metrics:
+            self.metrics.counter("longbow_flight_search_total").inc()
+
+        out_ids, out_scores, out_qidx, rows = [], [], [], []
+        for b in range(ids.shape[0]):
+            for j in range(ids.shape[1]):
+                if ok[b, j]:
+                    out_ids.append(ids[b, j])
+                    out_scores.append(float(scores[b, j]))
+                    out_qidx.append(b)
+        fields = [
+            ("id", _ids_arrow_array(out_ids)),
+            ("score", pa.array(out_scores, pa.float32())),
+            ("query_index", pa.array(out_qidx, pa.int32())),
+        ]
+        if req.include_vectors and out_ids:
+            vrows = np.asarray(
+                [ds._id_to_row[Dataset_key(i)] for i in out_ids]
+            )
+            vecs = ds.get_vectors_by_rows(vrows)
+            fields.append(
+                (
+                    "vector",
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(vecs.reshape(-1), pa.float32()), ds.dim
+                    ),
+                )
+            )
+        tbl = pa.table(dict(fields))
+        return flight.RecordBatchStream(tbl)
+
+    def _do_scan(self, tq):
+        ds = self.store.get(tq.name)
+        n = ds.live_count
+        limit = tq.limit if tq.limit > 0 else n
+        pairs = [
+            (uid, row)
+            for uid, row in ds._id_to_row.items()
+        ][:limit]
+        if pairs:
+            rows = np.asarray([r for _, r in pairs])
+            vecs = ds.get_vectors_by_rows(rows)
+            ids = [u for u, _ in pairs]
+        else:
+            vecs = np.zeros((0, ds.dim), np.float32)
+            ids = []
+        tbl = pa.table(
+            {
+                "id": _ids_arrow_array(ids),
+                "vector": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1), pa.float32()), ds.dim
+                ),
+            }
+        )
+        return flight.RecordBatchStream(tbl)
+
+    # -- actions (reference: store_actions.go:29, servers.go:157) --
+
+    def do_action(self, context, action):
+        try:
+            return self._do_action(action)
+        except KeyError as e:
+            raise flight.FlightServerError(f"not found: {e}") from e
+        except (ValueError, json.JSONDecodeError) as e:
+            raise flight.FlightServerError(f"bad request: {e}") from e
+
+    def _do_action(self, action):
+        name = action.type
+        body = bytes(action.body.to_pybytes()) if action.body else b"{}"
+
+        def ok(obj) -> list:
+            return [json.dumps(obj).encode()]
+
+        if name == "check_readiness":
+            return ok(self.store.readiness())
+        if name == "cluster-status":
+            return ok(self.store.cluster_status())
+        if name in ("list-datasets", "ListDatasets"):
+            return ok(self.store.list_datasets())
+        if name in ("CreateNamespace",):
+            req = json.loads(body or b"{}")
+            # datasets are created lazily on first put; record intent
+            return ok({"created": req.get("name", "")})
+        if name in ("delete-dataset", "DeleteNamespace"):
+            req = json.loads(body or b"{}")
+            return ok({"dropped": self.store.drop(req.get("name", ""))})
+        if name in ("delete", "Delete", "delete-vector"):
+            req = json.loads(body or b"{}")
+            n = self.store.delete(req["dataset"], req.get("ids", []))
+            return ok({"deleted": n})
+        if name == "VectorSearch":
+            req = parse_search_request(json.loads(body))
+            qv = np.asarray(req.query_vectors(), dtype=np.float32)
+            ids, scores, okm = self.store.search(
+                req.dataset, qv, req.k, filters=req.filters
+            )
+            return ok(_response_ids_scores(ids, scores, okm))
+        if name == "VectorSearchByID":
+            req = json.loads(body)
+            ds = self.store.get(req["dataset"])
+            ids, scores, okm = ds.search_by_id(req["id"], int(req.get("k", 10)))
+            return ok(_response_ids_scores(ids, scores, okm))
+        if name == "HybridSearch":
+            req = parse_search_request(json.loads(body))
+            qv = np.asarray(req.query_vectors(), dtype=np.float32)
+            ids, scores, okm = self.store.hybrid_search(
+                req.dataset, qv if qv.size else None, req.k,
+                text_query=req.text_query, alpha=req.alpha,
+                filters=req.filters, graph_alpha=req.graph_alpha,
+            )
+            return ok(_response_ids_scores(ids, scores, okm))
+        if name == "add-edge":
+            req = json.loads(body)
+            self.store.add_edge(
+                req["dataset"], req["from"], req["to"],
+                req.get("type", ""), float(req.get("weight", 1.0)),
+            )
+            return ok({"added": True})
+        if name == "traverse-graph":
+            req = json.loads(body)
+            path = self.store.traverse_graph(
+                req["dataset"], req["from"], req.get("to"),
+                int(req.get("max_hops", 3)),
+            )
+            return ok({"path": path})
+        if name == "GetGraphStats":
+            req = json.loads(body)
+            return ok(self.store.graph_stats(req.get("dataset", "")))
+        raise flight.FlightServerError(f"unknown action {name!r}")
+
+    def list_actions(self, context):
+        return [
+            ("VectorSearch", "batched vector search"),
+            ("VectorSearchByID", "search by stored id"),
+            ("HybridSearch", "dense+sparse fusion search"),
+            ("delete", "delete ids from a dataset"),
+            ("delete-dataset", "drop a dataset"),
+            ("CreateNamespace", "create a namespace"),
+            ("check_readiness", "readiness probe"),
+            ("cluster-status", "cluster membership + dataset stats"),
+            ("list-datasets", "list dataset names"),
+            ("add-edge", "GraphRAG: add an edge"),
+            ("traverse-graph", "GraphRAG: BFS traverse"),
+            ("GetGraphStats", "GraphRAG: edge-store stats"),
+        ]
+
+    # -- discovery --
+
+    def list_flights(self, context, criteria):
+        for name in self.store.list_datasets():
+            ds = self.store.get(name)
+            descriptor = flight.FlightDescriptor.for_path(name.encode())
+            yield flight.FlightInfo(
+                self._dataset_schema(ds), descriptor, [], ds.live_count, -1
+            )
+
+    def get_flight_info(self, context, descriptor):
+        name = descriptor.path[0].decode()
+        ds = self.store.get(name)
+        return flight.FlightInfo(
+            self._dataset_schema(ds), descriptor, [], ds.live_count, -1
+        )
+
+    def get_schema(self, context, descriptor):
+        name = descriptor.path[0].decode()
+        return flight.SchemaResult(self._dataset_schema(self.store.get(name)))
+
+    @staticmethod
+    def _dataset_schema(ds) -> pa.Schema:
+        return pa.schema(
+            [
+                pa.field("id", pa.int64()),
+                pa.field(
+                    "vector", pa.list_(pa.float32(), ds.dim)
+                ),
+            ],
+            metadata={METRIC_METADATA_KEY: ds.metric},
+        )
+
+
+def Dataset_key(uid):
+    return uid.item() if hasattr(uid, "item") else uid
+
+
+def _ids_arrow_array(ids: list) -> pa.Array:
+    if ids and isinstance(ids[0], str):
+        return pa.array(ids, pa.string())
+    return pa.array([int(i) for i in ids], pa.int64())
+
+
+def _response_ids_scores(ids, scores, ok) -> dict:
+    """reference: VectorSearchResponse {ids: [], scores: []}
+    (requests.go:24-27); flattened across the query batch."""
+    out_i, out_s = [], []
+    for b in range(ids.shape[0]):
+        for j in range(ids.shape[1]):
+            if ok[b, j]:
+                v = ids[b, j]
+                out_i.append(v.item() if hasattr(v, "item") else v)
+                out_s.append(float(scores[b, j]))
+    return {"ids": out_i, "scores": out_s}
+
+
+class ServerHandle:
+    def __init__(self, data_server, meta_server, threads):
+        self.data_server = data_server
+        self.meta_server = meta_server
+        self._threads = threads
+
+    def shutdown(self):
+        self.data_server.shutdown()
+        self.meta_server.shutdown()
+        for t in self._threads:
+            t.join(timeout=5)
+
+
+def serve(
+    store: Optional[VectorStore] = None,
+    data_port: int = 3000,
+    meta_port: int = 3001,
+    host: str = "0.0.0.0",
+    block: bool = False,
+) -> ServerHandle:
+    """Start data (:3000) + meta (:3001) Flight servers sharing one
+    store (reference: cmd/longbow/main.go:476-521)."""
+    store = store or VectorStore()
+    data = LongbowFlightServer(store, f"grpc://{host}:{data_port}")
+    meta = LongbowFlightServer(store, f"grpc://{host}:{meta_port}")
+    threads = []
+    if block:
+        t = threading.Thread(target=meta.serve, daemon=True)
+        t.start()
+        threads.append(t)
+        data.serve()
+    else:
+        for srv in (data, meta):
+            t = threading.Thread(target=srv.serve, daemon=True)
+            t.start()
+            threads.append(t)
+    return ServerHandle(data, meta, threads)

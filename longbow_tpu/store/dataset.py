@@ -1,0 +1,245 @@
+"""Dataset: one collection of vectors + metadata + indexes.
+
+Mirrors the reference Dataset's responsibilities (reference:
+dataset.go:35-102): records, tombstones, primary user-id index, the
+vector index, metric from schema metadata (`longbow.metric`,
+dataset.go:176-189), filter bitmask generation with caching
+(dataset.go:226-297), and hooks for BM25/graph/PQ state.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from longbow_tpu.hybrid.bm25 import BM25Index
+from longbow_tpu.hybrid.graph_store import GraphStore
+from longbow_tpu.index.adaptive import AdaptiveIndex
+from longbow_tpu.index.hnsw import HNSWConfig
+from longbow_tpu.ops.distance import MASKED, Metric
+from longbow_tpu.query.filters import ColumnStore, FilterCache
+from longbow_tpu.query.parser import Filter
+
+# string columns indexed into BM25 for hybrid search (the reference
+# indexes document text fed through its BM25 pipeline,
+# bm25_inverted_index.go; we adopt conventional column names)
+TEXT_COLUMNS = ("text", "content", "body")
+
+# schema metadata key + value aliases (reference: dataset.go:176-189)
+METRIC_METADATA_KEY = "longbow.metric"
+_METRIC_ALIASES = {
+    "euclidean": Metric.L2,
+    "l2": Metric.L2,
+    "cosine": Metric.COSINE,
+    "dot_product": Metric.DOT,
+    "dot": Metric.DOT,
+}
+
+
+class Dataset:
+    def __init__(
+        self,
+        name: str,
+        dim: int,
+        metric: str = Metric.L2,
+        *,
+        dtype=jnp.float32,
+        hnsw_config: Optional[HNSWConfig] = None,
+        migration_threshold: int = 200_000,
+    ):
+        self.name = name
+        self.dim = dim
+        self.metric = _METRIC_ALIASES.get(metric.lower(), None) or Metric.validate(metric)
+        self.index = AdaptiveIndex(
+            dim,
+            self.metric,
+            dtype=dtype,
+            migration_threshold=migration_threshold,
+            hnsw_config=hnsw_config,
+        )
+        self.columns = ColumnStore(self.index.capacity)
+        self.filter_cache = FilterCache()
+        # primary index: user id -> internal row
+        # (reference: PrimaryIndex / ChunkedLocationStore, location_store.go:34)
+        self._id_to_row: dict = {}
+        self._row_to_id: list = []
+        # LWW timestamps for replication conflict resolution
+        # (reference: lww.go:8)
+        self._lww: dict = {}
+        self.bm25 = BM25Index()
+        self.graph = GraphStore()
+        self._lock = threading.Lock()
+        self.created_at = time.time()
+
+    # ------------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self._id_to_row)
+
+    @property
+    def live_count(self) -> int:
+        return len(self._id_to_row)
+
+    def put(
+        self,
+        ids: np.ndarray,
+        vectors: np.ndarray,
+        columns: Optional[dict] = None,
+        timestamp: Optional[float] = None,
+    ) -> None:
+        """Upsert rows by user id. Duplicate ids tombstone the old row
+        and write a new one, last-writer-wins by timestamp
+        (reference: lww.go, UpdatePrimaryIndex store_actions.go:813)."""
+        ids = np.asarray(ids)
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        n = len(ids)
+        if vectors.shape[0] != n:
+            raise ValueError("ids/vectors length mismatch")
+        ts = timestamp if timestamp is not None else time.time()
+
+        with self._lock:
+            # LWW: drop stale writes
+            keep = np.ones(n, dtype=bool)
+            for j, uid in enumerate(ids):
+                old_ts = self._lww.get(self._key(uid))
+                if old_ts is not None and old_ts > ts:
+                    keep[j] = False
+            if not keep.all():
+                ids, vectors = ids[keep], vectors[keep]
+                if columns:
+                    columns = {
+                        k: np.asarray(v)[keep] for k, v in columns.items()
+                    }
+                n = len(ids)
+            if n == 0:
+                return
+
+            # tombstone overwritten rows
+            stale_rows = [
+                self._id_to_row[self._key(u)]
+                for u in ids
+                if self._key(u) in self._id_to_row
+            ]
+            if stale_rows:
+                self.index.delete_rows(np.asarray(stale_rows))
+
+            rows = self.index.add(vectors)
+            self.columns.append(columns or {}, n, self.index.capacity)
+            if columns:
+                for tc in TEXT_COLUMNS:
+                    if tc in columns:
+                        vals = np.asarray(columns[tc])
+                        for j in range(n):
+                            self.bm25.add(self._key(ids[j]), str(vals[j]))
+                        break
+            for j, uid in enumerate(ids):
+                key = self._key(uid)
+                self._id_to_row[key] = int(rows[j])
+                self._lww[key] = ts
+            need = int(rows[-1]) + 1 - len(self._row_to_id)
+            if need > 0:
+                self._row_to_id.extend([None] * need)
+            for j, uid in enumerate(ids):
+                self._row_to_id[int(rows[j])] = ids[j]
+            self.filter_cache.invalidate()
+
+    @staticmethod
+    def _key(uid):
+        return uid.item() if hasattr(uid, "item") else uid
+
+    def delete(self, ids) -> int:
+        """Delete by user id; returns number removed
+        (reference: DoAction 'delete', store_actions.go:103)."""
+        with self._lock:
+            rows = []
+            for uid in np.asarray(ids):
+                key = self._key(uid)
+                row = self._id_to_row.pop(key, None)
+                if row is not None:
+                    rows.append(row)
+                    self._lww[key] = time.time()
+                    self.bm25.remove(key)
+                    if row < len(self._row_to_id):
+                        self._row_to_id[row] = None
+            if rows:
+                self.index.delete_rows(np.asarray(rows))
+                self.filter_cache.invalidate()
+            return len(rows)
+
+    # ------------------------------------------------------------------
+
+    def filter_mask(self, filters: list[Filter]) -> Optional[jax.Array]:
+        """Predicate filters -> device row mask, cached
+        (reference: GenerateFilterBitset dataset.go:226)."""
+        mask = self.filter_cache.get_or_eval(self.columns, filters)
+        if mask is None:
+            return None
+        cap = self.index.capacity
+        if mask.shape[0] < cap:
+            mask = jnp.pad(mask, (0, cap - mask.shape[0]))
+        return mask[:cap]
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        *,
+        filters: Optional[list] = None,
+        ef_search: Optional[int] = None,
+        exact: bool = False,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched search -> (ids [B,k] object, scores [B,k] f32,
+        valid_mask [B,k] bool). Scores follow reference semantics:
+        distance for l2/cosine, raw inner product for dot."""
+        mask = self.filter_mask(filters or [])
+        d, r = self.index.search(
+            jnp.asarray(queries, dtype=jnp.float32),
+            k,
+            filter_mask=mask,
+            ef_search=ef_search,
+            exact=exact,
+        )
+        d = np.asarray(d)
+        r = np.asarray(r)
+        ok = (d < float(MASKED)) & (r >= 0)
+        scores = -d if self.metric == Metric.DOT else d
+        ids = np.empty(r.shape, dtype=object)
+        for b in range(r.shape[0]):
+            for j in range(r.shape[1]):
+                ids[b, j] = (
+                    self._row_to_id[r[b, j]]
+                    if ok[b, j] and r[b, j] < len(self._row_to_id)
+                    else None
+                )
+                if ids[b, j] is None:
+                    ok[b, j] = False
+        return ids, scores, ok
+
+    def search_by_id(self, uid, k: int, **kw):
+        """reference: VectorSearchByID action (store_actions.go:341)."""
+        row = self._id_to_row.get(self._key(np.asarray(uid)))
+        if row is None:
+            raise KeyError(f"id {uid!r} not found in {self.name!r}")
+        vec = self.index.get_vectors(np.asarray([row]))
+        return self.search(vec, k, **kw)
+
+    def get_vectors_by_rows(self, rows: np.ndarray) -> np.ndarray:
+        return self.index.get_vectors(rows)
+
+    # ------------------------------------------------------------------
+
+    def stats(self) -> dict:
+        return {
+            "name": self.name,
+            "dim": self.dim,
+            "metric": self.metric,
+            "live_rows": self.live_count,
+            "index_kind": self.index.kind,
+            "index_rows": len(self.index),
+            "capacity": self.index.capacity,
+            "fields": self.columns.fields(),
+        }

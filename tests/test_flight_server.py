@@ -1,0 +1,143 @@
+"""End-to-end Flight protocol tests: real gRPC sockets on localhost,
+reference-compatible wire formats (the in-process analogue of the
+reference's flight_lifecycle_test.go / store_e2e_test.go).
+"""
+import numpy as np
+import pytest
+
+from longbow_tpu.serving.client import LongbowClient
+from longbow_tpu.serving.flight_server import serve
+from longbow_tpu.store.vector_store import VectorStore
+
+
+@pytest.fixture(scope="module")
+def server():
+    store = VectorStore()
+    handle = serve(store, data_port=0, meta_port=0, host="127.0.0.1")
+    yield handle
+    handle.shutdown()
+
+
+@pytest.fixture(scope="module")
+def client(server):
+    c = LongbowClient("127.0.0.1")
+    c.data_location = f"grpc://127.0.0.1:{server.data_server.port}"
+    c.meta_location = f"grpc://127.0.0.1:{server.meta_server.port}"
+    c.connect()
+    yield c
+    c.close()
+
+
+def _vecs(n, d, seed=0):
+    return np.random.default_rng(seed).standard_normal((n, d), dtype=np.float32)
+
+
+def test_write_then_search(client):
+    v = _vecs(50, 16)
+    client.write("e2e", np.arange(50), v)
+    t = client.search("e2e", v[3], k=5)
+    assert t.num_rows == 5
+    assert t.column("id")[0].as_py() == 3
+    # bf16 storage default: self-distance ~0 up to bf16 rounding
+    assert t.column("score")[0].as_py() < 0.1
+
+
+def test_batch_queries_and_query_index(client):
+    v = _vecs(30, 8, seed=1)
+    client.write("e2e_b", np.arange(30), v)
+    t = client.search("e2e_b", vectors=v[:3], k=2)
+    qi = t.column("query_index").to_pylist()
+    assert sorted(set(qi)) == [0, 1, 2]
+
+
+def test_filters_over_wire(client):
+    v = _vecs(40, 8, seed=2)
+    client.write(
+        "e2e_f", np.arange(40), v, columns={"price": np.arange(40.0)}
+    )
+    t = client.search(
+        "e2e_f", v[0], k=5,
+        filters=[{"field": "price", "op": "<", "value": "10"}],
+    )
+    assert all(i < 10 for i in t.column("id").to_pylist())
+
+
+def test_delete_action(client):
+    v = _vecs(20, 8, seed=3)
+    client.write("e2e_d", np.arange(20), v)
+    assert client.delete("e2e_d", [0, 1]) == 2
+    t = client.search("e2e_d", v[0], k=3)
+    assert 0 not in t.column("id").to_pylist()
+
+
+def test_search_by_id_action(client):
+    v = _vecs(25, 8, seed=4)
+    client.write("e2e_s", np.arange(25), v)
+    res = client.search_by_id("e2e_s", 7, k=3)
+    assert res["ids"][0] == 7
+
+
+def test_hybrid_search_action(client):
+    v = _vecs(30, 8, seed=5)
+    texts = [f"document about {'apples' if i % 2 else 'oranges'} {i}"
+             for i in range(30)]
+    client.write("e2e_h", np.arange(30), v, columns={"text": np.array(texts)})
+    res = client.hybrid_search("e2e_h", vector=v[4], text_query="apples",
+                               k=5, alpha=0.5)
+    assert len(res["ids"]) == 5
+    # sparse-only search returns apple docs (odd ids)
+    res2 = client.hybrid_search("e2e_h", text_query="apples", k=5, alpha=0.0)
+    assert all(i % 2 == 1 for i in res2["ids"])
+
+
+def test_graph_actions(client):
+    v = _vecs(10, 8, seed=6)
+    client.write("e2e_g", np.arange(10), v)
+    client.add_edge("e2e_g", 1, 2, "rel", 1.0)
+    client.add_edge("e2e_g", 2, 3, "rel", 1.0)
+    path = client.traverse_graph("e2e_g", 1, 3)
+    assert path == [1, 2, 3]
+
+
+def test_scan_and_discovery(client):
+    v = _vecs(15, 8, seed=7)
+    client.write("e2e_scan", np.arange(15), v)
+    t = client.scan("e2e_scan")
+    assert t.num_rows == 15
+    assert "e2e_scan" in client.list_namespaces()
+    assert client.check_readiness()["status"] == "READY"
+    st = client.cluster_status()
+    assert st["self"]["status"] == "alive"
+
+
+def test_string_ids_over_wire(client):
+    v = _vecs(10, 8, seed=8)
+    ids = np.array([f"doc-{i}" for i in range(10)])
+    client.write("e2e_str", ids, v)
+    t = client.search("e2e_str", v[2], k=1)
+    assert t.column("id")[0].as_py() == "doc-2"
+
+
+def test_metric_metadata_over_wire(client):
+    v = _vecs(20, 8, seed=9)
+    client.write("e2e_cos", np.arange(20), v, metric="cosine")
+    t = client.search("e2e_cos", v[5] * 3.0, k=1)  # scaled: cosine match
+    assert t.column("id")[0].as_py() == 5
+
+
+def test_include_vectors(client):
+    v = _vecs(10, 8, seed=10)
+    client.write("e2e_iv", np.arange(10), v)
+    t = client.search("e2e_iv", v[1], k=2, include_vectors=True)
+    assert "vector" in t.column_names
+    got = np.asarray(t.column("vector")[0].as_py(), dtype=np.float32)
+    np.testing.assert_allclose(got, v[1], atol=2e-2)  # bf16 storage
+
+
+def test_bad_requests(client):
+    import pyarrow.flight as flight
+
+    with pytest.raises(flight.FlightError):
+        client.search("nonexistent", _vecs(1, 8)[0], k=3)
+    with pytest.raises(flight.FlightError):
+        t = client._dc().do_get(flight.Ticket(b"not json")).read_all()

