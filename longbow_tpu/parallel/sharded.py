@@ -1,0 +1,263 @@
+"""Shard-parallel flat index: row-sharded corpus, collective top-k merge.
+
+The TPU-native ShardedHNSW / GlobalSearchCoordinator
+(reference: sharded_hnsw.go:378-470 errgroup fan-out + k*2 oversample
+merge; global_search.go:48 per-peer gRPC fan-out + top-k merge): one
+`shard_map` program does the per-shard search, converts local rows to
+global rows with the shard offset, `all_gather`s the per-shard top-k
+over ICI and merges — no RPC, no aggregator service, one compiled
+program.
+
+Ingestion routing: striped placement (row i of an append goes to shard
+i % n_shards) replaces the consistent-hash ring — placement needs no
+key affinity because every search fans out to all shards anyway (the
+reference's global search does the same, scatter-gather.go:12).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from longbow_tpu.ops.distance import (
+    MASKED,
+    Metric,
+    exact_search,
+    pad_to,
+    squared_norms,
+)
+from longbow_tpu.parallel.mesh import SHARD_AXIS
+
+MIN_SHARD_CAPACITY = 2048
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "mesh", "shard_rows")
+)
+def _sharded_search(
+    vectors: jax.Array,   # [S*shard_rows, D] sharded over rows
+    norms: jax.Array,     # [S*shard_rows]
+    valid: jax.Array,     # [S*shard_rows]
+    queries: jax.Array,   # [B, D] replicated
+    k: int,
+    metric: str,
+    mesh: Mesh,
+    shard_rows: int,
+) -> tuple[jax.Array, jax.Array]:
+    def local(c, nrm, vld, q):
+        d, i = exact_search(
+            q, c.astype(jnp.float32), k, metric,
+            corpus_norms_sq=nrm, valid=vld, exact_precision=False,
+        )
+        off = jax.lax.axis_index(SHARD_AXIS) * shard_rows
+        gi = jnp.where(d < MASKED, i + off, -1)
+        # collective merge over ICI: [S, B, k] -> [B, S*k] -> top-k
+        ds = jax.lax.all_gather(d, SHARD_AXIS)
+        gs = jax.lax.all_gather(gi, SHARD_AXIS)
+        b = q.shape[0]
+        dall = jnp.moveaxis(ds, 0, 1).reshape(b, -1)
+        iall = jnp.moveaxis(gs, 0, 1).reshape(b, -1)
+        neg, pos = jax.lax.top_k(-dall, k)
+        return -neg, jnp.take_along_axis(iall, pos, axis=1)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )(vectors, norms, valid, queries)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "shard_rows"), donate_argnums=(0, 1, 2))
+def _sharded_append(
+    vectors, norms, valid,          # sharded state (donated)
+    new_vecs,                       # [S, per, D] batch pre-split by shard
+    new_norms,                      # [S, per]
+    new_mask,                       # [S, per] bool (real row?)
+    starts,                         # [S] per-shard write offsets
+    mesh: Mesh,
+    shard_rows: int,
+):
+    """Each shard writes its slice of the new batch at its own offset —
+    the ingestion-routing step, one program, no host round trips."""
+    def local(c, nrm, vld, nv, nn, nm, st):
+        row = st[0, 0]
+        c = jax.lax.dynamic_update_slice(c, nv[0].astype(c.dtype), (row, 0))
+        nrm = jax.lax.dynamic_update_slice(nrm, nn[0], (row,))
+        # only extend validity, never clear pre-existing rows (the tail
+        # of a striped batch is padding on some shards)
+        per = nm.shape[1]
+        old = jax.lax.dynamic_slice(vld, (row,), (per,))
+        merged = jax.lax.dynamic_update_slice(vld, nm[0] | old, (row,))
+        return c, nrm, merged
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS),
+            P(SHARD_AXIS, None, None), P(SHARD_AXIS, None),
+            P(SHARD_AXIS, None), P(SHARD_AXIS, None),
+        ),
+        out_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS)),
+        check_vma=False,
+    )(vectors, norms, valid, new_vecs, new_norms, new_mask, starts)
+
+
+class ShardedFlatIndex:
+    """Exact k-NN over a row-sharded corpus on a device mesh."""
+
+    def __init__(
+        self,
+        dim: int,
+        mesh: Mesh,
+        metric: str = Metric.L2,
+        dtype=jnp.float32,
+        shard_capacity: int = MIN_SHARD_CAPACITY,
+    ):
+        self.dim = dim
+        self.mesh = mesh
+        self.n_shards = mesh.size
+        self.metric = Metric.validate(metric)
+        self.dtype = dtype
+        self.shard_capacity = pad_to(shard_capacity, MIN_SHARD_CAPACITY)
+        self._shard_counts = np.zeros(self.n_shards, np.int64)
+        self._alloc()
+
+    def _alloc(self):
+        cap = self.n_shards * self.shard_capacity
+        sh = NamedSharding(self.mesh, P(SHARD_AXIS, None))
+        sh1 = NamedSharding(self.mesh, P(SHARD_AXIS))
+        self.vectors = jax.device_put(
+            jnp.zeros((cap, self.dim), self.dtype), sh
+        )
+        self.norms_sq = jax.device_put(jnp.zeros((cap,), jnp.float32), sh1)
+        self.valid = jax.device_put(jnp.zeros((cap,), bool), sh1)
+
+    def __len__(self) -> int:
+        return int(self._shard_counts.sum())
+
+    @property
+    def capacity(self) -> int:
+        return self.n_shards * self.shard_capacity
+
+    def _grow(self, per_shard_need: int) -> None:
+        new_cap = self.shard_capacity
+        while new_cap < per_shard_need:
+            new_cap *= 2
+        if new_cap == self.shard_capacity:
+            return
+        old_v = np.asarray(self.vectors).reshape(
+            self.n_shards, self.shard_capacity, self.dim
+        )
+        old_n = np.asarray(self.norms_sq).reshape(
+            self.n_shards, self.shard_capacity
+        )
+        old_m = np.asarray(self.valid).reshape(
+            self.n_shards, self.shard_capacity
+        )
+        old_cap = self.shard_capacity
+        self.shard_capacity = new_cap
+        self._alloc()
+        pad = new_cap - old_cap
+        v = np.pad(old_v, ((0, 0), (0, pad), (0, 0))).reshape(-1, self.dim)
+        n = np.pad(old_n, ((0, 0), (0, pad))).reshape(-1)
+        m = np.pad(old_m, ((0, 0), (0, pad))).reshape(-1)
+        sh = NamedSharding(self.mesh, P(SHARD_AXIS, None))
+        sh1 = NamedSharding(self.mesh, P(SHARD_AXIS))
+        self.vectors = jax.device_put(jnp.asarray(v, self.dtype), sh)
+        self.norms_sq = jax.device_put(jnp.asarray(n), sh1)
+        self.valid = jax.device_put(jnp.asarray(m), sh1)
+
+    # ------------------------------------------------------------------
+
+    def add(self, vecs: np.ndarray) -> np.ndarray:
+        """Append vectors striped across shards; returns global rows."""
+        vecs = np.ascontiguousarray(vecs, dtype=np.float32)
+        n = vecs.shape[0]
+        if vecs.shape[1] != self.dim:
+            raise ValueError(f"expected dim {self.dim}, got {vecs.shape[1]}")
+        if self.metric == Metric.COSINE:
+            vecs = vecs / np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30
+            )
+
+        s = self.n_shards
+        # balanced split: shard j takes rows j, j+s, j+2s, ...
+        per = -(-n // s)
+        counts = np.array(
+            [len(range(j, n, s)) for j in range(s)], np.int64
+        )
+        need = int((self._shard_counts + counts).max())
+        self._grow(need)
+
+        batch = np.zeros((s, per, self.dim), np.float32)
+        mask = np.zeros((s, per), bool)
+        rows = np.zeros(n, np.int64)
+        for j in range(s):
+            take = list(range(j, n, s))
+            batch[j, : len(take)] = vecs[take]
+            mask[j, : len(take)] = True
+            rows[take] = (
+                j * self.shard_capacity
+                + self._shard_counts[j]
+                + np.arange(len(take))
+            )
+        norms = (batch.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+        starts = self._shard_counts.astype(np.int32).reshape(s, 1)
+
+        self.vectors, self.norms_sq, self.valid = _sharded_append(
+            self.vectors,
+            self.norms_sq,
+            self.valid,
+            jnp.asarray(batch),
+            jnp.asarray(norms),
+            jnp.asarray(mask),
+            jnp.asarray(starts),
+            mesh=self.mesh,
+            shard_rows=self.shard_capacity,
+        )
+        self._shard_counts += counts
+        return rows
+
+    def delete_rows(self, rows: np.ndarray) -> None:
+        if len(rows) == 0:
+            return
+        self.valid = self.valid.at[jnp.asarray(rows)].set(False)
+
+    def search(
+        self,
+        queries,
+        k: int,
+        *,
+        filter_mask: Optional[jax.Array] = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        queries = jnp.asarray(queries, jnp.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if self.metric == Metric.COSINE:
+            queries = queries / jnp.maximum(
+                jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-30
+            )
+            metric = Metric.DOT
+        else:
+            metric = self.metric
+        valid = self.valid
+        if filter_mask is not None:
+            valid = jnp.logical_and(valid, filter_mask)
+        return _sharded_search(
+            self.vectors,
+            self.norms_sq,
+            valid,
+            queries,
+            k,
+            metric,
+            mesh=self.mesh,
+            shard_rows=self.shard_capacity,
+        )

@@ -1,0 +1,178 @@
+"""StorageEngine: WAL + snapshot + recovery facade.
+
+reference: storage/engine.go:39-551 (WriteToWAL/ReplayWAL/Snapshot/
+LoadSnapshots/TruncateWAL), auto-snapshot at MAX_WAL_SIZE 100MB
+(docs/components.md:118-122), recovery = snapshots then WAL tail
+(store_persistence.go:12-150).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from longbow_tpu.storage.snapshot import read_snapshot, write_snapshot
+from longbow_tpu.storage.wal import KIND_BATCH, KIND_OP, WAL
+
+MAX_WAL_BYTES = 100 * 1024 * 1024  # reference default MAX_WAL_SIZE
+
+
+def _put_table(ids, vectors: np.ndarray, columns: Optional[dict]) -> pa.Table:
+    ids = np.asarray(ids)
+    d = vectors.shape[1]
+    id_arr = (
+        pa.array([str(i) for i in ids], pa.string())
+        if ids.dtype.kind in "OUS"
+        else pa.array(ids.astype(np.int64), pa.int64())
+    )
+    cols = {
+        "id": id_arr,
+        "vector": pa.FixedSizeListArray.from_arrays(
+            pa.array(vectors.reshape(-1).astype(np.float32), pa.float32()), d
+        ),
+    }
+    for name, vals in (columns or {}).items():
+        cols[name] = pa.array(np.asarray(vals))
+    return pa.table(cols)
+
+
+def _table_to_put(table: pa.Table):
+    ids = np.asarray(table.column("id").to_pylist())
+    vec_col = table.column("vector").combine_chunks()
+    d = vec_col.type.list_size
+    vectors = np.asarray(vec_col.values, dtype=np.float32).reshape(-1, d)
+    columns = {
+        n: np.asarray(table.column(n).to_pylist())
+        for n in table.column_names
+        if n not in ("id", "vector")
+    }
+    return ids, vectors, columns or None
+
+
+class StorageEngine:
+    def __init__(
+        self,
+        directory: str | Path,
+        *,
+        max_wal_bytes: int = MAX_WAL_BYTES,
+        sync: str = "batch",
+    ):
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.max_wal_bytes = max_wal_bytes
+        self.wal = WAL(self.dir / "wal.log", sync=sync)
+
+    # -- logging --------------------------------------------------------
+
+    def log_put(self, dataset, ids, vectors, columns, metric=None) -> None:
+        table = _put_table(ids, vectors, columns)
+        if metric:
+            table = table.replace_schema_metadata({"longbow.metric": metric})
+        self.wal.append_batch(dataset, table)
+
+    def log_delete(self, dataset: str, ids) -> None:
+        ids = [i.item() if hasattr(i, "item") else i for i in np.asarray(ids)]
+        self.wal.append_op(dataset, {"op": "delete", "ids": ids})
+
+    def log_drop(self, dataset: str) -> None:
+        self.wal.append_op(dataset, {"op": "drop"})
+
+    def log_edge(self, dataset: str, src, dst, edge_type, weight) -> None:
+        self.wal.append_op(
+            dataset,
+            {"op": "add_edge", "from": src, "to": dst,
+             "type": edge_type, "weight": weight},
+        )
+
+    # -- snapshot / recovery ---------------------------------------------
+
+    def snapshot(self, store) -> None:
+        """Dump every dataset's live rows + aux state, then truncate
+        the WAL (reference: engine.go:298-430 + TruncateWAL)."""
+        blobs = {}
+        for name in store.list_datasets():
+            ds = store.get(name)
+            pairs = list(ds._id_to_row.items())
+            if pairs:
+                rows = np.asarray([r for _, r in pairs])
+                vecs = ds.get_vectors_by_rows(rows)
+                ids = np.asarray([u for u, _ in pairs])
+            else:
+                vecs = np.zeros((0, ds.dim), np.float32)
+                ids = np.asarray([], dtype=np.int64)
+            blobs[name] = {
+                "table": _put_table(ids, vecs, None),
+                "index_state": {},
+                "bm25": ds.bm25.export_state() if len(ds.bm25) else None,
+                "graph": (
+                    ds.graph.export_state()
+                    if ds.graph.stats()["edges"]
+                    else None
+                ),
+                "meta": {"dim": ds.dim, "metric": ds.metric},
+            }
+        write_snapshot(self.dir, blobs)
+        self.wal.truncate()
+
+    def maybe_snapshot(self, store) -> bool:
+        if self.wal.size_bytes > self.max_wal_bytes:
+            self.snapshot(store)
+            return True
+        return False
+
+    def recover(self, store) -> int:
+        """Snapshot first, then the WAL tail. Returns ops applied."""
+        from longbow_tpu.hybrid.bm25 import BM25Index
+        from longbow_tpu.hybrid.graph_store import GraphStore
+
+        n = 0
+        snap = read_snapshot(self.dir)
+        if snap:
+            for name, blob in snap.items():
+                meta = blob["meta"]
+                if blob["table"].num_rows:
+                    ids, vecs, cols = _table_to_put(blob["table"])
+                    store.put(
+                        name, ids, vecs, cols,
+                        metric=meta.get("metric"), _log=False,
+                    )
+                else:
+                    store.get_or_create(
+                        name, meta["dim"], meta.get("metric")
+                    )
+                ds = store.get(name)
+                if blob["bm25"]:
+                    ds.bm25 = BM25Index.import_state(blob["bm25"])
+                if blob["graph"]:
+                    ds.graph = GraphStore.import_state(blob["graph"])
+                n += 1
+        for seq, ts, name, kind, payload in WAL.replay(self.dir / "wal.log"):
+            if kind == KIND_BATCH:
+                table = WAL.decode_batch(payload)
+                ids, vecs, cols = _table_to_put(table)
+                meta = table.schema.metadata or {}
+                metric = meta.get(b"longbow.metric")
+                store.put(
+                    name, ids, vecs, cols,
+                    metric=metric.decode() if metric else None,
+                    _log=False, timestamp=ts,
+                )
+            else:
+                op = json.loads(payload)
+                if op["op"] == "delete":
+                    store.delete(name, op["ids"], _log=False)
+                elif op["op"] == "drop":
+                    store.drop(name, _log=False)
+                elif op["op"] == "add_edge":
+                    store.add_edge(
+                        name, op["from"], op["to"], op["type"],
+                        op["weight"], _log=False,
+                    )
+            n += 1
+        return n
+
+    def close(self) -> None:
+        self.wal.close()

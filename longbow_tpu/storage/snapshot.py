@@ -1,0 +1,93 @@
+"""Snapshots: Parquet data + npz index state, atomic swap.
+
+reference: storage/parquet.go:24-273 (RecordBatch<->Parquet, snappy),
+engine.go:298-430 (write to tmp dir then swap), PQ codebook
+serialization with snapshots (pq/persistence.go:15).
+"""
+from __future__ import annotations
+
+import io
+import json
+import shutil
+import time
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def write_snapshot(root: str | Path, datasets: dict) -> Path:
+    """datasets: {name: {"table": pa.Table, "index_state": dict,
+    "bm25": dict|None, "graph": dict|None, "meta": dict}}.
+
+    Writes to <root>/snapshot.tmp.<ts> then atomically swaps to
+    <root>/snapshot (reference: engine.go:298-430).
+    """
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    tmp = root / f"snapshot.tmp.{int(time.time() * 1e6)}"
+    tmp.mkdir()
+    manifest = {"version": 1, "ts": time.time(), "datasets": []}
+    for name, blob in datasets.items():
+        safe = name.replace("/", "__")
+        ddir = tmp / safe
+        ddir.mkdir()
+        pq.write_table(
+            blob["table"], ddir / "data.parquet", compression="snappy"
+        )
+        arrays = {}
+        scalars = {}
+        for k, v in (blob.get("index_state") or {}).items():
+            if isinstance(v, np.ndarray):
+                arrays[k] = v
+            elif v is not None:
+                scalars[k] = v
+        np.savez_compressed(ddir / "index.npz", **arrays)
+        (ddir / "index_meta.json").write_text(json.dumps(scalars))
+        if blob.get("bm25"):
+            (ddir / "bm25.json").write_text(json.dumps(blob["bm25"]))
+        if blob.get("graph"):
+            (ddir / "graph.json").write_text(json.dumps(blob["graph"]))
+        (ddir / "meta.json").write_text(json.dumps(blob.get("meta", {})))
+        manifest["datasets"].append({"name": name, "dir": safe})
+    (tmp / "MANIFEST.json").write_text(json.dumps(manifest))
+
+    final = root / "snapshot"
+    old = root / f"snapshot.old.{int(time.time() * 1e6)}"
+    if final.exists():
+        final.rename(old)
+    tmp.rename(final)
+    if old.exists():
+        shutil.rmtree(old, ignore_errors=True)
+    return final
+
+
+def read_snapshot(root: str | Path) -> Optional[dict]:
+    """-> {name: {"table", "index_state", "bm25", "graph", "meta"}} or
+    None when no snapshot exists."""
+    final = Path(root) / "snapshot"
+    mf = final / "MANIFEST.json"
+    if not mf.exists():
+        return None
+    manifest = json.loads(mf.read_text())
+    out = {}
+    for entry in manifest["datasets"]:
+        ddir = final / entry["dir"]
+        table = pq.read_table(ddir / "data.parquet")
+        state = dict(np.load(ddir / "index.npz", allow_pickle=False))
+        state.update(json.loads((ddir / "index_meta.json").read_text()))
+        blob = {
+            "table": table,
+            "index_state": state,
+            "meta": json.loads((ddir / "meta.json").read_text()),
+            "bm25": None,
+            "graph": None,
+        }
+        if (ddir / "bm25.json").exists():
+            blob["bm25"] = json.loads((ddir / "bm25.json").read_text())
+        if (ddir / "graph.json").exists():
+            blob["graph"] = json.loads((ddir / "graph.json").read_text())
+        out[entry["name"]] = blob
+    return out

@@ -1,0 +1,191 @@
+"""Write-ahead log: CRC32C-framed Arrow IPC / op entries.
+
+reference: storage/batched_wal.go (entry format :423, double-buffered
+flush loop :188-420), async fsync (async_fsync.go), CRC-verified
+fail-fast replay (engine.go:160-220). Frame layout lives in
+native/longbow_native.cpp (lb_wal_encode/lb_wal_scan); this module
+falls back to struct-packed Python framing with identical bytes when
+the native library is unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import io
+import json
+import os
+import struct
+import threading
+import time
+from pathlib import Path
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from longbow_tpu.storage import native
+
+KIND_BATCH = 0  # payload = Arrow IPC stream (put)
+KIND_OP = 1     # payload = JSON op (delete, drop-dataset, ...)
+
+_HDR = struct.Struct("<IQdHBI")  # crc, seq, ts, name_len, kind, payload_len
+
+
+def _encode_frame(
+    seq: int, ts: float, name: bytes, kind: int, payload: bytes
+) -> bytes:
+    lib = native.get_lib()
+    if lib is not None:
+        size = lib.lb_wal_frame_size(len(name), len(payload))
+        buf = ctypes.create_string_buffer(size)
+        n = lib.lb_wal_encode(
+            buf, seq, ts, name, len(name), kind, payload, len(payload)
+        )
+        return buf.raw[:n]
+    body = _HDR.pack(0, seq, ts, len(name), kind, len(payload))[4:]
+    body += name + payload
+    crc = native.crc32c(body)
+    return struct.pack("<I", crc) + body
+
+
+def _scan_frames(buf: bytes) -> tuple[list[int], int]:
+    """-> (frame start offsets, clean prefix length)."""
+    lib = native.get_lib()
+    if lib is not None:
+        max_entries = max(len(buf) // _HDR.size, 1)
+        offsets = (ctypes.c_uint64 * max_entries)()
+        valid = ctypes.c_uint64(0)
+        n = lib.lb_wal_scan(
+            buf, len(buf), offsets, max_entries, ctypes.byref(valid)
+        )
+        return list(offsets[:n]), valid.value
+    out = []
+    pos = 0
+    while pos + _HDR.size <= len(buf):
+        crc, seq, ts, nlen, kind, plen = _HDR.unpack_from(buf, pos)
+        frame = _HDR.size + nlen + plen
+        if pos + frame > len(buf):
+            break
+        if native.crc32c(buf[pos + 4 : pos + frame]) != crc:
+            break
+        out.append(pos)
+        pos += frame
+    return out, pos
+
+
+class WAL:
+    """Append-only CRC-framed log with group-commit fsync."""
+
+    def __init__(
+        self,
+        path: str | Path,
+        *,
+        sync: str = "batch",  # "always" | "batch" | "never"
+        sync_interval_s: float = 0.05,
+    ):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._f = open(self.path, "ab")
+        self._seq = 0
+        self._lock = threading.Lock()
+        self.sync = sync
+        self._dirty = False
+        self._sync_interval = sync_interval_s
+        self._stop = threading.Event()
+        self._fsync_thread: Optional[threading.Thread] = None
+        if sync == "batch":
+            # reference: AsyncFsyncer decouples fsync from the write
+            # path (async_fsync.go; STORAGE_ASYNC_FSYNC default true)
+            self._fsync_thread = threading.Thread(
+                target=self._fsync_loop, daemon=True
+            )
+            self._fsync_thread.start()
+
+    def _fsync_loop(self):
+        while not self._stop.wait(self._sync_interval):
+            with self._lock:
+                if self._dirty:
+                    self._f.flush()
+                    os.fsync(self._f.fileno())
+                    self._dirty = False
+
+    # ------------------------------------------------------------------
+
+    def append_batch(self, dataset: str, table: pa.Table) -> int:
+        """Log a put as an Arrow IPC stream (reference logs the same
+        ArrowIPC payloads, batched_wal.go:423)."""
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, table.schema) as w:
+            w.write_table(table)
+        return self._append(dataset.encode(), KIND_BATCH, sink.getvalue())
+
+    def append_op(self, dataset: str, op: dict) -> int:
+        return self._append(
+            dataset.encode(), KIND_OP, json.dumps(op).encode()
+        )
+
+    def _append(self, name: bytes, kind: int, payload: bytes) -> int:
+        with self._lock:
+            self._seq += 1
+            frame = _encode_frame(self._seq, time.time(), name, kind, payload)
+            self._f.write(frame)
+            if self.sync == "always":
+                self._f.flush()
+                os.fsync(self._f.fileno())
+            else:
+                self._dirty = True
+            return self._seq
+
+    def flush(self) -> None:
+        with self._lock:
+            self._f.flush()
+            os.fsync(self._f.fileno())
+            self._dirty = False
+
+    @property
+    def size_bytes(self) -> int:
+        with self._lock:
+            self._f.flush()
+        return self.path.stat().st_size if self.path.exists() else 0
+
+    def truncate(self) -> None:
+        """Drop all entries (after a successful snapshot)
+        (reference: TruncateWAL, engine.go)."""
+        with self._lock:
+            self._f.close()
+            self._f = open(self.path, "wb")
+            self._f.close()
+            self._f = open(self.path, "ab")
+            self._dirty = False
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._fsync_thread:
+            self._fsync_thread.join(timeout=2)
+        self.flush()
+        self._f.close()
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def replay(
+        path: str | Path,
+    ) -> Iterator[tuple[int, float, str, int, bytes]]:
+        """Yield (seq, ts, dataset, kind, payload) for every clean
+        frame; stops at the first corrupt/truncated frame (fail-fast,
+        reference: engine.go:160-220)."""
+        path = Path(path)
+        if not path.exists():
+            return
+        buf = path.read_bytes()
+        offsets, valid = _scan_frames(buf)
+        for pos in offsets:
+            crc, seq, ts, nlen, kind, plen = _HDR.unpack_from(buf, pos)
+            name = buf[pos + _HDR.size : pos + _HDR.size + nlen].decode()
+            payload = buf[
+                pos + _HDR.size + nlen : pos + _HDR.size + nlen + plen
+            ]
+            yield seq, ts, name, kind, payload
+
+    @staticmethod
+    def decode_batch(payload: bytes) -> pa.Table:
+        return pa.ipc.open_stream(io.BytesIO(payload)).read_all()

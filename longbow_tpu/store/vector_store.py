@@ -34,6 +34,8 @@ class VectorStore:
         hnsw_config: Optional[HNSWConfig] = None,
         query_cache_size: int = 1024,
         query_cache_ttl: float = 60.0,
+        persist_dir=None,
+        wal_sync: str = "batch",
     ):
         self._datasets: dict[str, Dataset] = {}
         self._namespaces: dict[str, set] = {}  # ns -> dataset names
@@ -46,6 +48,14 @@ class VectorStore:
             query_cache_size, query_cache_ttl
         )
         self.started_at = time.time()
+        # persistence (reference: InitPersistence store_persistence.go:12
+        # — replay WAL + load snapshots before serving)
+        self.engine = None
+        if persist_dir is not None:
+            from longbow_tpu.storage.engine import StorageEngine
+
+            self.engine = StorageEngine(persist_dir, sync=wal_sync)
+            self.engine.recover(self)
 
     # -- dataset lifecycle --------------------------------------------
 
@@ -78,8 +88,10 @@ class VectorStore:
             raise KeyError(f"dataset {name!r} not found")
         return ds
 
-    def drop(self, name: str) -> bool:
+    def drop(self, name: str, *, _log: bool = True) -> bool:
         """reference: 'delete-dataset' action (store_actions.go:245)."""
+        if self.engine is not None and _log:
+            self.engine.log_drop(name)
         with self._lock:
             ds = self._datasets.pop(name, None)
             for members in self._namespaces.values():
@@ -102,11 +114,18 @@ class VectorStore:
         vectors: np.ndarray,
         columns: Optional[dict] = None,
         metric: Optional[str] = None,
+        *,
+        _log: bool = True,
+        timestamp: Optional[float] = None,
     ) -> None:
         vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
         ds = self.get_or_create(dataset, vectors.shape[1], metric)
-        ds.put(np.asarray(ids), vectors, columns)
+        if self.engine is not None and _log:
+            self.engine.log_put(dataset, ids, vectors, columns, metric)
+        ds.put(np.asarray(ids), vectors, columns, timestamp=timestamp)
         self.query_cache.clear()
+        if self.engine is not None and _log:
+            self.engine.maybe_snapshot(self)
 
     def search(
         self,
@@ -139,7 +158,9 @@ class VectorStore:
             self.query_cache.put(key, out)
         return out
 
-    def delete(self, dataset: str, ids) -> int:
+    def delete(self, dataset: str, ids, *, _log: bool = True) -> int:
+        if self.engine is not None and _log:
+            self.engine.log_delete(dataset, ids)
         n = self.get(dataset).delete(ids)
         self.query_cache.clear()
         return n
@@ -276,7 +297,11 @@ class VectorStore:
 
     # -- GraphRAG actions (reference: store_actions.go:338-350) -------
 
-    def add_edge(self, dataset, src, dst, edge_type="", weight=1.0):
+    def add_edge(
+        self, dataset, src, dst, edge_type="", weight=1.0, *, _log=True
+    ):
+        if self.engine is not None and _log:
+            self.engine.log_edge(dataset, src, dst, edge_type, weight)
         self.get(dataset).graph.add_edge(src, dst, edge_type, weight)
 
     def traverse_graph(self, dataset, src, dst=None, max_hops=3):
@@ -287,3 +312,17 @@ class VectorStore:
 
     def graph_stats(self, dataset: str) -> dict:
         return self.get(dataset).graph.stats()
+
+    # -- persistence lifecycle (reference: Snapshot
+    #    store_persistence_methods.go:27, graceful shutdown final
+    #    flush+snapshot cmd/longbow/main.go:524-565) -------------------
+
+    def snapshot(self) -> None:
+        if self.engine is None:
+            raise RuntimeError("store has no persist_dir")
+        self.engine.snapshot(self)
+
+    def close(self) -> None:
+        if self.engine is not None:
+            self.engine.snapshot(self)
+            self.engine.close()

@@ -1,0 +1,142 @@
+"""Quantized-index recall bounds — mirrors the reference's
+quantization-loss gates (reference: recall_validation_test.go:42-46
+SQ8 recall >= 0.95 at 10k; sq8_loss_validation_test.go).
+
+CI sizes are smaller; the TPU round bench re-validates at scale.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from longbow_tpu.index.bq import BQIndex
+from longbow_tpu.index.pq import PQIndex
+from longbow_tpu.index.sq8 import SQ8Index
+from longbow_tpu.ops.distance import Metric, exact_search
+from longbow_tpu.ops.kmeans import kmeans_init, lloyd
+
+
+def _clustered(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((32, d)).astype(np.float32) * 3
+    out = centers[rng.integers(0, 32, n)] + rng.standard_normal(
+        (n, d)
+    ).astype(np.float32)
+    return out
+
+
+def _recall(idx, vecs, queries, k=10):
+    d, r = idx.search(jnp.asarray(queries), k)
+    got = np.asarray(r)
+    _, er = exact_search(jnp.asarray(queries), jnp.asarray(vecs), k, idx.metric)
+    want = np.asarray(er)
+    return np.mean(
+        [len(set(got[i]) & set(want[i])) / k for i in range(len(queries))]
+    )
+
+
+def test_kmeans_reduces_distortion():
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(_clustered(2000, 16))[None, :, :]  # [1, N, D]
+    init = kmeans_init(data, 32, 0)
+    cent, assign = lloyd(data, init, n_iters=8)
+    # distortion must be far below random-assignment distortion
+    c = np.asarray(cent)[0]
+    a = np.asarray(assign)[0]
+    d2 = ((np.asarray(data)[0] - c[a]) ** 2).sum(-1).mean()
+    base = np.asarray(data)[0].var(axis=0).sum()
+    assert d2 < 0.5 * base
+
+
+def test_pq_recall_with_rerank():
+    vecs = _clustered(4000, 64)
+    q = _clustered(32, 64, seed=9)
+    idx = PQIndex(64, m=8, rerank=True)
+    idx.add(vecs)
+    rec = _recall(idx, vecs, q)
+    assert rec >= 0.9, rec
+
+
+def test_pq_pure_compressed_mode():
+    vecs = _clustered(3000, 32)
+    q = _clustered(16, 32, seed=3)
+    idx = PQIndex(32, m=8, rerank=False)
+    idx.add(vecs)
+    rec = _recall(idx, vecs, q)
+    assert rec >= 0.5, rec  # no re-rank: coarse but useful
+
+
+def test_pq_decode_roundtrip_error_bounded():
+    vecs = _clustered(2000, 32)
+    idx = PQIndex(32, m=8)
+    rows = idx.add(vecs)
+    dec = idx.decode(rows[:100])
+    err = np.linalg.norm(dec - vecs[:100], axis=1)
+    base = np.linalg.norm(vecs[:100], axis=1)
+    assert (err / base).mean() < 0.6
+
+
+def test_pq_compression_ratio():
+    # 1536d f32 = 6144 B -> m=96 codes = 96 B: 64x (docs/vectorsearch.md:97)
+    idx = PQIndex(1536, m=96, rerank=False)
+    assert idx.dsub == 16
+    bytes_per_vec = idx.m  # one uint8 per subspace
+    assert 1536 * 4 / bytes_per_vec == 64.0
+
+
+def test_pq_deletes():
+    vecs = _clustered(1000, 32)
+    q = vecs[:4]
+    idx = PQIndex(32, m=8)
+    rows = idx.add(vecs)
+    idx.delete_rows(rows[:4])
+    _, r = idx.search(jnp.asarray(q), 3)
+    assert not np.isin(np.asarray(r), rows[:4]).any()
+
+
+def test_pq_export_import():
+    vecs = _clustered(1000, 32)
+    idx = PQIndex(32, m=8)
+    idx.add(vecs)
+    idx2 = PQIndex.import_state(idx.export_state())
+    q = _clustered(8, 32, seed=4)
+    d1, r1 = idx.search(jnp.asarray(q), 5)
+    d2, r2 = idx2.search(jnp.asarray(q), 5)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_sq8_recall_gate():
+    vecs = _clustered(4000, 64)
+    q = _clustered(32, 64, seed=5)
+    idx = SQ8Index(64)
+    idx.add(vecs)
+    rec = _recall(idx, vecs, q)
+    assert rec >= 0.95, rec  # reference gate: >=0.95 (with graph on top)
+
+
+def test_sq8_memory_is_quarter():
+    idx = SQ8Index(64)
+    idx.add(_clustered(100, 64))
+    assert np.asarray(idx.codes).nbytes == 100 * 64  # vs 100*64*4 f32
+
+
+def test_bq_recall_with_rerank():
+    # held-out queries from the corpus distribution: off-manifold
+    # queries (different cluster centers) are a known BQ weakness and
+    # not what the reference gates on
+    allv = _clustered(4032, 128)
+    vecs, q = allv[:4000], allv[4000:]
+    idx = BQIndex(128, metric=Metric.COSINE)
+    idx.add(vecs)
+    rec = _recall(idx, vecs, q)
+    assert rec >= 0.85, rec
+
+
+def test_bq_compression():
+    idx = BQIndex(128, rerank=False)
+    idx.add(_clustered(100, 128))
+    assert np.asarray(idx.codes).nbytes == 100 * 128 // 8  # 32x vs f32
+
+
+def test_pq_dim_not_divisible():
+    with pytest.raises(ValueError):
+        PQIndex(30, m=8)

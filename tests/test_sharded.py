@@ -1,0 +1,99 @@
+"""Shard-parallel search on the 8-virtual-device CPU mesh —
+the in-process stand-in for a v5e-8 slice (SURVEY.md §4 lesson 4).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from longbow_tpu.ops.distance import Metric, exact_search
+from longbow_tpu.parallel.mesh import make_mesh
+from longbow_tpu.parallel.sharded import ShardedFlatIndex
+
+
+def _vecs(n, d, seed=0):
+    return np.random.default_rng(seed).standard_normal((n, d), dtype=np.float32)
+
+
+def test_mesh_has_8_devices():
+    assert make_mesh().size == 8
+
+
+def test_sharded_matches_single_device_exact():
+    mesh = make_mesh()
+    v = _vecs(4000, 32)
+    idx = ShardedFlatIndex(32, mesh)
+    rows = idx.add(v)
+    assert len(idx) == 4000
+    q = _vecs(16, 32, seed=1)
+    d, r = idx.search(q, 10)
+    # oracle on the unsharded corpus
+    ed, er = exact_search(jnp.asarray(q), jnp.asarray(v), 10, Metric.L2)
+    # compare by distance (global rows differ from corpus order)
+    np.testing.assert_allclose(
+        np.asarray(d), np.asarray(ed), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_global_rows_map_back_to_vectors():
+    mesh = make_mesh()
+    v = _vecs(1000, 16)
+    idx = ShardedFlatIndex(16, mesh)
+    rows = idx.add(v)
+    # query corpus rows: the top hit's global row must be that vector's
+    d, r = idx.search(v[:8], 1)
+    got = np.asarray(r)[:, 0]
+    np.testing.assert_array_equal(got, rows[:8])
+    assert (np.asarray(d)[:, 0] < 1e-3).all()
+
+
+def test_incremental_adds_across_shards():
+    mesh = make_mesh()
+    idx = ShardedFlatIndex(16, mesh)
+    all_rows = []
+    v = _vecs(3000, 16)
+    for off in range(0, 3000, 700):
+        all_rows.append(idx.add(v[off : off + 700]))
+    rows = np.concatenate(all_rows)
+    assert len(idx) == 3000
+    assert len(np.unique(rows)) == 3000  # no row collisions
+    d, r = idx.search(v[1500:1504], 1)
+    np.testing.assert_array_equal(np.asarray(r)[:, 0], rows[1500:1504])
+
+
+def test_sharded_growth():
+    mesh = make_mesh()
+    idx = ShardedFlatIndex(8, mesh, shard_capacity=2048)
+    v = _vecs(20_000, 8)
+    rows = idx.add(v)
+    assert idx.shard_capacity > 2048
+    d, r = idx.search(v[:4], 1)
+    np.testing.assert_array_equal(np.asarray(r)[:, 0], rows[:4])
+
+
+def test_sharded_tombstones():
+    mesh = make_mesh()
+    v = _vecs(800, 8)
+    idx = ShardedFlatIndex(8, mesh)
+    rows = idx.add(v)
+    idx.delete_rows(rows[:10])
+    _, r = idx.search(v[:10], 1)
+    assert not np.isin(np.asarray(r)[:, 0], rows[:10]).any()
+
+
+def test_sharded_cosine():
+    mesh = make_mesh()
+    v = _vecs(500, 16)
+    idx = ShardedFlatIndex(16, mesh, metric=Metric.COSINE)
+    rows = idx.add(v)
+    d, r = idx.search(v[7] * 5.0, 1)
+    assert np.asarray(r)[0, 0] == rows[7]
+
+
+def test_smaller_mesh():
+    mesh = make_mesh(4)
+    v = _vecs(400, 8)
+    idx = ShardedFlatIndex(8, mesh)
+    rows = idx.add(v)
+    d, r = idx.search(v[:3], 1)
+    np.testing.assert_array_equal(np.asarray(r)[:, 0], rows[:3])
