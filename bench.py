@@ -103,22 +103,21 @@ def main() -> None:
         )
     )
 
-    # ---- throughput: on-device chained loop ----
-    qj = jnp.asarray(queries[:B])
-
-    @jax.jit
-    def chained(q, iters):
-        def body(i, q):
-            d, _ = search_one(q)
-            return qj + 1e-12 * d[0, 0]
-        return jax.lax.fori_loop(0, iters, body, q)
-
-    t0 = time.time()
-    float(chained(qj, 2)[0, 0])  # warm
-    log(f"throughput-loop warm in {time.time()-t0:.0f}s")
-    iters = 30
+    # ---- throughput: queue distinct-input dispatches, fetch once ----
+    # (reuses the already-compiled kernel; a fori-loop wrapper would be
+    # a fresh program and cost a multi-minute compile on this platform.
+    # Distinct inputs defeat the platform's identical-computation cache;
+    # the device executes the queue serially, so wall time / iters is
+    # the true per-batch latency.)
+    iters = 50
+    qbatches = [
+        jnp.asarray(queries[:B] + 1e-6 * i) for i in range(iters)
+    ]
+    d, _ = search_one(qbatches[0])
+    float(d[0, 0])  # warm + drain
     t0 = time.perf_counter()
-    float(chained(qj, iters)[0, 0])
+    outs = [search_one(q)[0] for q in qbatches]
+    float(outs[-1][0, 0])  # forces the whole queue to drain
     dt = (time.perf_counter() - t0) / iters
     qps = B / dt
 

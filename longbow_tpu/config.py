@@ -1,0 +1,91 @@
+"""Env-var configuration, reference-compatible knob names.
+
+reference: envconfig.Process("LONGBOW", ...) over one struct with
+defaults (cmd/longbow/main.go:43-126,146), ValidateConfig
+(cmd/longbow/config.go:24-53). Same LONGBOW_* names where the knob has
+an equivalent here; TPU-specific knobs are new.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+def _env(name: str, default, cast=str):
+    raw = os.environ.get(f"LONGBOW_{name}")
+    if raw is None:
+        return default
+    if cast is bool:
+        return raw.lower() in ("1", "true", "yes", "on")
+    return cast(raw)
+
+
+@dataclass
+class Config:
+    # serving (reference: data :3000 / meta :3001)
+    data_port: int = field(default_factory=lambda: _env("DATA_PORT", 3000, int))
+    meta_port: int = field(default_factory=lambda: _env("META_PORT", 3001, int))
+    host: str = field(default_factory=lambda: _env("HOST", "0.0.0.0"))
+    metrics_port: int = field(
+        default_factory=lambda: _env("METRICS_PORT", 9090, int)
+    )
+
+    # storage (reference: STORAGE_* knobs, MAX_WAL_SIZE 100MB)
+    data_dir: str = field(default_factory=lambda: _env("DATA_DIR", ""))
+    max_wal_mb: int = field(default_factory=lambda: _env("MAX_WAL_MB", 100, int))
+    wal_sync: str = field(default_factory=lambda: _env("WAL_SYNC", "batch"))
+
+    # index (reference: HNSW M/efC/efS defaults arrow_hnsw.go:77-99)
+    hnsw_m: int = field(default_factory=lambda: _env("HNSW_M", 32, int))
+    hnsw_m_max: int = field(default_factory=lambda: _env("HNSW_M_MAX", 64, int))
+    hnsw_ef_construction: int = field(
+        default_factory=lambda: _env("HNSW_EF_CONSTRUCTION", 100, int)
+    )
+    hnsw_ef_search: int = field(
+        default_factory=lambda: _env("HNSW_EF_SEARCH", 50, int)
+    )
+    # reference default migration threshold is 10k (main.go:122); TPU
+    # exact scans stay sub-ms far beyond that, so default higher
+    migration_threshold: int = field(
+        default_factory=lambda: _env("AUTOSHARD_THRESHOLD", 200_000, int)
+    )
+    storage_dtype: str = field(
+        default_factory=lambda: _env("STORAGE_DTYPE", "bfloat16")
+    )
+
+    # admission (reference: RATE_LIMIT_RPS/BURST, circuit breaker)
+    rate_limit_rps: float = field(
+        default_factory=lambda: _env("RATE_LIMIT_RPS", 0.0, float)
+    )
+    rate_limit_burst: int = field(
+        default_factory=lambda: _env("RATE_LIMIT_BURST", 0, int)
+    )
+    breaker_threshold: int = field(
+        default_factory=lambda: _env("BREAKER_THRESHOLD", 10, int)
+    )
+    breaker_cooldown_s: float = field(
+        default_factory=lambda: _env("BREAKER_COOLDOWN_S", 30.0, float)
+    )
+
+    # cache (reference: query cache in DoGet, store_query.go:625)
+    query_cache_size: int = field(
+        default_factory=lambda: _env("QUERY_CACHE_SIZE", 1024, int)
+    )
+    query_cache_ttl_s: float = field(
+        default_factory=lambda: _env("QUERY_CACHE_TTL_S", 60.0, float)
+    )
+
+    def validate(self) -> "Config":
+        if self.data_port == self.meta_port:
+            raise ValueError("data and meta ports must differ")
+        if self.hnsw_m <= 0 or self.hnsw_m_max < self.hnsw_m:
+            raise ValueError("need 0 < HNSW_M <= HNSW_M_MAX")
+        if self.storage_dtype not in ("bfloat16", "float32"):
+            raise ValueError("STORAGE_DTYPE must be bfloat16|float32")
+        if self.wal_sync not in ("always", "batch", "never"):
+            raise ValueError("WAL_SYNC must be always|batch|never")
+        return self
+
+
+def load_config() -> Config:
+    return Config().validate()

@@ -1,0 +1,104 @@
+"""Process entry point: `python -m longbow_tpu.serve`.
+
+The equivalent of the reference's cmd/longbow main
+(reference: cmd/longbow/main.go:137 run() — config, persistence
+recovery, metrics server, data+meta Flight servers, graceful shutdown
+with final snapshot :524-565).
+"""
+from __future__ import annotations
+
+import logging
+import sys
+import threading
+
+import jax.numpy as jnp
+
+from longbow_tpu.config import load_config
+from longbow_tpu.index.hnsw import HNSWConfig
+from longbow_tpu.metrics import get_registry
+from longbow_tpu.serving.flight_server import LongbowFlightServer, ServerHandle
+from longbow_tpu.serving.middleware import MiddlewareChain
+from longbow_tpu.store.vector_store import VectorStore
+from longbow_tpu.utils.logging import setup_logging
+
+
+def main(argv=None) -> int:
+    cfg = load_config()
+    log = setup_logging()
+    log.info("starting longbow-tpu", extra={"fields": {"config": vars(cfg)}})
+
+    store = VectorStore(
+        dtype=jnp.bfloat16 if cfg.storage_dtype == "bfloat16" else jnp.float32,
+        migration_threshold=cfg.migration_threshold,
+        hnsw_config=HNSWConfig(
+            m=cfg.hnsw_m,
+            m_max=cfg.hnsw_m_max,
+            ef_construction=cfg.hnsw_ef_construction,
+            ef_search=cfg.hnsw_ef_search,
+        ),
+        query_cache_size=cfg.query_cache_size,
+        query_cache_ttl=cfg.query_cache_ttl_s,
+        persist_dir=cfg.data_dir or None,
+        wal_sync=cfg.wal_sync,
+    )
+
+    registry = get_registry()
+    try:
+        registry.serve(cfg.metrics_port)
+        log.info("metrics on :%d/metrics", cfg.metrics_port)
+    except OSError as e:
+        log.warning("metrics port unavailable: %s", e)
+
+    middleware = MiddlewareChain(
+        cfg.rate_limit_rps,
+        cfg.rate_limit_burst,
+        cfg.breaker_threshold,
+        cfg.breaker_cooldown_s,
+    )
+    data = LongbowFlightServer(
+        store,
+        f"grpc://{cfg.host}:{cfg.data_port}",
+        middleware_chain=middleware,
+    )
+    meta = LongbowFlightServer(
+        store,
+        f"grpc://{cfg.host}:{cfg.meta_port}",
+        middleware_chain=middleware,
+    )
+
+    # pyarrow's FlightServerBase.serve() installs its own SIGINT/SIGTERM
+    # handling and returns when a signal arrives — so the data server
+    # runs on the main thread and the teardown happens after it returns
+    # (a Python-level signal handler would be stomped by pyarrow's).
+    meta_thread = threading.Thread(target=meta.serve, daemon=True)
+    meta_thread.start()
+    log.info("data on :%d, meta on :%d", cfg.data_port, cfg.meta_port)
+
+    # SIGINT: pyarrow re-raises it as KeyboardInterrupt out of serve().
+    # SIGTERM: pyarrow ignores it (default action kills the process),
+    # so map it to the same KeyboardInterrupt path for k8s-style stops.
+    import signal as _signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    _signal.signal(_signal.SIGTERM, _term)
+
+    try:
+        data.serve()  # blocks until a signal or shutdown()
+    except KeyboardInterrupt:
+        pass
+
+    log.info("stopping servers")
+    data.shutdown()
+    meta.shutdown()
+    meta_thread.join(timeout=5)
+    # final flush + snapshot (reference: main.go:524-565)
+    store.close()
+    log.info("shutdown complete")
+    logging.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,12 +63,20 @@ class LongbowFlightServer(flight.FlightServerBase):
         location: str = "grpc://0.0.0.0:3000",
         *,
         metrics_registry=None,
+        middleware_chain=None,
         **kw,
     ):
         super().__init__(location, **kw)
         self.store = store
         self.location = location
+        if metrics_registry is None:
+            from longbow_tpu.metrics import get_registry
+
+            metrics_registry = get_registry()
         self.metrics = metrics_registry
+        # admission control (reference: interceptor chain
+        # cmd/longbow/main.go:448-458): rate limiter + circuit breaker
+        self.middleware = middleware_chain
 
     # -- ingestion (reference: servers.go:44 DoPut -> store_actions.go:426) --
 
@@ -81,6 +89,8 @@ class LongbowFlightServer(flight.FlightServerBase):
         mkey = METRIC_METADATA_KEY.encode()
         if mkey in schema_meta:
             metric = schema_meta[mkey].decode()
+        if self.middleware:
+            self.middleware.admit("DoPut")
         for chunk in reader:
             batch = chunk.data
             if batch.num_rows == 0:
@@ -102,23 +112,41 @@ class LongbowFlightServer(flight.FlightServerBase):
                 for n in names
                 if n not in _RESERVED
             }
-            self.store.put(dataset, ids, vecs, columns or None, metric=metric)
-            if self.metrics:
-                self.metrics.counter("longbow_flight_do_put_rows_total").inc(
-                    batch.num_rows
+            try:
+                self.store.put(
+                    dataset, ids, vecs, columns or None, metric=metric
                 )
+            except Exception:
+                self.metrics.counter(
+                    "longbow_ipc_decode_errors_total"
+                ).inc()
+                raise
+            self.metrics.counter(
+                "longbow_flight_rows_processed_total"
+            ).inc(batch.num_rows)
+            ds = self.store.get(dataset)
+            self.metrics.gauge(
+                "longbow_vector_index_size", ("dataset",)
+            ).labels(dataset=dataset).set(ds.live_count)
 
     # -- queries (reference: servers.go:28 DoGet -> store_query.go:126) --
 
     def do_get(self, context, ticket):
+        if self.middleware:
+            self.middleware.admit("DoGet")
         try:
-            tq = parse_ticket(ticket.ticket)
-            if tq.search is not None:
-                return self._do_search(tq)
-            return self._do_scan(tq)
+            with self.metrics.time_op("DoGet"):
+                tq = parse_ticket(ticket.ticket)
+                if tq.search is not None:
+                    return self._do_search(tq)
+                return self._do_scan(tq)
         except KeyError as e:
+            if self.middleware:
+                self.middleware.record_failure("DoGet")
             raise flight.FlightServerError(f"not found: {e}") from e
         except ValueError as e:
+            if self.middleware:
+                self.middleware.record_failure("DoGet")
             raise flight.FlightServerError(f"bad request: {e}") from e
 
     def _do_search(self, tq):
@@ -142,8 +170,12 @@ class LongbowFlightServer(flight.FlightServerBase):
                 ids, scores, ok = self.store.graph_rerank(
                     ds.name, ids, scores, ok, req.graph_alpha
                 )
-        if self.metrics:
-            self.metrics.counter("longbow_flight_search_total").inc()
+        self.metrics.histogram(
+            "longbow_vector_search_latency_seconds"
+        )  # observed via time_op; counter below
+        self.metrics.counter(
+            "longbow_flight_operations_total", ("op",)
+        ).labels(op="VectorSearch").inc()
 
         out_ids, out_scores, out_qidx, rows = [], [], [], []
         for b in range(ids.shape[0]):
@@ -201,8 +233,11 @@ class LongbowFlightServer(flight.FlightServerBase):
     # -- actions (reference: store_actions.go:29, servers.go:157) --
 
     def do_action(self, context, action):
+        if self.middleware:
+            self.middleware.admit(action.type)
         try:
-            return self._do_action(action)
+            with self.metrics.time_op(action.type):
+                return self._do_action(action)
         except KeyError as e:
             raise flight.FlightServerError(f"not found: {e}") from e
         except (ValueError, json.JSONDecodeError) as e:
