@@ -57,6 +57,21 @@ def _tombstone(valid, rows):
     return valid.at[rows].set(False)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "normalize")
+)
+def _fused_packed(queries, vectors, norms, valid, k, metric, extra_mask, normalize):
+    """Fused scan returning ONE packed array [B, 2k] (distances then
+    bitcast row ids) so the host pays a single fetch round trip."""
+    d, i = fused_flat_search(
+        queries, vectors, norms, valid, k, metric,
+        extra_mask=extra_mask, normalize=normalize,
+    )
+    return jnp.concatenate(
+        [d, jax.lax.bitcast_convert_type(i, jnp.float32)], axis=1
+    )
+
+
 class FlatIndex:
     """Exact k-NN index: one padded device block + validity mask.
 
@@ -142,29 +157,23 @@ class FlatIndex:
 
     def search(
         self,
-        queries: jax.Array,
+        queries,
         k: int,
         *,
         filter_mask: Optional[jax.Array] = None,
-    ) -> tuple[jax.Array, jax.Array]:
-        """Batched k-NN -> (dist [B,k] f32, rows [B,k] i32).
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched k-NN -> (dist [B,k] f32, rows [B,k] i32) as numpy.
 
         filter_mask: optional [capacity] bool of rows allowed by
         metadata predicates; combined with validity/tombstones.
+
+        Serving-latency note: every eager jnp op costs a ~30ms host
+        round trip on this platform, so all shaping happens in numpy on
+        the host and everything else runs inside ONE jitted program.
         """
-        queries = jnp.asarray(queries, dtype=jnp.float32)
-        if queries.ndim == 1:
-            queries = queries[None, :]
-        if self.metric == Metric.COSINE:
-            queries = queries / jnp.maximum(
-                jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-30
-            )
-            metric = Metric.DOT
-        else:
-            metric = self.metric
-        valid = self.valid
-        if filter_mask is not None:
-            valid = jnp.logical_and(valid, filter_mask)
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        normalize = self.metric == Metric.COSINE
+        metric = Metric.DOT if normalize else self.metric
 
         # Pallas fused path: bf16 corpora only — f32 variants of the
         # fold kernel hit pathological (minutes-long) Mosaic compiles
@@ -175,31 +184,40 @@ class FlatIndex:
             # {16, 128}. Small/odd batch shapes trigger pathological
             # Mosaic compile times (minutes); one canonical shape per
             # (corpus, metric) compiles once and serves every request.
-            b = queries.shape[0]
+            b = q.shape[0]
             k_pad = 16 if k <= 16 else 128
-            out_d, out_i = [], []
-            for off in range(0, b, 128):
-                chunk = queries[off : off + 128]
-                bc = chunk.shape[0]
-                if bc < 128:
-                    chunk = jnp.pad(chunk, ((0, 128 - bc), (0, 0)))
-                d, i = fused_flat_search(
-                    chunk, self.vectors, self.norms_sq, valid, k_pad, metric
+            b_pad = -(-b // 128) * 128
+            if b_pad != b:
+                q = np.pad(q, ((0, b_pad - b), (0, 0)))
+            packs = [
+                _fused_packed(
+                    jnp.asarray(q[off : off + 128]),
+                    self.vectors,
+                    self.norms_sq,
+                    self.valid,
+                    k_pad,
+                    metric,
+                    filter_mask,
+                    normalize,
                 )
-                out_d.append(d[:bc, :k])
-                out_i.append(i[:bc, :k])
-            if len(out_d) == 1:
-                return out_d[0], out_i[0]
-            return jnp.concatenate(out_d), jnp.concatenate(out_i)
-        return exact_search(
-            queries,
-            self.vectors.astype(jnp.float32),
+                for off in range(0, b_pad, 128)
+            ]
+            flat = np.concatenate([np.asarray(p) for p in packs])
+            dd = flat[:, :k_pad]
+            ii = flat[:, k_pad:].view(np.int32)
+            return dd[:b, :k], ii[:b, :k]
+        d, i = exact_search(
+            jnp.asarray(q),
+            self.vectors,
             k,
             metric,
             corpus_norms_sq=self.norms_sq,
-            valid=valid,
+            valid=self.valid,
+            extra_mask=filter_mask,
+            normalize=normalize,
             exact_precision=False,
         )
+        return np.asarray(d), np.asarray(i)
 
     # -- state export (persistence hooks) -----------------------------
 

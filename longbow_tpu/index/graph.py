@@ -105,7 +105,7 @@ def entry_candidates(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ef", "max_iters", "ring_size")
+    jax.jit, static_argnames=("k", "ef", "max_iters", "ring_size", "normalize")
 )
 def beam_search(
     state: GraphState,
@@ -115,6 +115,7 @@ def beam_search(
     ef: int,
     *,
     eligible: Optional[jax.Array] = None,
+    normalize: bool = False,
     max_iters: int = 0,
     ring_size: int = 128,
 ) -> tuple[jax.Array, jax.Array]:
@@ -134,6 +135,12 @@ def beam_search(
     e = ef
 
     qf = queries.astype(jnp.float32)
+    if normalize:
+        # in-jit normalization: an eager normalize would cost a ~30ms
+        # dispatch round trip per query batch on this platform
+        qf = qf / jnp.maximum(
+            jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-30
+        )
     qn = jnp.sum(qf * qf, axis=1, keepdims=True)
 
     res_mask = state.valid if eligible is None else (state.valid & eligible)

@@ -202,29 +202,28 @@ class HNSWIndex:
         Implements the reference's adaptive retry: if any query comes
         back under-filled, retry with ef*5 (arrow_hnsw.go:920-947).
         """
-        queries = jnp.asarray(queries, dtype=jnp.float32)
-        if queries.ndim == 1:
-            queries = queries[None, :]
-        if self.metric == Metric.COSINE:
-            queries = queries / jnp.maximum(
-                jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-30
-            )
+        import numpy as _np
+
+        queries = jnp.asarray(
+            _np.atleast_2d(_np.asarray(queries, dtype=_np.float32))
+        )
+        normalize = self.metric == Metric.COSINE
         self._refresh_sample()
         ef = max(ef_search or self.config.ef_search, k)
 
         eligible = filter_mask
         d, r = beam_search(
             self.state, queries, self._sample_rows, k, ef,
-            eligible=eligible,
+            eligible=eligible, normalize=normalize,
         )
         for _ in range(self.config.adaptive_ef_retries):
-            filled = np.asarray(d[:, k - 1] < MASKED).all()
+            filled = bool(np.asarray(d)[:, k - 1].max() < MASKED)
             if filled or ef >= self.count:
                 break
             ef = ef * 5
             d, r = beam_search(
                 self.state, queries, self._sample_rows, k, ef,
-                eligible=eligible,
+                eligible=eligible, normalize=normalize,
             )
         return d, r
 

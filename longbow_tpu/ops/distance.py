@@ -181,7 +181,10 @@ def pairwise_distance(
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "chunk_rows", "exact_precision")
+    jax.jit,
+    static_argnames=(
+        "k", "metric", "chunk_rows", "exact_precision", "normalize"
+    ),
 )
 def exact_search(
     queries: jax.Array,
@@ -191,6 +194,8 @@ def exact_search(
     *,
     corpus_norms_sq: Optional[jax.Array] = None,
     valid: Optional[jax.Array] = None,
+    extra_mask: Optional[jax.Array] = None,
+    normalize: bool = False,
     chunk_rows: int = 131072,
     exact_precision: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
@@ -208,6 +213,20 @@ def exact_search(
     enough to saturate the MXU.
     """
     precision = PRECISION_EXACT if exact_precision else PRECISION_FAST
+    # serving-path fusion: cast, normalization and mask-combines run
+    # inside this jit so the host never pays eager-dispatch round trips
+    corpus = corpus.astype(jnp.float32)
+    queries = queries.astype(jnp.float32)
+    if normalize:
+        queries = queries / jnp.maximum(
+            jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-30
+        )
+    if extra_mask is not None:
+        valid = (
+            extra_mask
+            if valid is None
+            else jnp.logical_and(valid, extra_mask)
+        )
     n, d = corpus.shape
     b = queries.shape[0]
     k = min(k, n)

@@ -159,7 +159,7 @@ def _scan_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "tile_n", "interpret"),
+    static_argnames=("k", "metric", "tile_n", "interpret", "normalize"),
 )
 def fused_flat_search(
     queries: jax.Array,
@@ -169,6 +169,8 @@ def fused_flat_search(
     k: int,
     metric: str = Metric.L2,
     *,
+    extra_mask=None,
+    normalize: bool = False,
     tile_n: int = 1024,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
@@ -187,6 +189,16 @@ def fused_flat_search(
     if metric == Metric.COSINE:
         raise ValueError("fused_flat_search: pre-normalize and use dot for cosine")
     mode = "l2" if metric == Metric.L2 else "ip"
+    # serving-path fusion: query normalization and filter-mask combine
+    # happen inside this jit — each would otherwise be a separate eager
+    # dispatch costing a ~30ms host round trip on this platform
+    if normalize:
+        queries = queries / jnp.maximum(
+            jnp.linalg.norm(queries.astype(jnp.float32), axis=1, keepdims=True),
+            1e-30,
+        ).astype(queries.dtype)
+    if extra_mask is not None:
+        valid = jnp.logical_and(valid, extra_mask)
 
     b, d = queries.shape
     n = corpus.shape[0]

@@ -181,7 +181,9 @@ class Dataset:
         cap = self.index.capacity
         if mask.shape[0] < cap:
             mask = jnp.pad(mask, (0, cap - mask.shape[0]))
-        return mask[:cap]
+        elif mask.shape[0] > cap:
+            mask = mask[:cap]
+        return mask
 
     def search(
         self,
