@@ -1,0 +1,230 @@
+"""Peer replication with quorum and per-peer circuit breakers.
+
+reference: PeerReplicator async/quorum record replication with per-peer
+breakers (peer_replicator.go:76-370), QuorumManager ONE/QUORUM/ALL
+(quorum.go:15-230). Transport is the same Arrow Flight protocol clients
+use (DoPut / delete actions), so a replica is just another longbow-tpu
+server.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from longbow_tpu.serving.client import LongbowClient
+from longbow_tpu.serving.middleware import CircuitBreaker
+
+ONE = "ONE"
+QUORUM = "QUORUM"
+ALL = "ALL"
+
+
+def required_acks(level: str, n_peers: int) -> int:
+    if level == ONE:
+        return min(1, n_peers)
+    if level == ALL:
+        return n_peers
+    return n_peers // 2 + 1 if n_peers else 0
+
+
+class Peer:
+    def __init__(self, host: str, data_port: int, meta_port: int):
+        self.addr = f"{host}:{data_port}"
+        self.client = LongbowClient(host, data_port, meta_port)
+        self.breaker = CircuitBreaker(threshold=5, cooldown_s=10.0)
+
+    def replicate_put(self, dataset, ids, vectors, columns) -> bool:
+        if not self.breaker.allow():
+            return False
+        try:
+            self.client.write(dataset, ids, vectors, columns)
+            self.breaker.record_success()
+            return True
+        except Exception:
+            self.breaker.record_failure()
+            return False
+
+    def replicate_delete(self, dataset, ids) -> bool:
+        if not self.breaker.allow():
+            return False
+        try:
+            self.client.delete(dataset, list(ids))
+            self.breaker.record_success()
+            return True
+        except Exception:
+            self.breaker.record_failure()
+            return False
+
+
+class PeerReplicator:
+    """Replicates local writes to peers.
+
+    mode 'async': fire-and-forget via a background queue (reference
+    default). mode 'quorum': the write call blocks until
+    required_acks(level) peers ack.
+    """
+
+    def __init__(
+        self,
+        peers: list[Peer],
+        mode: str = "async",
+        level: str = QUORUM,
+        queue_size: int = 4096,
+    ):
+        self.peers = peers
+        self.mode = mode
+        self.level = level
+        self._q: queue.Queue = queue.Queue(maxsize=queue_size)
+        self._stop = threading.Event()
+        self._worker: Optional[threading.Thread] = None
+        self.replicated = 0
+        self.failed = 0
+        if mode == "async":
+            self._worker = threading.Thread(target=self._loop, daemon=True)
+            self._worker.start()
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                job = self._q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            self._fanout(*job)
+
+    def _fanout(self, kind, dataset, ids, vectors, columns) -> int:
+        acks = 0
+        for p in self.peers:
+            ok = (
+                p.replicate_put(dataset, ids, vectors, columns)
+                if kind == "put"
+                else p.replicate_delete(dataset, ids)
+            )
+            acks += int(ok)
+        self.replicated += acks
+        self.failed += len(self.peers) - acks
+        return acks
+
+    def on_put(self, dataset, ids, vectors, columns=None) -> bool:
+        """Returns True when the consistency level is satisfied."""
+        if self.mode == "async":
+            try:
+                self._q.put_nowait(("put", dataset, ids, vectors, columns))
+                return True
+            except queue.Full:
+                return False
+        acks = self._fanout("put", dataset, ids, vectors, columns)
+        return acks >= required_acks(self.level, len(self.peers))
+
+    def on_delete(self, dataset, ids) -> bool:
+        if self.mode == "async":
+            try:
+                self._q.put_nowait(("delete", dataset, ids, None, None))
+                return True
+            except queue.Full:
+                return False
+        acks = self._fanout("delete", dataset, ids, None, None)
+        return acks >= required_acks(self.level, len(self.peers))
+
+    def drain(self, timeout_s: float = 10.0) -> None:
+        t0 = time.time()
+        while not self._q.empty() and time.time() - t0 < timeout_s:
+            time.sleep(0.02)
+
+    def close(self):
+        self._stop.set()
+        if self._worker:
+            self._worker.join(timeout=2)
+        for p in self.peers:
+            try:
+                p.client.close()
+            except Exception:
+                pass
+
+
+class SyncWorker:
+    """Merkle anti-entropy against peers (reference:
+    mesh/sync/sync_worker.go:41-250): compare roots, diff buckets, pull
+    newer rows / deletions via LWW merge."""
+
+    def __init__(self, store, peers: list[Peer], interval_s: float = 30.0):
+        self.store = store
+        self.peers = peers
+        self.interval_s = interval_s
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.synced_rows = 0
+
+    def sync_dataset_once(self, name: str) -> int:
+        """Pull divergent rows for one dataset from all peers; returns
+        rows applied locally."""
+        from longbow_tpu.distributed.merkle import MerkleTree
+
+        applied = 0
+        ds = self.store.get(name)
+        mine = MerkleTree.from_dataset(ds)
+        for p in self.peers:
+            try:
+                remote = p.client._action(
+                    "merkle-state", {"dataset": name}
+                )
+            except Exception:
+                continue
+            if remote.get("root") == mine.root_hex:
+                continue
+            theirs = [bytes.fromhex(x) for x in remote["leaves"]]
+            for b in mine.diff_buckets(theirs):
+                delta = p.client._action(
+                    "export-delta", {"dataset": name, "bucket": b}
+                )
+                applied += self._apply_delta(name, delta)
+        self.synced_rows += applied
+        return applied
+
+    def _apply_delta(self, name: str, delta: dict) -> int:
+        n = 0
+        ds = self.store.get(name)
+        for rec in delta.get("rows", []):
+            uid = rec["id"]
+            ts = rec["ts"]
+            local_ts = ds._lww.get(ds._key(np.asarray(uid)))
+            if local_ts is not None and local_ts >= ts:
+                continue  # LWW: ours is newer
+            if rec.get("deleted"):
+                ds.delete([uid])
+                ds._lww[uid] = ts
+            else:
+                self.store.put(
+                    name,
+                    np.asarray([uid]),
+                    np.asarray([rec["vector"]], dtype=np.float32),
+                    timestamp=ts,
+                    _log=False,
+                )
+            n += 1
+        return n
+
+    def run_once(self) -> int:
+        total = 0
+        for name in self.store.list_datasets():
+            total += self.sync_dataset_once(name)
+        return total
+
+    def start(self):
+        def loop():
+            while not self._stop.wait(self.interval_s):
+                try:
+                    self.run_once()
+                except Exception:
+                    pass
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)

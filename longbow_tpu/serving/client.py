@@ -182,3 +182,75 @@ class LongbowClient:
             {"dataset": dataset, "from": src, "to": dst,
              "max_hops": max_hops},
         )["path"]
+
+    # -- DoExchange (reference: do_exchange.go protocols) --------------
+
+    def exchange_ingest(self, dataset: str, batches) -> int:
+        """Stream put-batches; returns total acked rows. `batches` is an
+        iterable of (ids, vectors) pairs."""
+        descriptor = flight.FlightDescriptor.for_command(
+            json.dumps({"protocol": "ingest", "dataset": dataset}).encode()
+        )
+        first_ids, first_vecs = None, None
+        it = iter(batches)
+        first = next(it)
+        schema = self._put_schema(first)
+        writer, reader = self._dc().do_exchange(descriptor)
+        total = 0
+        writer.begin(schema)
+        for ids, vecs in [first, *it]:
+            writer.write_table(self._put_table(ids, vecs))
+            ack = reader.read_chunk().data
+            total = ack.column("rows_ingested")[0].as_py()
+        writer.close()
+        return total
+
+    def exchange_search(self, dataset: str, query_batches, k: int = 10):
+        """Stream query batches; yields one arrow table per batch."""
+        descriptor = flight.FlightDescriptor.for_command(
+            json.dumps(
+                {"protocol": "search", "dataset": dataset, "k": k}
+            ).encode()
+        )
+        writer, reader = self._dc().do_exchange(descriptor)
+        out = []
+        first = np.atleast_2d(np.asarray(query_batches[0], np.float32))
+        schema = pa.schema(
+            [pa.field("vector", pa.list_(pa.float32(), first.shape[1]))]
+        )
+        writer.begin(schema)
+        for q in query_batches:
+            q = np.atleast_2d(np.asarray(q, np.float32))
+            writer.write_table(
+                pa.table(
+                    {
+                        "vector": pa.FixedSizeListArray.from_arrays(
+                            pa.array(q.reshape(-1), pa.float32()), q.shape[1]
+                        )
+                    }
+                )
+            )
+            out.append(pa.Table.from_batches([reader.read_chunk().data]))
+        writer.close()
+        return out
+
+    @staticmethod
+    def _put_table(ids, vecs) -> pa.Table:
+        vecs = np.atleast_2d(np.asarray(vecs, np.float32))
+        ids = np.asarray(ids)
+        id_arr = (
+            pa.array([str(i) for i in ids], pa.string())
+            if ids.dtype.kind in "OUS"
+            else pa.array(ids.astype(np.int64), pa.int64())
+        )
+        return pa.table(
+            {
+                "id": id_arr,
+                "vector": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1), pa.float32()), vecs.shape[1]
+                ),
+            }
+        )
+
+    def _put_schema(self, first) -> pa.Schema:
+        return self._put_table(*first).schema

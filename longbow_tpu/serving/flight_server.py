@@ -230,6 +230,97 @@ class LongbowFlightServer(flight.FlightServerBase):
         )
         return flight.RecordBatchStream(tbl)
 
+    # -- bidirectional streaming (reference: do_exchange.go:47-284 —
+    #    ingest path + VectorSearch exchange) --------------------------
+
+    def do_exchange(self, context, descriptor, reader, writer):
+        if self.middleware:
+            self.middleware.admit("DoExchange")
+        cmd = {}
+        if descriptor.descriptor_type == flight.DescriptorType.CMD:
+            cmd = json.loads(descriptor.command or b"{}")
+        elif descriptor.path:
+            cmd = {"protocol": "ingest", "dataset": descriptor.path[0].decode()}
+        proto = cmd.get("protocol", "ingest")
+        if proto == "ingest":
+            return self._exchange_ingest(cmd, reader, writer)
+        if proto in ("search", "VectorSearch"):
+            return self._exchange_search(cmd, reader, writer)
+        raise flight.FlightServerError(f"unknown exchange protocol {proto!r}")
+
+    def _exchange_ingest(self, cmd, reader, writer):
+        """Client streams put-batches; server acks each with the count
+        (reference: ingest exchange, do_exchange.go)."""
+        dataset = cmd["dataset"]
+        ack_schema = pa.schema([("rows_ingested", pa.int64())])
+        writer.begin(ack_schema)
+        total = 0
+        for chunk in reader:
+            batch = chunk.data
+            if batch is None or batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch])
+            vecs = _vector_column_to_numpy(tbl.column("vector"))
+            ids = (
+                _ids_column_to_numpy(tbl.column("id"))
+                if "id" in tbl.column_names
+                else np.arange(total, total + len(vecs))
+            )
+            columns = {
+                n: np.asarray(tbl.column(n).to_pylist())
+                for n in tbl.column_names
+                if n not in _RESERVED
+            }
+            self.store.put(dataset, ids, vecs, columns or None)
+            total += batch.num_rows
+            writer.write_batch(
+                pa.record_batch({"rows_ingested": pa.array([total], pa.int64())})
+            )
+
+    def _exchange_search(self, cmd, reader, writer):
+        """Client streams query batches; server streams result batches
+        tagged with the incoming batch index (reference:
+        vector_search_exchange.go)."""
+        dataset = cmd["dataset"]
+        k = int(cmd.get("k", 10))
+        out_schema = pa.schema(
+            [
+                ("batch_index", pa.int32()),
+                ("query_index", pa.int32()),
+                ("id", pa.int64()),
+                ("score", pa.float32()),
+            ]
+        )
+        writer.begin(out_schema)
+        bi = 0
+        for chunk in reader:
+            batch = chunk.data
+            if batch is None or batch.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([batch])
+            qv = _vector_column_to_numpy(tbl.column("vector"))
+            ids, scores, ok = self.store.search(dataset, qv, k)
+            rows = {"batch_index": [], "query_index": [], "id": [],
+                    "score": []}
+            for b in range(ids.shape[0]):
+                for j in range(ids.shape[1]):
+                    if ok[b, j]:
+                        rows["batch_index"].append(bi)
+                        rows["query_index"].append(b)
+                        rows["id"].append(int(ids[b, j]))
+                        rows["score"].append(float(scores[b, j]))
+            writer.write_batch(
+                pa.record_batch(
+                    {
+                        "batch_index": pa.array(rows["batch_index"], pa.int32()),
+                        "query_index": pa.array(rows["query_index"], pa.int32()),
+                        "id": pa.array(rows["id"], pa.int64()),
+                        "score": pa.array(rows["score"], pa.float32()),
+                    }
+                )
+            )
+            bi += 1
+
     # -- actions (reference: store_actions.go:29, servers.go:157) --
 
     def do_action(self, context, action):
@@ -252,6 +343,19 @@ class LongbowFlightServer(flight.FlightServerBase):
 
         if name == "check_readiness":
             return ok(self.store.readiness())
+        if name in ("health", "Health"):
+            from longbow_tpu.utils.health import (
+                HealthManager,
+                device_checker,
+                storage_checker,
+                store_checker,
+            )
+
+            hm = HealthManager()
+            hm.register("store", store_checker(self.store))
+            hm.register("storage", storage_checker(self.store))
+            hm.register("device", device_checker())
+            return ok(hm.check())
         if name == "cluster-status":
             return ok(self.store.cluster_status())
         if name in ("list-datasets", "ListDatasets"):
@@ -305,6 +409,16 @@ class LongbowFlightServer(flight.FlightServerBase):
         if name == "GetGraphStats":
             req = json.loads(body)
             return ok(self.store.graph_stats(req.get("dataset", "")))
+        if name == "merkle-state":
+            req = json.loads(body)
+            return ok(self.store.get(req["dataset"]).merkle_state())
+        if name == "export-delta":
+            req = json.loads(body)
+            return ok(
+                self.store.get(req["dataset"]).export_delta(
+                    int(req["bucket"])
+                )
+            )
         raise flight.FlightServerError(f"unknown action {name!r}")
 
     def list_actions(self, context):
@@ -321,6 +435,8 @@ class LongbowFlightServer(flight.FlightServerBase):
             ("add-edge", "GraphRAG: add an edge"),
             ("traverse-graph", "GraphRAG: BFS traverse"),
             ("GetGraphStats", "GraphRAG: edge-store stats"),
+            ("merkle-state", "anti-entropy: merkle root + leaves"),
+            ("export-delta", "anti-entropy: rows of one merkle bucket"),
         ]
 
     # -- discovery --

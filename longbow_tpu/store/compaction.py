@@ -1,0 +1,208 @@
+"""Compaction and eviction: reclaim tombstoned rows, enforce memory
+targets, expire by TTL.
+
+reference: CompactionWorker leveled merge + in-place HNSW remap
+(compaction.go:59, batch_remap.go), FragmentationTracker
+(fragmentation_tracker.go:11), RecordEvictionManager LRU/LFU/TTL
+(record_eviction.go:79-230), evictToTarget (memory_enforcement.go:66),
+MemoryBackpressureController (memory_backpressure.go:31).
+
+TPU-native shape: because index state is functional arrays, compaction
+is not an in-place remap under locks — it is a rebuild of the live
+rows into fresh arrays (bulk kNN-graph build makes this cheap), swapped
+in atomically. The reference pays a similar cost for its autoshard
+migration (docs/autoshard.md:30-33).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+
+class FragmentationTracker:
+    """Dead-row ratio per dataset (reference: fragmentation_tracker.go)."""
+
+    def __init__(self, threshold: float = 0.3):
+        self.threshold = threshold
+
+    def ratio(self, dataset) -> float:
+        total = len(dataset.index)
+        if total == 0:
+            return 0.0
+        return 1.0 - dataset.live_count / total
+
+    def needs_compaction(self, dataset) -> bool:
+        return self.ratio(dataset) > self.threshold
+
+
+def compact_dataset(dataset) -> dict:
+    """Rebuild the dataset's index/columns with only live rows.
+
+    Returns stats {reclaimed_rows, live_rows, seconds}.
+    """
+    t0 = time.time()
+    pairs = list(dataset._id_to_row.items())
+    dead = len(dataset.index) - len(pairs)
+    if not pairs:
+        return {"reclaimed_rows": dead, "live_rows": 0, "seconds": 0.0}
+
+    rows = np.asarray([r for _, r in pairs])
+    ids = [u for u, _ in pairs]
+    vecs = dataset.index.get_vectors(rows)
+
+    # snapshot live column values before the rebuild
+    live_cols = {}
+    cols = dataset.columns
+    for name in cols.fields():
+        if name in cols._numeric:
+            live_cols[name] = np.asarray(cols._numeric[name])[rows]
+        else:
+            codes = np.asarray(cols._str_codes[name])[rows]
+            rev = {v: k for k, v in cols._str_dicts[name].items()}
+            live_cols[name] = np.asarray(
+                [rev.get(int(c), "") for c in codes]
+            )
+
+    # fresh index + columns, re-put everything (BM25/graph keyed by
+    # user id — unaffected by row renumbering)
+    from longbow_tpu.index.adaptive import AdaptiveIndex
+    from longbow_tpu.query.filters import ColumnStore
+
+    dataset.index = AdaptiveIndex(
+        dataset.dim,
+        dataset.metric,
+        dtype=dataset.index.dtype,
+        migration_threshold=dataset.index.migration_threshold,
+        hnsw_config=dataset.index.hnsw_config,
+    )
+    dataset.columns = ColumnStore(dataset.index.capacity)
+    dataset._id_to_row.clear()
+    dataset._row_to_id = []
+    new_rows = dataset.index.add(vecs)
+    dataset.columns.append(live_cols, len(ids), dataset.index.capacity)
+    for j, uid in enumerate(ids):
+        dataset._id_to_row[uid] = int(new_rows[j])
+    dataset._row_to_id = [None] * (int(new_rows[-1]) + 1)
+    for j, uid in enumerate(ids):
+        dataset._row_to_id[int(new_rows[j])] = uid
+    dataset.filter_cache.invalidate()
+    return {
+        "reclaimed_rows": dead,
+        "live_rows": len(ids),
+        "seconds": time.time() - t0,
+    }
+
+
+class EvictionManager:
+    """TTL + LRU/LFU eviction per dataset
+    (reference: record_eviction.go:79-230, evictToTarget
+    memory_enforcement.go:66).
+
+    TTL: rows older than ttl_s (by LWW write timestamp) are deleted on
+    sweep. LRU/LFU: when live_count exceeds max_rows, the coldest rows
+    go first; access recency/frequency is fed by record_access().
+    """
+
+    def __init__(
+        self,
+        policy: str = "lru",
+        ttl_s: Optional[float] = None,
+        max_rows: Optional[int] = None,
+    ):
+        if policy not in ("lru", "lfu"):
+            raise ValueError("policy must be lru|lfu")
+        self.policy = policy
+        self.ttl_s = ttl_s
+        self.max_rows = max_rows
+        self._last_access: dict = {}
+        self._freq: dict = {}
+        self.evicted_total = 0
+
+    def record_access(self, ids) -> None:
+        now = time.time()
+        for uid in ids:
+            self._last_access[uid] = now
+            self._freq[uid] = self._freq.get(uid, 0) + 1
+
+    def sweep(self, dataset) -> int:
+        """Apply TTL + size policy; returns rows evicted."""
+        victims = []
+        now = time.time()
+        if self.ttl_s is not None:
+            for uid, ts in list(dataset._lww.items()):
+                if uid in dataset._id_to_row and now - ts > self.ttl_s:
+                    victims.append(uid)
+        if self.max_rows is not None:
+            over = dataset.live_count - len(victims) - self.max_rows
+            if over > 0:
+                pool = [
+                    u for u in dataset._id_to_row if u not in set(victims)
+                ]
+                if self.policy == "lru":
+                    pool.sort(key=lambda u: self._last_access.get(u, 0.0))
+                else:
+                    pool.sort(key=lambda u: self._freq.get(u, 0))
+                victims.extend(pool[:over])
+        if victims:
+            dataset.delete(np.asarray(victims, dtype=object))
+            self.evicted_total += len(victims)
+        return len(victims)
+
+
+class CompactionWorker:
+    """Background sweep: eviction then fragmentation-triggered
+    compaction (reference: CompactionWorker compaction.go:59)."""
+
+    def __init__(
+        self,
+        store,
+        *,
+        interval_s: float = 30.0,
+        frag_threshold: float = 0.3,
+        eviction: Optional[EvictionManager] = None,
+    ):
+        self.store = store
+        self.interval_s = interval_s
+        self.tracker = FragmentationTracker(frag_threshold)
+        self.eviction = eviction
+        self._stop = None
+        self._thread = None
+
+    def run_once(self) -> dict:
+        stats = {}
+        for name in self.store.list_datasets():
+            ds = self.store.get(name)
+            evicted = self.eviction.sweep(ds) if self.eviction else 0
+            compacted = None
+            if self.tracker.needs_compaction(ds):
+                compacted = compact_dataset(ds)
+                self.store.query_cache.clear()
+            stats[name] = {
+                "evicted": evicted,
+                "fragmentation": round(self.tracker.ratio(ds), 3),
+                "compacted": compacted,
+            }
+        return stats
+
+    def start(self) -> None:
+        import threading
+
+        self._stop = threading.Event()
+
+        def loop():
+            while not self._stop.wait(self.interval_s):
+                try:
+                    self.run_once()
+                except Exception:  # keep the worker alive
+                    pass
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._stop:
+            self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -232,6 +232,33 @@ class Dataset:
     def get_vectors_by_rows(self, rows: np.ndarray) -> np.ndarray:
         return self.index.get_vectors(rows)
 
+    # -- anti-entropy (reference: ExportDelta/ApplyDelta
+    #    types/interfaces.go:56-57, merkle.go) -------------------------
+
+    def export_delta(self, bucket: int) -> dict:
+        """All rows + deletion markers in one Merkle bucket."""
+        from longbow_tpu.distributed.merkle import bucket_of
+
+        rows = []
+        for uid, ts in self._lww.items():
+            if bucket_of(uid) != bucket:
+                continue
+            row = self._id_to_row.get(uid)
+            if row is None:
+                rows.append({"id": uid, "ts": ts, "deleted": True})
+            else:
+                vec = self.index.get_vectors(np.asarray([row]))[0]
+                rows.append(
+                    {"id": uid, "ts": ts, "vector": vec.tolist()}
+                )
+        return {"dataset": self.name, "bucket": bucket, "rows": rows}
+
+    def merkle_state(self) -> dict:
+        from longbow_tpu.distributed.merkle import MerkleTree
+
+        t = MerkleTree.from_dataset(self)
+        return {"root": t.root_hex, "leaves": t.leaves_hex()}
+
     # ------------------------------------------------------------------
 
     def stats(self) -> dict:

@@ -1,0 +1,91 @@
+"""Compaction, fragmentation, eviction (reference: compaction.go,
+fragmentation_tracker.go, record_eviction.go)."""
+import time
+
+import numpy as np
+
+from longbow_tpu.query.parser import Filter
+from longbow_tpu.store.compaction import (
+    CompactionWorker,
+    EvictionManager,
+    FragmentationTracker,
+    compact_dataset,
+)
+from longbow_tpu.store.vector_store import VectorStore
+
+
+def _vecs(n, d, seed=0):
+    return np.random.default_rng(seed).standard_normal((n, d), dtype=np.float32)
+
+
+def test_compaction_reclaims_tombstones():
+    vs = VectorStore()
+    v = _vecs(100, 8)
+    vs.put("d", np.arange(100), v, columns={"price": np.arange(100.0),
+                                            "cat": np.array(["a", "b"] * 50)})
+    vs.delete("d", list(range(0, 60)))
+    ds = vs.get("d")
+    assert FragmentationTracker().needs_compaction(ds)
+    st = compact_dataset(ds)
+    assert st["reclaimed_rows"] == 60 + 0  # 60 deleted rows reclaimed
+    assert st["live_rows"] == 40
+    assert len(ds.index) == 40  # index rebuilt to live rows only
+    # data still correct after renumbering
+    ids, _, ok = ds.search(v[75][None], 1)
+    assert ids[0, 0] == 75
+    # columns survived
+    ids, _, ok = ds.search(v[75][None], 3, filters=[Filter("price", ">", "70")])
+    assert all(i > 70 for i in ids[0] if i is not None)
+    # string columns too
+    ids, _, ok = ds.search(v[75][None], 3, filters=[Filter("cat", "=", "b")])
+    assert all(int(i) % 2 == 1 for i in ids[0] if i is not None)
+
+
+def test_ttl_eviction():
+    vs = VectorStore()
+    v = _vecs(20, 8)
+    vs.put("d", np.arange(20), v)
+    ds = vs.get("d")
+    # age half the rows
+    for uid in range(10):
+        ds._lww[uid] = time.time() - 100
+    ev = EvictionManager(ttl_s=50)
+    n = ev.sweep(ds)
+    assert n == 10
+    assert ds.live_count == 10
+
+
+def test_lru_eviction_to_max_rows():
+    vs = VectorStore()
+    v = _vecs(30, 8)
+    vs.put("d", np.arange(30), v)
+    ds = vs.get("d")
+    ev = EvictionManager(policy="lru", max_rows=20)
+    ev.record_access(range(10, 30))  # 0-9 cold
+    assert ev.sweep(ds) == 10
+    assert ds.live_count == 20
+    assert all(uid in ds._id_to_row for uid in range(10, 30))
+
+
+def test_lfu_eviction():
+    vs = VectorStore()
+    vs.put("d", np.arange(10), _vecs(10, 8))
+    ds = vs.get("d")
+    ev = EvictionManager(policy="lfu", max_rows=8)
+    for _ in range(5):
+        ev.record_access(range(2, 10))
+    ev.record_access([0, 1])
+    assert ev.sweep(ds) == 2
+    assert 0 not in ds._id_to_row and 1 not in ds._id_to_row
+
+
+def test_compaction_worker_run_once():
+    vs = VectorStore()
+    vs.put("a", np.arange(50), _vecs(50, 8))
+    vs.delete("a", list(range(30)))
+    w = CompactionWorker(vs, frag_threshold=0.3)
+    stats = w.run_once()
+    assert stats["a"]["compacted"]["live_rows"] == 20
+    # second run: nothing to do
+    stats = w.run_once()
+    assert stats["a"]["compacted"] is None

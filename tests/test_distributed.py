@@ -1,0 +1,146 @@
+"""Replication, anti-entropy, quorum, vector clocks — two in-process
+servers over real sockets (the reference tests multi-node logic the
+same way, SURVEY.md §4).
+"""
+import time
+
+import numpy as np
+import pytest
+
+from longbow_tpu.distributed.merkle import MerkleTree, bucket_of
+from longbow_tpu.distributed.replicator import (
+    ALL,
+    ONE,
+    QUORUM,
+    Peer,
+    PeerReplicator,
+    SyncWorker,
+    required_acks,
+)
+from longbow_tpu.distributed.vector_clock import (
+    SplitBrainDetector,
+    VectorClock,
+)
+from longbow_tpu.serving.flight_server import serve
+from longbow_tpu.store.vector_store import VectorStore
+
+
+def _vecs(n, d, seed=0):
+    return np.random.default_rng(seed).standard_normal((n, d), dtype=np.float32)
+
+
+def _wait_for(fn, timeout=8.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if fn():
+            return True
+        time.sleep(0.1)
+    return False
+
+
+# ---------------------------------------------------------------- units
+
+def test_vector_clock_ordering():
+    a = VectorClock().tick("n1")
+    b = VectorClock(a.to_dict()).tick("n2")
+    assert a.compare(b) == "before" and b.compare(a) == "after"
+    c = VectorClock().tick("n3")
+    assert b.compare(c) == "concurrent"
+    assert a.compare(VectorClock(a.to_dict())) == "equal"
+
+
+def test_split_brain_detector():
+    det = SplitBrainDetector()
+    my = {"a": True, "b": False, "c": True}
+    peers = {"c": {"a": True, "b": True}}
+    out = det.check(my, peers)
+    assert out["suspects"] == ["b"]
+    assert out["have_quorum"]  # 2/3 alive
+    out2 = det.check({"a": True, "b": False, "c": False}, peers)
+    assert out2["split_brain"]
+
+
+def test_required_acks():
+    assert required_acks(ONE, 3) == 1
+    assert required_acks(QUORUM, 3) == 2
+    assert required_acks(ALL, 3) == 3
+
+
+def test_merkle_diff_localizes_changes():
+    vs1, vs2 = VectorStore(), VectorStore()
+    v = _vecs(50, 8)
+    vs1.put("d", np.arange(50), v)
+    vs2.put("d", np.arange(50), v)
+    # force identical LWW timestamps so trees match
+    vs2.get("d")._lww = dict(vs1.get("d")._lww)
+    t1 = MerkleTree.from_dataset(vs1.get("d"))
+    t2 = MerkleTree.from_dataset(vs2.get("d"))
+    assert t1.root == t2.root
+    vs1.put("d", np.array([7]), _vecs(1, 8, seed=9))
+    t1b = MerkleTree.from_dataset(vs1.get("d"))
+    diffs = t1b.diff_buckets(t2.leaves)
+    assert diffs == [bucket_of(7)]
+
+
+# ------------------------------------------------------------ end-to-end
+
+@pytest.fixture()
+def two_nodes():
+    s1, s2 = VectorStore(), VectorStore()
+    h1 = serve(s1, data_port=0, meta_port=0, host="127.0.0.1")
+    h2 = serve(s2, data_port=0, meta_port=0, host="127.0.0.1")
+    yield (s1, h1), (s2, h2)
+    h1.shutdown()
+    h2.shutdown()
+
+
+def test_async_replication(two_nodes):
+    (s1, h1), (s2, h2) = two_nodes
+    peer = Peer("127.0.0.1", h2.data_server.port, h2.meta_server.port)
+    rep = PeerReplicator([peer], mode="async")
+    v = _vecs(20, 8)
+    s1.put("r", np.arange(20), v)
+    rep.on_put("r", np.arange(20), v)
+    rep.drain()
+    assert _wait_for(
+        lambda: "r" in s2.list_datasets() and s2.get("r").live_count == 20
+    )
+    rep.on_delete("r", [3, 4])
+    rep.drain()
+    assert _wait_for(lambda: s2.get("r").live_count == 18)
+    rep.close()
+
+
+def test_quorum_replication_counts_acks(two_nodes):
+    (s1, h1), (s2, h2) = two_nodes
+    good = Peer("127.0.0.1", h2.data_server.port, h2.meta_server.port)
+    dead = Peer("127.0.0.1", 1, 1)  # nothing listens here
+    rep = PeerReplicator([good, dead], mode="quorum", level=ONE)
+    v = _vecs(5, 8)
+    assert rep.on_put("q", np.arange(5), v)  # ONE satisfied by `good`
+    rep_all = PeerReplicator([good, dead], mode="quorum", level=ALL)
+    assert not rep_all.on_put("q", np.arange(5), v)  # dead peer fails ALL
+    rep.close(); rep_all.close()
+
+
+def test_anti_entropy_sync(two_nodes):
+    (s1, h1), (s2, h2) = two_nodes
+    v = _vecs(30, 8)
+    # node1 has everything; node2 is missing rows + has a stale row
+    s1.put("ae", np.arange(30), v)
+    s2.put("ae", np.arange(20), v[:20])
+    # make node1's timestamps strictly newer
+    for uid in list(s1.get("ae")._lww):
+        s1.get("ae")._lww[uid] = time.time() + 5
+    # node1 also deleted row 2
+    s1.delete("ae", [2])
+    s1.get("ae")._lww[2] = time.time() + 10
+
+    peer1 = Peer("127.0.0.1", h1.data_server.port, h1.meta_server.port)
+    sw = SyncWorker(s2, [peer1])
+    applied = sw.run_once()
+    assert applied > 0
+    assert s2.get("ae").live_count == 29  # 30 - deleted row 2
+    ids, _, _ = s2.search("ae", v[25], 1, use_cache=False)
+    assert ids[0, 0] == 25  # previously missing row pulled over
+    assert 2 not in s2.get("ae")._id_to_row  # deletion propagated

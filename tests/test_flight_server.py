@@ -141,3 +141,31 @@ def test_bad_requests(client):
         client.search("nonexistent", _vecs(1, 8)[0], k=3)
     with pytest.raises(flight.FlightError):
         t = client._dc().do_get(flight.Ticket(b"not json")).read_all()
+
+
+def test_do_exchange_ingest(client):
+    v = _vecs(30, 8, seed=20)
+    total = client.exchange_ingest(
+        "e2e_ex",
+        [(np.arange(0, 15), v[:15]), (np.arange(15, 30), v[15:])],
+    )
+    assert total == 30
+    t = client.search("e2e_ex", v[7], k=1)
+    assert t.column("id")[0].as_py() == 7
+
+
+def test_do_exchange_search(client):
+    v = _vecs(40, 8, seed=21)
+    client.write("e2e_exs", np.arange(40), v)
+    outs = client.exchange_search("e2e_exs", [v[:3], v[3:5]], k=2)
+    assert len(outs) == 2
+    first = outs[0]
+    assert set(first.column("query_index").to_pylist()) == {0, 1, 2}
+    top = [r for r in first.to_pylist() if r["query_index"] == 0][0]
+    assert top["id"] == 0
+
+
+def test_health_action(client):
+    h = client._action("health", {})
+    assert h["status"] == "healthy"
+    assert h["checks"]["device"]["healthy"]

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Load generator for a running longbow-tpu cluster.
+
+The equivalent of the reference's cmd/bench-tool (main.go:27-100):
+
+  python tools/bench_tool.py --mode ingest --host localhost \
+      --concurrency 4 --duration 30 --batch-size 1000 --dim 128
+  python tools/bench_tool.py --mode search --k 10 --duration 30
+  python tools/bench_tool.py --mode hybrid --duration 10
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")  # repo-root invocation
+
+from longbow_tpu.serving.client import LongbowClient  # noqa: E402
+
+
+def run_worker(args, worker_id, stats, stop):
+    c = LongbowClient(args.host, args.data_port, args.meta_port).connect()
+    rng = np.random.default_rng(worker_id)
+    next_id = worker_id * 10_000_000
+    lat = []
+    ops = rows = errors = 0
+    while not stop.is_set():
+        try:
+            t0 = time.perf_counter()
+            if args.mode == "ingest":
+                v = rng.standard_normal(
+                    (args.batch_size, args.dim), dtype=np.float32
+                )
+                ids = np.arange(next_id, next_id + args.batch_size)
+                next_id += args.batch_size
+                c.write(args.dataset, ids, v)
+                rows += args.batch_size
+            elif args.mode == "search":
+                q = rng.standard_normal((args.dim,), dtype=np.float32)
+                t = c.search(args.dataset, q, k=args.k)
+                rows += t.num_rows
+            else:  # hybrid
+                q = rng.standard_normal((args.dim,), dtype=np.float32)
+                r = c.hybrid_search(
+                    args.dataset, vector=q,
+                    text_query="benchmark query text", k=args.k,
+                )
+                rows += len(r.get("ids", []))
+            lat.append(time.perf_counter() - t0)
+            ops += 1
+        except Exception:
+            errors += 1
+            time.sleep(0.05)
+    c.close()
+    stats[worker_id] = {"ops": ops, "rows": rows, "errors": errors, "lat": lat}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["ingest", "search", "hybrid"],
+                    default="search")
+    ap.add_argument("--host", default="localhost")
+    ap.add_argument("--data-port", type=int, default=3000)
+    ap.add_argument("--meta-port", type=int, default=3001)
+    ap.add_argument("--dataset", default="bench")
+    ap.add_argument("--concurrency", type=int, default=4)
+    ap.add_argument("--duration", type=float, default=30.0)
+    ap.add_argument("--batch-size", type=int, default=1000)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--warmup-rows", type=int, default=0,
+                    help="rows to ingest before a search benchmark")
+    args = ap.parse_args()
+
+    if args.warmup_rows:
+        c = LongbowClient(args.host, args.data_port, args.meta_port).connect()
+        rng = np.random.default_rng(0)
+        for off in range(0, args.warmup_rows, 10_000):
+            n = min(10_000, args.warmup_rows - off)
+            c.write(
+                args.dataset,
+                np.arange(off, off + n),
+                rng.standard_normal((n, args.dim), dtype=np.float32),
+            )
+        c.close()
+
+    stats: dict = {}
+    stop = threading.Event()
+    workers = [
+        threading.Thread(target=run_worker, args=(args, i, stats, stop))
+        for i in range(args.concurrency)
+    ]
+    t0 = time.time()
+    for w in workers:
+        w.start()
+    time.sleep(args.duration)
+    stop.set()
+    for w in workers:
+        w.join()
+    wall = time.time() - t0
+
+    ops = sum(s["ops"] for s in stats.values())
+    rows = sum(s["rows"] for s in stats.values())
+    errors = sum(s["errors"] for s in stats.values())
+    lats = sorted(x for s in stats.values() for x in s["lat"])
+
+    def pct(p):
+        return lats[min(int(len(lats) * p), len(lats) - 1)] * 1000 if lats else 0
+
+    print(json.dumps({
+        "mode": args.mode,
+        "wall_s": round(wall, 1),
+        "ops": ops,
+        "ops_per_s": round(ops / wall, 1),
+        "rows_per_s": round(rows / wall, 1),
+        "mb_per_s": round(rows * args.dim * 4 / wall / 1e6, 1)
+        if args.mode == "ingest" else None,
+        "errors": errors,
+        "p50_ms": round(pct(0.5), 2),
+        "p95_ms": round(pct(0.95), 2),
+        "p99_ms": round(pct(0.99), 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
