@@ -371,9 +371,244 @@ def _symmetrize_and_store(
         sel_d < MASKED, jnp.take_along_axis(all_i, ppos, axis=1), -1
     )
     cnt = jnp.sum(sel_i >= 0, axis=1).astype(jnp.int32)
+    # pad to the adjacency width actually allocated in the state (a
+    # builder may use a smaller m_max than the index was created with)
+    m2 = state.nbrs.shape[1]
+    if m_max < m2:
+        sel_i = jnp.pad(
+            sel_i, ((0, 0), (0, m2 - m_max)), constant_values=-1
+        )
+        sel_d = jnp.pad(
+            sel_d, ((0, 0), (0, m2 - m_max)), constant_values=MASKED
+        )
 
     rows = jnp.arange(n, dtype=jnp.int32)
     nbrs = state.nbrs.at[rows].set(sel_i)
     nbr_dists = state.nbr_dists.at[rows].set(sel_d)
     nbr_count = state.nbr_count.at[rows].set(cnt)
     return state._replace(nbrs=nbrs, nbr_dists=nbr_dists, nbr_count=nbr_count)
+
+
+# ---------------------------------------------------------------------------
+# Clustered bulk build: k-means cells + per-cell kNN against the T
+# nearest cells. Replaces the O(N^2) exact kNN graph with
+# O(N * T * N/C) — the standard blocked kNN-graph construction, and the
+# shape TPUs like: C identical padded matmuls under one lax.map.
+# ---------------------------------------------------------------------------
+
+from longbow_tpu.ops.kmeans import kmeans_init, lloyd
+
+
+def _assign_clusters(
+    vectors: jax.Array, norms: jax.Array, cent: jax.Array, n: int,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Row -> nearest centroid id for rows [0, n)."""
+    cn = jnp.sum(cent * cent, axis=1)
+    # capacity is a power of two >= n and >= any power-of-two chunk, so
+    # ceil(n/chunk)*chunk never exceeds the array (no clamping needed)
+    chunk = min(chunk, vectors.shape[0])
+
+    @jax.jit
+    def one(chunk_vecs, chunk_norms):
+        ip = jax.lax.dot_general(
+            chunk_vecs.astype(jnp.float32), cent,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d = chunk_norms[:, None] - 2.0 * ip + cn[None, :]
+        return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    out = []
+    n_pad = -(-n // chunk) * chunk
+    for off in range(0, n_pad, chunk):
+        sl_v = jax.lax.dynamic_slice_in_dim(vectors, off, chunk)
+        sl_n = jax.lax.dynamic_slice_in_dim(norms, off, chunk)
+        out.append(np.asarray(one(sl_v, sl_n)))
+    return np.concatenate(out)[:n]
+
+
+def bulk_build_clustered(
+    state: GraphState,
+    n: int,
+    *,
+    m: int,
+    m_max: int,
+    knn_k: int = 64,
+    n_clusters: int = 0,
+    probes: int = 4,
+    train_sample: int = 65536,
+    prune_chunk: int = 1024,
+    nn_descent_rounds: int = 2,
+) -> GraphState:
+    """Cluster-blocked kNN-graph build for large corpora."""
+    if n_clusters <= 0:
+        n_clusters = max(64, min(4096, n // 1024))
+    d = state.vectors.shape[1]
+
+    # -- 1. centroids on a strided sample --
+    s = min(train_sample, n)
+    srows = jnp.asarray(np.linspace(0, n - 1, s, dtype=np.int32))
+    sample = jnp.take(state.vectors, srows, axis=0).astype(jnp.float32)
+    init = kmeans_init(sample[None], n_clusters, 0)
+    cent, _ = lloyd(sample[None], init, n_iters=8)
+    cent = cent[0]  # [C, D]
+
+    # -- 2. assign + bucket (host-side bookkeeping) --
+    cid = _assign_clusters(state.vectors, state.norms_sq, cent, n)
+    order = np.argsort(cid, kind="stable")
+    cid_sorted = cid[order]
+    counts = np.bincount(cid_sorted, minlength=n_clusters)
+    cap = int(counts.max())
+    # guard against pathological skew: fall back to exact build
+    if cap > max(8 * n // n_clusters, 4096):
+        return bulk_build_edges(state, n, m=m, m_max=m_max, knn_k=knn_k)
+    starts = np.zeros(n_clusters, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    bucket_rows = np.full((n_clusters, cap), -1, np.int32)
+    for c in range(n_clusters):
+        rows_c = order[starts[c] : starts[c] + counts[c]]
+        bucket_rows[c, : counts[c]] = rows_c
+
+    # -- 3. T nearest clusters per cluster (centroid space) --
+    cc = jnp.sum(cent * cent, axis=1)
+    cd = cc[:, None] - 2.0 * (cent @ cent.T) + cc[None, :]
+    _, nbr_c = jax.lax.top_k(-cd, probes)  # [C, T] includes self
+
+    cand_rows = np.take(
+        bucket_rows, np.asarray(nbr_c), axis=0
+    ).reshape(n_clusters, probes * cap)  # [C, T*cap]
+
+    # -- 4. per-cluster kNN under one lax.map --
+    vecs = state.vectors
+    norms = state.norms_sq
+
+    @functools.partial(jax.jit, static_argnames=("kk",))
+    def all_clusters(bucket_rows_j, cand_rows_j, kk):
+        def one(args):
+            rows_c, cands_c = args  # [cap], [T*cap]
+            q = jnp.take(vecs, jnp.maximum(rows_c, 0), axis=0).astype(
+                jnp.float32
+            )
+            qv = jnp.take(norms, jnp.maximum(rows_c, 0))
+            cvec = jnp.take(vecs, jnp.maximum(cands_c, 0), axis=0).astype(
+                jnp.float32
+            )
+            cn_ = jnp.take(norms, jnp.maximum(cands_c, 0))
+            ip = jax.lax.dot_general(
+                q, cvec, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dist = qv[:, None] - 2.0 * ip + cn_[None, :]
+            bad = (cands_c[None, :] < 0) | (
+                cands_c[None, :] == rows_c[:, None]
+            )
+            dist = jnp.where(bad, MASKED, dist)
+            neg, pos = jax.lax.top_k(-dist, kk)
+            gi = jnp.take(cands_c, pos)
+            gd = -neg
+            gi = jnp.where(gd < MASKED, gi, -1)
+            return gd, gi
+
+        return jax.lax.map(one, (bucket_rows_j, cand_rows_j))
+
+    kd, ki = all_clusters(
+        jnp.asarray(bucket_rows), jnp.asarray(cand_rows), knn_k
+    )  # [C, cap, kk]
+
+    # -- 5. scatter per-row candidate lists back to row order --
+    flat_rows = bucket_rows.reshape(-1)
+    keep = flat_rows >= 0
+    n_pad = -(-n // prune_chunk) * prune_chunk
+    knn_d = np.full((n_pad, knn_k), float(MASKED), np.float32)
+    knn_i = np.full((n_pad, knn_k), -1, np.int32)
+    knn_d[flat_rows[keep]] = np.asarray(kd).reshape(-1, knn_k)[keep]
+    knn_i[flat_rows[keep]] = np.asarray(ki).reshape(-1, knn_k)[keep]
+    knn_d_j = jnp.asarray(knn_d)
+    knn_i_j = jnp.asarray(knn_i)
+
+    # -- 5b. NN-descent repair of cell-coverage holes --
+    knn_d_j, knn_i_j = nn_descent_refine(
+        state, knn_d_j, knn_i_j, n, rounds=nn_descent_rounds
+    )
+
+    # -- 6. prune + symmetrize (same tail as the exact build) --
+    fwd_rows = []
+    fwd_dists = []
+    for off in range(0, n_pad, prune_chunk):
+        ci = jax.lax.dynamic_slice_in_dim(knn_i_j, off, prune_chunk)
+        cdx = jax.lax.dynamic_slice_in_dim(knn_d_j, off, prune_chunk)
+        cv = jnp.take(state.vectors, jnp.maximum(ci, 0), axis=0).astype(
+            jnp.float32
+        )
+        sr, sd = _prune_chunk(ci, cdx, cv, m)
+        fwd_rows.append(sr)
+        fwd_dists.append(sd)
+    fwd_rows = jnp.concatenate(fwd_rows)[:n]
+    fwd_dists = jnp.concatenate(fwd_dists)[:n]
+    return _symmetrize_and_store(state, fwd_rows, fwd_dists, n, m_max=m_max)
+
+
+def nn_descent_refine(
+    state: GraphState,
+    knn_d: jax.Array,   # [n_pad, K]
+    knn_i: jax.Array,   # [n_pad, K]
+    n: int,
+    *,
+    rounds: int = 2,
+    expand: int = 6,
+    chunk: int = 512,
+) -> tuple[jax.Array, jax.Array]:
+    """NN-descent refinement of a kNN-graph estimate.
+
+    Each round, every node considers its current neighbors plus the
+    neighbors of its `expand` best neighbors ("a neighbor of my
+    neighbor is probably my neighbor") and keeps the best K. Two rounds
+    repair the coverage holes a cell-blocked initialization leaves on
+    hard (unclustered, high-dim) data.
+    """
+    n_pad, kk = knn_d.shape
+    vecs = state.vectors
+    norms = state.norms_sq
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def refine_chunk(kd_c, ki_c, rows_c, all_ki):
+        # candidates: current nbrs + nbrs of the `expand` closest nbrs
+        top = ki_c[:, :expand]  # [c, S]
+        ext = jnp.take(all_ki, jnp.maximum(top, 0), axis=0)  # [c, S, K]
+        ext = jnp.where(top[:, :, None] >= 0, ext, -1)
+        cand = jnp.concatenate([ki_c, ext.reshape(ki_c.shape[0], -1)], axis=1)
+        q = jnp.take(vecs, rows_c, axis=0).astype(jnp.float32)
+        qn = jnp.take(norms, rows_c)
+        cv = jnp.take(vecs, jnp.maximum(cand, 0), axis=0).astype(jnp.float32)
+        cn = jnp.take(norms, jnp.maximum(cand, 0))
+        ip = jnp.einsum(
+            "cd,cwd->cw", q, cv, preferred_element_type=jnp.float32
+        )
+        dist = qn[:, None] - 2.0 * ip + cn
+        bad = (cand < 0) | (cand == rows_c[:, None])
+        dist = jnp.where(bad, MASKED, dist)
+        # mask duplicate candidates (keep first occurrence)
+        w = cand.shape[1]
+        eq = cand[:, :, None] == cand[:, None, :]
+        earlier = jnp.tril(jnp.ones((w, w), bool), k=-1)
+        dup = jnp.any(eq & earlier & (cand[:, None, :] >= 0), axis=2)
+        dist = jnp.where(dup, MASKED, dist)
+        neg, pos = jax.lax.top_k(-dist, kk)
+        nd = -neg
+        ni = jnp.where(nd < MASKED, jnp.take_along_axis(cand, pos, axis=1), -1)
+        return nd, ni
+
+    for _ in range(rounds):
+        new_d, new_i = [], []
+        for off in range(0, n_pad, chunk):
+            rows_c = jnp.arange(off, off + chunk, dtype=jnp.int32)
+            rows_c = jnp.minimum(rows_c, n - 1)
+            kd_c = jax.lax.dynamic_slice_in_dim(knn_d, off, chunk)
+            ki_c = jax.lax.dynamic_slice_in_dim(knn_i, off, chunk)
+            nd, ni = refine_chunk(kd_c, ki_c, rows_c, knn_i)
+            new_d.append(nd)
+            new_i.append(ni)
+        knn_d = jnp.concatenate(new_d)
+        knn_i = jnp.concatenate(new_i)
+    return knn_d, knn_i

@@ -146,17 +146,26 @@ class HNSWIndex:
         self._sample_dirty = True
 
         if was_empty and n >= 2 * self.config.insert_batch_size:
-            # bulk path: exact kNN graph on the MXU + symmetrize —
-            # orders of magnitude faster than insertion and a
-            # higher-quality graph (no reference equivalent; its build
-            # is inherently sequential, insertion_core.go:16)
-            self.state = bulk_build_edges(
-                self.state,
-                n,
-                m=self.config.m,
-                m_max=self.config.m_max,
-                knn_k=min(64, max(self.config.m * 2, 16)),
-            )
+            # bulk path: kNN graph on the MXU + symmetrize — orders of
+            # magnitude faster than insertion and a higher-quality graph
+            # (no reference equivalent; its build is inherently
+            # sequential, insertion_core.go:16). Exact O(N^2) kNN below
+            # 150k rows; cluster-blocked kNN above.
+            kk = min(64, max(self.config.m * 2, 16))
+            if n >= 150_000:
+                from longbow_tpu.index.graph_build import (
+                    bulk_build_clustered,
+                )
+
+                self.state = bulk_build_clustered(
+                    self.state, n, m=self.config.m,
+                    m_max=self.config.m_max, knn_k=kk,
+                )
+            else:
+                self.state = bulk_build_edges(
+                    self.state, n, m=self.config.m,
+                    m_max=self.config.m_max, knn_k=kk,
+                )
             return rows
 
         # incremental path: link in fixed-size batches (padding the

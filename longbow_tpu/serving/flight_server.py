@@ -32,6 +32,12 @@ from longbow_tpu.query.parser import (
     parse_search_request,
     parse_ticket,
 )
+from longbow_tpu.serving.security import (
+    AuditLogger,
+    SanitizationError,
+    sanitize_dataset_name,
+    sanitize_search_request,
+)
 from longbow_tpu.store.dataset import METRIC_METADATA_KEY
 from longbow_tpu.store.vector_store import VectorStore
 
@@ -64,6 +70,7 @@ class LongbowFlightServer(flight.FlightServerBase):
         *,
         metrics_registry=None,
         middleware_chain=None,
+        audit_logger=None,
         **kw,
     ):
         super().__init__(location, **kw)
@@ -77,6 +84,7 @@ class LongbowFlightServer(flight.FlightServerBase):
         # admission control (reference: interceptor chain
         # cmd/longbow/main.go:448-458): rate limiter + circuit breaker
         self.middleware = middleware_chain
+        self.audit = audit_logger or AuditLogger()  # no-op without path
 
     # -- ingestion (reference: servers.go:44 DoPut -> store_actions.go:426) --
 
@@ -84,6 +92,10 @@ class LongbowFlightServer(flight.FlightServerBase):
         if not descriptor.path:
             raise flight.FlightServerError("DoPut requires a path descriptor")
         dataset = descriptor.path[0].decode()
+        try:
+            sanitize_dataset_name(dataset)
+        except SanitizationError as e:
+            raise flight.FlightServerError(f"bad request: {e}") from e
         metric = None
         schema_meta = reader.schema.metadata or {}
         mkey = METRIC_METADATA_KEY.encode()
@@ -144,13 +156,14 @@ class LongbowFlightServer(flight.FlightServerBase):
             if self.middleware:
                 self.middleware.record_failure("DoGet")
             raise flight.FlightServerError(f"not found: {e}") from e
-        except ValueError as e:
+        except (ValueError, SanitizationError) as e:
             if self.middleware:
                 self.middleware.record_failure("DoGet")
             raise flight.FlightServerError(f"bad request: {e}") from e
 
     def _do_search(self, tq):
         req = tq.search
+        sanitize_search_request(req)
         ds = self.store.get(req.dataset or tq.name)
         qv = np.asarray(req.query_vectors(), dtype=np.float32)
         if qv.size == 0:
@@ -370,6 +383,7 @@ class LongbowFlightServer(flight.FlightServerBase):
         if name in ("delete", "Delete", "delete-vector"):
             req = json.loads(body or b"{}")
             n = self.store.delete(req["dataset"], req.get("ids", []))
+            self.audit.record("delete", req["dataset"], {"n": n})
             return ok({"deleted": n})
         if name == "VectorSearch":
             req = parse_search_request(json.loads(body))

@@ -1,0 +1,74 @@
+"""Input sanitization + audit logging.
+
+reference: security/input_sanitizer.go:9-62, audit.go:16-32,
+ip rate limiter (middleware covers rate limiting).
+"""
+from __future__ import annotations
+
+import json
+import re
+import threading
+import time
+from pathlib import Path
+from typing import Optional
+
+MAX_DATASET_NAME = 256
+MAX_K = 10_000
+MAX_QUERY_VECTORS = 4096
+MAX_FILTERS = 64
+_NAME_RE = re.compile(r"^[A-Za-z0-9._/\-]+$")
+
+
+class SanitizationError(ValueError):
+    pass
+
+
+def sanitize_dataset_name(name: str) -> str:
+    """Reject path traversal / control characters in dataset names
+    (names become snapshot directory components)."""
+    if not name or len(name) > MAX_DATASET_NAME:
+        raise SanitizationError("dataset name empty or too long")
+    if ".." in name or name.startswith("/"):
+        raise SanitizationError("dataset name must not traverse paths")
+    if not _NAME_RE.match(name):
+        raise SanitizationError(
+            "dataset name may only contain [A-Za-z0-9._/-]"
+        )
+    return name
+
+
+def sanitize_search_request(req) -> None:
+    """Bounds-check a parsed VectorSearchRequest."""
+    if req.k > MAX_K:
+        raise SanitizationError(f"k {req.k} exceeds limit {MAX_K}")
+    nq = len(req.vectors or []) or (1 if req.vector else 0)
+    if nq > MAX_QUERY_VECTORS:
+        raise SanitizationError(
+            f"{nq} query vectors exceeds limit {MAX_QUERY_VECTORS}"
+        )
+    if len(req.filters) > MAX_FILTERS:
+        raise SanitizationError("too many filters")
+    sanitize_dataset_name(req.dataset)
+
+
+class AuditLogger:
+    """Append-only JSONL audit trail of mutating operations
+    (reference: security/audit.go:16-32)."""
+
+    def __init__(self, path: Optional[str | Path] = None):
+        self.path = Path(path) if path else None
+        self._lock = threading.Lock()
+        if self.path:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def record(self, op: str, dataset: str, detail: Optional[dict] = None):
+        if self.path is None:
+            return
+        entry = {
+            "ts": round(time.time(), 6),
+            "op": op,
+            "dataset": dataset,
+            **(detail or {}),
+        }
+        with self._lock, open(self.path, "a") as f:
+            f.write(json.dumps(entry, default=str) + "\n")

@@ -1,0 +1,91 @@
+"""Security, snapshot backends, health, tracing spans."""
+import json
+
+import numpy as np
+import pytest
+
+from longbow_tpu.query.parser import VectorSearchRequest
+from longbow_tpu.serving.security import (
+    AuditLogger,
+    SanitizationError,
+    sanitize_dataset_name,
+    sanitize_search_request,
+)
+from longbow_tpu.storage.backends import AsyncBackend, LocalBackend
+from longbow_tpu.utils.health import HealthManager, device_checker
+
+
+def test_sanitize_dataset_name():
+    assert sanitize_dataset_name("ns1/docs-v2.1") == "ns1/docs-v2.1"
+    for bad in ("", "../etc/passwd", "/abs", "a b", "x" * 300, "a;b"):
+        with pytest.raises(SanitizationError):
+            sanitize_dataset_name(bad)
+
+
+def test_sanitize_search_request():
+    req = VectorSearchRequest(dataset="ok", vector=[1.0], k=5)
+    sanitize_search_request(req)
+    with pytest.raises(SanitizationError):
+        sanitize_search_request(
+            VectorSearchRequest(dataset="ok", vector=[1.0], k=999_999)
+        )
+    with pytest.raises(SanitizationError):
+        sanitize_search_request(
+            VectorSearchRequest(dataset="../bad", vector=[1.0], k=5)
+        )
+
+
+def test_audit_logger(tmp_path):
+    log = AuditLogger(tmp_path / "audit.jsonl")
+    log.record("put", "docs", {"rows": 10})
+    log.record("delete", "docs", {"ids": [1]})
+    lines = (tmp_path / "audit.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+    assert json.loads(lines[0])["op"] == "put"
+
+
+def test_local_snapshot_backend(tmp_path):
+    src = tmp_path / "snap"
+    src.mkdir()
+    (src / "a.txt").write_text("hello")
+    be = LocalBackend(tmp_path / "remote")
+    be.upload(src, "snap-001")
+    assert be.list_snapshots() == ["snap-001"]
+    dst = tmp_path / "restored"
+    assert be.download("snap-001", dst)
+    assert (dst / "a.txt").read_text() == "hello"
+    assert not be.download("nope", tmp_path / "x")
+
+
+def test_async_backend(tmp_path):
+    src = tmp_path / "snap"
+    src.mkdir()
+    (src / "a").write_text("x")
+    be = AsyncBackend(LocalBackend(tmp_path / "remote"))
+    be.upload(src, "s1")
+    be.wait()
+    assert be.list_snapshots() == ["s1"]
+
+
+def test_health_manager_failure_path():
+    hm = HealthManager()
+    hm.register("ok", lambda: {"healthy": True})
+    hm.register("boom", lambda: 1 / 0)
+    out = hm.check()
+    assert out["status"] == "unhealthy"
+    assert "error" in out["checks"]["boom"]
+    hm2 = HealthManager()
+    hm2.register("dev", device_checker())
+    assert hm2.check()["status"] == "healthy"
+
+
+def test_tracing_span_records_metric():
+    from longbow_tpu.metrics.registry import MetricsRegistry
+    from longbow_tpu.utils.tracing import span
+
+    reg = MetricsRegistry()
+    with span("TestOp", reg):
+        pass
+    from prometheus_client import generate_latest
+
+    assert b'op="TestOp"' in generate_latest(reg.registry)

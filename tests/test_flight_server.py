@@ -169,3 +169,13 @@ def test_health_action(client):
     h = client._action("health", {})
     assert h["status"] == "healthy"
     assert h["checks"]["device"]["healthy"]
+
+
+def test_sanitizer_rejects_bad_names(client):
+    import pyarrow.flight as flight
+
+    v = _vecs(3, 8)
+    with pytest.raises(flight.FlightError):
+        client.write("../evil", np.arange(3), v)
+    with pytest.raises(flight.FlightError):
+        client.search("ok", v[0], k=999_999)

@@ -108,3 +108,35 @@ def test_export_import_roundtrip():
 def test_dot_metric_rejected_for_now():
     with pytest.raises(NotImplementedError):
         HNSWIndex(16, metric=Metric.DOT)
+
+
+def test_clustered_bulk_build_recall():
+    """Cluster-blocked kNN-graph build matches the exact build's recall
+    (CI-sized; the TPU drive validates at 200k+)."""
+    from longbow_tpu.index.graph_build import bulk_build_clustered
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((5000, 32), dtype=np.float32)
+    idx = HNSWIndex(32, config=HNSWConfig(m=16, ef_construction=64, ef_search=64))
+    # store vectors without linking, then run the clustered builder
+    idx._grow_to(5000)
+    import jax.numpy as jnp
+    import jax
+
+    jv = jnp.asarray(vecs)
+    s = idx.state
+    idx.state = s._replace(
+        vectors=jax.lax.dynamic_update_slice(s.vectors, jv.astype(s.vectors.dtype), (0, 0)),
+        norms_sq=jax.lax.dynamic_update_slice(
+            s.norms_sq, jnp.sum(jv * jv, axis=1), (0,)
+        ),
+        valid=jax.lax.dynamic_update_slice(s.valid, jnp.ones(5000, bool), (0,)),
+    )
+    idx.count = 5000
+    idx._sample_dirty = True
+    idx.state = bulk_build_clustered(
+        idx.state, 5000, m=16, m_max=32, knn_k=32, n_clusters=16, probes=4
+    )
+    q = rng.standard_normal((24, 32), dtype=np.float32)
+    rec = _recall(idx, vecs, q, k=10)
+    assert rec >= 0.9, rec
