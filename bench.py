@@ -21,6 +21,7 @@ Method notes:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -121,6 +122,43 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
     qps = B / dt
 
+    # ---- secondary: graph index build rate + recall at 200k ----
+    graph_fields = {}
+    if os.environ.get("LONGBOW_BENCH_GRAPH", "1") == "1":
+        try:
+            import jax.numpy as jnp2
+
+            from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
+
+            ng = 200_000
+            gvecs = np.asarray(corpus[:ng])
+            gidx = HNSWIndex(
+                D, dtype=jnp2.bfloat16,
+                config=HNSWConfig(m=32, m_max=64, ef_search=100),
+            )
+            t0 = time.time()
+            gidx.add(gvecs)
+            build_s = time.time() - t0
+            log(f"graph build 200k in {build_s:.0f}s")
+            gq = queries[:128]
+            gt2_d, gt2_i = exact_search(
+                jnp.asarray(gq), cj[:ng], K, Metric.L2,
+                exact_precision=True, chunk_rows=131072,
+            )
+            gd, gr = gidx.search(gq, K, ef_search=200)
+            g_got = np.asarray(gr)
+            g_want = np.asarray(gt2_i)
+            grecall = float(np.mean([
+                len(set(g_got[i]) & set(g_want[i])) / K for i in range(128)
+            ]))
+            graph_fields = {
+                "graph_build_vps_200k": round(ng / build_s, 1),
+                "graph_recall_at_10_efs200": round(grecall, 4),
+            }
+        except Exception as e:  # never fail the headline metric
+            log(f"graph bench skipped: {e}")
+            graph_fields = {"graph_bench_error": str(e)[:200]}
+
     baseline_qps = 2000.0
     result = {
         "metric": "flat_exact_qps_1M_128d_at_recall10>=0.95",
@@ -133,6 +171,7 @@ def main() -> None:
         "ms_per_batch": round(dt * 1000, 3),
         "backend": jax.default_backend(),
         "baseline_note": "2000 QPS = 1/p95 of reference dense search on a 20x smaller corpus (docs/performance.md:18-53)",
+        **graph_fields,
     }
     if recall < 0.95:
         result["metric"] = "flat_exact_qps_1M_128d (RECALL GATE FAILED)"

@@ -60,10 +60,6 @@ class AdaptiveIndex:
     # ------------------------------------------------------------------
 
     def _maybe_migrate(self) -> None:
-        # dot/MIPS graph search not wired yet -> stay flat (scan is
-        # fast enough; MIPS augmentation lands with the quantized work)
-        if self.metric == Metric.DOT:
-            return
         if self._graph is not None:
             return
         if len(self._flat) < self.migration_threshold:
@@ -109,35 +105,20 @@ class AdaptiveIndex:
                 queries, k, filter_mask=filter_mask, ef_search=ef_search
             )
         if self._graph is not None and exact:
-            # exact post-migration: scan the graph's vector block
-            from longbow_tpu.ops.distance import exact_search
-
-            g = self._graph
-            return exact_search(
-                jnp.asarray(queries, jnp.float32),
-                g.state.vectors.astype(jnp.float32),
-                k,
-                self.metric,
-                corpus_norms_sq=g.state.norms_sq,
-                valid=(
-                    g.state.valid
-                    if filter_mask is None
-                    else g.state.valid & filter_mask
-                ),
-                exact_precision=False,
+            return self._graph.exact_search(
+                queries, k, filter_mask=filter_mask
             )
         return self._flat.search(queries, k, filter_mask=filter_mask)
 
     # ------------------------------------------------------------------
 
     def get_vectors(self, rows: np.ndarray) -> np.ndarray:
-        src = (
-            self._graph.state.vectors
-            if self._graph is not None
-            else self._flat.vectors
-        )
+        if self._graph is not None:
+            return self._graph.get_vectors(rows)
         return np.asarray(
-            jnp.take(src, jnp.asarray(rows), axis=0).astype(jnp.float32)
+            jnp.take(
+                self._flat.vectors, jnp.asarray(rows), axis=0
+            ).astype(jnp.float32)
         )
 
     def export_state(self) -> dict:

@@ -246,16 +246,49 @@ def _chunked_self_knn(
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k-NN of each of the first n rows against all valid rows,
     excluding self. Returns (dists [n_pad, k], rows [n_pad, k]) where
-    n_pad rounds n up to chunk_b."""
+    n_pad rounds n up to chunk_b.
+
+    On TPU with bf16 storage this rides the fused Pallas scan (the
+    score matrix never hits HBM), which makes even a 1M-row *exact*
+    kNN-graph build take tens of seconds; other configs use the XLA
+    chunked scan."""
+    import jax as _jax
+
+    use_fused = (
+        _jax.default_backend() in ("tpu", "axon")
+        and vectors.dtype == jnp.bfloat16
+        and k + 1 <= 128
+    )
     n_pad = -(-n // chunk_b) * chunk_b
     out_d, out_i = [], []
     vf = vectors
+    if use_fused:
+        from longbow_tpu.ops.pallas_scan import fused_flat_search
+
+        kq = 128  # one canonical (B, k) kernel shape
+        for off in range(0, n_pad, kq):
+            rows = jnp.arange(off, off + kq, dtype=jnp.int32)
+            rows = jnp.minimum(rows, n - 1)
+            q = jnp.take(vf, rows, axis=0)
+            d, i = fused_flat_search(
+                q, vf, norms_sq, valid, min(k + 1, 128),
+                tile_n=2048,  # k~64 + tile 4096 exceeds the 16MB VMEM
+            )
+            self_hit = i == rows[:, None]
+            d = jnp.where(self_hit, MASKED, d)
+            i = jnp.where(self_hit, -1, i)
+            neg, pos = jax.lax.top_k(-d, k)
+            out_d.append(-neg)
+            out_i.append(jnp.take_along_axis(i, pos, axis=1))
+        kd = jnp.concatenate(out_d)[:n_pad]
+        ki = jnp.concatenate(out_i)[:n_pad]
+        return kd, ki
     for off in range(0, n_pad, chunk_b):
         rows = jnp.arange(off, off + chunk_b, dtype=jnp.int32)
         rows = jnp.minimum(rows, n - 1)
         q = jnp.take(vf, rows, axis=0).astype(jnp.float32)
         d, i = exact_search(
-            q, vf.astype(jnp.float32), k + 1,
+            q, vf, k + 1,
             corpus_norms_sq=norms_sq, valid=valid, exact_precision=False,
         )
         self_hit = i == rows[:, None]
@@ -549,6 +582,32 @@ def bulk_build_clustered(
     return _symmetrize_and_store(state, fwd_rows, fwd_dists, n, m_max=m_max)
 
 
+def _reverse_lists(
+    knn_i: jax.Array, knn_d: jax.Array, n_pad: int, r_slots: int = 32
+) -> jax.Array:
+    """Per-node incoming-edge lists [n_pad, R] from the forward kNN
+    lists (the NN-descent reverse join), best-first via the same stable
+    two-key sort the symmetrizer uses."""
+    kk = knn_i.shape[1]
+    src = jnp.repeat(jnp.arange(n_pad, dtype=jnp.int32), kk)
+    dst = knn_i.reshape(-1)
+    d = knn_d.reshape(-1)
+    dst_s = jnp.where(dst >= 0, dst, n_pad)
+    o1 = jnp.argsort(d, stable=True)
+    dst1, src1 = dst_s[o1], src[o1]
+    o2 = jnp.argsort(dst1, stable=True)
+    dst2, src2 = dst1[o2], src1[o2]
+    starts = jnp.searchsorted(dst2, jnp.arange(n_pad, dtype=jnp.int32))
+    ends = jnp.searchsorted(
+        dst2, jnp.arange(n_pad, dtype=jnp.int32), side="right"
+    )
+    counts = ends - starts
+    slot = jax.lax.broadcasted_iota(jnp.int32, (n_pad, r_slots), 1)
+    pos = jnp.minimum(starts[:, None] + slot, n_pad * kk - 1)
+    ok = slot < jnp.minimum(counts, r_slots)[:, None]
+    return jnp.where(ok, jnp.take(src2, pos), -1)
+
+
 def nn_descent_refine(
     state: GraphState,
     knn_d: jax.Array,   # [n_pad, K]
@@ -557,27 +616,32 @@ def nn_descent_refine(
     *,
     rounds: int = 2,
     expand: int = 6,
+    rev_slots: int = 32,
     chunk: int = 512,
 ) -> tuple[jax.Array, jax.Array]:
     """NN-descent refinement of a kNN-graph estimate.
 
-    Each round, every node considers its current neighbors plus the
-    neighbors of its `expand` best neighbors ("a neighbor of my
-    neighbor is probably my neighbor") and keeps the best K. Two rounds
-    repair the coverage holes a cell-blocked initialization leaves on
-    hard (unclustered, high-dim) data.
+    Each round, every node considers: its current neighbors, its
+    REVERSE neighbors (nodes listing it — the join that makes
+    NN-descent converge), and the forward lists of the `expand` closest
+    of each. Keeps the best K.
     """
     n_pad, kk = knn_d.shape
     vecs = state.vectors
     norms = state.norms_sq
 
     @functools.partial(jax.jit, donate_argnums=())
-    def refine_chunk(kd_c, ki_c, rows_c, all_ki):
-        # candidates: current nbrs + nbrs of the `expand` closest nbrs
-        top = ki_c[:, :expand]  # [c, S]
-        ext = jnp.take(all_ki, jnp.maximum(top, 0), axis=0)  # [c, S, K]
-        ext = jnp.where(top[:, :, None] >= 0, ext, -1)
-        cand = jnp.concatenate([ki_c, ext.reshape(ki_c.shape[0], -1)], axis=1)
+    def refine_chunk(kd_c, ki_c, rv_c, rows_c, all_ki):
+        # candidates: fwd nbrs + rev nbrs + fwd lists of the closest
+        # few of both
+        top_f = ki_c[:, :expand]                       # [c, S]
+        top_r = rv_c[:, : max(expand // 2, 2)]         # [c, S/2]
+        heads = jnp.concatenate([top_f, top_r], axis=1)
+        ext = jnp.take(all_ki, jnp.maximum(heads, 0), axis=0)
+        ext = jnp.where(heads[:, :, None] >= 0, ext, -1)
+        cand = jnp.concatenate(
+            [ki_c, rv_c, ext.reshape(ki_c.shape[0], -1)], axis=1
+        )
         q = jnp.take(vecs, rows_c, axis=0).astype(jnp.float32)
         qn = jnp.take(norms, rows_c)
         cv = jnp.take(vecs, jnp.maximum(cand, 0), axis=0).astype(jnp.float32)
@@ -600,13 +664,15 @@ def nn_descent_refine(
         return nd, ni
 
     for _ in range(rounds):
+        rev_i = _reverse_lists(knn_i, knn_d, n_pad, rev_slots)
         new_d, new_i = [], []
         for off in range(0, n_pad, chunk):
             rows_c = jnp.arange(off, off + chunk, dtype=jnp.int32)
             rows_c = jnp.minimum(rows_c, n - 1)
             kd_c = jax.lax.dynamic_slice_in_dim(knn_d, off, chunk)
             ki_c = jax.lax.dynamic_slice_in_dim(knn_i, off, chunk)
-            nd, ni = refine_chunk(kd_c, ki_c, rows_c, knn_i)
+            rv_c = jax.lax.dynamic_slice_in_dim(rev_i, off, chunk)
+            nd, ni = refine_chunk(kd_c, ki_c, rv_c, rows_c, knn_i)
             new_d.append(nd)
             new_i.append(ni)
         knn_d = jnp.concatenate(new_d)

@@ -59,16 +59,18 @@ class HNSWIndex:
     ):
         self.dim = dim
         self.metric = Metric.validate(metric)
-        if self.metric == Metric.DOT:
-            raise NotImplementedError(
-                "dot/MIPS graph search needs the norm-augmentation "
-                "transform; use FlatIndex for dot until then"
-            )
+        # MIPS via norm augmentation: for dot metric, rows become
+        # [x, sqrt(M^2 - |x|^2)] and queries [q, 0]; argmax q.x ==
+        # argmin L2 on the augmented space (standard MIPS-to-NN
+        # reduction), so the L2 graph machinery serves dot unchanged.
+        self._mips = self.metric == Metric.DOT
+        self._mips_msq = 0.0  # running max |x|^2 (fixed after first add)
         self.config = config or HNSWConfig()
         self.dtype = dtype
         self.count = 0
         cap = pad_to(capacity, MIN_CAPACITY)
-        self.state = graph_init(cap, dim, self.config.m_max, dtype)
+        store_dim = dim + 1 if self._mips else dim
+        self.state = graph_init(cap, store_dim, self.config.m_max, dtype)
         self._pending: list[np.ndarray] = []  # rows stored, not yet linked
         self._sample_dirty = True
         self._sample_rows = jnp.zeros((1,), jnp.int32)
@@ -117,7 +119,7 @@ class HNSWIndex:
 
     def add(self, vecs: np.ndarray) -> np.ndarray:
         """Store + link vectors; returns assigned internal row ids."""
-        vecs = np.ascontiguousarray(vecs, dtype=np.float32)
+        vecs = np.ascontiguousarray(np.atleast_2d(vecs), dtype=np.float32)
         if vecs.ndim != 2 or vecs.shape[1] != self.dim:
             raise ValueError(f"expected [n, {self.dim}], got {vecs.shape}")
         n = vecs.shape[0]
@@ -127,6 +129,21 @@ class HNSWIndex:
         if self.metric == Metric.COSINE:
             jv = jv / jnp.maximum(
                 jnp.linalg.norm(jv, axis=1, keepdims=True), 1e-30
+            )
+        if self._mips:
+            nsq = np.sum(vecs.astype(np.float64) ** 2, axis=1)
+            mx = float(nsq.max())
+            if self.count == 0:
+                self._mips_msq = mx * 1.5  # headroom for later adds
+            elif mx > self._mips_msq:
+                raise ValueError(
+                    "MIPS augmentation bound exceeded: new vector norm "
+                    f"{mx:.3g} > bound {self._mips_msq:.3g}; rebuild the "
+                    "index (bound fixed at first add with 1.5x headroom)"
+                )
+            aug = np.sqrt(np.maximum(self._mips_msq - nsq, 0.0))
+            jv = jnp.concatenate(
+                [jv, jnp.asarray(aug, jnp.float32)[:, None]], axis=1
             )
         norms = squared_norms(jv)
         s = self.state
@@ -152,7 +169,14 @@ class HNSWIndex:
             # sequential, insertion_core.go:16). Exact O(N^2) kNN below
             # 150k rows; cluster-blocked kNN above.
             kk = min(64, max(self.config.m * 2, 16))
-            if n >= 150_000:
+            import jax as _jax
+
+            fused_ok = (
+                _jax.default_backend() in ("tpu", "axon")
+                and self.dtype == jnp.bfloat16
+            )
+            exact_limit = 2_000_000 if fused_ok else 150_000
+            if n >= exact_limit:
                 from longbow_tpu.index.graph_build import (
                     bulk_build_clustered,
                 )
@@ -213,9 +237,12 @@ class HNSWIndex:
         """
         import numpy as _np
 
-        queries = jnp.asarray(
-            _np.atleast_2d(_np.asarray(queries, dtype=_np.float32))
-        )
+        q_np = _np.atleast_2d(_np.asarray(queries, dtype=_np.float32))
+        if self._mips:
+            q_np = _np.concatenate(
+                [q_np, _np.zeros((q_np.shape[0], 1), _np.float32)], axis=1
+            )
+        queries = jnp.asarray(q_np)
         normalize = self.metric == Metric.COSINE
         self._refresh_sample()
         ef = max(ef_search or self.config.ef_search, k)
@@ -234,9 +261,57 @@ class HNSWIndex:
                 self.state, queries, self._sample_rows, k, ef,
                 eligible=eligible, normalize=normalize,
             )
+        if self._mips:
+            # convert augmented-L2 distance back to raw inner product:
+            # dist = |q|^2 + M^2 - 2 q.x  =>  q.x = (|q|^2 + M^2 - dist)/2
+            qn = np.sum(q_np.astype(np.float64) ** 2, axis=1)[:, None]
+            d_np = np.asarray(d)
+            ip = (qn + self._mips_msq - d_np) / 2.0
+            masked = d_np >= MASKED
+            # report as distance = -ip (smaller better) like FlatIndex
+            d = np.where(masked, d_np, -ip).astype(np.float32)
         return d, r
 
     # ------------------------------------------------------------------
+
+    def get_vectors(self, rows: np.ndarray) -> np.ndarray:
+        """Original-dimension vectors (strips the MIPS augmentation)."""
+        out = np.asarray(
+            jnp.take(self.state.vectors, jnp.asarray(rows), axis=0).astype(
+                jnp.float32
+            )
+        )
+        return out[:, : self.dim]
+
+    def exact_search(self, queries, k: int, *, filter_mask=None):
+        """Exact scan over the stored block (post-migration exact
+        mode); handles cosine/MIPS transforms like search()."""
+        from longbow_tpu.ops.distance import exact_search as _ex
+
+        q_np = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if self._mips:
+            q_np = np.concatenate(
+                [q_np, np.zeros((q_np.shape[0], 1), np.float32)], axis=1
+            )
+        valid = self.state.valid
+        d, r = _ex(
+            jnp.asarray(q_np),
+            self.state.vectors,
+            k,
+            Metric.L2 if (self._mips or self.metric == Metric.COSINE)
+            else self.metric,
+            corpus_norms_sq=self.state.norms_sq,
+            valid=valid,
+            extra_mask=filter_mask,
+            normalize=self.metric == Metric.COSINE,
+            exact_precision=False,
+        )
+        if self._mips:
+            qn = np.sum(q_np.astype(np.float64) ** 2, axis=1)[:, None]
+            d_np = np.asarray(d)
+            ip = (qn + self._mips_msq - d_np) / 2.0
+            d = np.where(d_np >= MASKED, d_np, -ip).astype(np.float32)
+        return d, r
 
     def export_state(self) -> dict:
         n = self.count

@@ -105,9 +105,23 @@ def test_export_import_roundtrip():
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
 
 
-def test_dot_metric_rejected_for_now():
-    with pytest.raises(NotImplementedError):
-        HNSWIndex(16, metric=Metric.DOT)
+def test_dot_metric_via_mips_augmentation():
+    """MIPS-to-NN reduction: graph search on [x, sqrt(M^2-|x|^2)]."""
+    rng = np.random.default_rng(8)
+    vecs = (rng.standard_normal((1500, 24)) *
+            rng.uniform(0.5, 2.0, (1500, 1))).astype(np.float32)
+    idx = HNSWIndex(24, metric=Metric.DOT,
+                    config=HNSWConfig(m=16, ef_construction=64, ef_search=64))
+    idx.add(vecs)
+    q = rng.standard_normal((16, 24)).astype(np.float32)
+    d, r = idx.search(jnp.asarray(q), 10)
+    _, er = exact_search(jnp.asarray(q), jnp.asarray(vecs), 10, Metric.DOT)
+    got, want = np.asarray(r), np.asarray(er)
+    rec = np.mean([len(set(got[i]) & set(want[i])) / 10 for i in range(16)])
+    assert rec >= 0.9, rec
+    # out-of-bound add after the 1.5x headroom must raise
+    with pytest.raises(ValueError):
+        idx.add(vecs[0] * 10.0)
 
 
 def test_clustered_bulk_build_recall():
