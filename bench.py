@@ -60,8 +60,10 @@ def main() -> None:
     N_EVAL = 512
 
     log(f"generating corpus {N}x{D}")
-    corpus = make_corpus(N, D)
-    queries = make_corpus(N_EVAL, D, seed=99)[:N_EVAL]
+    # held-out queries from the SAME mixture (different centers would be
+    # off-manifold — not what recall gates measure)
+    allv = make_corpus(N + N_EVAL, D)
+    corpus, queries = allv[:N], allv[N:]
 
     cj = jnp.asarray(corpus)
     c16 = cj.astype(jnp.bfloat16)

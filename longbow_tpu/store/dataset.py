@@ -261,14 +261,35 @@ class Dataset:
 
     # ------------------------------------------------------------------
 
+    def hbm_bytes(self) -> int:
+        """Device-memory footprint of this dataset's index arrays
+        (the reference tracks process memory via its arenas/GC tuner;
+        here the accounting is exact array-byte math)."""
+        total = 0
+        idx = self.index
+        objs = []
+        if idx._graph is not None:
+            objs = list(idx._graph.state)
+        elif idx._flat is not None:
+            objs = [idx._flat.vectors, idx._flat.norms_sq, idx._flat.valid]
+        for a in objs:
+            total += a.size * a.dtype.itemsize
+        for col in self.columns._numeric.values():
+            total += col.size * col.dtype.itemsize
+        for col in self.columns._str_codes.values():
+            total += col.size * col.dtype.itemsize
+        return total
+
     def stats(self) -> dict:
         return {
             "name": self.name,
             "dim": self.dim,
             "metric": self.metric,
             "live_rows": self.live_count,
+            "tombstones": len(self.index) - self.live_count,
             "index_kind": self.index.kind,
             "index_rows": len(self.index),
             "capacity": self.index.capacity,
+            "hbm_bytes": self.hbm_bytes(),
             "fields": self.columns.fields(),
         }

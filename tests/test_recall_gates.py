@@ -1,0 +1,51 @@
+"""Full-size recall gates mirroring the reference CI thresholds
+(reference: recall_validation_test.go:38-50 — 10K/384d >= 0.99 with
+M=48 efC=400; 50K >= 0.92 with M=64 efC=600; queries are corpus rows,
+self-match excluded).
+
+These run at full size and take minutes on the CPU mesh, so they're
+gated behind LONGBOW_FULL_GATES=1 (the TPU round-drive runs them).
+"""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
+from longbow_tpu.ops.distance import exact_search
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("LONGBOW_FULL_GATES") != "1",
+    reason="full-size recall gates: set LONGBOW_FULL_GATES=1",
+)
+
+
+def _gate(n, d, m, m_max, efs, threshold, seed=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d), dtype=np.float32)
+    idx = HNSWIndex(d, config=HNSWConfig(m=m, m_max=m_max, ef_search=efs))
+    idx.add(vecs)
+    qi = rng.choice(n, 100, replace=False)
+    q = vecs[qi]
+    _, er = exact_search(
+        jnp.asarray(q), jnp.asarray(vecs), 11, exact_precision=False
+    )
+    er = np.asarray(er)
+    want = [[x for x in er[i] if x != qi[i]][:10] for i in range(100)]
+    _, r = idx.search(q, 11, ef_search=efs)
+    got = np.asarray(r)
+    got = [[x for x in got[i] if x != qi[i]][:10] for i in range(100)]
+    rec = np.mean([len(set(got[i]) & set(want[i])) / 10 for i in range(100)])
+    assert rec >= threshold, f"recall {rec} < {threshold}"
+    return rec
+
+
+def test_gate_10k_384d():
+    # reference: >= 0.990 (M=48, efC=400); we gate at the same number
+    _gate(10_000, 384, m=48, m_max=64, efs=200, threshold=0.99)
+
+
+def test_gate_50k_384d():
+    # reference: >= 0.920 (M=64, efC=600)
+    _gate(50_000, 384, m=64, m_max=96, efs=200, threshold=0.92)
