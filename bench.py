@@ -54,7 +54,7 @@ def main() -> None:
         exact_search,
         squared_norms,
     )
-    from longbow_tpu.ops.pallas_scan import fused_flat_search
+    from longbow_tpu.ops.pallas_scan import flat_search_rerank
 
     N, D, B, K = 1_000_000, 128, 128, 10
     N_EVAL = 512
@@ -84,8 +84,8 @@ def main() -> None:
 
     # ---- accuracy of the serving kernel ----
     if on_tpu:
-        search_one = lambda q: fused_flat_search(
-            q, c16, norms, valid, K, Metric.L2, tile_n=4096
+        search_one = lambda q: flat_search_rerank(
+            q, c16, norms, valid, K, Metric.L2, pool=64, tile_n=2048
         )
     else:
         search_one = lambda q: exact_search(

@@ -26,7 +26,7 @@ from longbow_tpu.ops.distance import (
     pad_to,
     squared_norms,
 )
-from longbow_tpu.ops.pallas_scan import fused_flat_search
+from longbow_tpu.ops.pallas_scan import flat_search_rerank, fused_flat_search
 
 MIN_CAPACITY = 4096
 
@@ -61,10 +61,11 @@ def _tombstone(valid, rows):
     jax.jit, static_argnames=("k", "metric", "normalize")
 )
 def _fused_packed(queries, vectors, norms, valid, k, metric, extra_mask, normalize):
-    """Fused scan returning ONE packed array [B, 2k] (distances then
-    bitcast row ids) so the host pays a single fetch round trip."""
-    d, i = fused_flat_search(
+    """Fused scan + exact re-rank returning ONE packed array [B, 2k]
+    (distances then bitcast row ids): a single fetch round trip."""
+    d, i = flat_search_rerank(
         queries, vectors, norms, valid, k, metric,
+        pool=min(max(4 * k, 64), 128),
         extra_mask=extra_mask, normalize=normalize,
     )
     return jnp.concatenate(

@@ -105,7 +105,10 @@ def entry_candidates(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "ef", "max_iters", "ring_size", "normalize")
+    jax.jit,
+    static_argnames=(
+        "k", "ef", "max_iters", "ring_size", "normalize", "expand_per_iter"
+    ),
 )
 def beam_search(
     state: GraphState,
@@ -118,6 +121,7 @@ def beam_search(
     normalize: bool = False,
     max_iters: int = 0,
     ring_size: int = 128,
+    expand_per_iter: int = 2,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched best-first graph search.
 
@@ -130,8 +134,11 @@ def beam_search(
     """
     b, d = queries.shape
     m2 = state.nbrs.shape[1]
+    ex = max(1, expand_per_iter)
     if max_iters <= 0:
-        max_iters = 2 * ef + 32
+        # each iteration expands up to `ex` nodes per query; budget the
+        # same total expansions as single-node HNSW (~2*ef)
+        max_iters = (2 * ef) // ex + 32
     e = ef
 
     qf = queries.astype(jnp.float32)
@@ -179,15 +186,27 @@ def beam_search(
     def body(carry):
         beam_d, beam_i, expanded, res_d, res_i, visited, it = carry
 
-        # -- pick the best unexpanded beam entry per query --
+        # -- pick the `ex` best unexpanded beam entries per query --
         frontier = jnp.where(expanded | (beam_d >= MASKED), MASKED, beam_d)
-        pick = jnp.argmin(frontier, axis=1)  # [B]
+        _, pick = jax.lax.top_k(-frontier, ex)  # [B, ex] col indices
         cols = jax.lax.broadcasted_iota(jnp.int32, (b, e), 1)
-        expanded = expanded | (cols == pick[:, None])
-        exp_row = jnp.take_along_axis(beam_i, pick[:, None], axis=1)  # [B,1]
+        newly = jnp.any(cols[:, None, :] == pick[:, :, None], axis=1)
+        # only mark/expand picks that are real frontier entries
+        pick_d = jnp.take_along_axis(frontier, pick, axis=1)  # [B, ex]
+        real = pick_d < MASKED
+        expanded = expanded | (newly & jnp.any(
+            (cols[:, None, :] == pick[:, :, None]) & real[:, :, None], axis=1
+        ))
+        exp_row = jnp.take_along_axis(beam_i, pick, axis=1)  # [B, ex]
+        exp_row = jnp.where(real, exp_row, -1)
 
-        # -- gather neighbors of the expanded node --
-        nbr = jnp.take(state.nbrs, jnp.maximum(exp_row[:, 0], 0), axis=0)  # [B, M2]
+        # -- gather neighbors of the expanded nodes --
+        nbr = jnp.take(
+            state.nbrs, jnp.maximum(exp_row, 0), axis=0
+        ).reshape(b, ex * m2)  # [B, ex*M2]
+        nbr = jnp.where(
+            jnp.repeat(real, m2, axis=1), nbr, -1
+        )
         nbr_ok = nbr >= 0
         # dedup vs beam and recent-visit ring
         dup_beam = jnp.any(nbr[:, :, None] == beam_i[:, None, :], axis=2)
@@ -199,7 +218,17 @@ def beam_search(
 
         # -- fold eligible neighbors into the result set --
         ok_res = jnp.take(res_mask, jnp.maximum(nbr, 0)) & nbr_ok
-        cd = jnp.where(ok_res, nd, MASKED)
+        # a node can be re-discovered after falling out of the beam and
+        # the ring; without this mask it re-enters res as a duplicate
+        # and silently eats top-k slots (cost ~10% recall at 100k+)
+        dup_res = jnp.any(nbr[:, :, None] == res_i[:, None, :], axis=2)
+        # the same id can also appear twice within ONE gather (two
+        # expanded nodes sharing a neighbor): keep first occurrence
+        w = nbr.shape[1]
+        eqn = nbr[:, :, None] == nbr[:, None, :]
+        earlier = jnp.tril(jnp.ones((w, w), bool), k=-1)
+        dup_in = jnp.any(eqn & earlier[None], axis=2) & nbr_ok
+        cd = jnp.where(ok_res & ~dup_res & ~dup_in, nd, MASKED)
         all_d = jnp.concatenate([res_d, cd], axis=1)
         all_i = jnp.concatenate([res_i, nbr], axis=1)
         neg, pos = jax.lax.top_k(-all_d, k)
@@ -211,17 +240,16 @@ def beam_search(
         # -- merge neighbors into the beam (keep best e) --
         md = jnp.concatenate([beam_d, nd], axis=1)
         mi = jnp.concatenate([beam_i, jnp.where(nbr_ok, nbr, -1)], axis=1)
-        mx = jnp.concatenate([expanded, jnp.zeros((b, m2), bool)], axis=1)
+        mx = jnp.concatenate(
+            [expanded, jnp.zeros((b, ex * m2), bool)], axis=1
+        )
         neg, pos = jax.lax.top_k(-md, e)
         beam_d = -neg
         beam_i = jnp.take_along_axis(mi, pos, axis=1)
         expanded = jnp.take_along_axis(mx, pos, axis=1)
         # anything that fell out of beam may re-enter later; the ring
-        # guards the recently expanded
-        rcols = jax.lax.broadcasted_iota(jnp.int32, visited.shape, 1)
-        visited = jnp.where(
-            rcols == (it % ring_size), exp_row, visited
-        )
+        # (a shift register) guards the recently expanded
+        visited = jnp.concatenate([visited[:, ex:], exp_row], axis=1)
 
         return beam_d, beam_i, expanded, res_d, res_i, visited, it + 1
 

@@ -118,6 +118,7 @@ def insert_batch(
     gd, gi = beam_search(
         state, q, sample_rows, k=cand_cap, ef=ef_construction,
         max_iters=ef_construction + 16,
+        expand_per_iter=1,  # construction favors quality over latency
     )
     # exclude self-matches (a re-inserted duplicate row is fine, the
     # actual row id must not self-link)
@@ -367,12 +368,21 @@ def _symmetrize_and_store(
     ok = dst >= 0
     dst_s = jnp.where(ok, dst, n)  # invalid -> sentinel bucket n
 
-    # stable two-key sort: by distance first, then by target — within a
-    # target group edges end up ordered best-first
-    o1 = jnp.argsort(d, stable=True)
-    dst1, src1, d1 = dst_s[o1], src[o1], d[o1]
+    # protect each source's rank-0 reverse edge: without it, anti-hub
+    # nodes (common under high-dim hubness) lose every in-edge at the
+    # prune below and become unreachable except via the entry sample
+    rank_in_src = jax.lax.broadcasted_iota(
+        jnp.int32, (n, m), 1
+    ).reshape(-1)
+    protected = ok & (rank_in_src == 0)
+    d_eff = jnp.where(protected, d - 1.0e9, d)
+
+    # stable two-key sort: by effective priority first, then by target —
+    # within a target group edges end up best-first, protected leading
+    o1 = jnp.argsort(d_eff, stable=True)
+    dst1, src1, d1, de1 = dst_s[o1], src[o1], d[o1], d_eff[o1]
     o2 = jnp.argsort(dst1, stable=True)
-    dst2, src2, d2 = dst1[o2], src1[o2], d1[o2]
+    dst2, src2, d2, de2 = dst1[o2], src1[o2], d1[o2], de1[o2]
 
     starts = jnp.searchsorted(dst2, jnp.arange(n, dtype=jnp.int32))
     ends = jnp.searchsorted(
@@ -386,20 +396,25 @@ def _symmetrize_and_store(
     inc_ok = slot < jnp.minimum(counts, r_slots)[:, None]
     inc_src = jnp.where(inc_ok, jnp.take(src2, pos), -1)      # [n, R]
     inc_d = jnp.where(inc_ok, jnp.take(d2, pos), MASKED)
+    inc_de = jnp.where(inc_ok, jnp.take(de2, pos), MASKED)
 
-    # merge forward + incoming, dedup, keep best m_max
+    # merge forward + incoming, dedup, keep best m_max by priority
     all_i = jnp.concatenate([fwd_rows, inc_src], axis=1)  # [n, m+R]
     all_d = jnp.concatenate([fwd_dists, inc_d], axis=1)
+    all_de = jnp.concatenate([fwd_dists, inc_de], axis=1)
     # dedup (incoming may duplicate a forward edge): keep first
     kk = all_i.shape[1]
     eq = all_i[:, :, None] == all_i[:, None, :]
     earlier = jnp.tril(jnp.ones((kk, kk), bool), k=-1)
     dup = jnp.any(eq & earlier & (all_i[:, None, :] >= 0), axis=2)
     all_d = jnp.where(dup, MASKED, all_d)
+    all_de = jnp.where(dup, MASKED, all_de)
     all_d = jnp.where(all_i >= 0, all_d, MASKED)
+    all_de = jnp.where(all_i >= 0, all_de, MASKED)
 
-    neg, ppos = jax.lax.top_k(-all_d, m_max)
-    sel_d = -neg
+    neg, ppos = jax.lax.top_k(-all_de, m_max)
+    sel_d = jnp.take_along_axis(all_d, ppos, axis=1)
+    sel_d = jnp.where(-neg < MASKED, sel_d, MASKED)
     sel_i = jnp.where(
         sel_d < MASKED, jnp.take_along_axis(all_i, ppos, axis=1), -1
     )
@@ -416,6 +431,21 @@ def _symmetrize_and_store(
         )
 
     rows = jnp.arange(n, dtype=jnp.int32)
+
+    # Kleinberg-style long-range edges: the last 2 adjacency slots get
+    # deterministic pseudo-random targets so clustered corpora stay
+    # navigable across clusters (HNSW gets this from its hierarchy +
+    # insertion order; a pure kNN graph has none). Edge distances are
+    # never read by search, so MASKED is fine there.
+    n_rand = min(2, sel_i.shape[1])
+    kcols2 = jax.lax.broadcasted_iota(jnp.int32, sel_i.shape, 1)
+    for j in range(n_rand):
+        tgt = ((rows.astype(jnp.uint32) * jnp.uint32(2654435761 + j * 40503)
+                + jnp.uint32(12345 + j)) % jnp.uint32(n)).astype(jnp.int32)
+        tgt = jnp.where(tgt == rows, (tgt + 1) % n, tgt)
+        col = sel_i.shape[1] - 1 - j
+        sel_i = jnp.where(kcols2 == col, tgt[:, None], sel_i)
+        sel_d = jnp.where(kcols2 == col, MASKED, sel_d)
     nbrs = state.nbrs.at[rows].set(sel_i)
     nbr_dists = state.nbr_dists.at[rows].set(sel_d)
     nbr_count = state.nbr_count.at[rows].set(cnt)

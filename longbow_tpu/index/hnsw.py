@@ -106,11 +106,16 @@ class HNSWIndex:
 
     def _refresh_sample(self) -> None:
         """Strided sample of stored rows for the entry scan (the role of
-        HNSW's upper layers). Refreshed lazily as the index grows."""
+        HNSW's upper layers). Refreshed lazily as the index grows.
+
+        The sample scales with the corpus (n/16, capped at 32k): on
+        clustered data the kNN graph can lack inter-cluster edges, so
+        recall depends on *starting* near the right cluster — a bigger
+        entry scan is one cheap matmul and buys exactly that."""
         if not self._sample_dirty and self._sample_rows.shape[0] > 1:
             return
         n = max(self.count, 1)
-        s = min(self.config.entry_sample_size, n)
+        s = min(max(self.config.entry_sample_size, n // 16, 1), 32768, n)
         rows = np.linspace(0, n - 1, s, dtype=np.int32)
         self._sample_rows = jnp.asarray(rows)
         self._sample_dirty = False

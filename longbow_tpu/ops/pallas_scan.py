@@ -277,3 +277,53 @@ def fused_flat_search(
         # MASKED entries survive max() unscathed
         out_vals = jnp.maximum(out_vals, 0.0)
     return out_vals, out_idx[:b, :k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "pool", "metric", "tile_n", "normalize"),
+)
+def flat_search_rerank(
+    queries: jax.Array,
+    corpus: jax.Array,        # bf16 [N, D]
+    corpus_norms_sq: jax.Array,
+    valid: jax.Array,
+    k: int,
+    metric: str = Metric.L2,
+    *,
+    pool: int = 64,
+    extra_mask=None,
+    normalize: bool = False,
+    tile_n: int = 2048,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused bf16 scan for a candidate pool + exact-f32-arithmetic
+    re-rank of the pool (storage stays bf16).
+
+    The scan is HBM-bandwidth-bound, so pool=64 costs the same as
+    pool=10; the re-rank removes the bf16 matmul's cancellation noise
+    (recall vs the f32 oracle: 0.944 -> 0.9895 on clustered 1M x 128,
+    same 4.7 ms/128q). The residual ~1% is bf16 *storage* rounding.
+    """
+    pool = max(pool, k)
+    d, i = fused_flat_search(
+        queries, corpus, corpus_norms_sq, valid, pool, metric,
+        extra_mask=extra_mask, normalize=normalize, tile_n=tile_n,
+    )
+    cand = jnp.take(corpus, jnp.maximum(i, 0), axis=0).astype(jnp.float32)
+    qf = queries.astype(jnp.float32)
+    if normalize:
+        qf = qf / jnp.maximum(
+            jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-30
+        )
+    ip = jnp.einsum(
+        "bd,bkd->bk", qf, cand, preferred_element_type=jnp.float32
+    )
+    if metric == Metric.L2:
+        qn = jnp.sum(qf * qf, axis=1, keepdims=True)
+        cn = jnp.sum(cand * cand, axis=2)
+        ed = jnp.maximum(qn - 2.0 * ip + cn, 0.0)
+    else:  # ip/dot (cosine = normalized + dot)
+        ed = -ip
+    ed = jnp.where(d < MASKED, ed, MASKED)
+    neg, pos = jax.lax.top_k(-ed, k)
+    return -neg, jnp.take_along_axis(i, pos, axis=1)
