@@ -97,3 +97,28 @@ def test_smaller_mesh():
     rows = idx.add(v)
     d, r = idx.search(v[:3], 1)
     np.testing.assert_array_equal(np.asarray(r)[:, 0], rows[:3])
+
+
+def test_sharded_graph_index():
+    """ShardedHNSW parity: per-shard sub-graphs + collective merge
+    (reference: sharded_hnsw.go:378-470)."""
+    from longbow_tpu.parallel.sharded_graph import ShardedGraphIndex
+    from longbow_tpu.index.hnsw import HNSWConfig
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((8000, 32), dtype=np.float32)
+    idx = ShardedGraphIndex(
+        32, mesh, config=HNSWConfig(m=16, ef_construction=64, ef_search=64)
+    )
+    idx.add(v)
+    idx.build()
+    q = rng.standard_normal((16, 32), dtype=np.float32)
+    d, rows = idx.search(q, 10)
+    ed, er = exact_search(jnp.asarray(q), jnp.asarray(v), 10, Metric.L2)
+    want = np.asarray(er)
+    rec = np.mean([len(set(rows[i]) & set(want[i])) / 10 for i in range(16)])
+    assert rec >= 0.9, rec
+    # self-query: corpus rows map back through the stripe
+    d2, rows2 = idx.search(v[:8], 1)
+    assert (rows2[:, 0] == np.arange(8)).mean() >= 0.9
