@@ -40,8 +40,18 @@ class FragmentationTracker:
 def compact_dataset(dataset) -> dict:
     """Rebuild the dataset's index/columns with only live rows.
 
+    Holds the dataset lock for the whole rebuild: a delete that landed
+    between the live-row snapshot and the index swap would otherwise be
+    resurrected. (The reference serializes compaction against writers
+    the same way, compaction.go.)
+
     Returns stats {reclaimed_rows, live_rows, seconds}.
     """
+    with dataset._lock:
+        return _compact_locked(dataset)
+
+
+def _compact_locked(dataset) -> dict:
     t0 = time.time()
     pairs = list(dataset._id_to_row.items())
     dead = len(dataset.index) - len(pairs)
