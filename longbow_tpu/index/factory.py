@@ -1,0 +1,125 @@
+"""Pluggable index construction + uniform adapter.
+
+reference: the VectorIndexer contract and pluggable index adapters
+(types/interfaces.go:14-62, pluggable_index.go,
+pluggable_index_adapters.go). Every index kind exposes add /
+delete_rows / search(queries, k, filter_mask=...) / get_vectors /
+export_state; this module normalizes the quantized indexes (which have
+no ef_search/exact notions) behind the same surface the Dataset uses.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from longbow_tpu.index.adaptive import AdaptiveIndex
+from longbow_tpu.index.bq import BQIndex
+from longbow_tpu.index.flat import FlatIndex
+from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
+from longbow_tpu.index.pq import PQIndex
+from longbow_tpu.index.sq8 import SQ8Index
+
+INDEX_KINDS = ("adaptive", "flat", "hnsw", "pq", "sq8", "bq")
+
+
+class _QuantizedAdapter:
+    """Uniform surface over PQ/SQ8/BQ indexes."""
+
+    def __init__(self, inner, kind: str, dim: int):
+        self._inner = inner
+        self.kind = kind
+        self.dim = dim
+
+    def __len__(self):
+        return self._inner.count
+
+    @property
+    def capacity(self) -> int:
+        return max(self._inner.count, 1)
+
+    def add(self, vecs: np.ndarray) -> np.ndarray:
+        return self._inner.add(vecs)
+
+    def delete_rows(self, rows: np.ndarray) -> None:
+        self._inner.delete_rows(rows)
+
+    def search(self, queries, k, *, filter_mask=None, ef_search=None,
+               exact=False):
+        # quantized scans are already exhaustive; ef/exact don't apply
+        mask = filter_mask
+        if mask is not None and hasattr(mask, "shape"):
+            n = self._inner.count
+            if mask.shape[0] > n:
+                mask = mask[:n]
+        return self._inner.search(queries, k, filter_mask=mask)
+
+    def get_vectors(self, rows: np.ndarray) -> np.ndarray:
+        inner = self._inner
+        if getattr(inner, "rerank_vectors", None) is not None:
+            return np.asarray(
+                jnp.take(inner.rerank_vectors, jnp.asarray(rows), axis=0)
+            ).astype(np.float32)
+        if getattr(inner, "vectors_bf16", None) is not None:
+            return np.asarray(
+                jnp.take(inner.vectors_bf16, jnp.asarray(rows), axis=0)
+            ).astype(np.float32)
+        if hasattr(inner, "decode"):
+            return inner.decode(np.asarray(rows))
+        if hasattr(inner, "_dequant"):  # SQ8
+            codes = jnp.take(inner.codes, jnp.asarray(rows), axis=0)
+            return np.asarray(inner._dequant(codes))
+        raise NotImplementedError(f"get_vectors for {self.kind}")
+
+    def export_state(self) -> dict:
+        return self._inner.export_state()
+
+
+def make_index(
+    kind: str,
+    dim: int,
+    metric: str,
+    *,
+    dtype=jnp.bfloat16,
+    migration_threshold: int = 200_000,
+    hnsw_config: Optional[HNSWConfig] = None,
+    **params,
+):
+    kind = (kind or "adaptive").lower()
+    if kind == "adaptive":
+        return AdaptiveIndex(
+            dim, metric, dtype=dtype,
+            migration_threshold=migration_threshold,
+            hnsw_config=hnsw_config,
+        )
+    if kind == "flat":
+        return AdaptiveIndex(
+            dim, metric, dtype=dtype,
+            migration_threshold=2**62,  # never migrate
+            hnsw_config=hnsw_config,
+        )
+    if kind == "hnsw":
+        return AdaptiveIndex(
+            dim, metric, dtype=dtype,
+            migration_threshold=0,  # migrate on first add
+            hnsw_config=hnsw_config,
+        )
+    if kind == "pq":
+        return _QuantizedAdapter(
+            PQIndex(
+                dim,
+                m=int(params.get("pq_m", 16)),
+                metric=metric,
+                rerank=bool(params.get("rerank", True)),
+            ),
+            "pq", dim,
+        )
+    if kind == "sq8":
+        return _QuantizedAdapter(SQ8Index(dim, metric), "sq8", dim)
+    if kind == "bq":
+        return _QuantizedAdapter(
+            BQIndex(dim, metric, rerank=bool(params.get("rerank", True))),
+            "bq", dim,
+        )
+    raise ValueError(f"unknown index kind {kind!r}; want one of {INDEX_KINDS}")

@@ -375,8 +375,22 @@ class LongbowFlightServer(flight.FlightServerBase):
             return ok(self.store.list_datasets())
         if name in ("CreateNamespace",):
             req = json.loads(body or b"{}")
-            # datasets are created lazily on first put; record intent
-            return ok({"created": req.get("name", "")})
+            dsname = sanitize_dataset_name(req.get("name", ""))
+            if "dim" in req:
+                # eager creation with an explicit index type
+                # (reference: pluggable index selection)
+                self.store.get_or_create(
+                    dsname,
+                    int(req["dim"]),
+                    req.get("metric"),
+                    index_kind=req.get("index", "adaptive"),
+                    index_params={
+                        k: v
+                        for k, v in req.items()
+                        if k in ("pq_m", "rerank")
+                    },
+                )
+            return ok({"created": dsname})
         if name in ("delete-dataset", "DeleteNamespace"):
             req = json.loads(body or b"{}")
             return ok({"dropped": self.store.drop(req.get("name", ""))})

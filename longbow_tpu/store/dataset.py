@@ -18,7 +18,7 @@ import numpy as np
 
 from longbow_tpu.hybrid.bm25 import BM25Index
 from longbow_tpu.hybrid.graph_store import GraphStore
-from longbow_tpu.index.adaptive import AdaptiveIndex
+from longbow_tpu.index.factory import make_index
 from longbow_tpu.index.hnsw import HNSWConfig
 from longbow_tpu.ops.distance import MASKED, Metric
 from longbow_tpu.query.filters import ColumnStore, FilterCache
@@ -50,16 +50,20 @@ class Dataset:
         dtype=jnp.float32,
         hnsw_config: Optional[HNSWConfig] = None,
         migration_threshold: int = 200_000,
+        index_kind: str = "adaptive",
+        index_params: Optional[dict] = None,
     ):
         self.name = name
         self.dim = dim
         self.metric = _METRIC_ALIASES.get(metric.lower(), None) or Metric.validate(metric)
-        self.index = AdaptiveIndex(
+        self.index = make_index(
+            index_kind,
             dim,
             self.metric,
             dtype=dtype,
             migration_threshold=migration_threshold,
             hnsw_config=hnsw_config,
+            **(index_params or {}),
         )
         self.columns = ColumnStore(self.index.capacity)
         self.filter_cache = FilterCache()
@@ -268,10 +272,19 @@ class Dataset:
         total = 0
         idx = self.index
         objs = []
-        if idx._graph is not None:
-            objs = list(idx._graph.state)
-        elif idx._flat is not None:
-            objs = [idx._flat.vectors, idx._flat.norms_sq, idx._flat.valid]
+        graph = getattr(idx, "_graph", None)
+        flat = getattr(idx, "_flat", None)
+        inner = getattr(idx, "_inner", None)
+        if graph is not None:
+            objs = list(graph.state)
+        elif flat is not None:
+            objs = [flat.vectors, flat.norms_sq, flat.valid]
+        elif inner is not None:  # quantized adapters
+            for attr in ("codes", "codebooks", "valid", "rerank_vectors",
+                         "vectors_bf16", "norms_sq"):
+                a = getattr(inner, attr, None)
+                if a is not None and hasattr(a, "size"):
+                    objs.append(a)
         for a in objs:
             total += a.size * a.dtype.itemsize
         for col in self.columns._numeric.values():

@@ -60,7 +60,13 @@ class VectorStore:
     # -- dataset lifecycle --------------------------------------------
 
     def get_or_create(
-        self, name: str, dim: int, metric: Optional[str] = None
+        self,
+        name: str,
+        dim: int,
+        metric: Optional[str] = None,
+        *,
+        index_kind: str = "adaptive",
+        index_params: Optional[dict] = None,
     ) -> Dataset:
         with self._lock:
             ds = self._datasets.get(name)
@@ -72,6 +78,8 @@ class VectorStore:
                     dtype=self.dtype,
                     hnsw_config=self.hnsw_config,
                     migration_threshold=self.migration_threshold,
+                    index_kind=index_kind,
+                    index_params=index_params,
                 )
                 self._datasets[name] = ds
                 ns = name.split("/", 1)[0] if "/" in name else "default"

@@ -179,3 +179,20 @@ def test_sanitizer_rejects_bad_names(client):
         client.write("../evil", np.arange(3), v)
     with pytest.raises(flight.FlightError):
         client.search("ok", v[0], k=999_999)
+
+
+def test_create_namespace_with_index_type(client):
+    client.create_namespace("nope")  # legacy form: lazy creation
+    import json
+    import pyarrow.flight as flight
+
+    # eager creation with an explicit quantized index
+    body = json.dumps({"name": "e2e_pq", "dim": 32, "index": "pq",
+                       "pq_m": 8}).encode()
+    list(client._mc().do_action(flight.Action("CreateNamespace", body)))
+    v = _vecs(300, 32, seed=30)
+    client.write("e2e_pq", np.arange(300), v)
+    t = client.search("e2e_pq", v[5], k=3)
+    assert t.column("id")[0].as_py() == 5
+    st = client.cluster_status()
+    assert st["datasets"]["e2e_pq"]["index_kind"] == "pq"

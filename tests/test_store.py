@@ -146,3 +146,26 @@ def test_ticket_parser_wire_format():
         parse_ticket(b"not json")
     with pytest.raises(ValueError):
         parse_ticket(b'{"search": {"k": -1, "vector": [1]}}')
+
+
+def test_pluggable_index_kinds():
+    """reference: pluggable_index.go — index kind selectable per dataset."""
+    for kind, params in (("flat", {}), ("pq", {"pq_m": 8}),
+                         ("sq8", {}), ("bq", {})):
+        vs = VectorStore()
+        vs.get_or_create("p", 32, index_kind=kind, index_params=params)
+        v = _vecs(300, 32, seed=1)
+        vs.put("p", np.arange(300), v, columns={"price": np.arange(300.0)})
+        ids, scores, ok = vs.search("p", v[:3], 3, use_cache=False)
+        assert ids[0, 0] == 0 and ids[1, 0] == 1, (kind, ids)
+        # filtered search through the same surface
+        flt = [Filter("price", "<", "50")]
+        ids, _, okm = vs.search("p", v[:2], 3, filters=flt, use_cache=False)
+        for b in range(2):
+            for j in range(3):
+                if okm[b, j]:
+                    assert ids[b, j] < 50, (kind, ids)
+        # deletes
+        vs.delete("p", [0])
+        ids, _, _ = vs.search("p", v[0][None], 1, use_cache=False)
+        assert ids[0, 0] != 0, kind
