@@ -67,6 +67,24 @@ class Config:
         default_factory=lambda: _env("BREAKER_COOLDOWN_S", 30.0, float)
     )
 
+    # compaction / eviction (reference: CompactionConfig compaction.go:11,
+    # RecordEvictionManager record_eviction.go:79)
+    compaction_interval_s: float = field(
+        default_factory=lambda: _env("COMPACTION_INTERVAL_S", 30.0, float)
+    )
+    compaction_frag_threshold: float = field(
+        default_factory=lambda: _env("COMPACTION_FRAG_THRESHOLD", 0.3, float)
+    )
+    eviction_policy: str = field(
+        default_factory=lambda: _env("EVICTION_POLICY", "")  # ""/lru/lfu
+    )
+    eviction_ttl_s: float = field(
+        default_factory=lambda: _env("EVICTION_TTL_S", 0.0, float)
+    )
+    eviction_max_rows: int = field(
+        default_factory=lambda: _env("EVICTION_MAX_ROWS", 0, int)
+    )
+
     # cache (reference: query cache in DoGet, store_query.go:625)
     query_cache_size: int = field(
         default_factory=lambda: _env("QUERY_CACHE_SIZE", 1024, int)

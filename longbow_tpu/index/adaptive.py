@@ -35,12 +35,16 @@ class AdaptiveIndex:
         dtype=jnp.float32,
         migration_threshold: int = DEFAULT_MIGRATION_THRESHOLD,
         hnsw_config: Optional[HNSWConfig] = None,
+        storage: str = "dense",
     ):
         self.dim = dim
         self.metric = Metric.validate(metric)
         self.dtype = dtype
         self.migration_threshold = migration_threshold
         self.hnsw_config = hnsw_config or HNSWConfig()
+        # graph vector payload: "dense" (dtype) or "sq8" codes — the
+        # equal-memory quantized-graph config (arrow_hnsw.go:94)
+        self.storage = storage
         self._flat = FlatIndex(dim, metric, dtype)
         self._graph: Optional[HNSWIndex] = None
 
@@ -70,6 +74,7 @@ class AdaptiveIndex:
             self.hnsw_config,
             self.dtype,
             capacity=self._flat.capacity,
+            storage=self.storage,
         )
         vecs = np.asarray(self._flat.vectors[: self._flat.count]).astype(
             np.float32
@@ -124,6 +129,7 @@ class AdaptiveIndex:
     def export_state(self) -> dict:
         st = (self._graph or self._flat).export_state()
         st["migration_threshold"] = self.migration_threshold
+        st.setdefault("storage", self.storage)
         return st
 
     @classmethod
@@ -135,9 +141,13 @@ class AdaptiveIndex:
             migration_threshold=st.get(
                 "migration_threshold", DEFAULT_MIGRATION_THRESHOLD
             ),
+            storage=st.get("storage", "dense"),
         )
         if st["kind"] == "hnsw":
             idx._graph = HNSWIndex.import_state(st)
+            idx.hnsw_config = idx._graph.config
+            idx._flat = FlatIndex(st["dim"], st["metric"], idx.dtype,
+                                  capacity=1)
         else:
             idx._flat = FlatIndex.import_state(st)
         return idx

@@ -17,6 +17,29 @@ import numpy as np
 
 from longbow_tpu.ops.distance import MASKED, Metric, pad_to
 
+MIN_CAPACITY = 4096
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _bq_append(codes, valid, new_codes, row):
+    n = new_codes.shape[0]
+    codes = jax.lax.dynamic_update_slice(codes, new_codes, (row, 0))
+    valid = jax.lax.dynamic_update_slice(
+        valid, jnp.ones((n,), bool), (row,)
+    )
+    return codes, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _bq_append_rr(codes, valid, rr, new_codes, new_rr, row):
+    n = new_codes.shape[0]
+    codes = jax.lax.dynamic_update_slice(codes, new_codes, (row, 0))
+    valid = jax.lax.dynamic_update_slice(
+        valid, jnp.ones((n,), bool), (row,)
+    )
+    rr = jax.lax.dynamic_update_slice(rr, new_rr, (row, 0))
+    return codes, valid, rr
+
 
 def _pack_bits(v: jax.Array) -> jax.Array:
     """[N, D] f32 -> [N, D/32] uint32 sign codes (bit = v >= 0)."""
@@ -71,24 +94,47 @@ class BQIndex:
     def _prep(self, vecs) -> jax.Array:
         return jnp.asarray(np.ascontiguousarray(vecs, np.float32))
 
+    @property
+    def capacity(self) -> int:
+        return 0 if self.codes is None else self.codes.shape[0]
+
+    def _grow_to(self, need: int, words: int) -> None:
+        cap = max(self.capacity, MIN_CAPACITY)
+        while cap < need:
+            cap *= 2
+        if self.codes is None:
+            self.codes = jnp.zeros((cap, words), jnp.uint32)
+            self.valid = jnp.zeros((cap,), bool)
+            if self.rerank:
+                self.vectors_bf16 = jnp.zeros(
+                    (cap, self.dim), jnp.bfloat16
+                )
+        elif cap > self.capacity:
+            pad = cap - self.capacity
+            self.codes = jnp.pad(self.codes, ((0, pad), (0, 0)))
+            self.valid = jnp.pad(self.valid, (0, pad))
+            if self.rerank:
+                self.vectors_bf16 = jnp.pad(
+                    self.vectors_bf16, ((0, pad), (0, 0))
+                )
+
     def add(self, vecs: np.ndarray) -> np.ndarray:
         v = self._prep(vecs)
         if self.mean is None:
             self.mean = jnp.mean(v, axis=0)  # center once on first batch
         codes = _pack_bits(v - self.mean[None, :])
         n = codes.shape[0]
-        if self.codes is None:
-            self.codes = codes
-            self.valid = jnp.ones((n,), bool)
-            if self.rerank:
-                self.vectors_bf16 = v.astype(jnp.bfloat16)
+        # donated in-place appends (no O(N) concatenate per batch)
+        self._grow_to(self.count + n, codes.shape[1])
+        if self.rerank:
+            self.codes, self.valid, self.vectors_bf16 = _bq_append_rr(
+                self.codes, self.valid, self.vectors_bf16,
+                codes, v.astype(jnp.bfloat16), self.count,
+            )
         else:
-            self.codes = jnp.concatenate([self.codes, codes])
-            self.valid = jnp.concatenate([self.valid, jnp.ones((n,), bool)])
-            if self.rerank:
-                self.vectors_bf16 = jnp.concatenate(
-                    [self.vectors_bf16, v.astype(jnp.bfloat16)]
-                )
+            self.codes, self.valid = _bq_append(
+                self.codes, self.valid, codes, self.count
+            )
         rows = np.arange(self.count, self.count + n, dtype=np.int64)
         self.count += n
         return rows

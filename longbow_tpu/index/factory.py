@@ -37,7 +37,8 @@ class _QuantizedAdapter:
 
     @property
     def capacity(self) -> int:
-        return max(self._inner.count, 1)
+        cap = getattr(self._inner, "capacity", 0)
+        return max(cap, self._inner.count, 1)
 
     def add(self, vecs: np.ndarray) -> np.ndarray:
         return self._inner.add(vecs)
@@ -50,7 +51,11 @@ class _QuantizedAdapter:
         # quantized scans are already exhaustive; ef/exact don't apply
         mask = filter_mask
         if mask is not None and hasattr(mask, "shape"):
-            n = self._inner.count
+            n = (
+                self._inner.valid.shape[0]
+                if getattr(self._inner, "valid", None) is not None
+                else self._inner.count
+            )
             if mask.shape[0] > n:
                 mask = mask[:n]
         return self._inner.search(queries, k, filter_mask=mask)
@@ -75,6 +80,11 @@ class _QuantizedAdapter:
     def export_state(self) -> dict:
         return self._inner.export_state()
 
+    @classmethod
+    def import_state(cls, st: dict) -> "_QuantizedAdapter":
+        inner_cls = {"pq": PQIndex, "sq8": SQ8Index, "bq": BQIndex}[st["kind"]]
+        return cls(inner_cls.import_state(st), st["kind"], st["dim"])
+
 
 def make_index(
     kind: str,
@@ -87,11 +97,12 @@ def make_index(
     **params,
 ):
     kind = (kind or "adaptive").lower()
+    storage = str(params.get("storage", "dense")).lower()
     if kind == "adaptive":
         return AdaptiveIndex(
             dim, metric, dtype=dtype,
             migration_threshold=migration_threshold,
-            hnsw_config=hnsw_config,
+            hnsw_config=hnsw_config, storage=storage,
         )
     if kind == "flat":
         return AdaptiveIndex(
@@ -103,7 +114,7 @@ def make_index(
         return AdaptiveIndex(
             dim, metric, dtype=dtype,
             migration_threshold=0,  # migrate on first add
-            hnsw_config=hnsw_config,
+            hnsw_config=hnsw_config, storage=storage,
         )
     if kind == "pq":
         return _QuantizedAdapter(
@@ -123,3 +134,16 @@ def make_index(
             "bq", dim,
         )
     raise ValueError(f"unknown index kind {kind!r}; want one of {INDEX_KINDS}")
+
+
+def import_index(state: dict):
+    """Rebuild an index from export_state() output — the recovery path
+    that avoids retraining/re-linking (reference persists HNSW graphs
+    and PQ codebooks the same way, arrow_hnsw_persistence.go,
+    pq/persistence.go:15-38)."""
+    kind = state["kind"]
+    if kind in ("flat", "hnsw"):
+        return AdaptiveIndex.import_state(state)
+    if kind in ("pq", "sq8", "bq"):
+        return _QuantizedAdapter.import_state(state)
+    raise ValueError(f"cannot import index state of kind {kind!r}")

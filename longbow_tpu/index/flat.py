@@ -229,7 +229,10 @@ class FlatIndex:
             "metric": self.metric,
             "dtype": str(jnp.dtype(self.dtype)),
             "count": self.count,
-            "vectors": np.asarray(self.vectors[: self.count]),
+            # f32 in the archive: bf16 ndarrays don't survive np.save
+            "vectors": np.asarray(self.vectors[: self.count]).astype(
+                np.float32
+            ),
             "valid": np.asarray(self.valid[: self.count]),
         }
 

@@ -40,14 +40,24 @@ _BIG = jnp.int32(2**30)
 
 class GraphState(NamedTuple):
     """Device-resident graph index state (a pytree; all arrays padded
-    to N_cap rows)."""
+    to N_cap rows).
 
-    vectors: jax.Array    # [N_cap, D] storage dtype (f32/bf16)
-    norms_sq: jax.Array   # [N_cap] f32
+    When `scale`/`offset` are set, `vectors` holds SQ8 codes (uint8)
+    and the effective vector is `codes * scale + offset` — the
+    equal-memory quantized-graph config (reference stores SQ8 inside
+    HNSW the same way, arrow_hnsw.go:94, quantization_integration.go).
+    Distance kernels fold the affine into the query so the uint8 codes
+    stay the only big gathered operand (4x less HBM traffic than f32).
+    """
+
+    vectors: jax.Array    # [N_cap, D] storage dtype (f32/bf16/u8 codes)
+    norms_sq: jax.Array   # [N_cap] f32 (of the *effective* vectors)
     valid: jax.Array      # [N_cap] bool (allocated and not tombstoned)
     nbrs: jax.Array       # [N_cap, M2] int32, -1 padded
     nbr_dists: jax.Array  # [N_cap, M2] f32, MASKED padded
     nbr_count: jax.Array  # [N_cap] int32
+    scale: Optional[jax.Array] = None   # [D] f32 (SQ8 dequant scale)
+    offset: Optional[jax.Array] = None  # [D] f32 (SQ8 dequant offset)
 
 
 def graph_init(capacity: int, dim: int, m2: int, dtype=jnp.float32) -> GraphState:
@@ -61,6 +71,15 @@ def graph_init(capacity: int, dim: int, m2: int, dtype=jnp.float32) -> GraphStat
     )
 
 
+def gather_vectors_f32(state: GraphState, rows: jax.Array) -> jax.Array:
+    """Gather rows as effective f32 vectors (dequantized when the
+    state is SQ8-coded). rows [...]-shaped -> [..., D] f32."""
+    v = jnp.take(state.vectors, rows, axis=0)
+    if state.scale is not None:
+        return v.astype(jnp.float32) * state.scale + state.offset
+    return v.astype(jnp.float32)
+
+
 def _gather_dist(
     state: GraphState, queries_f32: jax.Array, qn: jax.Array, rows: jax.Array
 ) -> jax.Array:
@@ -68,13 +87,25 @@ def _gather_dist(
 
     queries_f32 [B, D], qn [B, 1] = |q|^2, rows [B, R] -> [B, R] f32
     (L2 squared; out-of-range/-1 rows get garbage — mask outside).
+
+    SQ8 states fold the dequant affine into the query:
+    q.(c*s + o) = (q*s).c + q.o — the codes are never dequantized in
+    HBM, only the [B, R] inner products are materialized.
     """
     safe = jnp.maximum(rows, 0)
-    vecs = jnp.take(state.vectors, safe, axis=0).astype(jnp.float32)  # [B,R,D]
+    vecs = jnp.take(state.vectors, safe, axis=0)  # [B,R,D] storage dtype
     vn = jnp.take(state.norms_sq, safe, axis=0)  # [B, R]
-    ip = jnp.einsum(
-        "bd,brd->br", queries_f32, vecs, preferred_element_type=jnp.float32
-    )
+    if state.scale is not None:
+        qs = queries_f32 * state.scale[None, :]
+        ip = jnp.einsum(
+            "bd,brd->br", qs, vecs.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) + (queries_f32 @ state.offset)[:, None]
+    else:
+        ip = jnp.einsum(
+            "bd,brd->br", queries_f32, vecs.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
     return jnp.maximum(qn - 2.0 * ip + vn, 0.0)
 
 
@@ -91,13 +122,19 @@ def entry_candidates(
     (reference: arrow_hnsw.go:874-885) with a single MXU op.
     Returns (dist [B, n_entry], rows [B, n_entry]).
     """
-    svecs = jnp.take(state.vectors, sample_rows, axis=0).astype(jnp.float32)
+    svecs = jnp.take(state.vectors, sample_rows, axis=0)
     svn = jnp.take(state.norms_sq, sample_rows, axis=0)
     svalid = jnp.take(state.valid, sample_rows, axis=0)
+    if state.scale is not None:
+        q_eff = queries_f32 * state.scale[None, :]
+        bias = (queries_f32 @ state.offset)[:, None]
+    else:
+        q_eff = queries_f32
+        bias = 0.0
     ip = jax.lax.dot_general(
-        queries_f32, svecs, (((1,), (1,)), ((), ())),
+        q_eff, svecs.astype(jnp.float32), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ) + bias
     dist = jnp.maximum(qn - 2.0 * ip + svn[None, :], 0.0)
     dist = jnp.where(svalid[None, :], dist, MASKED)
     neg, pos = jax.lax.top_k(-dist, n_entry)

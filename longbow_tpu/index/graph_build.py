@@ -28,7 +28,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from longbow_tpu.index.graph import GraphState, beam_search
+from longbow_tpu.index.graph import (
+    GraphState,
+    beam_search,
+    gather_vectors_f32,
+)
 from longbow_tpu.ops.distance import MASKED
 
 _BIG = jnp.float32(3.0e38)
@@ -112,7 +116,7 @@ def insert_batch(
     m2 = state.nbrs.shape[1]
     d = state.vectors.shape[1]
 
-    q = jnp.take(state.vectors, new_rows, axis=0).astype(jnp.float32)
+    q = gather_vectors_f32(state, new_rows)
 
     # -- 1. candidates from the existing graph --
     gd, gi = beam_search(
@@ -146,9 +150,7 @@ def insert_batch(
     cand_d = -neg
     cand_i = jnp.take_along_axis(all_i, pos, axis=1)
 
-    cand_vecs = jnp.take(
-        state.vectors, jnp.maximum(cand_i, 0), axis=0
-    ).astype(jnp.float32)
+    cand_vecs = gather_vectors_f32(state, jnp.maximum(cand_i, 0))
 
     # -- 2. diverse neighbor selection --
     sel_rows, sel_dists = select_neighbors_heuristic(
@@ -307,6 +309,27 @@ def _prune_chunk(cand_i, cand_d, cand_vecs, m):
     return select_neighbors_heuristic(cand_i, cand_d, cand_vecs, m)
 
 
+def _densified(state: GraphState) -> GraphState:
+    """SQ8-coded state -> transient bf16 dense state for bulk builds
+    (graph construction wants the fused bf16 scan; costs 2 bytes/dim/row
+    for the duration of the build, freed when it returns)."""
+    if state.scale is None:
+        return state
+    dense = (
+        state.vectors.astype(jnp.float32) * state.scale + state.offset
+    ).astype(jnp.bfloat16)
+    return state._replace(vectors=dense, scale=None, offset=None)
+
+
+def _reattach_codes(orig: GraphState, built: GraphState) -> GraphState:
+    """Put the original SQ8 codes back on the built state. Keep
+    `built`'s non-vector buffers: the build may have donated the shared
+    norms/valid/adjacency buffers, so `orig`'s copies are dead."""
+    return built._replace(
+        vectors=orig.vectors, scale=orig.scale, offset=orig.offset
+    )
+
+
 def bulk_build_edges(
     state: GraphState,
     n: int,
@@ -325,6 +348,14 @@ def bulk_build_edges(
        (forward + incoming) — the fixed-shape, sort-based equivalent of
        HNSW's bidirectional linking + pruning.
     """
+    if state.scale is not None:
+        return _reattach_codes(
+            state,
+            bulk_build_edges(
+                _densified(state), n, m=m, m_max=m_max,
+                knn_k=knn_k, chunk_b=chunk_b,
+            ),
+        )
     knn_d, knn_i = _chunked_self_knn(
         state.vectors, state.norms_sq, state.valid, n, knn_k, chunk_b
     )
@@ -505,9 +536,36 @@ def bulk_build_clustered(
     nn_descent_rounds: int = 2,
 ) -> GraphState:
     """Cluster-blocked kNN-graph build for large corpora."""
+    if state.scale is not None:
+        return _reattach_codes(
+            state,
+            bulk_build_clustered(
+                _densified(state), n, m=m, m_max=m_max, knn_k=knn_k,
+                n_clusters=n_clusters, probes=probes,
+                train_sample=train_sample, prune_chunk=prune_chunk,
+                nn_descent_rounds=nn_descent_rounds,
+            ),
+        )
     if n_clusters <= 0:
         n_clusters = max(64, min(4096, n // 1024))
     d = state.vectors.shape[1]
+
+    import os
+    import time as _t
+
+    _dbg = os.environ.get("LONGBOW_BUILD_DEBUG") == "1"
+    _t0 = _t.time()
+
+    def _stage(label):
+        nonlocal _t0
+        if _dbg:
+            jax.block_until_ready(state.vectors)
+            now = _t.time()
+            print(
+                f"[build {n}] {label}: {now - _t0:.1f}s",
+                file=__import__("sys").stderr, flush=True,
+            )
+            _t0 = now
 
     # -- 1. centroids on a strided sample --
     s = min(train_sample, n)
@@ -516,6 +574,7 @@ def bulk_build_clustered(
     init = kmeans_init(sample[None], n_clusters, 0)
     cent, _ = lloyd(sample[None], init, n_iters=8)
     cent = cent[0]  # [C, D]
+    _stage("kmeans")
 
     # -- 2. assign + bucket (host-side bookkeeping) --
     cid = _assign_clusters(state.vectors, state.norms_sq, cent, n)
@@ -532,6 +591,8 @@ def bulk_build_clustered(
     for c in range(n_clusters):
         rows_c = order[starts[c] : starts[c] + counts[c]]
         bucket_rows[c, : counts[c]] = rows_c
+
+    _stage("assign+bucket")
 
     # -- 3. T nearest clusters per cluster (centroid space) --
     cc = jnp.sum(cent * cent, axis=1)
@@ -578,6 +639,8 @@ def bulk_build_clustered(
     kd, ki = all_clusters(
         jnp.asarray(bucket_rows), jnp.asarray(cand_rows), knn_k
     )  # [C, cap, kk]
+    kd.block_until_ready()
+    _stage("per-cell knn")
 
     # -- 5. scatter per-row candidate lists back to row order --
     flat_rows = bucket_rows.reshape(-1)
@@ -590,10 +653,15 @@ def bulk_build_clustered(
     knn_d_j = jnp.asarray(knn_d)
     knn_i_j = jnp.asarray(knn_i)
 
+    _stage("scatter-back")
+
     # -- 5b. NN-descent repair of cell-coverage holes --
     knn_d_j, knn_i_j = nn_descent_refine(
         state, knn_d_j, knn_i_j, n, rounds=nn_descent_rounds
     )
+
+    knn_d_j.block_until_ready()
+    _stage("nn-descent")
 
     # -- 6. prune + symmetrize (same tail as the exact build) --
     fwd_rows = []
@@ -609,7 +677,12 @@ def bulk_build_clustered(
         fwd_dists.append(sd)
     fwd_rows = jnp.concatenate(fwd_rows)[:n]
     fwd_dists = jnp.concatenate(fwd_dists)[:n]
-    return _symmetrize_and_store(state, fwd_rows, fwd_dists, n, m_max=m_max)
+    fwd_rows.block_until_ready()
+    _stage("prune")
+    out = _symmetrize_and_store(state, fwd_rows, fwd_dists, n, m_max=m_max)
+    out.nbrs.block_until_ready()
+    _stage("symmetrize")
+    return out
 
 
 def _reverse_lists(

@@ -47,7 +47,16 @@ class HNSWConfig:
 
 
 class HNSWIndex:
-    """Approximate k-NN graph index with tombstones and filtered search."""
+    """Approximate k-NN graph index with tombstones and filtered search.
+
+    storage="sq8" stores per-dim affine uint8 codes as the graph's
+    vector payload — the equal-memory quantized-graph config (reference:
+    SQ8 inside HNSW, arrow_hnsw.go:94, quantization_integration.go).
+    Traversal gathers 1-byte codes (4x less HBM traffic than f32) and
+    folds the dequant affine into the query; the quantizer trains on
+    the first add batch (reference trains at threshold 5000 on data
+    that arrived earlier — here the first batch is the training set).
+    """
 
     def __init__(
         self,
@@ -56,6 +65,8 @@ class HNSWIndex:
         config: Optional[HNSWConfig] = None,
         dtype=jnp.float32,
         capacity: int = MIN_CAPACITY,
+        mips_bound: Optional[float] = None,
+        storage: str = "dense",
     ):
         self.dim = dim
         self.metric = Metric.validate(metric)
@@ -63,14 +74,23 @@ class HNSWIndex:
         # [x, sqrt(M^2 - |x|^2)] and queries [q, 0]; argmax q.x ==
         # argmin L2 on the augmented space (standard MIPS-to-NN
         # reduction), so the L2 graph machinery serves dot unchanged.
+        # mips_bound pre-sets the M^2 bound so several sub-indexes can
+        # share one global bound (distances stay comparable across
+        # shards in a collective merge).
         self._mips = self.metric == Metric.DOT
-        self._mips_msq = 0.0  # running max |x|^2 (fixed after first add)
+        self._mips_msq = float(mips_bound or 0.0)  # max |x|^2 bound
         self.config = config or HNSWConfig()
         self.dtype = dtype
+        if storage not in ("dense", "sq8"):
+            raise ValueError("storage must be dense|sq8")
+        self.storage = storage
         self.count = 0
         cap = pad_to(capacity, MIN_CAPACITY)
         store_dim = dim + 1 if self._mips else dim
-        self.state = graph_init(cap, store_dim, self.config.m_max, dtype)
+        self.state = graph_init(
+            cap, store_dim, self.config.m_max,
+            jnp.uint8 if storage == "sq8" else dtype,
+        )
         self._pending: list[np.ndarray] = []  # rows stored, not yet linked
         self._sample_dirty = True
         self._sample_rows = jnp.zeros((1,), jnp.int32)
@@ -92,7 +112,7 @@ class HNSWIndex:
             return
         pad = new_cap - self.capacity
         s = self.state
-        self.state = GraphState(
+        self.state = s._replace(
             vectors=jnp.pad(s.vectors, ((0, pad), (0, 0))),
             norms_sq=jnp.pad(s.norms_sq, (0, pad)),
             valid=jnp.pad(s.valid, (0, pad)),
@@ -138,7 +158,7 @@ class HNSWIndex:
         if self._mips:
             nsq = np.sum(vecs.astype(np.float64) ** 2, axis=1)
             mx = float(nsq.max())
-            if self.count == 0:
+            if self.count == 0 and self._mips_msq == 0.0:
                 self._mips_msq = mx * 1.5  # headroom for later adds
             elif mx > self._mips_msq:
                 raise ValueError(
@@ -150,12 +170,33 @@ class HNSWIndex:
             jv = jnp.concatenate(
                 [jv, jnp.asarray(aug, jnp.float32)[:, None]], axis=1
             )
-        norms = squared_norms(jv)
+        if self.storage == "sq8":
+            if self.state.scale is None:
+                lo = jnp.min(jv, axis=0)
+                hi = jnp.max(jv, axis=0)
+                self.state = self.state._replace(
+                    scale=jnp.maximum(hi - lo, 1e-12) / 255.0, offset=lo
+                )
+            store = jnp.clip(
+                jnp.round(
+                    (jv - self.state.offset) / self.state.scale
+                ), 0, 255,
+            ).astype(jnp.uint8)
+            # norms of the *dequantized* vectors: distances computed
+            # from codes must see consistent |v|^2
+            deq = (
+                store.astype(jnp.float32) * self.state.scale
+                + self.state.offset
+            )
+            norms = squared_norms(deq)
+        else:
+            store = jv.astype(self.dtype)
+            norms = squared_norms(jv)
         s = self.state
         start = self.count
         self.state = s._replace(
             vectors=jax.lax.dynamic_update_slice(
-                s.vectors, jv.astype(self.dtype), (start, 0)
+                s.vectors, store, (start, 0)
             ),
             norms_sq=jax.lax.dynamic_update_slice(s.norms_sq, norms, (start,)),
             valid=jax.lax.dynamic_update_slice(
@@ -176,10 +217,9 @@ class HNSWIndex:
             kk = min(64, max(self.config.m * 2, 16))
             import jax as _jax
 
-            fused_ok = (
-                _jax.default_backend() in ("tpu", "axon")
-                and self.dtype == jnp.bfloat16
-            )
+            fused_ok = _jax.default_backend() in ("tpu", "axon") and (
+                self.dtype == jnp.bfloat16 or self.storage == "sq8"
+            )  # sq8 builds densify to bf16 internally
             exact_limit = 2_000_000 if fused_ok else 150_000
             if n >= exact_limit:
                 from longbow_tpu.index.graph_build import (
@@ -280,12 +320,11 @@ class HNSWIndex:
     # ------------------------------------------------------------------
 
     def get_vectors(self, rows: np.ndarray) -> np.ndarray:
-        """Original-dimension vectors (strips the MIPS augmentation)."""
-        out = np.asarray(
-            jnp.take(self.state.vectors, jnp.asarray(rows), axis=0).astype(
-                jnp.float32
-            )
-        )
+        """Original-dimension vectors (strips the MIPS augmentation;
+        dequantized for SQ8 storage)."""
+        from longbow_tpu.index.graph import gather_vectors_f32
+
+        out = np.asarray(gather_vectors_f32(self.state, jnp.asarray(rows)))
         return out[:, : self.dim]
 
     def exact_search(self, queries, k: int, *, filter_mask=None):
@@ -298,10 +337,16 @@ class HNSWIndex:
             q_np = np.concatenate(
                 [q_np, np.zeros((q_np.shape[0], 1), np.float32)], axis=1
             )
+        corpus = self.state.vectors
+        if self.state.scale is not None:  # sq8: transient dequant
+            corpus = (
+                corpus.astype(jnp.float32) * self.state.scale
+                + self.state.offset
+            ).astype(jnp.bfloat16)
         valid = self.state.valid
         d, r = _ex(
             jnp.asarray(q_np),
-            self.state.vectors,
+            corpus,
             k,
             Metric.L2 if (self._mips or self.metric == Metric.COSINE)
             else self.metric,
@@ -321,23 +366,34 @@ class HNSWIndex:
     def export_state(self) -> dict:
         n = self.count
         s = self.state
-        return {
+        st = {
             "kind": "hnsw",
             "dim": self.dim,
             "metric": self.metric,
             "dtype": str(jnp.dtype(self.dtype)),
+            "storage": self.storage,
             "count": n,
             "m": self.config.m,
             "m_max": self.config.m_max,
             "ef_construction": self.config.ef_construction,
             "ef_search": self.config.ef_search,
-            "vectors": np.asarray(s.vectors[:n]),
+            "mips_msq": self._mips_msq,
+            "vectors": (
+                np.asarray(s.vectors[:n])
+                if self.storage == "sq8"
+                # f32 in the archive: bf16 doesn't survive np.save
+                else np.asarray(s.vectors[:n]).astype(np.float32)
+            ),
             "norms_sq": np.asarray(s.norms_sq[:n]),
             "valid": np.asarray(s.valid[:n]),
             "nbrs": np.asarray(s.nbrs[:n]),
             "nbr_dists": np.asarray(s.nbr_dists[:n]),
             "nbr_count": np.asarray(s.nbr_count[:n]),
         }
+        if s.scale is not None:
+            st["sq8_scale"] = np.asarray(s.scale)
+            st["sq8_offset"] = np.asarray(s.offset)
+        return st
 
     @classmethod
     def import_state(cls, st: dict) -> "HNSWIndex":
@@ -346,10 +402,15 @@ class HNSWIndex:
             ef_construction=st["ef_construction"],
             ef_search=st["ef_search"],
         )
+        storage = st.get("storage", "dense")
         idx = cls(
             st["dim"], st["metric"], cfg, jnp.dtype(st["dtype"]),
             capacity=max(MIN_CAPACITY, st["count"]),
+            storage=storage,
         )
+        # restore the MIPS augmentation bound: without it a dot-metric
+        # index reports wrong inner products and rejects all later adds
+        idx._mips_msq = float(st.get("mips_msq", 0.0))
         n = st["count"]
         if n:
             cap = idx.capacity
@@ -363,12 +424,24 @@ class HNSWIndex:
                 return jnp.asarray(out)
 
             idx.state = GraphState(
-                vectors=place(st["vectors"], 0, st["vectors"].dtype),
+                vectors=place(
+                    st["vectors"], 0,
+                    np.uint8 if storage == "sq8"
+                    else jnp.dtype(st["dtype"]),
+                ),
                 norms_sq=place(st["norms_sq"], 0, np.float32),
                 valid=place(st["valid"], False, bool),
                 nbrs=place(st["nbrs"], -1, np.int32),
                 nbr_dists=place(st["nbr_dists"], float(MASKED), np.float32),
                 nbr_count=place(st["nbr_count"], 0, np.int32),
+                scale=(
+                    jnp.asarray(st["sq8_scale"])
+                    if "sq8_scale" in st else None
+                ),
+                offset=(
+                    jnp.asarray(st["sq8_offset"])
+                    if "sq8_offset" in st else None
+                ),
             )
             idx.count = n
             idx._sample_dirty = True

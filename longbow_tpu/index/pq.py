@@ -25,6 +25,29 @@ import numpy as np
 from longbow_tpu.ops.distance import MASKED, Metric
 from longbow_tpu.ops.kmeans import kmeans_init, lloyd
 
+MIN_CAPACITY = 4096
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _pq_append(codes, valid, new_codes, row):
+    n = new_codes.shape[0]
+    codes = jax.lax.dynamic_update_slice(codes, new_codes, (row, 0))
+    valid = jax.lax.dynamic_update_slice(
+        valid, jnp.ones((n,), bool), (row,)
+    )
+    return codes, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _pq_append_rr(codes, valid, rr, new_codes, new_rr, row):
+    n = new_codes.shape[0]
+    codes = jax.lax.dynamic_update_slice(codes, new_codes, (row, 0))
+    valid = jax.lax.dynamic_update_slice(
+        valid, jnp.ones((n,), bool), (row,)
+    )
+    rr = jax.lax.dynamic_update_slice(rr, new_rr, (row, 0))
+    return codes, valid, rr
+
 
 @functools.partial(jax.jit, static_argnames=())
 def _encode(subvecs: jax.Array, codebooks: jax.Array) -> jax.Array:
@@ -39,7 +62,7 @@ def _encode(subvecs: jax.Array, codebooks: jax.Array) -> jax.Array:
     return assign.astype(jnp.uint8).T
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "metric"))
 def _adc_search(
     codes: jax.Array,      # [N, M] uint8
     codebooks: jax.Array,  # [M, 256, dsub]
@@ -47,20 +70,28 @@ def _adc_search(
     valid: jax.Array,      # [N] bool
     k: int,
     chunk: int = 262144,
+    metric: str = Metric.L2,
 ) -> tuple[jax.Array, jax.Array]:
-    """Asymmetric-distance scan -> approximate (dist [B,k], idx [B,k])."""
+    """Asymmetric-distance scan -> approximate (dist [B,k], idx [B,k]).
+
+    For the dot metric the LUT holds negated per-subspace inner
+    products (sum_m q_m . c_m = q . v_hat) — PQ serves MIPS natively,
+    no augmentation needed."""
     b, d = queries.shape
     m, n_cent, dsub = codebooks.shape
     n = codes.shape[0]
 
     qs = queries.reshape(b, m, dsub)
-    # per-query LUT: dist(q_m, centroid_j) for all m, j  [B, M, 256]
+    # per-query LUT over centroids  [B, M, 256]
     ip = jnp.einsum(
         "bmd,mkd->bmk", qs, codebooks, preferred_element_type=jnp.float32
     )
-    qn = jnp.sum(qs * qs, axis=2)[:, :, None]
-    cn = jnp.sum(codebooks * codebooks, axis=2)[None, :, :]
-    lut = qn - 2.0 * ip + cn  # [B, M, 256]
+    if metric == Metric.DOT:
+        lut = -ip  # smaller-is-better convention
+    else:
+        qn = jnp.sum(qs * qs, axis=2)[:, :, None]
+        cn = jnp.sum(codebooks * codebooks, axis=2)[None, :, :]
+        lut = qn - 2.0 * ip + cn  # [B, M, 256]
 
     n_chunks = -(-n // chunk)
     n_pad = n_chunks * chunk
@@ -123,8 +154,6 @@ class PQIndex:
         self.m = m
         self.dsub = dim // m
         self.metric = Metric.validate(metric)
-        if self.metric == Metric.DOT:
-            raise NotImplementedError("PQ dot-metric needs MIPS transform")
         self.rerank = rerank
         self.rerank_factor = rerank_factor
         import jax.numpy as _jnp
@@ -154,6 +183,31 @@ class PQIndex:
         init = kmeans_init(sub, 256, seed)
         self.codebooks, _ = lloyd(sub, init, self.train_iters)
 
+    @property
+    def capacity(self) -> int:
+        return 0 if self.codes is None else self.codes.shape[0]
+
+    def _grow_to(self, need: int) -> None:
+        cap = max(self.capacity, MIN_CAPACITY)
+        while cap < need:
+            cap *= 2
+        if self.codes is None:
+            self.codes = jnp.zeros((cap, self.m), jnp.uint8)
+            self.valid = jnp.zeros((cap,), bool)
+            if self.rerank:
+                self.rerank_vectors = jnp.zeros(
+                    (cap, self.dim), self.rerank_dtype
+                )
+        elif cap > self.capacity:
+            pad = cap - self.capacity
+            self.codes = jnp.pad(self.codes, ((0, pad), (0, 0)))
+            self.valid = jnp.pad(self.valid, (0, pad))
+            if self.rerank:
+                self.rerank_vectors = jnp.pad(
+                    self.rerank_vectors, ((0, pad), (0, 0))
+                )
+        return None
+
     def add(self, vecs: np.ndarray) -> np.ndarray:
         if not self.is_trained:
             self.train(vecs)
@@ -161,18 +215,18 @@ class PQIndex:
         sub = v.reshape(-1, self.m, self.dsub).transpose(1, 0, 2)
         codes = _encode(sub, self.codebooks)
         n = codes.shape[0]
-        if self.codes is None:
-            self.codes = codes
-            self.valid = jnp.ones((n,), bool)
-            if self.rerank:
-                self.rerank_vectors = v.astype(self.rerank_dtype)
+        # donated in-place appends into capacity-doubled buffers — no
+        # O(N) concatenate / 2x HBM spike per batch
+        self._grow_to(self.count + n)
+        if self.rerank:
+            self.codes, self.valid, self.rerank_vectors = _pq_append_rr(
+                self.codes, self.valid, self.rerank_vectors,
+                codes, v.astype(self.rerank_dtype), self.count,
+            )
         else:
-            self.codes = jnp.concatenate([self.codes, codes])
-            self.valid = jnp.concatenate([self.valid, jnp.ones((n,), bool)])
-            if self.rerank:
-                self.rerank_vectors = jnp.concatenate(
-                    [self.rerank_vectors, v.astype(self.rerank_dtype)]
-                )
+            self.codes, self.valid = _pq_append(
+                self.codes, self.valid, codes, self.count
+            )
         rows = np.arange(self.count, self.count + n, dtype=np.int64)
         self.count += n
         return rows
@@ -207,19 +261,25 @@ class PQIndex:
 
         kk = k * self.rerank_factor if self.rerank else k
         kk = min(kk, self.count)
-        d, i = _adc_search(self.codes, self.codebooks, queries, valid, kk)
+        d, i = _adc_search(
+            self.codes, self.codebooks, queries, valid, kk,
+            metric=self.metric,
+        )
         if not self.rerank:
             return d[:, :k], i[:, :k]
-        # exact re-rank of ADC candidates on stored bf16 vectors
+        # exact re-rank of ADC candidates on stored full vectors
         cand = jnp.take(
             self.rerank_vectors, jnp.maximum(i, 0), axis=0
         ).astype(jnp.float32)  # [B, kk, D]
         ip = jnp.einsum(
             "bd,bkd->bk", queries, cand, preferred_element_type=jnp.float32
         )
-        qn = jnp.sum(queries * queries, axis=1, keepdims=True)
-        cn = jnp.sum(cand * cand, axis=2)
-        ed = jnp.maximum(qn - 2.0 * ip + cn, 0.0)
+        if self.metric == Metric.DOT:
+            ed = -ip
+        else:
+            qn = jnp.sum(queries * queries, axis=1, keepdims=True)
+            cn = jnp.sum(cand * cand, axis=2)
+            ed = jnp.maximum(qn - 2.0 * ip + cn, 0.0)
         ed = jnp.where(d < MASKED, ed, MASKED)
         neg, pos = jax.lax.top_k(-ed, k)
         return -neg, jnp.take_along_axis(i, pos, axis=1)

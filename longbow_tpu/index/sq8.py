@@ -15,9 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from longbow_tpu.ops.distance import MASKED, Metric
+from longbow_tpu.ops.distance import MASKED, Metric, pad_to
 
 SQ8_TRAIN_THRESHOLD = 5000  # reference: arrow_hnsw.go:94
+MIN_CAPACITY = 4096
 
 
 @jax.jit
@@ -27,8 +28,26 @@ def _quantize(vecs: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
     return jnp.clip(q, 0, 255).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _sq8_append(codes, norms, valid, new_codes, new_norms, row):
+    """In-place append at [row, row+n) — donated buffers, no O(N)
+    copy/2x-HBM spike (same machinery as FlatIndex._append_block)."""
+    n = new_codes.shape[0]
+    codes = jax.lax.dynamic_update_slice(codes, new_codes, (row, 0))
+    norms = jax.lax.dynamic_update_slice(norms, new_norms, (row,))
+    valid = jax.lax.dynamic_update_slice(
+        valid, jnp.ones((n,), bool), (row,)
+    )
+    return codes, norms, valid
+
+
 class SQ8Index:
-    """int8-quantized flat index with exact-style scan."""
+    """int8-quantized flat index with exact-style scan.
+
+    Arrays are padded to a power-of-two capacity that doubles on
+    demand; appends are donated in-place slice updates (mutation at
+    O(batch), not O(N) — reference appends into arena chunks,
+    types/graph_data.go:218)."""
 
     def __init__(self, dim: int, metric: str = Metric.L2):
         self.dim = dim
@@ -44,6 +63,10 @@ class SQ8Index:
     def is_trained(self) -> bool:
         return self.lo is not None
 
+    @property
+    def capacity(self) -> int:
+        return 0 if self.codes is None else self.codes.shape[0]
+
     def _prep(self, vecs) -> jax.Array:
         v = jnp.asarray(np.ascontiguousarray(vecs, np.float32))
         if self.metric == Metric.COSINE:
@@ -56,6 +79,20 @@ class SQ8Index:
         self.lo = jnp.min(v, axis=0)
         self.hi = jnp.max(v, axis=0)
 
+    def _grow_to(self, need: int) -> None:
+        cap = max(self.capacity, MIN_CAPACITY)
+        while cap < need:
+            cap *= 2
+        if self.codes is None:
+            self.codes = jnp.zeros((cap, self.dim), jnp.uint8)
+            self.norms_sq = jnp.zeros((cap,), jnp.float32)
+            self.valid = jnp.zeros((cap,), bool)
+        elif cap > self.capacity:
+            pad = cap - self.capacity
+            self.codes = jnp.pad(self.codes, ((0, pad), (0, 0)))
+            self.norms_sq = jnp.pad(self.norms_sq, (0, pad))
+            self.valid = jnp.pad(self.valid, (0, pad))
+
     def add(self, vecs: np.ndarray) -> np.ndarray:
         if not self.is_trained:
             self.train(vecs)
@@ -64,13 +101,10 @@ class SQ8Index:
         deq = self._dequant(codes)
         norms = jnp.sum(deq * deq, axis=1)
         n = codes.shape[0]
-        if self.codes is None:
-            self.codes, self.norms_sq = codes, norms
-            self.valid = jnp.ones((n,), bool)
-        else:
-            self.codes = jnp.concatenate([self.codes, codes])
-            self.norms_sq = jnp.concatenate([self.norms_sq, norms])
-            self.valid = jnp.concatenate([self.valid, jnp.ones((n,), bool)])
+        self._grow_to(self.count + n)
+        self.codes, self.norms_sq, self.valid = _sq8_append(
+            self.codes, self.norms_sq, self.valid, codes, norms, self.count
+        )
         rows = np.arange(self.count, self.count + n, dtype=np.int64)
         self.count += n
         return rows

@@ -74,9 +74,14 @@ def _sharded_graph_search(
 
 class ShardedGraphIndex:
     """Graph ANN over a row-sharded corpus: per-shard sub-graphs,
-    collective top-k merge. Built from the full corpus in one call
-    (per-shard bulk builds); incremental adds go to the least-loaded
-    shard's sub-graph and are folded in on the next build() call."""
+    collective top-k merge.
+
+    Live ingest after build() is O(batch): new vectors land in an
+    interim exact segment (a FlatIndex) that every search merges with
+    the graph results — the reference's interim-sharding dual-read
+    (docs/autoshard.md:16-36, hnsw_autoshard.go:49). The interim folds
+    into the sharded graphs on the next build()/fold_interim() call, or
+    automatically when it outgrows `fold_ratio` of the corpus."""
 
     def __init__(
         self,
@@ -85,6 +90,7 @@ class ShardedGraphIndex:
         metric: str = Metric.L2,
         config: Optional[HNSWConfig] = None,
         dtype=jnp.float32,
+        fold_ratio: float = 0.25,
     ):
         self.dim = dim
         self.mesh = mesh
@@ -92,25 +98,48 @@ class ShardedGraphIndex:
         self.metric = Metric.validate(metric)
         self.config = config or HNSWConfig()
         self.dtype = dtype
+        self.fold_ratio = fold_ratio
         self._built = False
         self._vectors_host: list[np.ndarray] = []
         self.shard_rows = 0
         self.count = 0
+        self.built_count = 0  # rows covered by the sharded graphs
+        self._interim: Optional[object] = None  # FlatIndex over the tail
+        # dot metric: ONE global MIPS augmentation bound shared by all
+        # shards — per-shard bounds would make augmented-L2 distances
+        # incomparable in the all_gather merge
+        self._mips_msq = 0.0
 
     def __len__(self) -> int:
         return self.count
 
     def add(self, vecs: np.ndarray) -> np.ndarray:
-        """Stage vectors; returns global rows (valid after build()).
-        Rows are striped: row i of the final corpus goes to shard
-        i % n_shards at local position i // n_shards."""
+        """Stage vectors; returns global corpus rows. Before the first
+        build, rows become valid on build(); after it, rows serve
+        immediately from the interim segment (O(batch), no rebuild)."""
+        from longbow_tpu.index.flat import FlatIndex
+
         vecs = np.ascontiguousarray(np.atleast_2d(vecs), np.float32)
         start = self.count
         self._vectors_host.append(vecs)
         self.count += len(vecs)
-        self._built = False
-        # global rows are assigned at build time by stripe position
+        if self._built:
+            if self._interim is None:
+                self._interim = FlatIndex(self.dim, self.metric, jnp.float32)
+            self._interim.add(vecs)
+            if (
+                self.count - self.built_count
+                > max(self.fold_ratio * self.built_count, 4096)
+            ):
+                self.build()  # fold the interim into the shard graphs
         return np.arange(start, start + len(vecs), dtype=np.int64)
+
+    def fold_interim(self) -> None:
+        """Fold interim rows into the sharded graphs (full rebuild —
+        callers run this in the background, like the reference's
+        autoshard migration)."""
+        if self.count > self.built_count:
+            self.build()
 
     def build(self) -> None:
         """Build per-shard sub-graphs and assemble sharded arrays."""
@@ -119,11 +148,17 @@ class ShardedGraphIndex:
         subs = [allv[j::s] for j in range(s)]
         per = max(len(x) for x in subs)
 
+        mips_bound = None
+        if self.metric == Metric.DOT:
+            nsq = np.sum(allv.astype(np.float64) ** 2, axis=1)
+            mips_bound = float(nsq.max()) * 1.5
+            self._mips_msq = mips_bound
+
         shards = []
         for j in range(s):
             idx = HNSWIndex(
                 self.dim, self.metric, self.config, self.dtype,
-                capacity=max(4096, per),
+                capacity=max(4096, per), mips_bound=mips_bound,
             )
             idx.add(subs[j])
             shards.append(idx)
@@ -174,6 +209,13 @@ class ShardedGraphIndex:
             )
         self.samples = jax.device_put(jnp.asarray(samples), sh2)
         self._built = True
+        self.built_count = self.count
+        self._interim = None  # folded in
+        # re-apply tombstones (the rebuild resurrects deleted rows)
+        dead = sorted(getattr(self, "_deleted", ()))
+        if dead:
+            g = self.corpus_to_global(np.asarray(dead, np.int64))
+            self.valid = self.valid.at[jnp.asarray(g)].set(False)
 
     def global_to_corpus(self, rows: np.ndarray) -> np.ndarray:
         """Sharded global rows -> original corpus row ids (stripe)."""
@@ -181,10 +223,39 @@ class ShardedGraphIndex:
         local = rows % self.shard_rows
         return local * self.n_shards + shard
 
+    def corpus_to_global(self, rows: np.ndarray) -> np.ndarray:
+        """Original corpus rows -> sharded global rows (stripe)."""
+        shard = rows % self.n_shards
+        local = rows // self.n_shards
+        return shard * self.shard_rows + local
+
+    def delete_rows(self, rows: np.ndarray) -> None:
+        """Tombstone corpus rows — in the shard graphs and/or the
+        interim segment; re-applied after every fold/rebuild."""
+        rows = np.asarray(rows, np.int64).reshape(-1)
+        if not hasattr(self, "_deleted"):
+            self._deleted = set()
+        self._deleted.update(int(r) for r in rows)
+        if self._built:
+            in_graph = rows[rows < self.built_count]
+            if len(in_graph):
+                g = self.corpus_to_global(in_graph)
+                self.valid = self.valid.at[jnp.asarray(g)].set(False)
+            in_interim = rows[rows >= self.built_count]
+            if len(in_interim) and self._interim is not None:
+                self._interim.delete_rows(in_interim - self.built_count)
+
     def search(self, queries, k: int, *, ef_search: Optional[int] = None):
         if not self._built:
             self.build()
         q = np.atleast_2d(np.asarray(queries, np.float32))
+        q_orig = q
+        if self.metric == Metric.DOT:
+            # augment queries with the zero column so they match the
+            # [x, sqrt(M^2 - |x|^2)] rows stored in every shard
+            q = np.concatenate(
+                [q, np.zeros((q.shape[0], 1), np.float32)], axis=1
+            )
         normalize = self.metric == Metric.COSINE
         ef = max(ef_search or self.config.ef_search, k)
         d, r = _sharded_graph_search(
@@ -194,7 +265,34 @@ class ShardedGraphIndex:
             mesh=self.mesh, shard_rows=self.shard_rows,
             sample_len=self.samples.shape[1], normalize=normalize,
         )
+        d = np.asarray(d)
+        if self.metric == Metric.DOT:
+            # augmented-L2 -> raw inner product, reported as -ip
+            # (smaller-is-better convention), matching HNSWIndex.search
+            qn = np.sum(q.astype(np.float64) ** 2, axis=1)[:, None]
+            ip = (qn + self._mips_msq - d) / 2.0
+            d = np.where(d >= MASKED, d, -ip).astype(np.float32)
         r_np = np.asarray(r)
         ok = r_np >= 0
         corpus_rows = np.where(ok, self.global_to_corpus(np.maximum(r_np, 0)), -1)
-        return np.asarray(d), corpus_rows
+
+        # merge the interim exact segment (rows added after build):
+        # dual-read like the reference's interim sharding
+        # (docs/autoshard.md:23-36)
+        if self._interim is not None and len(self._interim):
+            di, ri = self._interim.search(q_orig, min(k, len(self._interim)))
+            di = np.asarray(di, np.float32)
+            ri = np.asarray(ri)
+            if self.metric == Metric.COSINE:
+                # FlatIndex cosine reports -cos; the graph reports L2^2
+                # on normalized vectors (= 2 - 2cos). Align conventions.
+                di = np.where(di >= MASKED, di, 2.0 + 2.0 * di)
+            ci = np.where(
+                (ri >= 0) & (di < MASKED), ri + self.built_count, -1
+            )
+            d_all = np.concatenate([d, di], axis=1)
+            r_all = np.concatenate([corpus_rows, ci], axis=1)
+            order = np.argsort(d_all, axis=1)[:, :k]
+            d = np.take_along_axis(d_all, order, axis=1)
+            corpus_rows = np.take_along_axis(r_all, order, axis=1)
+        return d, corpus_rows

@@ -33,9 +33,15 @@ class ColumnStore:
     def __init__(self, capacity: int):
         self.capacity = capacity
         self.count = 0
-        self._numeric: dict[str, jax.Array] = {}   # f32/i64 device cols
+        self._numeric: dict[str, jax.Array] = {}   # f32/i32 device cols
         self._str_codes: dict[str, jax.Array] = {}  # i32 device cols
         self._str_dicts: dict[str, dict] = {}       # value -> code
+        # int64 columns whose values exceed int32 range: kept on the
+        # host at full precision (device int64 needs x64 mode); the
+        # predicate evaluates in numpy and ships ONE bool mask down —
+        # snowflake-style ids filter exactly (reference keeps true
+        # int64 columns, filter_evaluator.go)
+        self._host_numeric: dict[str, np.ndarray] = {}
 
     def _grow(self, new_cap: int) -> None:
         if new_cap <= self.capacity:
@@ -47,6 +53,9 @@ class ColumnStore:
         self._str_codes = {
             k: jnp.pad(v, (0, pad), constant_values=-1)
             for k, v in self._str_codes.items()
+        }
+        self._host_numeric = {
+            k: np.pad(v, (0, pad)) for k, v in self._host_numeric.items()
         }
         self.capacity = new_cap
 
@@ -87,16 +96,27 @@ class ColumnStore:
                     np.int64 if arr.dtype.kind in "iu" else np.float32
                 )
                 dt = jnp.int64 if vals_f.dtype == np.int64 else jnp.float32
-                # int64 device columns downcast to f32 when x64 is off;
-                # store big ints as f64-safe float32 pairs is overkill —
-                # use int32 when values fit, else float32
                 if dt == jnp.int64:
-                    if (np.abs(vals_f) < 2**31).all():
+                    if (
+                        name not in self._host_numeric
+                        and (np.abs(vals_f) < 2**31).all()
+                    ):
                         vals_f = vals_f.astype(np.int32)
                         dt = jnp.int32
                     else:
-                        vals_f = vals_f.astype(np.float32)
-                        dt = jnp.float32
+                        # exact int64 semantics via the host column
+                        col_h = self._host_numeric.get(name)
+                        if col_h is None:
+                            col_h = np.zeros((self.capacity,), np.int64)
+                            # values previously stored as int32 move over
+                            old = self._numeric.pop(name, None)
+                            if old is not None:
+                                col_h[: old.shape[0]] = np.asarray(
+                                    old, np.int64
+                                )[: self.capacity]
+                        col_h[start : start + n] = vals_f
+                        self._host_numeric[name] = col_h
+                        continue
                 col = self._numeric.get(name)
                 if col is None or col.dtype != dt:
                     base = jnp.zeros((self.capacity,), dt)
@@ -109,12 +129,66 @@ class ColumnStore:
         self.count = start + n
 
     def fields(self) -> list[str]:
-        return sorted(set(self._numeric) | set(self._str_codes))
+        return sorted(
+            set(self._numeric)
+            | set(self._str_codes)
+            | set(self._host_numeric)
+        )
+
+    # -- persistence hooks (reference snapshots full RecordBatches
+    #    including metadata columns; these carry the column state so
+    #    snapshots do too) ----------------------------------------------
+
+    def export_state(self) -> dict:
+        c = self.count
+        num = {k: np.asarray(v[:c]) for k, v in self._numeric.items()}
+        num.update({k: v[:c] for k, v in self._host_numeric.items()})
+        return {
+            "count": c,
+            "numeric": num,
+            "str_codes": {
+                k: np.asarray(v[:c]) for k, v in self._str_codes.items()
+            },
+            "str_dicts": {k: dict(v) for k, v in self._str_dicts.items()},
+        }
+
+    @classmethod
+    def import_state(cls, st: dict, capacity: int) -> "ColumnStore":
+        cs = cls(max(capacity, st["count"], 1))
+        cs.count = st["count"]
+        for k, arr in st["numeric"].items():
+            arr = np.asarray(arr)
+            if arr.dtype == np.int64:  # host-resident big-int columns
+                cs._host_numeric[k] = np.pad(
+                    arr, (0, cs.capacity - len(arr))
+                )
+                continue
+            pad = np.zeros((cs.capacity - len(arr),), arr.dtype)
+            cs._numeric[k] = jnp.asarray(np.concatenate([arr, pad]))
+        for k, arr in st["str_codes"].items():
+            arr = np.asarray(arr, np.int32)
+            pad = np.full((cs.capacity - len(arr),), -1, np.int32)
+            cs._str_codes[k] = jnp.asarray(np.concatenate([arr, pad]))
+        for k, d in st["str_dicts"].items():
+            cs._str_dicts[k] = {str(v): int(c) for v, c in d.items()}
+        return cs
 
     # ------------------------------------------------------------------
 
     def _eval_one(self, f: Filter) -> jax.Array:
         op = f.operator
+        if f.field in self._host_numeric:
+            col = self._host_numeric[f.field]
+            val = int(f.value)
+            m = {
+                "eq": col == val,
+                "neq": col != val,
+                "gt": col > val,
+                "lt": col < val,
+                "ge": col >= val,
+                "le": col <= val,
+            }[op]
+            return jnp.asarray(m)
         if f.field in self._str_codes:
             if op not in ("eq", "neq"):
                 raise ValueError(

@@ -49,6 +49,27 @@ def main(argv=None) -> int:
     except OSError as e:
         log.warning("metrics port unavailable: %s", e)
 
+    # background compaction + optional eviction (reference:
+    # CompactionWorker compaction.go:59, RecordEvictionManager
+    # record_eviction.go:79 — access stats fed from the read path)
+    from longbow_tpu.store.compaction import CompactionWorker, EvictionManager
+
+    eviction = None
+    if cfg.eviction_policy or cfg.eviction_ttl_s > 0:
+        eviction = EvictionManager(
+            policy=cfg.eviction_policy or "lru",
+            ttl_s=cfg.eviction_ttl_s or None,
+            max_rows=cfg.eviction_max_rows or None,
+        )
+        store.eviction = eviction
+    compactor = CompactionWorker(
+        store,
+        interval_s=cfg.compaction_interval_s,
+        frag_threshold=cfg.compaction_frag_threshold,
+        eviction=eviction,
+    )
+    compactor.start()
+
     middleware = MiddlewareChain(
         cfg.rate_limit_rps,
         cfg.rate_limit_burst,
@@ -90,6 +111,7 @@ def main(argv=None) -> int:
         pass
 
     log.info("stopping servers")
+    compactor.stop()
     data.shutdown()
     meta.shutdown()
     meta_thread.join(timeout=5)

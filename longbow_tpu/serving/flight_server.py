@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from typing import Optional
 
 import numpy as np
@@ -169,6 +170,7 @@ class LongbowFlightServer(flight.FlightServerBase):
         if qv.size == 0:
             raise flight.FlightServerError("search needs vector or vectors")
 
+        t_search = time.perf_counter()
         if req.text_query and 0.0 <= req.alpha < 1.0:
             ids, scores, ok = self.store.hybrid_search(
                 ds.name, qv, req.k,
@@ -185,7 +187,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                 )
         self.metrics.histogram(
             "longbow_vector_search_latency_seconds"
-        )  # observed via time_op; counter below
+        ).observe(time.perf_counter() - t_search)
         self.metrics.counter(
             "longbow_flight_operations_total", ("op",)
         ).labels(op="VectorSearch").inc()

@@ -20,6 +20,12 @@ from longbow_tpu.storage.wal import KIND_BATCH, KIND_OP, WAL
 MAX_WAL_BYTES = 100 * 1024 * 1024  # reference default MAX_WAL_SIZE
 
 
+def _dtype_name(dt) -> str:
+    import jax.numpy as jnp
+
+    return str(jnp.dtype(dt))
+
+
 def _put_table(ids, vectors: np.ndarray, columns: Optional[dict]) -> pa.Table:
     ids = np.asarray(ids)
     d = vectors.shape[1]
@@ -90,32 +96,63 @@ class StorageEngine:
     # -- snapshot / recovery ---------------------------------------------
 
     def snapshot(self, store) -> None:
-        """Dump every dataset's live rows + aux state, then truncate
-        the WAL (reference: engine.go:298-430 + TruncateWAL)."""
+        """Dump every dataset's FULL state — index arrays (graph
+        adjacency / codes / codebooks), metadata columns, id maps, LWW
+        timestamps — then truncate the WAL. Recovery imports this state
+        instead of retraining/re-linking (reference: engine.go:298-430
+        + arrow_hnsw_persistence.go + pq/persistence.go:15-38)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         blobs = {}
         for name in store.list_datasets():
             ds = store.get(name)
-            pairs = list(ds._id_to_row.items())
-            if pairs:
-                rows = np.asarray([r for _, r in pairs])
-                vecs = ds.get_vectors_by_rows(rows)
-                ids = np.asarray([u for u, _ in pairs])
-            else:
-                vecs = np.zeros((0, ds.dim), np.float32)
-                ids = np.asarray([], dtype=np.int64)
-            blobs[name] = {
-                "table": _put_table(ids, vecs, None),
-                "index_state": {},
-                "bm25": ds.bm25.export_state() if len(ds.bm25) else None,
-                "graph": (
-                    ds.graph.export_state()
-                    if ds.graph.stats()["edges"]
-                    else None
-                ),
-                "meta": {"dim": ds.dim, "metric": ds.metric},
-            }
+            with ds._lock:
+                blobs[name] = self._export_dataset(ds)
         write_snapshot(self.dir, blobs)
         self.wal.truncate()
+        from longbow_tpu.metrics import get_registry
+
+        get_registry().histogram(
+            "longbow_snapshot_duration_seconds"
+        ).observe(_time.perf_counter() - t0)
+
+    @staticmethod
+    def _export_dataset(ds) -> dict:
+        def j(u):  # np scalars -> JSON-safe python scalars
+            return u.item() if hasattr(u, "item") else u
+
+        cols = ds.columns.export_state()
+        aux = {f"colnum:{k}": v for k, v in cols["numeric"].items()}
+        aux.update({f"colstr:{k}": v for k, v in cols["str_codes"].items()})
+        return {
+            "table": None,  # vectors live in index_state, not parquet
+            "index_state": ds.index.export_state(),
+            "aux": aux,
+            "json": {
+                "row_to_id": [j(u) for u in ds._row_to_id],
+                # full LWW map, deletion markers included, so replica
+                # conflict resolution survives restarts
+                "lww": [[j(k), ts] for k, ts in ds._lww.items()],
+                "str_dicts": cols["str_dicts"],
+                "col_count": cols["count"],
+            },
+            "bm25": ds.bm25.export_state() if len(ds.bm25) else None,
+            "graph": (
+                ds.graph.export_state()
+                if ds.graph.stats()["edges"]
+                else None
+            ),
+            "meta": {
+                "version": 2,
+                "dim": ds.dim,
+                "metric": ds.metric,
+                "dtype": _dtype_name(ds.dtype),
+                "index_kind": ds.index_kind,
+                "index_params": ds.index_params,
+                "migration_threshold": ds.migration_threshold,
+            },
+        }
 
     def maybe_snapshot(self, store) -> bool:
         if self.wal.size_bytes > self.max_wal_bytes:
@@ -133,7 +170,13 @@ class StorageEngine:
         if snap:
             for name, blob in snap.items():
                 meta = blob["meta"]
-                if blob["table"].num_rows:
+                if meta.get("version", 1) >= 2 and blob["index_state"].get(
+                    "kind"
+                ):
+                    # v2: import index state directly — restart serves
+                    # identical results with no rebuild/retrain
+                    store.restore_dataset(name, blob)
+                elif blob["table"] is not None and blob["table"].num_rows:
                     ids, vecs, cols = _table_to_put(blob["table"])
                     store.put(
                         name, ids, vecs, cols,

@@ -19,24 +19,28 @@ import pyarrow.parquet as pq
 
 
 def write_snapshot(root: str | Path, datasets: dict) -> Path:
-    """datasets: {name: {"table": pa.Table, "index_state": dict,
+    """datasets: {name: {"table": pa.Table|None, "index_state": dict,
+    "aux": dict[str, np.ndarray]|None, "json": dict|None,
     "bm25": dict|None, "graph": dict|None, "meta": dict}}.
 
-    Writes to <root>/snapshot.tmp.<ts> then atomically swaps to
-    <root>/snapshot (reference: engine.go:298-430).
+    index_state/aux ndarrays land in npz archives; scalar values in
+    index_state plus the "json" dict land in JSON sidecars. Writes to
+    <root>/snapshot.tmp.<ts> then atomically swaps to <root>/snapshot
+    (reference: engine.go:298-430).
     """
     root = Path(root)
     root.mkdir(parents=True, exist_ok=True)
     tmp = root / f"snapshot.tmp.{int(time.time() * 1e6)}"
     tmp.mkdir()
-    manifest = {"version": 1, "ts": time.time(), "datasets": []}
+    manifest = {"version": 2, "ts": time.time(), "datasets": []}
     for name, blob in datasets.items():
         safe = name.replace("/", "__")
         ddir = tmp / safe
         ddir.mkdir()
-        pq.write_table(
-            blob["table"], ddir / "data.parquet", compression="snappy"
-        )
+        if blob.get("table") is not None:
+            pq.write_table(
+                blob["table"], ddir / "data.parquet", compression="snappy"
+            )
         arrays = {}
         scalars = {}
         for k, v in (blob.get("index_state") or {}).items():
@@ -46,6 +50,10 @@ def write_snapshot(root: str | Path, datasets: dict) -> Path:
                 scalars[k] = v
         np.savez_compressed(ddir / "index.npz", **arrays)
         (ddir / "index_meta.json").write_text(json.dumps(scalars))
+        if blob.get("aux"):
+            np.savez_compressed(ddir / "aux.npz", **blob["aux"])
+        if blob.get("json"):
+            (ddir / "state.json").write_text(json.dumps(blob["json"]))
         if blob.get("bm25"):
             (ddir / "bm25.json").write_text(json.dumps(blob["bm25"]))
         if blob.get("graph"):
@@ -75,16 +83,25 @@ def read_snapshot(root: str | Path) -> Optional[dict]:
     out = {}
     for entry in manifest["datasets"]:
         ddir = final / entry["dir"]
-        table = pq.read_table(ddir / "data.parquet")
         state = dict(np.load(ddir / "index.npz", allow_pickle=False))
         state.update(json.loads((ddir / "index_meta.json").read_text()))
         blob = {
-            "table": table,
+            "table": (
+                pq.read_table(ddir / "data.parquet")
+                if (ddir / "data.parquet").exists()
+                else None
+            ),
             "index_state": state,
             "meta": json.loads((ddir / "meta.json").read_text()),
+            "aux": None,
+            "json": None,
             "bm25": None,
             "graph": None,
         }
+        if (ddir / "aux.npz").exists():
+            blob["aux"] = dict(np.load(ddir / "aux.npz", allow_pickle=False))
+        if (ddir / "state.json").exists():
+            blob["json"] = json.loads((ddir / "state.json").read_text())
         if (ddir / "bm25.json").exists():
             blob["bm25"] = json.loads((ddir / "bm25.json").read_text())
         if (ddir / "graph.json").exists():

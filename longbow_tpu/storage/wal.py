@@ -84,8 +84,16 @@ class WAL:
     ):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        self._f = open(self.path, "ab")
+        # resume the sequence from an existing log so seq stays unique
+        # and monotonic across restarts (frames written after a reopen
+        # must not reuse numbers already in the file)
         self._seq = 0
+        if self.path.exists() and self.path.stat().st_size:
+            buf = self.path.read_bytes()
+            offsets, _ = _scan_frames(buf)
+            if offsets:
+                self._seq = _HDR.unpack_from(buf, offsets[-1])[1]
+        self._f = open(self.path, "ab")
         self._lock = threading.Lock()
         self.sync = sync
         self._dirty = False
@@ -128,6 +136,14 @@ class WAL:
             self._seq += 1
             frame = _encode_frame(self._seq, time.time(), name, kind, payload)
             self._f.write(frame)
+            try:
+                from longbow_tpu.metrics import get_registry
+
+                get_registry().counter(
+                    "longbow_wal_bytes_written_total"
+                ).inc(len(frame))
+            except Exception:
+                pass  # metrics must never fail a write
             if self.sync == "always":
                 self._f.flush()
                 os.fsync(self._f.fileno())

@@ -66,7 +66,9 @@ def _compact_locked(dataset) -> dict:
     live_cols = {}
     cols = dataset.columns
     for name in cols.fields():
-        if name in cols._numeric:
+        if name in cols._host_numeric:
+            live_cols[name] = cols._host_numeric[name][rows]
+        elif name in cols._numeric:
             live_cols[name] = np.asarray(cols._numeric[name])[rows]
         else:
             codes = np.asarray(cols._str_codes[name])[rows]
@@ -76,17 +78,35 @@ def _compact_locked(dataset) -> dict:
             )
 
     # fresh index + columns, re-put everything (BM25/graph keyed by
-    # user id — unaffected by row renumbering)
-    from longbow_tpu.index.adaptive import AdaptiveIndex
+    # user id — unaffected by row renumbering). Rebuild from the
+    # dataset's construction params: quantized adapter kinds have none
+    # of AdaptiveIndex's attributes.
+    from longbow_tpu.index.factory import make_index
     from longbow_tpu.query.filters import ColumnStore
 
-    dataset.index = AdaptiveIndex(
+    old_inner = getattr(dataset.index, "_inner", None)
+    dataset.index = make_index(
+        dataset.index_kind,
         dataset.dim,
         dataset.metric,
-        dtype=dataset.index.dtype,
-        migration_threshold=dataset.index.migration_threshold,
-        hnsw_config=dataset.index.hnsw_config,
+        dtype=dataset.dtype,
+        migration_threshold=dataset.migration_threshold,
+        hnsw_config=dataset.hnsw_config,
+        **dataset.index_params,
     )
+    # keep trained quantizer state so PQ/SQ8/BQ codes stay stable
+    # across compactions (reference keeps codebooks on the Dataset,
+    # quantization_integration.go)
+    new_inner = getattr(dataset.index, "_inner", None)
+    if (
+        old_inner is not None
+        and new_inner is not None
+        and type(old_inner) is type(new_inner)
+    ):
+        for attr in ("codebooks", "lo", "hi", "mean"):
+            val = getattr(old_inner, attr, None)
+            if val is not None and hasattr(new_inner, attr):
+                setattr(new_inner, attr, val)
     dataset.columns = ColumnStore(dataset.index.capacity)
     dataset._id_to_row.clear()
     dataset._row_to_id = []
@@ -158,6 +178,11 @@ class EvictionManager:
         if victims:
             dataset.delete(np.asarray(victims, dtype=object))
             self.evicted_total += len(victims)
+            from longbow_tpu.metrics import get_registry
+
+            get_registry().counter("longbow_evictions_total").inc(
+                len(victims)
+            )
         return len(victims)
 
 
@@ -181,7 +206,11 @@ class CompactionWorker:
         self._thread = None
 
     def run_once(self) -> dict:
+        from longbow_tpu.metrics import get_registry
+
+        reg = get_registry()
         stats = {}
+        worst_frag = 0.0
         for name in self.store.list_datasets():
             ds = self.store.get(name)
             evicted = self.eviction.sweep(ds) if self.eviction else 0
@@ -189,11 +218,14 @@ class CompactionWorker:
             if self.tracker.needs_compaction(ds):
                 compacted = compact_dataset(ds)
                 self.store.query_cache.clear()
+            frag = self.tracker.ratio(ds)
+            worst_frag = max(worst_frag, frag)
             stats[name] = {
                 "evicted": evicted,
-                "fragmentation": round(self.tracker.ratio(ds), 3),
+                "fragmentation": round(frag, 3),
                 "compacted": compacted,
             }
+        reg.gauge("longbow_memory_fragmentation_ratio").set(worst_frag)
         return stats
 
     def start(self) -> None:
@@ -205,8 +237,12 @@ class CompactionWorker:
             while not self._stop.wait(self.interval_s):
                 try:
                     self.run_once()
-                except Exception:  # keep the worker alive
-                    pass
+                except Exception:  # keep the worker alive, but loudly
+                    import logging
+
+                    logging.getLogger("longbow.compaction").exception(
+                        "compaction sweep failed"
+                    )
 
         self._thread = threading.Thread(target=loop, daemon=True)
         self._thread.start()

@@ -56,6 +56,14 @@ class Dataset:
         self.name = name
         self.dim = dim
         self.metric = _METRIC_ALIASES.get(metric.lower(), None) or Metric.validate(metric)
+        # construction params kept for compaction rebuilds and snapshot
+        # metadata (quantized kinds have none of AdaptiveIndex's attrs,
+        # so rebuilds must come from these, not from the index object)
+        self.dtype = dtype
+        self.hnsw_config = hnsw_config
+        self.migration_threshold = migration_threshold
+        self.index_kind = (index_kind or "adaptive").lower()
+        self.index_params = dict(index_params or {})
         self.index = make_index(
             index_kind,
             dim,
@@ -71,6 +79,7 @@ class Dataset:
         # (reference: PrimaryIndex / ChunkedLocationStore, location_store.go:34)
         self._id_to_row: dict = {}
         self._row_to_id: list = []
+        self._row_ids_np: Optional[np.ndarray] = None  # lazy cache
         # LWW timestamps for replication conflict resolution
         # (reference: lww.go:8)
         self._lww: dict = {}
@@ -149,6 +158,7 @@ class Dataset:
                 self._row_to_id.extend([None] * need)
             for j, uid in enumerate(ids):
                 self._row_to_id[int(rows[j])] = ids[j]
+            self._row_ids_np = None
             self.filter_cache.invalidate()
 
     @staticmethod
@@ -171,6 +181,7 @@ class Dataset:
                         self._row_to_id[row] = None
             if rows:
                 self.index.delete_rows(np.asarray(rows))
+                self._row_ids_np = None
                 self.filter_cache.invalidate()
             return len(rows)
 
@@ -224,6 +235,16 @@ class Dataset:
                 if ids[b, j] is None:
                     ok[b, j] = False
         return ids, scores, ok
+
+    def row_ids_array(self) -> np.ndarray:
+        """row -> user id as an object ndarray (None = dead row), cached
+        until the next mutation — keeps allowed-id set construction off
+        the O(N)-python path at serving time."""
+        if self._row_ids_np is None or len(self._row_ids_np) != len(
+            self._row_to_id
+        ):
+            self._row_ids_np = np.asarray(self._row_to_id, dtype=object)
+        return self._row_ids_np
 
     def search_by_id(self, uid, k: int, **kw):
         """reference: VectorSearchByID action (store_actions.go:341)."""
@@ -286,7 +307,8 @@ class Dataset:
                 if a is not None and hasattr(a, "size"):
                     objs.append(a)
         for a in objs:
-            total += a.size * a.dtype.itemsize
+            if a is not None and hasattr(a, "size"):
+                total += a.size * a.dtype.itemsize
         for col in self.columns._numeric.values():
             total += col.size * col.dtype.itemsize
         for col in self.columns._str_codes.values():

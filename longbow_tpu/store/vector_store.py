@@ -48,6 +48,10 @@ class VectorStore:
             query_cache_size, query_cache_ttl
         )
         self.started_at = time.time()
+        # eviction manager hook: serving wires one up so LRU/LFU see
+        # read recency (reference: record_eviction.go feeds access
+        # stats from reads)
+        self.eviction = None
         # persistence (reference: InitPersistence store_persistence.go:12
         # — replay WAL + load snapshots before serving)
         self.engine = None
@@ -89,6 +93,64 @@ class VectorStore:
                     f"dataset {name!r} has dim {ds.dim}, put has {dim}"
                 )
             return ds
+
+    def restore_dataset(self, name: str, blob: dict) -> Dataset:
+        """Rebuild a dataset from a v2 snapshot blob: imported index
+        state (no rebuild/retrain), column arrays, id maps and LWW
+        timestamps (reference: arrow_hnsw_persistence.go,
+        pq/persistence.go:15-38, store_persistence.go:151)."""
+        import jax.numpy as _jnp
+
+        from longbow_tpu.index.factory import import_index
+        from longbow_tpu.query.filters import ColumnStore
+
+        meta = blob["meta"]
+        js = blob.get("json") or {}
+        aux = blob.get("aux") or {}
+        try:
+            dtype = _jnp.dtype(meta.get("dtype", "bfloat16"))
+        except TypeError:
+            dtype = self.dtype
+        ds = Dataset(
+            name,
+            meta["dim"],
+            meta["metric"],
+            dtype=dtype,
+            hnsw_config=self.hnsw_config,
+            migration_threshold=meta.get(
+                "migration_threshold", self.migration_threshold
+            ),
+            index_kind=meta.get("index_kind", "adaptive"),
+            index_params=meta.get("index_params"),
+        )
+        ds.index = import_index(blob["index_state"])
+        ds.columns = ColumnStore.import_state(
+            {
+                "count": js.get("col_count", 0),
+                "numeric": {
+                    k[len("colnum:"):]: v
+                    for k, v in aux.items()
+                    if k.startswith("colnum:")
+                },
+                "str_codes": {
+                    k[len("colstr:"):]: v
+                    for k, v in aux.items()
+                    if k.startswith("colstr:")
+                },
+                "str_dicts": js.get("str_dicts", {}),
+            },
+            ds.index.capacity,
+        )
+        ds._row_to_id = list(js.get("row_to_id", []))
+        ds._id_to_row = {
+            uid: r for r, uid in enumerate(ds._row_to_id) if uid is not None
+        }
+        ds._lww = {k: ts for k, ts in js.get("lww", [])}
+        with self._lock:
+            self._datasets[name] = ds
+            ns = name.split("/", 1)[0] if "/" in name else "default"
+            self._namespaces.setdefault(ns, set()).add(name)
+        return ds
 
     def get(self, name: str) -> Dataset:
         ds = self._datasets.get(name)
@@ -132,8 +194,25 @@ class VectorStore:
             self.engine.log_put(dataset, ids, vectors, columns, metric)
         ds.put(np.asarray(ids), vectors, columns, timestamp=timestamp)
         self.query_cache.clear()
+        self._observe_dataset(ds)
         if self.engine is not None and _log:
             self.engine.maybe_snapshot(self)
+
+    def _observe_dataset(self, ds) -> None:
+        """Refresh per-dataset gauges (reference metric names,
+        README.md:96-110) — called from every mutation."""
+        from longbow_tpu.metrics import get_registry
+
+        reg = get_registry()
+        reg.gauge("longbow_vector_index_size", ("dataset",)).labels(
+            dataset=ds.name
+        ).set(len(ds.index))
+        reg.gauge("longbow_tombstones_total", ("dataset",)).labels(
+            dataset=ds.name
+        ).set(len(ds.index) - ds.live_count)
+        reg.gauge("longbow_tpu_hbm_bytes_in_use", ("dataset",)).labels(
+            dataset=ds.name
+        ).set(ds.hbm_bytes())
 
     def search(
         self,
@@ -158,19 +237,29 @@ class VectorStore:
             )
             hit = self.query_cache.get(key)
             if hit is not None:
+                if self.eviction is not None:
+                    found = [i for i in hit[0].ravel() if i is not None]
+                    if found:
+                        self.eviction.record_access(found)
                 return hit
         out = self.get(dataset).search(
             queries, k, filters=filters, ef_search=ef_search, exact=exact
         )
         if key is not None:
             self.query_cache.put(key, out)
+        if self.eviction is not None:
+            found = [i for i in out[0].ravel() if i is not None]
+            if found:
+                self.eviction.record_access(found)
         return out
 
     def delete(self, dataset: str, ids, *, _log: bool = True) -> int:
         if self.engine is not None and _log:
             self.engine.log_delete(dataset, ids)
-        n = self.get(dataset).delete(ids)
+        ds = self.get(dataset)
+        n = ds.delete(ids)
         self.query_cache.clear()
+        self._observe_dataset(ds)
         return n
 
     # -- introspection ------------------------------------------------
@@ -243,12 +332,12 @@ class VectorStore:
             allowed = None
             mask = ds.filter_mask(filters or [])
             if mask is not None:
+                # vectorized: mask -> matching rows -> ids (the per-row
+                # python scan here was O(N) per request)
                 m = np.asarray(mask)
-                allowed = {
-                    ds._row_to_id[r]
-                    for r in np.nonzero(m[: len(ds._row_to_id)])[0]
-                    if ds._row_to_id[r] is not None
-                }
+                ids_arr = ds.row_ids_array()
+                sel = ids_arr[np.nonzero(m[: len(ids_arr)])[0]]
+                allowed = {i for i in sel if i is not None}
             sparse = ds.bm25.search(text_query, kk, allowed=allowed)
 
         out_ids = np.empty((b, k), dtype=object)

@@ -11,6 +11,14 @@ from collections import OrderedDict
 from typing import Any, Optional
 
 
+def _count(name: str) -> None:
+    """Tick a pre-declared Prometheus counter (registry.py:51-52 — the
+    declared hit/miss counters must actually move)."""
+    from longbow_tpu.metrics import get_registry
+
+    get_registry().counter(name).inc()
+
+
 class QueryCache:
     def __init__(self, max_entries: int = 1024, ttl_s: float = 60.0):
         self.max_entries = max_entries
@@ -36,14 +44,17 @@ class QueryCache:
             item = self._d.get(key)
             if item is None:
                 self.misses += 1
+                _count("longbow_query_cache_misses_total")
                 return None
             ts, val = item
             if time.time() - ts > self.ttl_s:
                 del self._d[key]
                 self.misses += 1
+                _count("longbow_query_cache_misses_total")
                 return None
             self._d.move_to_end(key)
             self.hits += 1
+            _count("longbow_query_cache_hits_total")
             return val
 
     def put(self, key: str, val: Any) -> None:

@@ -89,3 +89,36 @@ def test_compaction_worker_run_once():
     # second run: nothing to do
     stats = w.run_once()
     assert stats["a"]["compacted"] is None
+
+
+def test_compaction_of_quantized_dataset():
+    """Quantized adapter kinds must compact via the dataset's
+    construction params (the adapter has no AdaptiveIndex attrs), and
+    trained quantizer state must survive so codes stay stable."""
+    from longbow_tpu.store.compaction import compact_dataset
+
+    vs = VectorStore()
+    v = _vecs(600, 16)
+    vs.get_or_create("q", 16, index_kind="pq", index_params={"pq_m": 4})
+    vs.put("q", np.arange(600), v)
+    books = np.asarray(vs.get("q").index._inner.codebooks)
+    vs.delete("q", list(range(300)))
+    stats = compact_dataset(vs.get("q"))
+    assert stats["live_rows"] == 300 and stats["reclaimed_rows"] == 300
+    ds = vs.get("q")
+    assert ds.index.kind == "pq" and len(ds.index) == 300
+    np.testing.assert_array_equal(
+        np.asarray(ds.index._inner.codebooks), books
+    )
+    ids, _, _ = vs.search("q", v[450], 1, use_cache=False)
+    assert ids[0, 0] == 450
+
+
+def test_compaction_worker_handles_quantized(caplog):
+    vs = VectorStore()
+    vs.get_or_create("s", 8, index_kind="sq8")
+    vs.put("s", np.arange(50), _vecs(50, 8))
+    vs.delete("s", list(range(30)))
+    w = CompactionWorker(vs, frag_threshold=0.3)
+    stats = w.run_once()
+    assert stats["s"]["compacted"]["live_rows"] == 20

@@ -154,3 +154,70 @@ def test_clustered_bulk_build_recall():
     q = rng.standard_normal((24, 32), dtype=np.float32)
     rec = _recall(idx, vecs, q, k=10)
     assert rec >= 0.9, rec
+
+
+def test_sq8_graph_storage_recall():
+    """Equal-memory config: SQ8 codes ARE the graph's vector payload
+    (reference: SQ8-in-HNSW arrow_hnsw.go:94, recall gate >= 0.95 with
+    SQ8, recall_validation_test.go:42-46)."""
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((4000, 64), dtype=np.float32)
+    idx = HNSWIndex(
+        64, storage="sq8",
+        config=HNSWConfig(m=16, ef_construction=80, ef_search=100),
+    )
+    idx.add(vecs)
+    assert idx.state.vectors.dtype == jnp.uint8
+    assert idx.state.scale is not None
+    q = rng.standard_normal((32, 64), dtype=np.float32)
+    rec = _recall(idx, vecs, q, k=10)
+    assert rec >= 0.95, rec
+
+
+def test_sq8_graph_incremental_adds():
+    rng = np.random.default_rng(8)
+    vecs = rng.standard_normal((2400, 32), dtype=np.float32)
+    idx = HNSWIndex(
+        32, storage="sq8",
+        config=HNSWConfig(m=16, ef_construction=64, ef_search=80,
+                          insert_batch_size=512),
+    )
+    for off in range(0, 2400, 800):
+        idx.add(vecs[off : off + 800])
+    assert len(idx) == 2400
+    q = rng.standard_normal((16, 32), dtype=np.float32)
+    rec = _recall(idx, vecs, q, k=10)
+    assert rec >= 0.88, rec
+
+
+def test_sq8_graph_export_import():
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((1200, 32), dtype=np.float32)
+    idx = HNSWIndex(
+        32, storage="sq8", config=HNSWConfig(m=16, ef_construction=64)
+    )
+    idx.add(vecs)
+    st = idx.export_state()
+    assert st["vectors"].dtype == np.uint8  # codes persist as codes
+    idx2 = HNSWIndex.import_state(st)
+    q = rng.standard_normal((8, 32), dtype=np.float32)
+    d1, r1 = idx.search(jnp.asarray(q), 5)
+    d2, r2 = idx2.search(jnp.asarray(q), 5)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
+    # and adds keep working on the restored index
+    idx2.add(vecs[:10])
+    assert len(idx2) == 1210
+
+
+def test_sq8_graph_cosine():
+    rng = np.random.default_rng(10)
+    vecs = rng.standard_normal((1500, 32), dtype=np.float32)
+    idx = HNSWIndex(
+        32, metric=Metric.COSINE, storage="sq8",
+        config=HNSWConfig(m=16, ef_construction=64, ef_search=80),
+    )
+    idx.add(vecs)
+    d, r = idx.search(jnp.asarray(vecs[:20] * 3.0), 1)
+    hit = (np.asarray(r)[:, 0] == np.arange(20)).mean()
+    assert hit >= 0.9, hit

@@ -135,3 +135,140 @@ def test_drop_survives_recovery(tmp_path):
     del store
     store2 = VectorStore(persist_dir=tmp_path, wal_sync="always")
     assert store2.list_datasets() == ["kept"]
+
+
+def test_snapshot_preserves_columns(tmp_path):
+    """Snapshot must carry metadata columns: a filter on a column that
+    only ever lived in a snapshot (WAL truncated) must still work."""
+    from longbow_tpu.query.parser import Filter
+
+    v = _vecs(40, 8)
+    store = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    store.put(
+        "docs", np.arange(40), v,
+        columns={"price": np.arange(40.0),
+                 "cat": np.array(["a", "b"] * 20)},
+    )
+    store.snapshot()  # truncates the WAL: columns must live in the snapshot
+    del store
+
+    store2 = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    ids, _, ok = store2.search(
+        "docs", v[3], 5, filters=[Filter("price", "<", "10")],
+        use_cache=False,
+    )
+    got = [i for i in ids[0] if i is not None]
+    assert got and all(i < 10 for i in got)
+    ids, _, _ = store2.search(
+        "docs", v[2], 3, filters=[Filter("cat", "=", "a")], use_cache=False
+    )
+    got = [i for i in ids[0] if i is not None]
+    assert got and all(i % 2 == 0 for i in got)
+
+
+def test_snapshot_restores_graph_index_without_rebuild(tmp_path, monkeypatch):
+    """v2 snapshots persist the graph adjacency; recovery imports it
+    instead of re-linking (reference: arrow_hnsw_persistence.go)."""
+    v = _vecs(600, 16)
+    store = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    store.get_or_create("g", 16, index_kind="hnsw")
+    store.put("g", np.arange(600), v)
+    ds = store.get("g")
+    assert ds.index.kind == "hnsw"
+    nbrs_before = np.asarray(ds.index._graph.state.nbrs[:600])
+    store.close()
+
+    # any attempt to (re)link the graph during recovery is a bug
+    import longbow_tpu.index.hnsw as hnsw_mod
+
+    def boom(*a, **kw):
+        raise AssertionError("recovery must not rebuild the graph")
+
+    monkeypatch.setattr(hnsw_mod, "insert_batch", boom)
+    monkeypatch.setattr(hnsw_mod, "bulk_build_edges", boom)
+
+    store2 = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    ds2 = store2.get("g")
+    assert ds2.index.kind == "hnsw"
+    assert ds2.index_kind == "hnsw"
+    np.testing.assert_array_equal(
+        np.asarray(ds2.index._graph.state.nbrs[:600]), nbrs_before
+    )
+    ids, _, _ = store2.search("g", v[11], 1, use_cache=False)
+    assert ids[0, 0] == 11
+
+
+def test_pq_codes_stable_across_restart(tmp_path):
+    """Recovery must import PQ codebooks, not retrain (retraining
+    changes every code; reference: pq/persistence.go:15-38)."""
+    v = _vecs(800, 16)
+    store = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    store.get_or_create("p", 16, index_kind="pq", index_params={"pq_m": 4})
+    store.put("p", np.arange(800), v)
+    inner = store.get("p").index._inner
+    codes = np.asarray(inner.codes[: inner.count])
+    books = np.asarray(inner.codebooks)
+    store.close()
+
+    store2 = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    inner2 = store2.get("p").index._inner
+    np.testing.assert_array_equal(
+        np.asarray(inner2.codes[: inner2.count]), codes
+    )
+    np.testing.assert_array_equal(np.asarray(inner2.codebooks), books)
+    ids, _, _ = store2.search("p", v[5], 1, use_cache=False)
+    assert ids[0, 0] == 5
+
+
+def test_lww_survives_snapshot(tmp_path):
+    """Deletion markers + write timestamps persist: a replicated stale
+    write arriving after restart must still lose."""
+    store = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    v = _vecs(10, 8)
+    store.put("a", np.arange(10), v, timestamp=1000.0)
+    store.delete("a", [3])
+    store.snapshot()
+    del store
+
+    store2 = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    ds = store2.get("a")
+    assert 3 not in ds._id_to_row and 3 in ds._lww  # marker kept
+    # stale write (older timestamp) must be dropped by LWW
+    store2.put("a", [5], _vecs(1, 8, seed=9), timestamp=10.0)
+    ids, _, _ = store2.search("a", v[5], 1, use_cache=False)
+    assert ids[0, 0] == 5
+
+
+def test_wal_seq_monotonic_after_reopen(tmp_path):
+    import pyarrow as pa
+
+    t = pa.table({"id": pa.array([1], pa.int64())})
+    wal = WAL(tmp_path / "w.log", sync="always")
+    for _ in range(3):
+        wal.append_batch("d", t)
+    wal.close()
+    wal2 = WAL(tmp_path / "w.log", sync="always")
+    s = wal2.append_batch("d", t)
+    wal2.close()
+    seqs = [e[0] for e in WAL.replay(tmp_path / "w.log")]
+    assert seqs == [1, 2, 3, 4] and s == 4
+
+
+def test_dot_metric_index_survives_restart(tmp_path):
+    """MIPS augmentation bound must persist: without it restored
+    dot-metric indexes return wrong scores and reject adds."""
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((300, 8), dtype=np.float32)
+    store = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    store.get_or_create("m", 8, metric="dot", index_kind="hnsw")
+    store.put("m", np.arange(300), v)
+    q = rng.standard_normal((1, 8), dtype=np.float32)
+    _, s1, _ = store.search("m", q, 5, use_cache=False)
+    store.close()
+
+    store2 = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    _, s2, _ = store2.search("m", q, 5, use_cache=False)
+    np.testing.assert_allclose(s1, s2, rtol=1e-4)
+    # adds after restart must not trip the augmentation bound
+    store2.put("m", [1000], v[:1] * 0.5)
+    assert store2.get("m").live_count == 301

