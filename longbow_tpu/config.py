@@ -67,6 +67,23 @@ class Config:
         default_factory=lambda: _env("BREAKER_COOLDOWN_S", 30.0, float)
     )
 
+    # cluster (reference: gossip/static peers cmd/longbow/main.go:383,
+    # replication peer_replicator.go, quorum.go)
+    node_id: str = field(default_factory=lambda: _env("NODE_ID", ""))
+    peers: str = field(default_factory=lambda: _env("PEERS", ""))
+    replication: str = field(
+        default_factory=lambda: _env("REPLICATION", "async")  # async|quorum|off
+    )
+    replication_level: str = field(
+        default_factory=lambda: _env("REPLICATION_LEVEL", "QUORUM")
+    )
+    sync_interval_s: float = field(
+        default_factory=lambda: _env("SYNC_INTERVAL_S", 30.0, float)
+    )
+    probe_interval_s: float = field(
+        default_factory=lambda: _env("PROBE_INTERVAL_S", 1.0, float)
+    )
+
     # compaction / eviction (reference: CompactionConfig compaction.go:11,
     # RecordEvictionManager record_eviction.go:79)
     compaction_interval_s: float = field(
@@ -83,6 +100,14 @@ class Config:
     )
     eviction_max_rows: int = field(
         default_factory=lambda: _env("EVICTION_MAX_ROWS", 0, int)
+    )
+
+    # ingest (reference: async dual-queue pipeline store_actions.go:426)
+    async_ingest: bool = field(
+        default_factory=lambda: _env("ASYNC_INGEST", True, bool)
+    )
+    ingest_queue_depth: int = field(
+        default_factory=lambda: _env("INGEST_QUEUE_DEPTH", 256, int)
     )
 
     # cache (reference: query cache in DoGet, store_query.go:625)
@@ -102,6 +127,8 @@ class Config:
             raise ValueError("STORAGE_DTYPE must be bfloat16|float32")
         if self.wal_sync not in ("always", "batch", "never"):
             raise ValueError("WAL_SYNC must be always|batch|never")
+        if self.replication not in ("async", "quorum", "off"):
+            raise ValueError("REPLICATION must be async|quorum|off")
         return self
 
 

@@ -1,0 +1,218 @@
+"""Cluster coordinator: membership + replication + anti-entropy +
+cross-process global search, wired as one object the serving tier owns.
+
+reference: the boot wiring in cmd/longbow/main.go:370-458
+(gossip -> ring -> forwarder -> interceptors) and the read path's
+GlobalSearchCoordinator (store/global_search.go:48-328, used from DoGet
+at store_query.go:696-717 when !LocalOnly). The TPU shape drops the
+consistent-hash ring: every node holds the full (replicated) dataset
+and fans reads out only to merge freshness, so global search is a
+scatter to alive peers with `local_only: true` + a top-k merge.
+"""
+from __future__ import annotations
+
+import logging
+import threading
+from typing import Optional
+
+import numpy as np
+
+from longbow_tpu.distributed.membership import MembershipManager, Member
+from longbow_tpu.distributed.replicator import Peer, PeerReplicator, SyncWorker
+
+log = logging.getLogger("longbow.cluster")
+
+
+class ClusterCoordinator:
+    def __init__(
+        self,
+        store,
+        self_id: str,
+        peers: list[str],
+        *,
+        replication_mode: str = "async",   # async | quorum | off
+        replication_level: str = "QUORUM",
+        sync_interval_s: float = 30.0,
+        probe_interval_s: float = 1.0,
+        global_search_timeout_s: float = 5.0,
+    ):
+        self.store = store
+        self.self_id = self_id
+        self.membership = MembershipManager(
+            self_id, peers, probe_interval_s=probe_interval_s
+        )
+        self._peers: dict[str, Peer] = {}
+        for m in self.membership.members.values():
+            self._peers[m.id] = Peer(m.host, m.data_port, m.meta_port)
+        self.replication_mode = replication_mode
+        self.replicator: Optional[PeerReplicator] = None
+        if replication_mode != "off" and self._peers:
+            self.replicator = PeerReplicator(
+                list(self._peers.values()),
+                mode="async" if replication_mode == "async" else "quorum",
+                level=replication_level,
+            )
+        self.sync_worker: Optional[SyncWorker] = None
+        if self._peers:
+            self.sync_worker = SyncWorker(
+                store, list(self._peers.values()), interval_s=sync_interval_s
+            )
+        self.global_search_timeout_s = global_search_timeout_s
+
+    # -- lifecycle ------------------------------------------------------
+
+    def start(self) -> None:
+        self.membership.start()
+        if self.sync_worker:
+            self.sync_worker.start()
+
+    def stop(self) -> None:
+        self.membership.stop()
+        if self.sync_worker:
+            self.sync_worker.stop()
+        if self.replicator:
+            self.replicator.drain(timeout_s=5.0)
+            self.replicator.close()
+        for p in self._peers.values():
+            try:
+                p.client.close()
+            except Exception:
+                pass
+
+    # -- write path -----------------------------------------------------
+
+    def on_put(self, dataset, ids, vectors, columns, metric, timestamp):
+        """Replicate a locally-applied put (reference:
+        peer_replicator.go:76). Returns False when a quorum write
+        misses its consistency level."""
+        if self.replicator is None:
+            return True
+        return self.replicator.on_put(
+            dataset, ids, vectors, columns,
+            metric=metric, timestamp=timestamp,
+        )
+
+    def on_delete(self, dataset, ids) -> bool:
+        if self.replicator is None:
+            return True
+        return self.replicator.on_delete(dataset, ids)
+
+    # -- read path ------------------------------------------------------
+
+    def has_peers(self) -> bool:
+        return bool(self.membership.alive())
+
+    def global_search(
+        self,
+        dataset: str,
+        query_vectors: np.ndarray,
+        k: int,
+        *,
+        raw_filters=None,
+        local: Optional[tuple] = None,
+        metric: str = "l2",
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Fan `VectorSearch {local_only: true}` out to alive peers,
+        merge with the local top-k (reference: global_search.go:48-280;
+        per-peer flight clients, merged local+remote results).
+
+        local: optional (ids, scores, ok) from the local search.
+        Returns merged (ids [B,k] object, scores [B,k] f32, ok [B,k]).
+        """
+        qv = np.atleast_2d(np.asarray(query_vectors, np.float32))
+        b = qv.shape[0]
+        # per-query candidate pools {id: best_score}
+        bigger_better = metric == "dot"
+        pools: list[dict] = [dict() for _ in range(b)]
+
+        def fold(ids, scores, ok):
+            for row in range(min(b, ids.shape[0])):
+                for j in range(ids.shape[1]):
+                    if not ok[row, j]:
+                        continue
+                    uid = ids[row, j]
+                    uid = uid.item() if hasattr(uid, "item") else uid
+                    s = float(scores[row, j])
+                    cur = pools[row].get(uid)
+                    if cur is None or (s > cur if bigger_better else s < cur):
+                        pools[row][uid] = s
+
+        if local is not None:
+            fold(*local)
+
+        alive = self.membership.alive()
+        results: list[Optional[dict]] = [None] * len(alive)
+
+        def one(i: int, m: Member):
+            peer = self._peers.get(m.id)
+            if peer is None:
+                return
+            try:
+                body = {
+                    "dataset": dataset,
+                    "vectors": qv.tolist(),
+                    "k": k,
+                    "local_only": True,
+                }
+                if raw_filters:
+                    body["filters"] = raw_filters
+                results[i] = peer.client._action(
+                    "VectorSearch", body, meta=False
+                )
+                peer.breaker.record_success()
+            except Exception as e:  # peer slow/dead: skip, breaker counts
+                peer.breaker.record_failure()
+                log.debug("global search: peer %s failed: %s", m.id, e)
+
+        threads = [
+            threading.Thread(target=one, args=(i, m), daemon=True)
+            for i, m in enumerate(alive)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=self.global_search_timeout_s)
+
+        for resp in results:
+            if not resp:
+                continue
+            rid, rs, rq = (
+                resp.get("ids", []),
+                resp.get("scores", []),
+                resp.get("query_index"),
+            )
+            if rq is None:
+                # flattened batch=1 responses: everything is query 0
+                rq = [0] * len(rid)
+            for uid, s, row in zip(rid, rs, rq):
+                if row >= b:
+                    continue
+                cur = pools[row].get(uid)
+                if cur is None or (s > cur if bigger_better else s < cur):
+                    pools[row][uid] = s
+
+        out_ids = np.empty((b, k), dtype=object)
+        out_scores = np.zeros((b, k), np.float32)
+        out_ok = np.zeros((b, k), bool)
+        for row in range(b):
+            ranked = sorted(
+                pools[row].items(),
+                key=lambda kv: -kv[1] if bigger_better else kv[1],
+            )[:k]
+            for j, (uid, s) in enumerate(ranked):
+                out_ids[row, j] = uid
+                out_scores[row, j] = s
+                out_ok[row, j] = True
+        return out_ids, out_scores, out_ok
+
+    def status(self) -> dict:
+        st = self.membership.status()
+        if self.replicator:
+            st["replication"] = {
+                "mode": self.replication_mode,
+                "replicated": self.replicator.replicated,
+                "failed": self.replicator.failed,
+            }
+        if self.sync_worker:
+            st["anti_entropy"] = {"synced_rows": self.sync_worker.synced_rows}
+        return st

@@ -1,0 +1,169 @@
+"""Cluster membership + failure detection over the Flight control
+plane.
+
+The reference runs a hand-rolled SWIM protocol over UDP with indirect
+pings and piggybacked membership updates (reference: mesh/gossip.go:
+16-235, member model mesh/member.go:18, discovery mesh/discovery*.go).
+The TPU rebuild replaces it with a static-peer heartbeat over the same
+gRPC/Flight channel the data plane uses: at the cluster sizes a
+TPU-backed search tier runs at (units of nodes, each fronting a slice),
+O(N) direct probing every period is cheaper than maintaining a UDP
+stack, and the failure-detection semantics the rest of the system
+needs — alive / suspect / dead with incarnation counters — are
+preserved. Discovery is static peers (the reference's default mode) or
+a DNS name resolved per probe round.
+"""
+from __future__ import annotations
+
+import socket
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+ALIVE = "alive"
+SUSPECT = "suspect"
+DEAD = "dead"
+
+
+def parse_peer(spec: str) -> tuple[str, int, int]:
+    """'host:data[:meta]' -> (host, data_port, meta_port); meta
+    defaults to data+1 (reference convention: :3000/:3001)."""
+    parts = spec.strip().rsplit(":", 2)
+    if len(parts) == 3 and parts[1].isdigit() and parts[2].isdigit():
+        return parts[0], int(parts[1]), int(parts[2])
+    host, port = spec.strip().rsplit(":", 1)
+    return host, int(port), int(port) + 1
+
+
+@dataclass
+class Member:
+    """reference: mesh/member.go:18 Member{ID,Addr,Status,Incarnation}."""
+
+    id: str
+    host: str
+    data_port: int
+    meta_port: int
+    status: str = ALIVE
+    incarnation: int = 0
+    last_seen: float = field(default_factory=time.time)
+    misses: int = 0
+
+    @property
+    def addr(self) -> str:
+        return f"{self.host}:{self.data_port}"
+
+    def to_dict(self) -> dict:
+        return {
+            "id": self.id,
+            "addr": self.addr,
+            "status": self.status,
+            "incarnation": self.incarnation,
+            "last_seen": self.last_seen,
+        }
+
+
+class MembershipManager:
+    """Probes peers each protocol period; drives alive->suspect->dead
+    transitions (reference suspicion flow: gossip.go:170-235 probe ->
+    suspect -> dead after timeout). Notifies subscribers on state
+    change (the reference's EventDelegate, sharding/manager.go:11-99).
+    """
+
+    def __init__(
+        self,
+        self_id: str,
+        peers: list[str],
+        *,
+        probe_interval_s: float = 1.0,
+        suspect_after: int = 2,
+        dead_after: int = 5,
+        probe_timeout_s: float = 2.0,
+    ):
+        self.self_id = self_id
+        self.probe_interval_s = probe_interval_s
+        self.suspect_after = suspect_after
+        self.dead_after = dead_after
+        self.probe_timeout_s = probe_timeout_s
+        self.members: dict[str, Member] = {}
+        for spec in peers:
+            h, dp, mp = parse_peer(spec)
+            mid = f"{h}:{dp}"
+            if mid != self_id:
+                self.members[mid] = Member(mid, h, dp, mp)
+        self._subs: list[Callable[[Member], None]] = []
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+
+    # -- probing --------------------------------------------------------
+
+    def _probe_one(self, m: Member) -> bool:
+        """TCP connect to the data port — the cheapest liveness signal
+        that still exercises the serving socket (a full Flight action
+        would be heavier than the reference's 1400B UDP ping)."""
+        try:
+            with socket.create_connection(
+                (m.host, m.data_port), timeout=self.probe_timeout_s
+            ):
+                return True
+        except OSError:
+            return False
+
+    def probe_round(self) -> None:
+        for m in list(self.members.values()):
+            ok = self._probe_one(m)
+            with self._lock:
+                old = m.status
+                if ok:
+                    m.last_seen = time.time()
+                    m.misses = 0
+                    if m.status != ALIVE:
+                        m.incarnation += 1
+                    m.status = ALIVE
+                else:
+                    m.misses += 1
+                    if m.misses >= self.dead_after:
+                        m.status = DEAD
+                    elif m.misses >= self.suspect_after:
+                        m.status = SUSPECT
+                changed = m.status != old
+            if changed:
+                for cb in self._subs:
+                    try:
+                        cb(m)
+                    except Exception:
+                        pass
+
+    def subscribe(self, cb: Callable[[Member], None]) -> None:
+        self._subs.append(cb)
+
+    def alive(self) -> list[Member]:
+        with self._lock:
+            return [m for m in self.members.values() if m.status == ALIVE]
+
+    def status(self) -> dict:
+        """reference: 'cluster-status' action payload shape."""
+        with self._lock:
+            return {
+                "self": {"id": self.self_id, "status": ALIVE},
+                "members": [m.to_dict() for m in self.members.values()],
+            }
+
+    # -- lifecycle ------------------------------------------------------
+
+    def start(self) -> None:
+        def loop():
+            while not self._stop.wait(self.probe_interval_s):
+                try:
+                    self.probe_round()
+                except Exception:
+                    pass
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -37,11 +37,16 @@ class Peer:
         self.client = LongbowClient(host, data_port, meta_port)
         self.breaker = CircuitBreaker(threshold=5, cooldown_s=10.0)
 
-    def replicate_put(self, dataset, ids, vectors, columns) -> bool:
+    def replicate_put(
+        self, dataset, ids, vectors, columns, metric=None, timestamp=None
+    ) -> bool:
         if not self.breaker.allow():
             return False
         try:
-            self.client.write(dataset, ids, vectors, columns)
+            self.client.write(
+                dataset, ids, vectors, columns, metric,
+                timestamp=timestamp, replicated=True,
+            )
             self.breaker.record_success()
             return True
         except Exception:
@@ -52,7 +57,11 @@ class Peer:
         if not self.breaker.allow():
             return False
         try:
-            self.client.delete(dataset, list(ids))
+            ids = [i.item() if hasattr(i, "item") else i for i in ids]
+            self.client._action(
+                "delete",
+                {"dataset": dataset, "ids": ids, "replicated": True},
+            )
             self.breaker.record_success()
             return True
         except Exception:
@@ -95,11 +104,13 @@ class PeerReplicator:
                 continue
             self._fanout(*job)
 
-    def _fanout(self, kind, dataset, ids, vectors, columns) -> int:
+    def _fanout(
+        self, kind, dataset, ids, vectors, columns, metric=None, ts=None
+    ) -> int:
         acks = 0
         for p in self.peers:
             ok = (
-                p.replicate_put(dataset, ids, vectors, columns)
+                p.replicate_put(dataset, ids, vectors, columns, metric, ts)
                 if kind == "put"
                 else p.replicate_delete(dataset, ids)
             )
@@ -108,21 +119,30 @@ class PeerReplicator:
         self.failed += len(self.peers) - acks
         return acks
 
-    def on_put(self, dataset, ids, vectors, columns=None) -> bool:
+    def on_put(
+        self, dataset, ids, vectors, columns=None, metric=None,
+        timestamp=None,
+    ) -> bool:
         """Returns True when the consistency level is satisfied."""
         if self.mode == "async":
             try:
-                self._q.put_nowait(("put", dataset, ids, vectors, columns))
+                self._q.put_nowait(
+                    ("put", dataset, ids, vectors, columns, metric, timestamp)
+                )
                 return True
             except queue.Full:
                 return False
-        acks = self._fanout("put", dataset, ids, vectors, columns)
+        acks = self._fanout(
+            "put", dataset, ids, vectors, columns, metric, timestamp
+        )
         return acks >= required_acks(self.level, len(self.peers))
 
     def on_delete(self, dataset, ids) -> bool:
         if self.mode == "async":
             try:
-                self._q.put_nowait(("delete", dataset, ids, None, None))
+                self._q.put_nowait(
+                    ("delete", dataset, ids, None, None, None, None)
+                )
                 return True
             except queue.Full:
                 return False

@@ -8,6 +8,7 @@ with final snapshot :524-565).
 from __future__ import annotations
 
 import logging
+import os
 import sys
 import threading
 
@@ -23,6 +24,12 @@ from longbow_tpu.utils.logging import setup_logging
 
 
 def main(argv=None) -> int:
+    if os.environ.get("LONGBOW_FORCE_CPU") == "1":
+        # test/CI escape hatch: this environment's sitecustomize pins
+        # JAX to the axon TPU platform; the env var alone is ignored
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     cfg = load_config()
     log = setup_logging()
     log.info("starting longbow-tpu", extra={"fields": {"config": vars(cfg)}})
@@ -70,21 +77,53 @@ def main(argv=None) -> int:
     )
     compactor.start()
 
+    # cluster tier: membership + replication + global search
+    # (reference: cmd/longbow/main.go:370-458 wires gossip -> ring ->
+    # forwarder -> interceptors at boot)
+    cluster = None
+    if cfg.peers.strip():
+        from longbow_tpu.distributed.cluster import ClusterCoordinator
+
+        self_id = cfg.node_id or f"{cfg.host}:{cfg.data_port}"
+        cluster = ClusterCoordinator(
+            store,
+            self_id,
+            [p for p in cfg.peers.split(",") if p.strip()],
+            replication_mode=cfg.replication,
+            replication_level=cfg.replication_level,
+            sync_interval_s=cfg.sync_interval_s,
+            probe_interval_s=cfg.probe_interval_s,
+        )
+        cluster.start()
+        log.info(
+            "cluster: self=%s peers=%s replication=%s",
+            self_id, cfg.peers, cfg.replication,
+        )
+
     middleware = MiddlewareChain(
         cfg.rate_limit_rps,
         cfg.rate_limit_burst,
         cfg.breaker_threshold,
         cfg.breaker_cooldown_s,
     )
+    ingest_queue = None
+    if cfg.async_ingest:
+        from longbow_tpu.serving.ingest import IngestQueue
+
+        ingest_queue = IngestQueue(store, max_depth=cfg.ingest_queue_depth)
     data = LongbowFlightServer(
         store,
         f"grpc://{cfg.host}:{cfg.data_port}",
         middleware_chain=middleware,
+        cluster=cluster,
+        ingest_queue=ingest_queue,
     )
     meta = LongbowFlightServer(
         store,
         f"grpc://{cfg.host}:{cfg.meta_port}",
         middleware_chain=middleware,
+        cluster=cluster,
+        ingest_queue=ingest_queue,
     )
 
     # pyarrow's FlightServerBase.serve() installs its own SIGINT/SIGTERM
@@ -112,6 +151,10 @@ def main(argv=None) -> int:
 
     log.info("stopping servers")
     compactor.stop()
+    if ingest_queue is not None:
+        ingest_queue.close()  # drain before the final snapshot
+    if cluster is not None:
+        cluster.stop()
     data.shutdown()
     meta.shutdown()
     meta_thread.join(timeout=5)

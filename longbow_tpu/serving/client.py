@@ -55,8 +55,17 @@ class LongbowClient:
         vectors: np.ndarray,
         columns: Optional[dict] = None,
         metric: Optional[str] = None,
+        *,
+        timestamp: Optional[float] = None,
+        replicated: bool = False,
     ) -> None:
-        """DoPut a batch (reference: client.py write :113)."""
+        """DoPut a batch (reference: client.py write :113).
+
+        timestamp/replicated ride as schema metadata: replica writes
+        carry the ORIGIN timestamp (LWW stays correct across hops) and
+        the replication marker stops the receiving node from fanning
+        the write out again (reference marks replication traffic via
+        its dedicated exchange protocol, do_exchange.go:47)."""
         vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
         n, d = vectors.shape
         ids = np.asarray(ids)
@@ -73,7 +82,13 @@ class LongbowClient:
         }
         for name, vals in (columns or {}).items():
             cols[name] = pa.array(np.asarray(vals))
-        meta = {METRIC_METADATA_KEY: metric} if metric else None
+        meta = {}
+        if metric:
+            meta[METRIC_METADATA_KEY] = metric
+        if timestamp is not None:
+            meta["longbow.ts"] = repr(float(timestamp))
+        if replicated:
+            meta["longbow.replication"] = "1"
         table = pa.table(cols)
         if meta:
             table = table.replace_schema_metadata(meta)

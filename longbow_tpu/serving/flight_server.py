@@ -72,11 +72,21 @@ class LongbowFlightServer(flight.FlightServerBase):
         metrics_registry=None,
         middleware_chain=None,
         audit_logger=None,
+        cluster=None,
+        ingest_queue=None,
         **kw,
     ):
         super().__init__(location, **kw)
         self.store = store
         self.location = location
+        # cluster coordinator (membership + replication + global
+        # search); None = single-node (reference wires the mesh into
+        # the servers the same way, cmd/longbow/main.go:370-458)
+        self.cluster = cluster
+        # async ingest queue: DoPut acks on enqueue, index linking
+        # happens off the gRPC thread; check_readiness reports BUSY
+        # while it drains (reference: store_actions.go:57-101,426-708)
+        self.ingest = ingest_queue
         if metrics_registry is None:
             from longbow_tpu.metrics import get_registry
 
@@ -102,8 +112,15 @@ class LongbowFlightServer(flight.FlightServerBase):
         mkey = METRIC_METADATA_KEY.encode()
         if mkey in schema_meta:
             metric = schema_meta[mkey].decode()
+        # replica writes carry the origin timestamp (LWW) and a marker
+        # that stops re-replication loops
+        is_replication = schema_meta.get(b"longbow.replication") == b"1"
+        origin_ts = None
+        if b"longbow.ts" in schema_meta:
+            origin_ts = float(schema_meta[b"longbow.ts"].decode())
         if self.middleware:
             self.middleware.admit("DoPut")
+        auto_base = None  # running id base for id-less streams
         for chunk in reader:
             batch = chunk.data
             if batch.num_rows == 0:
@@ -118,29 +135,44 @@ class LongbowFlightServer(flight.FlightServerBase):
             if "id" in names:
                 ids = _ids_column_to_numpy(tbl.column("id"))
             else:
-                base = len(self.store.get_or_create(dataset, vecs.shape[1], metric))
-                ids = np.arange(base, base + len(vecs))
+                if auto_base is None:
+                    auto_base = len(
+                        self.store.get_or_create(dataset, vecs.shape[1], metric)
+                    )
+                ids = np.arange(auto_base, auto_base + len(vecs))
+                auto_base += len(vecs)
             columns = {
                 n: np.asarray(tbl.column(n).to_pylist())
                 for n in names
                 if n not in _RESERVED
             }
+            ts = origin_ts
+            if ts is None and (
+                self.cluster is not None or self.ingest is not None
+            ):
+                ts = time.time()  # stamp once so replicas agree on LWW
             try:
-                self.store.put(
-                    dataset, ids, vecs, columns or None, metric=metric
-                )
+                if self.ingest is not None:
+                    self.ingest.submit(
+                        dataset, ids, vecs, columns or None, metric, ts
+                    )
+                else:
+                    self.store.put(
+                        dataset, ids, vecs, columns or None, metric=metric,
+                        timestamp=ts,
+                    )
             except Exception:
                 self.metrics.counter(
                     "longbow_ipc_decode_errors_total"
                 ).inc()
                 raise
+            if self.cluster is not None and not is_replication:
+                self.cluster.on_put(
+                    dataset, ids, vecs, columns or None, metric, ts
+                )
             self.metrics.counter(
                 "longbow_flight_rows_processed_total"
             ).inc(batch.num_rows)
-            ds = self.store.get(dataset)
-            self.metrics.gauge(
-                "longbow_vector_index_size", ("dataset",)
-            ).labels(dataset=dataset).set(ds.live_count)
 
     # -- queries (reference: servers.go:28 DoGet -> store_query.go:126) --
 
@@ -165,13 +197,29 @@ class LongbowFlightServer(flight.FlightServerBase):
     def _do_search(self, tq):
         req = tq.search
         sanitize_search_request(req)
-        ds = self.store.get(req.dataset or tq.name)
+        dsname = req.dataset or tq.name
+        fan_out = (
+            self.cluster is not None
+            and not req.local_only
+            and self.cluster.has_peers()
+        )
+        try:
+            ds = self.store.get(dsname)
+        except KeyError:
+            if not fan_out:
+                raise
+            ds = None  # dataset lives only on peers: global-only read
         qv = np.asarray(req.query_vectors(), dtype=np.float32)
         if qv.size == 0:
             raise flight.FlightServerError("search needs vector or vectors")
 
         t_search = time.perf_counter()
-        if req.text_query and 0.0 <= req.alpha < 1.0:
+        if ds is None:
+            b = qv.shape[0] if qv.ndim == 2 else 1
+            ids = np.empty((b, req.k), dtype=object)
+            scores = np.zeros((b, req.k), np.float32)
+            ok = np.zeros((b, req.k), bool)
+        elif req.text_query and 0.0 <= req.alpha < 1.0:
             ids, scores, ok = self.store.hybrid_search(
                 ds.name, qv, req.k,
                 text_query=req.text_query, alpha=req.alpha,
@@ -185,6 +233,15 @@ class LongbowFlightServer(flight.FlightServerBase):
                 ids, scores, ok = self.store.graph_rerank(
                     ds.name, ids, scores, ok, req.graph_alpha
                 )
+        if fan_out:
+            # cross-process global search: merge alive peers' local
+            # top-k (reference: store_query.go:696-717 -> global_search.go)
+            ids, scores, ok = self.cluster.global_search(
+                dsname, qv, req.k,
+                raw_filters=_filters_to_wire(req.filters),
+                local=(ids, scores, ok),
+                metric=ds.metric if ds is not None else Metric.L2,
+            )
         self.metrics.histogram(
             "longbow_vector_search_latency_seconds"
         ).observe(time.perf_counter() - t_search)
@@ -220,30 +277,63 @@ class LongbowFlightServer(flight.FlightServerBase):
         tbl = pa.table(dict(fields))
         return flight.RecordBatchStream(tbl)
 
+    # ~2MB record batches: the reference's adaptive chunk target
+    # (flight/adaptive_chunk_strategy.go:10, doget_pipeline.go:33)
+    SCAN_CHUNK_BYTES = 2 * 1024 * 1024
+
     def _do_scan(self, tq):
+        """Streaming table scan: the dataset is materialized in ~2MB
+        record batches, never as one host-side table — bounded host
+        memory at any corpus size (reference: DoGetPipeline
+        doget_pipeline.go:33)."""
         ds = self.store.get(tq.name)
         n = ds.live_count
         limit = tq.limit if tq.limit > 0 else n
-        pairs = [
-            (uid, row)
-            for uid, row in ds._id_to_row.items()
-        ][:limit]
-        if pairs:
-            rows = np.asarray([r for _, r in pairs])
-            vecs = ds.get_vectors_by_rows(rows)
-            ids = [u for u, _ in pairs]
-        else:
-            vecs = np.zeros((0, ds.dim), np.float32)
-            ids = []
-        tbl = pa.table(
-            {
-                "id": _ids_arrow_array(ids),
-                "vector": pa.FixedSizeListArray.from_arrays(
-                    pa.array(vecs.reshape(-1), pa.float32()), ds.dim
+        pairs = list(ds._id_to_row.items())[:limit]
+        schema = pa.schema(
+            [
+                (
+                    "id",
+                    pa.string()
+                    if pairs and isinstance(pairs[0][0], str)
+                    else pa.int64(),
                 ),
-            }
+                ("vector", pa.list_(pa.float32(), ds.dim)),
+            ]
         )
-        return flight.RecordBatchStream(tbl)
+        rows_per = max(1, self.SCAN_CHUNK_BYTES // max(ds.dim * 4, 1))
+
+        def gen():
+            for off in range(0, len(pairs), rows_per):
+                part = pairs[off : off + rows_per]
+                rows = np.asarray([r for _, r in part])
+                vecs = ds.get_vectors_by_rows(rows)
+                ids = [u for u, _ in part]
+                yield pa.record_batch(
+                    [
+                        _ids_arrow_array(ids)
+                        if ids
+                        else pa.array([], schema.field("id").type),
+                        pa.FixedSizeListArray.from_arrays(
+                            pa.array(vecs.reshape(-1), pa.float32()),
+                            ds.dim,
+                        ),
+                    ],
+                    schema=schema,
+                )
+
+        if not pairs:
+            return flight.RecordBatchStream(
+                pa.table(
+                    {
+                        "id": pa.array([], schema.field("id").type),
+                        "vector": pa.FixedSizeListArray.from_arrays(
+                            pa.array([], pa.float32()), ds.dim
+                        ),
+                    }
+                )
+            )
+        return flight.GeneratorStream(schema, gen())
 
     # -- bidirectional streaming (reference: do_exchange.go:47-284 —
     #    ingest path + VectorSearch exchange) --------------------------
@@ -357,7 +447,13 @@ class LongbowFlightServer(flight.FlightServerBase):
             return [json.dumps(obj).encode()]
 
         if name == "check_readiness":
-            return ok(self.store.readiness())
+            r = self.store.readiness()
+            if self.ingest is not None:
+                depth = self.ingest.depth
+                if depth > 0:
+                    r["status"] = "BUSY"
+                r["index_queue_depth"] = depth
+            return ok(r)
         if name in ("health", "Health"):
             from longbow_tpu.utils.health import (
                 HealthManager,
@@ -372,7 +468,10 @@ class LongbowFlightServer(flight.FlightServerBase):
             hm.register("device", device_checker())
             return ok(hm.check())
         if name == "cluster-status":
-            return ok(self.store.cluster_status())
+            st = self.store.cluster_status()
+            if self.cluster is not None:
+                st.update(self.cluster.status())
+            return ok(st)
         if name in ("list-datasets", "ListDatasets"):
             return ok(self.store.list_datasets())
         if name in ("CreateNamespace",):
@@ -400,13 +499,39 @@ class LongbowFlightServer(flight.FlightServerBase):
             req = json.loads(body or b"{}")
             n = self.store.delete(req["dataset"], req.get("ids", []))
             self.audit.record("delete", req["dataset"], {"n": n})
+            if self.cluster is not None and not req.get("replicated"):
+                self.cluster.on_delete(req["dataset"], req.get("ids", []))
             return ok({"deleted": n})
         if name == "VectorSearch":
             req = parse_search_request(json.loads(body))
             qv = np.asarray(req.query_vectors(), dtype=np.float32)
-            ids, scores, okm = self.store.search(
-                req.dataset, qv, req.k, filters=req.filters
+            fan_out = (
+                self.cluster is not None
+                and not req.local_only
+                and self.cluster.has_peers()
             )
+            try:
+                ids, scores, okm = self.store.search(
+                    req.dataset, qv, req.k, filters=req.filters
+                )
+            except KeyError:
+                if not fan_out:
+                    raise
+                b = qv.shape[0] if qv.ndim == 2 else 1
+                ids = np.empty((b, req.k), dtype=object)
+                scores = np.zeros((b, req.k), np.float32)
+                okm = np.zeros((b, req.k), bool)
+            if fan_out:
+                metric = Metric.L2
+                try:
+                    metric = self.store.get(req.dataset).metric
+                except KeyError:
+                    pass
+                ids, scores, okm = self.cluster.global_search(
+                    req.dataset, qv, req.k,
+                    raw_filters=_filters_to_wire(req.filters),
+                    local=(ids, scores, okm), metric=metric,
+                )
             return ok(_response_ids_scores(ids, scores, okm))
         if name == "VectorSearchByID":
             req = json.loads(body)
@@ -513,17 +638,33 @@ def _ids_arrow_array(ids: list) -> pa.Array:
     return pa.array([int(i) for i in ids], pa.int64())
 
 
+def _filters_to_wire(filters) -> list:
+    """Filter objects -> the reference's wire shape, for peer fan-out."""
+    return [
+        {
+            "field": f.field,
+            "operator": f.operator,
+            "value": f.value,
+            "logic": f.logic,
+        }
+        for f in (filters or [])
+    ]
+
+
 def _response_ids_scores(ids, scores, ok) -> dict:
     """reference: VectorSearchResponse {ids: [], scores: []}
-    (requests.go:24-27); flattened across the query batch."""
-    out_i, out_s = [], []
+    (requests.go:24-27); flattened across the query batch, with a
+    query_index column (wire-compatible superset) so batched fan-out
+    responses merge per query."""
+    out_i, out_s, out_q = [], [], []
     for b in range(ids.shape[0]):
         for j in range(ids.shape[1]):
             if ok[b, j]:
                 v = ids[b, j]
                 out_i.append(v.item() if hasattr(v, "item") else v)
                 out_s.append(float(scores[b, j]))
-    return {"ids": out_i, "scores": out_s}
+                out_q.append(b)
+    return {"ids": out_i, "scores": out_s, "query_index": out_q}
 
 
 class ServerHandle:

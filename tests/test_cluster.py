@@ -1,0 +1,317 @@
+"""Cluster tier: membership, replication through the serving path,
+cross-process global search honoring local_only.
+
+Mirrors the reference's multi-node test strategy (SURVEY.md §4: 3 local
+processes via scripts/start_local_cluster.sh, validated by
+verify_global_search.py; gossip tested with real sockets on localhost).
+"""
+import os
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from longbow_tpu.distributed.cluster import ClusterCoordinator
+from longbow_tpu.distributed.membership import (
+    ALIVE,
+    DEAD,
+    MembershipManager,
+    SUSPECT,
+    parse_peer,
+)
+from longbow_tpu.serving.client import LongbowClient
+from longbow_tpu.serving.flight_server import LongbowFlightServer
+from longbow_tpu.store.vector_store import VectorStore
+
+
+def _free_ports(n):
+    socks, ports = [], []
+    for _ in range(n):
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        ports.append(s.getsockname()[1])
+        socks.append(s)
+    for s in socks:
+        s.close()
+    return ports
+
+
+def _vecs(n, d, seed=0):
+    return np.random.default_rng(seed).standard_normal((n, d)).astype(
+        np.float32
+    )
+
+
+def test_parse_peer():
+    assert parse_peer("h:3000") == ("h", 3000, 3001)
+    assert parse_peer("h:3000:3005") == ("h", 3000, 3005)
+
+
+def test_membership_transitions():
+    # nothing listens on these ports -> suspect then dead
+    mm = MembershipManager(
+        "self:1", ["127.0.0.1:1", "127.0.0.1:2"],
+        suspect_after=1, dead_after=2, probe_timeout_s=0.2,
+    )
+    events = []
+    mm.subscribe(lambda m: events.append((m.id, m.status)))
+    mm.probe_round()
+    assert all(m.status == SUSPECT for m in mm.members.values())
+    mm.probe_round()
+    assert all(m.status == DEAD for m in mm.members.values())
+    assert mm.alive() == []
+    assert ("127.0.0.1:1", SUSPECT) in events
+    assert ("127.0.0.1:1", DEAD) in events
+    # a listener appears -> back to alive with a bumped incarnation
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    mm2 = MembershipManager(
+        "self:1", [f"127.0.0.1:{port}"], probe_timeout_s=0.5
+    )
+    mm2.probe_round()
+    assert [m.status for m in mm2.members.values()] == [ALIVE]
+    srv.close()
+
+
+class _Node:
+    """One in-process node: store + cluster coordinator + data/meta
+    Flight servers on real gRPC sockets."""
+
+    def __init__(self, i, all_specs, data_port, meta_port, replication):
+        import threading
+
+        self.store = VectorStore()
+        self.id = f"127.0.0.1:{data_port}"
+        self.cluster = ClusterCoordinator(
+            self.store, self.id, all_specs,
+            replication_mode=replication,
+            sync_interval_s=3600,  # manual sync in tests
+            probe_interval_s=0.2,
+        )
+        self.data = LongbowFlightServer(
+            self.store, f"grpc://127.0.0.1:{data_port}", cluster=self.cluster
+        )
+        self.meta = LongbowFlightServer(
+            self.store, f"grpc://127.0.0.1:{meta_port}", cluster=self.cluster
+        )
+        self.threads = []
+        for srv in (self.data, self.meta):
+            t = threading.Thread(target=srv.serve, daemon=True)
+            t.start()
+            self.threads.append(t)
+        self.client = LongbowClient("127.0.0.1", data_port, meta_port)
+
+    def stop(self):
+        self.cluster.stop()
+        self.data.shutdown()
+        self.meta.shutdown()
+        self.client.close()
+
+
+@pytest.fixture
+def three_nodes():
+    ports = _free_ports(6)
+    specs = [f"127.0.0.1:{ports[2*i]}:{ports[2*i+1]}" for i in range(3)]
+    nodes = [
+        _Node(i, specs, ports[2 * i], ports[2 * i + 1], "async")
+        for i in range(3)
+    ]
+    for n in nodes:
+        n.cluster.membership.start()
+    # wait until everyone sees everyone
+    t0 = time.time()
+    while time.time() - t0 < 10:
+        if all(len(n.cluster.membership.alive()) == 2 for n in nodes):
+            break
+        time.sleep(0.1)
+    yield nodes
+    for n in nodes:
+        n.stop()
+
+
+def test_replicated_put_searchable_on_peer(three_nodes):
+    """VERDICT r1 #1 acceptance: put to node0, search via node2."""
+    n0, n1, n2 = three_nodes
+    v = _vecs(50, 8)
+    n0.client.write("docs", np.arange(50), v)
+    # async replication: wait for the fanout queue to drain
+    t0 = time.time()
+    while time.time() - t0 < 10:
+        try:
+            if n2.store.get("docs").live_count == 50:
+                break
+        except KeyError:
+            pass
+        time.sleep(0.1)
+    assert n2.store.get("docs").live_count == 50
+    tbl = n2.client.search("docs", v[7], k=1)
+    assert tbl.column("id")[0].as_py() == 7
+    # deletes replicate too (and do not boomerang)
+    n0.client.delete("docs", [7])
+    t0 = time.time()
+    while time.time() - t0 < 10:
+        if n2.store.get("docs").live_count == 49:
+            break
+        time.sleep(0.1)
+    assert n2.store.get("docs").live_count == 49
+    assert n0.store.get("docs").live_count == 49
+
+
+def test_global_search_honors_local_only(three_nodes):
+    """A dataset living only on node1 is reachable from node0 with
+    local_only:false and invisible with local_only:true (reference:
+    global_search.go:48, store_query.go:696-717)."""
+    n0, n1, n2 = three_nodes
+    # write ONLY to node1's store directly (bypass replication)
+    v = _vecs(40, 8, seed=3)
+    n1.store.put("solo", np.arange(40), v)
+
+    # local_only=true on node0: dataset not found
+    import pyarrow.flight as flight
+    import json
+
+    with pytest.raises(flight.FlightError):
+        n0.client._dc().do_get(
+            flight.Ticket(
+                json.dumps(
+                    {"search": {"dataset": "solo", "k": 3,
+                                "vector": v[5].tolist(),
+                                "local_only": True}}
+                ).encode()
+            )
+        ).read_all()
+
+    # local_only=false (default): fans out and finds node1's rows
+    tbl = n0.client.search("solo", v[5], k=3)
+    assert tbl.column("id")[0].as_py() == 5
+
+    # VectorSearch action path honors it too
+    resp = n0.client._action(
+        "VectorSearch",
+        {"dataset": "solo", "vector": v[9].tolist(), "k": 2},
+        meta=False,
+    )
+    assert resp["ids"][0] == 9
+
+
+def test_global_search_merges_topk(three_nodes):
+    """Each node holds a disjoint slice; a global read returns the true
+    global top-k."""
+    n0, n1, n2 = three_nodes
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((30, 8)).astype(np.float32)
+    q = base[0]
+    # craft distances: node i holds rows whose ids encode their rank
+    for i, n in enumerate(three_nodes):
+        vecs = q[None, :] + (0.1 * (np.arange(10) * 3 + i + 1))[:, None]
+        ids = np.arange(10) * 3 + i
+        n.store.put("parts", ids, vecs.astype(np.float32))
+    tbl = n0.client.search("parts", q, k=6)
+    got = [tbl.column("id")[j].as_py() for j in range(6)]
+    assert got == [0, 1, 2, 3, 4, 5], got
+
+
+def test_cluster_status_reports_members(three_nodes):
+    n0 = three_nodes[0]
+    st = n0.client.cluster_status()
+    assert st["self"]["id"] == n0.id
+    assert len(st["members"]) == 2
+    assert all(m["status"] == "alive" for m in st["members"])
+    assert "replication" in st
+
+
+def test_anti_entropy_heals_missed_writes(three_nodes):
+    """Rows written while a peer was 'down' arrive via Merkle sync
+    (reference: mesh/sync/sync_worker.go:41-250)."""
+    n0, n1, n2 = three_nodes
+    v = _vecs(20, 8, seed=5)
+    # simulate a missed replication: write only locally on node0
+    n0.store.put("heal", np.arange(20), v)
+    assert "heal" not in n2.store.list_datasets()
+    # node2 pulls the delta (needs the dataset registered locally first,
+    # as the reference's sync does via dataset discovery; create empty)
+    n2.store.get_or_create("heal", 8)
+    applied = n2.cluster.sync_worker.run_once()
+    assert applied >= 20
+    assert n2.store.get("heal").live_count == 20
+
+
+@pytest.mark.skipif(
+    os.environ.get("LONGBOW_SKIP_PROC_TEST") == "1",
+    reason="subprocess cluster test disabled",
+)
+def test_three_process_cluster(tmp_path):
+    """The real thing: 3 OS processes, replication + global search
+    (reference: scripts/start_local_cluster.sh + verify_global_search.py)."""
+    ports = _free_ports(6)
+    specs = ",".join(
+        f"127.0.0.1:{ports[2*i]}:{ports[2*i+1]}" for i in range(3)
+    )
+    procs = []
+    try:
+        for i in range(3):
+            env = dict(os.environ)
+            env.update(
+                LONGBOW_DATA_PORT=str(ports[2 * i]),
+                LONGBOW_META_PORT=str(ports[2 * i + 1]),
+                LONGBOW_METRICS_PORT="0",
+                LONGBOW_DATA_DIR=str(tmp_path / f"node{i}"),
+                LONGBOW_NODE_ID=f"127.0.0.1:{ports[2*i]}",
+                LONGBOW_PEERS=specs,
+                LONGBOW_REPLICATION="async",
+                LONGBOW_SYNC_INTERVAL_S="3600",
+                LONGBOW_FORCE_CPU="1",
+            )
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-m", "longbow_tpu.serve"],
+                    env=env,
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.STDOUT,
+                )
+            )
+        c0 = LongbowClient("127.0.0.1", ports[0], ports[1])
+        c2 = LongbowClient("127.0.0.1", ports[4], ports[5])
+        t0 = time.time()
+        ready = 0
+        while time.time() - t0 < 60:
+            try:
+                c0.check_readiness()
+                c2.check_readiness()
+                ready = 1
+                break
+            except Exception:
+                time.sleep(0.5)
+        assert ready, "cluster processes never became ready"
+
+        v = _vecs(30, 8, seed=6)
+        c0.write("docs", np.arange(30), v)
+        t0 = time.time()
+        hit = False
+        while time.time() - t0 < 30:
+            try:
+                tbl = c2.search("docs", v[4], k=1)
+                if tbl.num_rows and tbl.column("id")[0].as_py() == 4:
+                    hit = True
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        assert hit, "put to node0 not searchable via node2"
+        st = c0.cluster_status()
+        assert len(st["members"]) == 2
+        c0.close()
+        c2.close()
+    finally:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()

@@ -196,3 +196,72 @@ def test_create_namespace_with_index_type(client):
     assert t.column("id")[0].as_py() == 5
     st = client.cluster_status()
     assert st["datasets"]["e2e_pq"]["index_kind"] == "pq"
+
+
+def test_scan_streams_in_chunks(client):
+    """DoGet scan must stream ~2MB record batches, not one table
+    (reference: doget_pipeline.go:33, adaptive_chunk_strategy.go:10)."""
+    import pyarrow as pa
+
+    v = _vecs(3000, 64, seed=11)
+    client.write("bigscan", np.arange(3000), v)
+    # shrink the chunk target so the test exercises multi-batch streams
+    from longbow_tpu.serving import flight_server as fs
+
+    old = fs.LongbowFlightServer.SCAN_CHUNK_BYTES
+    fs.LongbowFlightServer.SCAN_CHUNK_BYTES = 64 * 1024
+    try:
+        import json
+        import pyarrow.flight as flight
+
+        reader = client._dc().do_get(
+            flight.Ticket(json.dumps({"name": "bigscan"}).encode())
+        )
+        batches = [c.data for c in reader]
+    finally:
+        fs.LongbowFlightServer.SCAN_CHUNK_BYTES = old
+    assert len(batches) > 1  # streamed, not materialized
+    total = sum(b.num_rows for b in batches)
+    assert total == 3000
+    tbl = pa.Table.from_batches(batches)
+    got = set(tbl.column("id").to_pylist())
+    assert got == set(range(3000))
+
+
+def test_async_ingest_busy_then_ready():
+    """Async ingest: DoPut acks on enqueue; check_readiness flips
+    BUSY -> READY as the queue drains (reference:
+    store_actions.go:57-101)."""
+    import time
+
+    from longbow_tpu.serving.flight_server import LongbowFlightServer, serve
+    from longbow_tpu.serving.ingest import IngestQueue
+
+    store = VectorStore()
+    q = IngestQueue(store)
+    handle = serve(store, data_port=0, meta_port=0, host="127.0.0.1")
+    handle.data_server.ingest = q
+    handle.meta_server.ingest = q
+    c = LongbowClient("127.0.0.1")
+    c.data_location = f"grpc://127.0.0.1:{handle.data_server.port}"
+    c.meta_location = f"grpc://127.0.0.1:{handle.meta_server.port}"
+    c.connect()
+    try:
+        v = _vecs(500, 16, seed=12)
+        c.write("async", np.arange(500), v)
+        # wait for drain; status must end READY with depth 0
+        t0 = time.time()
+        while time.time() - t0 < 30:
+            r = c.check_readiness()
+            if r["status"] == "READY" and r.get("index_queue_depth") == 0:
+                break
+            time.sleep(0.05)
+        assert r["status"] == "READY", r
+        assert store.get("async").live_count == 500
+        tbl = c.search("async", v[3], k=1)
+        assert tbl.column("id")[0].as_py() == 3
+        assert not q.errors
+    finally:
+        c.close()
+        q.close()
+        handle.shutdown()
