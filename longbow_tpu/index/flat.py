@@ -62,10 +62,14 @@ def _tombstone(valid, rows):
 )
 def _fused_packed(queries, vectors, norms, valid, k, metric, extra_mask, normalize):
     """Fused scan + exact re-rank returning ONE packed array [B, 2k]
-    (distances then bitcast row ids): a single fetch round trip."""
+    (distances then bitcast row ids): a single fetch round trip.
+
+    pool is pinned to 64: the streaming-top-k kernel's scoped-VMEM
+    footprint grows with its k and 128 exceeds the 16MB limit on v5e
+    (measured: k=64 compiles, k=128 OOMs at any tile size)."""
     d, i = flat_search_rerank(
         queries, vectors, norms, valid, k, metric,
-        pool=min(max(4 * k, 64), 128),
+        pool=64,
         extra_mask=extra_mask, normalize=normalize,
     )
     return jnp.concatenate(
@@ -180,13 +184,15 @@ class FlatIndex:
         # fold kernel hit pathological (minutes-long) Mosaic compiles
         # on v5e, and bf16 is the perf-right storage default anyway;
         # f32 serves through the XLA chunked scan (~20% slower).
-        if _on_tpu() and k <= 128 and self.dtype == jnp.bfloat16:
+        # k caps at 64: the kernel's scoped VMEM grows with its k and
+        # k=128 exceeds the 16MB limit (k>64 uses the XLA scan).
+        if _on_tpu() and k <= 64 and self.dtype == jnp.bfloat16:
             # Fixed kernel shapes: B padded to 128, k bucketed to
-            # {16, 128}. Small/odd batch shapes trigger pathological
+            # {16, 64}. Small/odd batch shapes trigger pathological
             # Mosaic compile times (minutes); one canonical shape per
             # (corpus, metric) compiles once and serves every request.
             b = q.shape[0]
-            k_pad = 16 if k <= 16 else 128
+            k_pad = 16 if k <= 16 else 64
             b_pad = -(-b // 128) * 128
             if b_pad != b:
                 q = np.pad(q, ((0, b_pad - b), (0, 0)))

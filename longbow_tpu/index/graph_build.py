@@ -260,7 +260,8 @@ def _chunked_self_knn(
     use_fused = (
         _jax.default_backend() in ("tpu", "axon")
         and vectors.dtype == jnp.bfloat16
-        and k + 1 <= 128
+        # kernel scoped-VMEM limit: its k must stay <= 64 on v5e
+        and k + 1 <= 64
     )
     n_pad = -(-n // chunk_b) * chunk_b
     out_d, out_i = [], []
@@ -274,7 +275,7 @@ def _chunked_self_knn(
             rows = jnp.minimum(rows, n - 1)
             q = jnp.take(vf, rows, axis=0)
             d, i = fused_flat_search(
-                q, vf, norms_sq, valid, min(k + 1, 128),
+                q, vf, norms_sq, valid, min(k + 1, 64),
                 tile_n=2048,  # k~64 + tile 4096 exceeds the 16MB VMEM
             )
             self_hit = i == rows[:, None]

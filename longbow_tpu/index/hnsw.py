@@ -214,7 +214,9 @@ class HNSWIndex:
             # (no reference equivalent; its build is inherently
             # sequential, insertion_core.go:16). Exact O(N^2) kNN below
             # 150k rows; cluster-blocked kNN above.
-            kk = min(64, max(self.config.m * 2, 16))
+            # 63: the fused self-kNN scans for kk+1 (self included) and
+            # the kernel's k caps at 64 on v5e (scoped-VMEM limit)
+            kk = min(63, max(self.config.m * 2, 16))
             import jax as _jax
 
             fused_ok = _jax.default_backend() in ("tpu", "axon") and (

@@ -17,14 +17,14 @@ import threading
 import time
 
 import numpy as np
-
 sys.path.insert(0, ".")  # repo-root invocation
 
-from longbow_tpu.serving.client import LongbowClient  # noqa: E402
+# LongbowClient is imported lazily: the micro mode must pin jax to
+# the CPU backend BEFORE anything initializes it
 
 
 def run_worker(args, worker_id, stats, stop):
-    c = LongbowClient(args.host, args.data_port, args.meta_port).connect()
+    c = _client()(args.host, args.data_port, args.meta_port).connect()
     rng = np.random.default_rng(worker_id)
     next_id = worker_id * 10_000_000
     lat = []
@@ -60,10 +60,68 @@ def run_worker(args, worker_id, stats, stop):
     stats[worker_id] = {"ops": ops, "rows": rows, "errors": errors, "lat": lat}
 
 
+def _client():
+    from longbow_tpu.serving.client import LongbowClient
+
+    return LongbowClient
+
+
+def run_micro(out_path: str | None) -> int:
+    """Serverless in-process micro benchmarks for the CI perf gate
+    (reference: go test -bench micro-benchmarks + the benchstat
+    PR-vs-main gate, .github/workflows/benchmark.yml:33-60). Forces the
+    CPU backend so numbers are comparable across machines without TPU
+    hardware."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as _np
+
+    from longbow_tpu.store.vector_store import VectorStore
+
+    rng = _np.random.default_rng(0)
+    out = {}
+
+    store = VectorStore()
+    v = rng.standard_normal((20_000, 64), dtype=_np.float32)
+    t0 = time.time()
+    for off in range(0, 20_000, 2_000):
+        store.put("m", _np.arange(off, off + 2_000), v[off : off + 2_000])
+    out["ingest_rows_per_s"] = round(20_000 / (time.time() - t0), 1)
+
+    q = rng.standard_normal((16, 64), dtype=_np.float32)
+    store.search("m", q, 10, use_cache=False)  # compile
+    t0 = time.time()
+    iters = 20
+    for _ in range(iters):
+        store.search("m", q, 10, use_cache=False)
+    out["search_qps"] = round(16 * iters / (time.time() - t0), 1)
+
+    store.put(
+        "h", _np.arange(2_000), v[:2_000],
+        columns={"text": _np.asarray(
+            [f"doc {i} alpha beta" for i in range(2_000)]
+        )},
+    )
+    t0 = time.time()
+    for _ in range(10):
+        store.hybrid_search("h", q[:1], 10, text_query="alpha doc", alpha=0.5)
+    out["hybrid_qps"] = round(10 / (time.time() - t0), 1)
+
+    blob = json.dumps(out)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(blob)
+    print(blob)
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["ingest", "search", "hybrid"],
+    ap.add_argument("--mode", choices=["ingest", "search", "hybrid", "micro"],
                     default="search")
+    ap.add_argument("--out", default=None,
+                    help="micro mode: write the JSON here too")
     ap.add_argument("--host", default="localhost")
     ap.add_argument("--data-port", type=int, default=3000)
     ap.add_argument("--meta-port", type=int, default=3001)
@@ -77,8 +135,11 @@ def main() -> int:
                     help="rows to ingest before a search benchmark")
     args = ap.parse_args()
 
+    if args.mode == "micro":
+        return run_micro(args.out)
+
     if args.warmup_rows:
-        c = LongbowClient(args.host, args.data_port, args.meta_port).connect()
+        c = _client()(args.host, args.data_port, args.meta_port).connect()
         rng = np.random.default_rng(0)
         for off in range(0, args.warmup_rows, 10_000):
             n = min(10_000, args.warmup_rows - off)
