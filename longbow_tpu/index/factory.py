@@ -20,8 +20,9 @@ from longbow_tpu.index.flat import FlatIndex
 from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
 from longbow_tpu.index.pq import PQIndex
 from longbow_tpu.index.sq8 import SQ8Index
+from longbow_tpu.index.tiered import TieredIndex
 
-INDEX_KINDS = ("adaptive", "flat", "hnsw", "pq", "sq8", "bq")
+INDEX_KINDS = ("adaptive", "flat", "hnsw", "pq", "sq8", "bq", "disk")
 
 
 class _QuantizedAdapter:
@@ -62,6 +63,8 @@ class _QuantizedAdapter:
 
     def get_vectors(self, rows: np.ndarray) -> np.ndarray:
         inner = self._inner
+        if hasattr(inner, "get_vectors"):
+            return inner.get_vectors(np.asarray(rows))
         if getattr(inner, "rerank_vectors", None) is not None:
             return np.asarray(
                 jnp.take(inner.rerank_vectors, jnp.asarray(rows), axis=0)
@@ -82,7 +85,10 @@ class _QuantizedAdapter:
 
     @classmethod
     def import_state(cls, st: dict) -> "_QuantizedAdapter":
-        inner_cls = {"pq": PQIndex, "sq8": SQ8Index, "bq": BQIndex}[st["kind"]]
+        inner_cls = {
+            "pq": PQIndex, "sq8": SQ8Index, "bq": BQIndex,
+            "disk": TieredIndex,
+        }[st["kind"]]
         return cls(inner_cls.import_state(st), st["kind"], st["dim"])
 
 
@@ -133,6 +139,17 @@ def make_index(
             BQIndex(dim, metric, rerank=bool(params.get("rerank", True))),
             "bq", dim,
         )
+    if kind == "disk":
+        # HBM-offload tier: SQ8 scan on device, full vectors in host
+        # RAM or an mmap file (reference: disk_vector_store.go:3)
+        return _QuantizedAdapter(
+            TieredIndex(
+                dim, metric,
+                path=params.get("path"),
+                rerank_factor=int(params.get("rerank_factor", 8)),
+            ),
+            "disk", dim,
+        )
     raise ValueError(f"unknown index kind {kind!r}; want one of {INDEX_KINDS}")
 
 
@@ -144,6 +161,6 @@ def import_index(state: dict):
     kind = state["kind"]
     if kind in ("flat", "hnsw"):
         return AdaptiveIndex.import_state(state)
-    if kind in ("pq", "sq8", "bq"):
+    if kind in ("pq", "sq8", "bq", "disk"):
         return _QuantizedAdapter.import_state(state)
     raise ValueError(f"cannot import index state of kind {kind!r}")

@@ -66,14 +66,18 @@ def _fused_packed(queries, vectors, norms, valid, k, metric, extra_mask, normali
 
     pool is pinned to 64: the streaming-top-k kernel's scoped-VMEM
     footprint grows with its k and 128 exceeds the 16MB limit on v5e
-    (measured: k=64 compiles, k=128 OOMs at any tile size)."""
+    (measured: k=64 compiles, k=128 OOMs at any tile size).
+
+    The pack is int32 with the distances bitcast INTO it — never the
+    other way around: int rows bitcast to f32 are denormals and get
+    flushed to zero on TPU (measured: every returned row id was 0)."""
     d, i = flat_search_rerank(
         queries, vectors, norms, valid, k, metric,
         pool=64,
         extra_mask=extra_mask, normalize=normalize,
     )
     return jnp.concatenate(
-        [d, jax.lax.bitcast_convert_type(i, jnp.float32)], axis=1
+        [jax.lax.bitcast_convert_type(d, jnp.int32), i], axis=1
     )
 
 
@@ -210,8 +214,8 @@ class FlatIndex:
                 for off in range(0, b_pad, 128)
             ]
             flat = np.concatenate([np.asarray(p) for p in packs])
-            dd = flat[:, :k_pad]
-            ii = flat[:, k_pad:].view(np.int32)
+            dd = np.ascontiguousarray(flat[:, :k_pad]).view(np.float32)
+            ii = flat[:, k_pad:]
             return dd[:b, :k], ii[:b, :k]
         d, i = exact_search(
             jnp.asarray(q),

@@ -219,11 +219,24 @@ class HNSWIndex:
             kk = min(63, max(self.config.m * 2, 16))
             import jax as _jax
 
-            fused_ok = _jax.default_backend() in ("tpu", "axon") and (
+            on_tpu = _jax.default_backend() in ("tpu", "axon")
+            fused_ok = on_tpu and (
                 self.dtype == jnp.bfloat16 or self.storage == "sq8"
             )  # sq8 builds densify to bf16 internally
-            exact_limit = 2_000_000 if fused_ok else 150_000
-            if n >= exact_limit:
+            exact_limit = 150_000
+            if n >= exact_limit and on_tpu:
+                # sub-quadratic device-resident build: random-projection
+                # blocked rounds + NN-descent polish (the exact O(N^2)
+                # build is flop-bound past ~150k rows)
+                from longbow_tpu.index.graph_build import bulk_build_rp
+
+                self.state = bulk_build_rp(
+                    self.state, n, m=self.config.m,
+                    m_max=self.config.m_max,
+                    knn_k=max(self.config.m, 48),
+                    rounds=8, block=4096, nn_rounds=2,
+                )
+            elif n >= exact_limit:
                 from longbow_tpu.index.graph_build import (
                     bulk_build_clustered,
                 )

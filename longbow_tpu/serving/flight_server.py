@@ -488,7 +488,8 @@ class LongbowFlightServer(flight.FlightServerBase):
                     index_params={
                         k: v
                         for k, v in req.items()
-                        if k in ("pq_m", "rerank")
+                        if k in ("pq_m", "rerank", "rerank_factor",
+                                 "path", "storage")
                     },
                 )
             return ok({"created": dsname})

@@ -18,7 +18,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def main():
     sizes = [int(a) for a in sys.argv[1:] if a.isdigit()] or [200_000]
     mode = "clustered" if "--clustered" in sys.argv else (
-        "exact" if "--exact" in sys.argv else "auto"
+        "exact" if "--exact" in sys.argv else
+        "rp" if "--rp" in sys.argv else "auto"
     )
     rounds = 2
     for a in sys.argv[1:]:
@@ -33,6 +34,7 @@ def main():
     from longbow_tpu.index.graph_build import (
         bulk_build_clustered,
         bulk_build_edges,
+        bulk_build_rp,
     )
     from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
     from longbow_tpu.ops.distance import exact_search, Metric
@@ -65,13 +67,18 @@ def main():
         idx.state.vectors.block_until_ready()
 
         t0 = time.time()
-        if mode == "clustered" or (mode == "auto" and n >= 200_000):
+        if mode == "rp" or (mode == "auto" and n >= 150_000):
+            idx.state = bulk_build_rp(
+                idx.state, n, m=32, m_max=64, knn_k=48,
+                rounds=8, block=4096, nn_rounds=rounds,
+            )
+        elif mode == "clustered":
             idx.state = bulk_build_clustered(
                 idx.state, n, m=32, m_max=64, knn_k=64,
                 nn_descent_rounds=rounds,
             )
         else:
-            idx.state = bulk_build_edges(idx.state, n, m=32, m_max=64)
+            idx.state = bulk_build_edges(idx.state, n, m=32, m_max=64, knn_k=63)
         idx.state.nbrs.block_until_ready()
         dt = time.time() - t0
         print(
