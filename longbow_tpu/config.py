@@ -71,6 +71,9 @@ class Config:
     # replication peer_replicator.go, quorum.go)
     node_id: str = field(default_factory=lambda: _env("NODE_ID", ""))
     peers: str = field(default_factory=lambda: _env("PEERS", ""))
+    # DNS discovery: "name:data_port[:meta_port]" re-resolved per probe
+    # round (reference: mesh/discovery DNS mode)
+    peers_dns: str = field(default_factory=lambda: _env("PEERS_DNS", ""))
     replication: str = field(
         default_factory=lambda: _env("REPLICATION", "async")  # async|quorum|off
     )
@@ -101,6 +104,13 @@ class Config:
     eviction_max_rows: int = field(
         default_factory=lambda: _env("EVICTION_MAX_ROWS", 0, int)
     )
+    # memory backpressure (reference: memory_backpressure.go soft/hard)
+    hbm_soft_limit_mb: int = field(
+        default_factory=lambda: _env("HBM_SOFT_LIMIT_MB", 0, int)
+    )
+    hbm_hard_limit_mb: int = field(
+        default_factory=lambda: _env("HBM_HARD_LIMIT_MB", 0, int)
+    )
 
     # ingest (reference: async dual-queue pipeline store_actions.go:426)
     async_ingest: bool = field(
@@ -125,8 +135,8 @@ class Config:
             raise ValueError("need 0 < HNSW_M <= HNSW_M_MAX")
         if self.storage_dtype not in ("bfloat16", "float32"):
             raise ValueError("STORAGE_DTYPE must be bfloat16|float32")
-        if self.wal_sync not in ("always", "batch", "never"):
-            raise ValueError("WAL_SYNC must be always|batch|never")
+        if self.wal_sync not in ("always", "batch", "adaptive", "never"):
+            raise ValueError("WAL_SYNC must be always|batch|adaptive|never")
         if self.replication not in ("async", "quorum", "off"):
             raise ValueError("REPLICATION must be async|quorum|off")
         return self

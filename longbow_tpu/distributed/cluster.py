@@ -35,11 +35,13 @@ class ClusterCoordinator:
         sync_interval_s: float = 30.0,
         probe_interval_s: float = 1.0,
         global_search_timeout_s: float = 5.0,
+        dns_name: str = "",
     ):
         self.store = store
         self.self_id = self_id
         self.membership = MembershipManager(
-            self_id, peers, probe_interval_s=probe_interval_s
+            self_id, peers, probe_interval_s=probe_interval_s,
+            dns_name=dns_name or None,
         )
         self._peers: dict[str, Peer] = {}
         for m in self.membership.members.values():
@@ -58,6 +60,37 @@ class ClusterCoordinator:
                 store, list(self._peers.values()), interval_s=sync_interval_s
             )
         self.global_search_timeout_s = global_search_timeout_s
+        self._replication_level = replication_level
+        # DNS-discovered members join live: create their Peer clients
+        # and fold them into the replication/sync fan-outs
+        self.membership.subscribe(self._on_member_change)
+
+    def _peer_for(self, m: Member) -> Peer:
+        p = self._peers.get(m.id)
+        if p is None:
+            p = Peer(m.host, m.data_port, m.meta_port)
+            self._peers[m.id] = p
+            if self.replicator is not None:
+                self.replicator.peers.append(p)
+            elif self.replication_mode != "off":
+                self.replicator = PeerReplicator(
+                    [p],
+                    mode="async"
+                    if self.replication_mode == "async"
+                    else "quorum",
+                    level=self._replication_level,
+                )
+            if self.sync_worker is not None:
+                self.sync_worker.peers.append(p)
+            else:
+                self.sync_worker = SyncWorker(self.store, [p])
+        return p
+
+    def _on_member_change(self, m: Member) -> None:
+        from longbow_tpu.distributed.membership import ALIVE
+
+        if m.status == ALIVE:
+            self._peer_for(m)
 
     # -- lifecycle ------------------------------------------------------
 
@@ -144,9 +177,7 @@ class ClusterCoordinator:
         results: list[Optional[dict]] = [None] * len(alive)
 
         def one(i: int, m: Member):
-            peer = self._peers.get(m.id)
-            if peer is None:
-                return
+            peer = self._peer_for(m)
             try:
                 body = {
                     "dataset": dataset,

@@ -79,12 +79,17 @@ class MembershipManager:
         suspect_after: int = 2,
         dead_after: int = 5,
         probe_timeout_s: float = 2.0,
+        dns_name: Optional[str] = None,
     ):
         self.self_id = self_id
         self.probe_interval_s = probe_interval_s
         self.suspect_after = suspect_after
         self.dead_after = dead_after
         self.probe_timeout_s = probe_timeout_s
+        # DNS discovery (reference: mesh/discovery*.go DNS mode):
+        # "name:data_port[:meta_port]" re-resolved every probe round so
+        # scale-ups/downs of a headless service are picked up live
+        self.dns_name = dns_name
         self.members: dict[str, Member] = {}
         for spec in peers:
             h, dp, mp = parse_peer(spec)
@@ -95,6 +100,27 @@ class MembershipManager:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
+
+    def _discover_dns(self) -> None:
+        if not self.dns_name:
+            return
+        name, dp, mp = parse_peer(self.dns_name)
+        try:
+            infos = socket.getaddrinfo(
+                name, dp, proto=socket.IPPROTO_TCP
+            )
+        except OSError:
+            return
+        for info in infos:
+            host = info[4][0]
+            mid = f"{host}:{dp}"
+            if mid != self.self_id and mid not in self.members:
+                with self._lock:
+                    # start SUSPECT: the first successful probe fires
+                    # the subscriber callbacks (join notification)
+                    self.members[mid] = Member(
+                        mid, host, dp, mp, status=SUSPECT
+                    )
 
     # -- probing --------------------------------------------------------
 
@@ -111,6 +137,7 @@ class MembershipManager:
             return False
 
     def probe_round(self) -> None:
+        self._discover_dns()
         for m in list(self.members.values()):
             ok = self._probe_one(m)
             with self._lock:

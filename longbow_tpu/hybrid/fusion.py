@@ -57,6 +57,28 @@ def fuse_linear(
     return sorted(out.items(), key=lambda kv: -kv[1])[:k]
 
 
+def fuse_cascade(
+    dense: list[tuple],
+    sparse: list[tuple],
+    alpha: float,
+    k: int,
+) -> list:
+    """Cascade fusion (reference: the hybrid pipeline's cascade stage,
+    hybrid_pipeline.go:78-360): the dense stage gates the candidate
+    set, the sparse scores only *re-rank within it* — sparse-only hits
+    cannot enter the results. Useful when dense recall is trusted and
+    BM25 is a precision signal."""
+    if not dense:
+        return []
+    dn = _normalize(dense)
+    sn = _normalize(sparse)
+    out = {
+        d: alpha * s + (1.0 - alpha) * sn.get(d, 0.0)
+        for d, s in dn.items()
+    }
+    return sorted(out.items(), key=lambda kv: -kv[1])[:k]
+
+
 def estimate_alpha(text_query: str) -> float:
     """Query-length heuristic (reference: EstimateAlpha,
     hybrid_search.go:235): short keyword-ish queries lean sparse,

@@ -20,9 +20,10 @@ from longbow_tpu.index.flat import FlatIndex
 from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
 from longbow_tpu.index.pq import PQIndex
 from longbow_tpu.index.sq8 import SQ8Index
+from longbow_tpu.index.ivf import IVFIndex
 from longbow_tpu.index.tiered import TieredIndex
 
-INDEX_KINDS = ("adaptive", "flat", "hnsw", "pq", "sq8", "bq", "disk")
+INDEX_KINDS = ("adaptive", "flat", "hnsw", "pq", "sq8", "bq", "disk", "ivf")
 
 
 class _QuantizedAdapter:
@@ -87,7 +88,7 @@ class _QuantizedAdapter:
     def import_state(cls, st: dict) -> "_QuantizedAdapter":
         inner_cls = {
             "pq": PQIndex, "sq8": SQ8Index, "bq": BQIndex,
-            "disk": TieredIndex,
+            "disk": TieredIndex, "ivf": IVFIndex,
         }[st["kind"]]
         return cls(inner_cls.import_state(st), st["kind"], st["dim"])
 
@@ -139,6 +140,16 @@ def make_index(
             BQIndex(dim, metric, rerank=bool(params.get("rerank", True))),
             "bq", dim,
         )
+    if kind == "ivf":
+        return _QuantizedAdapter(
+            IVFIndex(
+                dim, metric,
+                n_cells=int(params.get("n_cells", 0)),
+                n_probe=int(params.get("n_probe", 8)),
+                dtype=dtype,
+            ),
+            "ivf", dim,
+        )
     if kind == "disk":
         # HBM-offload tier: SQ8 scan on device, full vectors in host
         # RAM or an mmap file (reference: disk_vector_store.go:3)
@@ -161,6 +172,6 @@ def import_index(state: dict):
     kind = state["kind"]
     if kind in ("flat", "hnsw"):
         return AdaptiveIndex.import_state(state)
-    if kind in ("pq", "sq8", "bq", "disk"):
+    if kind in ("pq", "sq8", "bq", "disk", "ivf"):
         return _QuantizedAdapter.import_state(state)
     raise ValueError(f"cannot import index state of kind {kind!r}")

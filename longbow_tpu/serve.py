@@ -59,7 +59,11 @@ def main(argv=None) -> int:
     # background compaction + optional eviction (reference:
     # CompactionWorker compaction.go:59, RecordEvictionManager
     # record_eviction.go:79 — access stats fed from the read path)
-    from longbow_tpu.store.compaction import CompactionWorker, EvictionManager
+    from longbow_tpu.store.compaction import (
+        CompactionWorker,
+        EvictionManager,
+        MemoryBackpressureController,
+    )
 
     eviction = None
     if cfg.eviction_policy or cfg.eviction_ttl_s > 0:
@@ -69,11 +73,20 @@ def main(argv=None) -> int:
             max_rows=cfg.eviction_max_rows or None,
         )
         store.eviction = eviction
+    backpressure = None
+    if cfg.hbm_soft_limit_mb or cfg.hbm_hard_limit_mb:
+        backpressure = MemoryBackpressureController(
+            soft_bytes=cfg.hbm_soft_limit_mb * 1024 * 1024 or None,
+            hard_bytes=cfg.hbm_hard_limit_mb * 1024 * 1024 or None,
+            eviction=eviction,
+        )
+        store.backpressure = backpressure
     compactor = CompactionWorker(
         store,
         interval_s=cfg.compaction_interval_s,
         frag_threshold=cfg.compaction_frag_threshold,
         eviction=eviction,
+        backpressure=backpressure,
     )
     compactor.start()
 
@@ -81,7 +94,7 @@ def main(argv=None) -> int:
     # (reference: cmd/longbow/main.go:370-458 wires gossip -> ring ->
     # forwarder -> interceptors at boot)
     cluster = None
-    if cfg.peers.strip():
+    if cfg.peers.strip() or cfg.peers_dns.strip():
         from longbow_tpu.distributed.cluster import ClusterCoordinator
 
         self_id = cfg.node_id or f"{cfg.host}:{cfg.data_port}"
@@ -93,6 +106,7 @@ def main(argv=None) -> int:
             replication_level=cfg.replication_level,
             sync_interval_s=cfg.sync_interval_s,
             probe_interval_s=cfg.probe_interval_s,
+            dns_name=cfg.peers_dns,
         )
         cluster.start()
         log.info(

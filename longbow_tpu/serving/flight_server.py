@@ -161,7 +161,15 @@ class LongbowFlightServer(flight.FlightServerBase):
                         dataset, ids, vecs, columns or None, metric=metric,
                         timestamp=ts,
                     )
-            except Exception:
+            except Exception as e:
+                from longbow_tpu.store.compaction import (
+                    MemoryPressureError,
+                )
+
+                if isinstance(e, MemoryPressureError):
+                    raise flight.FlightServerError(
+                        f"resource exhausted: {e}"
+                    ) from e
                 self.metrics.counter(
                     "longbow_ipc_decode_errors_total"
                 ).inc()
@@ -224,6 +232,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                 ds.name, qv, req.k,
                 text_query=req.text_query, alpha=req.alpha,
                 filters=req.filters, graph_alpha=req.graph_alpha,
+                fusion=req.fusion,
             )
         else:
             ids, scores, ok = self.store.search(
@@ -489,7 +498,8 @@ class LongbowFlightServer(flight.FlightServerBase):
                         k: v
                         for k, v in req.items()
                         if k in ("pq_m", "rerank", "rerank_factor",
-                                 "path", "storage")
+                                 "path", "storage", "n_cells",
+                                 "n_probe")
                     },
                 )
             return ok({"created": dsname})
@@ -546,6 +556,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                 req.dataset, qv if qv.size else None, req.k,
                 text_query=req.text_query, alpha=req.alpha,
                 filters=req.filters, graph_alpha=req.graph_alpha,
+                fusion=req.fusion,
             )
             return ok(_response_ids_scores(ids, scores, okm))
         if name == "add-edge":

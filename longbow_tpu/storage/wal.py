@@ -79,9 +79,13 @@ class WAL:
         self,
         path: str | Path,
         *,
-        sync: str = "batch",  # "always" | "batch" | "never"
+        sync: str = "batch",  # "always" | "batch" | "adaptive" | "never"
         sync_interval_s: float = 0.05,
     ):
+        """sync="adaptive" is the reference's AdaptiveWAL
+        (adaptive_wal.go): the group-commit interval stretches under
+        write load (amortize fsync across more bytes) and shrinks when
+        idle (bound the ack-to-durable window). Bounds: 5ms..250ms."""
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
         # resume the sequence from an existing log so seq stays unique
@@ -98,15 +102,21 @@ class WAL:
         self.sync = sync
         self._dirty = False
         self._sync_interval = sync_interval_s
+        self._bytes_since_sync = 0
         self._stop = threading.Event()
         self._fsync_thread: Optional[threading.Thread] = None
-        if sync == "batch":
+        if sync in ("batch", "adaptive"):
             # reference: AsyncFsyncer decouples fsync from the write
             # path (async_fsync.go; STORAGE_ASYNC_FSYNC default true)
             self._fsync_thread = threading.Thread(
                 target=self._fsync_loop, daemon=True
             )
             self._fsync_thread.start()
+
+    # adaptive mode: aim for ~1MB per group commit within [5ms, 250ms]
+    _ADAPT_TARGET_BYTES = 1 << 20
+    _ADAPT_MIN_S = 0.005
+    _ADAPT_MAX_S = 0.25
 
     def _fsync_loop(self):
         while not self._stop.wait(self._sync_interval):
@@ -115,6 +125,18 @@ class WAL:
                     self._f.flush()
                     os.fsync(self._f.fileno())
                     self._dirty = False
+                batch = self._bytes_since_sync
+                self._bytes_since_sync = 0
+            if self.sync == "adaptive":
+                # stretch when saturated, shrink when idle
+                if batch > self._ADAPT_TARGET_BYTES:
+                    self._sync_interval = min(
+                        self._sync_interval * 1.5, self._ADAPT_MAX_S
+                    )
+                elif batch == 0:
+                    self._sync_interval = max(
+                        self._sync_interval * 0.5, self._ADAPT_MIN_S
+                    )
 
     # ------------------------------------------------------------------
 
@@ -136,6 +158,7 @@ class WAL:
             self._seq += 1
             frame = _encode_frame(self._seq, time.time(), name, kind, payload)
             self._f.write(frame)
+            self._bytes_since_sync += len(frame)
             try:
                 from longbow_tpu.metrics import get_registry
 

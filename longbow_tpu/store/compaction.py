@@ -197,11 +197,13 @@ class CompactionWorker:
         interval_s: float = 30.0,
         frag_threshold: float = 0.3,
         eviction: Optional[EvictionManager] = None,
+        backpressure: Optional["MemoryBackpressureController"] = None,
     ):
         self.store = store
         self.interval_s = interval_s
         self.tracker = FragmentationTracker(frag_threshold)
         self.eviction = eviction
+        self.backpressure = backpressure
         self._stop = None
         self._thread = None
 
@@ -209,6 +211,8 @@ class CompactionWorker:
         from longbow_tpu.metrics import get_registry
 
         reg = get_registry()
+        if self.backpressure is not None:
+            self.backpressure.enforce(self.store)
         stats = {}
         worst_frag = 0.0
         for name in self.store.list_datasets():
@@ -252,3 +256,115 @@ class CompactionWorker:
             self._stop.set()
         if self._thread:
             self._thread.join(timeout=5)
+
+
+class MemoryPressureError(RuntimeError):
+    """Raised by the hard admission limit (callers map it to a
+    resource-exhausted RPC error)."""
+
+
+class MemoryBackpressureController:
+    """Byte-target HBM enforcement (reference:
+    MemoryBackpressureController soft/hard limits
+    memory_backpressure.go:31, evictToTarget memory_enforcement.go:66).
+
+    - above `soft_bytes`: enforce() evicts coldest rows (LRU by access
+      when an EvictionManager supplies stats, else oldest LWW write)
+      until usage drops below the soft target
+    - above `hard_bytes`: check_admit() raises — writes are rejected
+      rather than OOMing the device
+    """
+
+    def __init__(
+        self,
+        soft_bytes: Optional[int] = None,
+        hard_bytes: Optional[int] = None,
+        eviction: Optional[EvictionManager] = None,
+        batch_rows: int = 1024,
+    ):
+        self.soft_bytes = soft_bytes
+        self.hard_bytes = hard_bytes
+        self.eviction = eviction
+        self.batch_rows = batch_rows
+        self.rejected_total = 0
+        self.evicted_total = 0
+
+    @staticmethod
+    def total_bytes(store) -> int:
+        return sum(
+            store.get(n).hbm_bytes() for n in store.list_datasets()
+        )
+
+    def check_admit(self, store) -> None:
+        if self.hard_bytes is None:
+            return
+        used = self.total_bytes(store)
+        if used > self.hard_bytes:
+            self.rejected_total += 1
+            raise MemoryPressureError(
+                f"HBM hard limit: {used} > {self.hard_bytes} bytes"
+            )
+
+    def _coldest_rows(self, ds, k: int) -> list:
+        if self.eviction is not None and self.eviction._last_access:
+            pool = sorted(
+                ds._id_to_row,
+                key=lambda u: self.eviction._last_access.get(u, 0.0),
+            )
+        else:  # oldest write first
+            pool = sorted(
+                ds._id_to_row, key=lambda u: ds._lww.get(u, 0.0)
+            )
+        return pool[:k]
+
+    def enforce(self, store) -> int:
+        """Evict until under the soft target; returns rows evicted.
+        Eviction tombstones rows; compaction reclaims the bytes, so a
+        compaction pass runs on every dataset we touched."""
+        if self.soft_bytes is None:
+            return 0
+        evicted = 0
+        no_progress = 0
+        # index buffers grow by capacity doubling, so bytes reclaim in
+        # power-of-two steps: evict proportionally to the overshoot,
+        # compact, re-check; stop when bytes stop shrinking twice in a
+        # row (the minimum-capacity floor) or nothing is left to evict.
+        for _ in range(8):
+            used = self.total_bytes(store)
+            if used <= self.soft_bytes:
+                break
+            # largest dataset pays first (reference evicts per-dataset
+            # toward a target the same way)
+            names = store.list_datasets()
+            if not names:
+                break
+            name = max(names, key=lambda n: store.get(n).hbm_bytes())
+            ds = store.get(name)
+            live = ds.live_count
+            # rows to drop so this dataset's share shrinks past the
+            # next capacity halving
+            want = max(
+                int(live * (1.0 - self.soft_bytes / used)),
+                self.batch_rows,
+            )
+            victims = self._coldest_rows(ds, min(want, live))
+            if not victims:
+                break
+            ds.delete(np.asarray(victims, dtype=object))
+            evicted += len(victims)
+            compact_dataset(ds)  # reclaim bytes now, not at next sweep
+            if self.total_bytes(store) >= used:
+                # no bytes reclaimed yet: one grace pass may cross the
+                # next capacity halving; two in a row = the floor
+                no_progress += 1
+                if no_progress >= 2:
+                    break
+            else:
+                no_progress = 0
+        self.evicted_total += evicted
+        if evicted:
+            store.query_cache.clear()
+            from longbow_tpu.metrics import get_registry
+
+            get_registry().counter("longbow_evictions_total").inc(evicted)
+        return evicted

@@ -52,6 +52,9 @@ class VectorStore:
         # read recency (reference: record_eviction.go feeds access
         # stats from reads)
         self.eviction = None
+        # memory backpressure hook (reference:
+        # memory_backpressure.go:31): hard limit rejects writes here
+        self.backpressure = None
         # persistence (reference: InitPersistence store_persistence.go:12
         # — replay WAL + load snapshots before serving)
         self.engine = None
@@ -189,6 +192,8 @@ class VectorStore:
         timestamp: Optional[float] = None,
     ) -> None:
         vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        if self.backpressure is not None:
+            self.backpressure.check_admit(self)
         ds = self.get_or_create(dataset, vectors.shape[1], metric)
         if self.engine is not None and _log:
             self.engine.log_put(dataset, ids, vectors, columns, metric)
@@ -307,6 +312,7 @@ class VectorStore:
         -> (ids [B,k] object, scores [B,k] f32, ok [B,k] bool)."""
         from longbow_tpu.hybrid.fusion import (
             estimate_alpha,
+            fuse_cascade,
             fuse_linear,
             fuse_rrf,
         )
@@ -354,6 +360,8 @@ class VectorStore:
                         dense_pairs.append((d_ids[row, j], float(sim)))
             if fusion == "rrf":
                 fused = fuse_rrf([dense_pairs, sparse], k)
+            elif fusion == "cascade":
+                fused = fuse_cascade(dense_pairs, sparse, alpha, k)
             else:
                 fused = fuse_linear(dense_pairs, sparse, alpha, k)
             if graph_alpha > 0.0:

@@ -89,3 +89,16 @@ def test_tracing_span_records_metric():
     from prometheus_client import generate_latest
 
     assert b'op="TestOp"' in generate_latest(reg.registry)
+
+
+def test_cascade_fusion():
+    """Cascade: dense gates the candidates, sparse re-ranks within
+    (reference: hybrid pipeline cascade stage)."""
+    from longbow_tpu.hybrid.fusion import fuse_cascade
+
+    dense = [("a", 0.9), ("b", 0.8), ("c", 0.1)]
+    sparse = [("b", 5.0), ("c", 1.0), ("z", 9.0)]  # z not in dense -> excluded
+    out = fuse_cascade(dense, sparse, alpha=0.5, k=3)
+    docs = [d for d, _ in out]
+    assert "z" not in docs
+    assert docs[0] == "b"  # dense-good + sparse-boosted wins

@@ -315,3 +315,15 @@ def test_three_process_cluster(tmp_path):
                 p.wait(timeout=10)
             except subprocess.TimeoutExpired:
                 p.kill()
+
+
+def test_dns_discovery():
+    """DNS discovery parity (reference: mesh/discovery*.go): members
+    re-resolved from a name each probe round."""
+    mm = MembershipManager(
+        "self:1", [], dns_name="localhost:12345", probe_timeout_s=0.2,
+        suspect_after=1, dead_after=2,
+    )
+    mm.probe_round()
+    assert mm.members  # localhost resolved into the member set
+    assert all(m.data_port == 12345 for m in mm.members.values())

@@ -122,3 +122,40 @@ def test_compaction_worker_handles_quantized(caplog):
     w = CompactionWorker(vs, frag_threshold=0.3)
     stats = w.run_once()
     assert stats["s"]["compacted"]["live_rows"] == 20
+
+
+def test_memory_backpressure():
+    """Soft limit evicts coldest rows to target; hard limit rejects
+    writes (reference: memory_backpressure.go:31,
+    memory_enforcement.go:66)."""
+    import pytest
+
+    from longbow_tpu.store.compaction import (
+        MemoryBackpressureController,
+        MemoryPressureError,
+    )
+
+    vs = VectorStore()
+    v = _vecs(12000, 16)
+    vs.put("big", np.arange(12000), v, timestamp=100.0)
+    # refresh the tail so it's "hot" by LWW
+    vs.put("big", np.arange(10000, 12000), v[10000:], timestamp=200.0)
+    used = vs.get("big").hbm_bytes()
+
+    # capacity halves when live rows drop under 8192: target 70%%
+    ctrl = MemoryBackpressureController(
+        soft_bytes=int(used * 0.7), batch_rows=2048
+    )
+    vs.backpressure = ctrl
+    evicted = ctrl.enforce(vs)
+    assert evicted > 0
+    assert ctrl.total_bytes(vs) <= int(used * 0.7)
+    # coldest (oldest-write) rows went first; hot tail survives
+    assert 11999 in vs.get("big")._id_to_row
+    assert 0 not in vs.get("big")._id_to_row
+
+    hard = MemoryBackpressureController(hard_bytes=1)
+    vs.backpressure = hard
+    with pytest.raises(MemoryPressureError):
+        vs.put("big", [99999], _vecs(1, 16))
+    assert hard.rejected_total == 1

@@ -272,3 +272,24 @@ def test_dot_metric_index_survives_restart(tmp_path):
     # adds after restart must not trip the augmentation bound
     store2.put("m", [1000], v[:1] * 0.5)
     assert store2.get("m").live_count == 301
+
+
+def test_adaptive_wal_sync(tmp_path):
+    """AdaptiveWAL parity: group-commit interval adapts to write load
+    (reference: adaptive_wal.go)."""
+    import pyarrow as pa
+    import time
+
+    wal = WAL(tmp_path / "w.log", sync="adaptive", sync_interval_s=0.02)
+    t = pa.table({"id": pa.array(list(range(500)), pa.int64())})
+    for _ in range(50):
+        wal.append_batch("d", t)
+    time.sleep(0.1)
+    # idle: the interval shrinks toward the floor
+    for _ in range(30):
+        time.sleep(0.02)
+        if wal._sync_interval <= 0.01:
+            break
+    assert wal._sync_interval <= 0.02
+    wal.close()
+    assert len(list(WAL.replay(tmp_path / "w.log"))) == 50

