@@ -34,6 +34,17 @@ class Config:
     data_dir: str = field(default_factory=lambda: _env("DATA_DIR", ""))
     max_wal_mb: int = field(default_factory=lambda: _env("MAX_WAL_MB", 100, int))
     wal_sync: str = field(default_factory=lambda: _env("WAL_SYNC", "batch"))
+    # remote snapshot mirror (reference: s3_backend.go): either an S3
+    # bucket or a local directory path (testing / NFS mirrors)
+    snapshot_s3_bucket: str = field(
+        default_factory=lambda: _env("SNAPSHOT_S3_BUCKET", "")
+    )
+    snapshot_s3_endpoint: str = field(
+        default_factory=lambda: _env("SNAPSHOT_S3_ENDPOINT", "")
+    )
+    snapshot_mirror_dir: str = field(
+        default_factory=lambda: _env("SNAPSHOT_MIRROR_DIR", "")
+    )
 
     # index (reference: HNSW M/efC/efS defaults arrow_hnsw.go:77-99)
     hnsw_m: int = field(default_factory=lambda: _env("HNSW_M", 32, int))

@@ -34,6 +34,21 @@ def main(argv=None) -> int:
     log = setup_logging()
     log.info("starting longbow-tpu", extra={"fields": {"config": vars(cfg)}})
 
+    snapshot_backend = None
+    if cfg.snapshot_s3_bucket:
+        from longbow_tpu.storage.backends import AsyncBackend, S3Backend
+
+        snapshot_backend = AsyncBackend(
+            S3Backend(
+                cfg.snapshot_s3_bucket,
+                endpoint_url=cfg.snapshot_s3_endpoint or None,
+            )
+        )
+    elif cfg.snapshot_mirror_dir:
+        from longbow_tpu.storage.backends import LocalBackend
+
+        snapshot_backend = LocalBackend(cfg.snapshot_mirror_dir)
+
     store = VectorStore(
         dtype=jnp.bfloat16 if cfg.storage_dtype == "bfloat16" else jnp.float32,
         migration_threshold=cfg.migration_threshold,
@@ -47,6 +62,7 @@ def main(argv=None) -> int:
         query_cache_ttl=cfg.query_cache_ttl_s,
         persist_dir=cfg.data_dir or None,
         wal_sync=cfg.wal_sync,
+        snapshot_backend=snapshot_backend,
     )
 
     registry = get_registry()

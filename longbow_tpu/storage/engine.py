@@ -65,11 +65,17 @@ class StorageEngine:
         *,
         max_wal_bytes: int = MAX_WAL_BYTES,
         sync: str = "batch",
+        snapshot_backend=None,
     ):
+        """snapshot_backend: optional remote mirror (S3/MinIO/R2 or the
+        LocalBackend; reference: s3_backend.go:33) — every snapshot
+        uploads after the local atomic swap, and recovery pulls the
+        latest remote snapshot when the local slot is empty."""
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.max_wal_bytes = max_wal_bytes
         self.wal = WAL(self.dir / "wal.log", sync=sync)
+        self.backend = snapshot_backend
 
     # -- logging --------------------------------------------------------
 
@@ -109,8 +115,17 @@ class StorageEngine:
             ds = store.get(name)
             with ds._lock:
                 blobs[name] = self._export_dataset(ds)
-        write_snapshot(self.dir, blobs)
+        final = write_snapshot(self.dir, blobs)
         self.wal.truncate()
+        if self.backend is not None:
+            try:
+                self.backend.upload(final, "snapshot")
+            except Exception:
+                import logging
+
+                logging.getLogger("longbow.storage").exception(
+                    "remote snapshot upload failed (local copy intact)"
+                )
         from longbow_tpu.metrics import get_registry
 
         get_registry().histogram(
@@ -167,6 +182,18 @@ class StorageEngine:
 
         n = 0
         snap = read_snapshot(self.dir)
+        if snap is None and self.backend is not None:
+            # cold start on a fresh node: pull the remote snapshot
+            # (reference: LoadSnapshots via the S3 backend)
+            try:
+                if self.backend.download("snapshot", self.dir / "snapshot"):
+                    snap = read_snapshot(self.dir)
+            except Exception:
+                import logging
+
+                logging.getLogger("longbow.storage").exception(
+                    "remote snapshot download failed"
+                )
         if snap:
             for name, blob in snap.items():
                 meta = blob["meta"]

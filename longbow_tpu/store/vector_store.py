@@ -36,6 +36,7 @@ class VectorStore:
         query_cache_ttl: float = 60.0,
         persist_dir=None,
         wal_sync: str = "batch",
+        snapshot_backend=None,
     ):
         self._datasets: dict[str, Dataset] = {}
         self._namespaces: dict[str, set] = {}  # ns -> dataset names
@@ -61,7 +62,10 @@ class VectorStore:
         if persist_dir is not None:
             from longbow_tpu.storage.engine import StorageEngine
 
-            self.engine = StorageEngine(persist_dir, sync=wal_sync)
+            self.engine = StorageEngine(
+                persist_dir, sync=wal_sync,
+                snapshot_backend=snapshot_backend,
+            )
             self.engine.recover(self)
 
     # -- dataset lifecycle --------------------------------------------

@@ -221,3 +221,33 @@ def test_sq8_graph_cosine():
     d, r = idx.search(jnp.asarray(vecs[:20] * 3.0), 1)
     hit = (np.asarray(r)[:, 0] == np.arange(20)).mean()
     assert hit >= 0.9, hit
+
+
+def test_rp_blocked_builder():
+    """Random-projection blocked build + NN-descent converges to a
+    searchable graph (the TPU large-n bulk path; exercised on CPU at
+    small scale)."""
+    from longbow_tpu.index.graph import graph_init, beam_search
+    from longbow_tpu.index.graph_build import bulk_build_rp
+
+    rng = np.random.default_rng(0)
+    n, d = 6000, 32
+    v = rng.standard_normal((n, d), dtype=np.float32)
+    st = graph_init(8192, d, 64, jnp.float32)
+    st = st._replace(
+        vectors=st.vectors.at[:n].set(v),
+        norms_sq=st.norms_sq.at[:n].set(np.sum(v * v, 1)),
+        valid=st.valid.at[:n].set(True),
+    )
+    st = bulk_build_rp(
+        st, n, m=16, m_max=32, knn_k=32, rounds=6, block=1024, nn_rounds=2
+    )
+    q = rng.standard_normal((32, d), dtype=np.float32)
+    sample = jnp.asarray(np.linspace(0, n - 1, 1024, dtype=np.int32))
+    bd, bi = beam_search(st, jnp.asarray(q), sample, 10, 96)
+    ed, er = exact_search(jnp.asarray(q), jnp.asarray(v), 10, Metric.L2)
+    rec = np.mean([
+        len(set(np.asarray(bi)[i]) & set(np.asarray(er)[i])) / 10
+        for i in range(32)
+    ])
+    assert rec >= 0.95, rec

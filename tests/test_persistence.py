@@ -293,3 +293,29 @@ def test_adaptive_wal_sync(tmp_path):
     assert wal._sync_interval <= 0.02
     wal.close()
     assert len(list(WAL.replay(tmp_path / "w.log"))) == 50
+
+
+def test_snapshot_remote_mirror(tmp_path):
+    """Snapshots mirror to a backend and a FRESH node recovers from it
+    (reference: S3 snapshot backend, s3_backend.go:33; exercised with
+    the LocalBackend — same interface boto3's S3Backend implements)."""
+    from longbow_tpu.storage.backends import LocalBackend
+
+    mirror = tmp_path / "mirror"
+    be = LocalBackend(mirror)
+    v = _vecs(30, 8)
+    store = VectorStore(
+        persist_dir=tmp_path / "node_a", wal_sync="always",
+        snapshot_backend=be,
+    )
+    store.put("m", np.arange(30), v)
+    store.snapshot()
+    del store
+    # brand-new node, empty local state, same backend
+    store2 = VectorStore(
+        persist_dir=tmp_path / "node_b", wal_sync="always",
+        snapshot_backend=LocalBackend(mirror),
+    )
+    assert store2.get("m").live_count == 30
+    ids, _, _ = store2.search("m", v[4], 1, use_cache=False)
+    assert ids[0, 0] == 4
