@@ -77,6 +77,23 @@ class Config:
     breaker_cooldown_s: float = field(
         default_factory=lambda: _env("BREAKER_COOLDOWN_S", 30.0, float)
     )
+    # resilience kit (reference: resilience/bulkhead.go,
+    # graceful_degradation.go) — bulkhead 0 = unbounded concurrency
+    bulkhead_max_concurrent: int = field(
+        default_factory=lambda: _env("BULKHEAD_MAX_CONCURRENT", 0, int)
+    )
+    bulkhead_max_wait_s: float = field(
+        default_factory=lambda: _env("BULKHEAD_MAX_WAIT_S", 0.2, float)
+    )
+    degradation_enabled: bool = field(
+        default_factory=lambda: _env("DEGRADATION_ENABLED", True, bool)
+    )
+    degradation_interval_s: float = field(
+        default_factory=lambda: _env("DEGRADATION_INTERVAL_S", 5.0, float)
+    )
+    fallback_cache_ttl_s: float = field(
+        default_factory=lambda: _env("FALLBACK_CACHE_TTL_S", 300.0, float)
+    )
 
     # cluster (reference: gossip/static peers cmd/longbow/main.go:383,
     # replication peer_replicator.go, quorum.go)

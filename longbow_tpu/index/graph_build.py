@@ -998,18 +998,30 @@ def bulk_build_rp(
             ),
         )
     n_pad = -(-n // max(block, prune_chunk)) * max(block, prune_chunk)
+    # the state's capacity is padded at MIN_CAPACITY (4096) granularity,
+    # which can be SMALLER than n_pad at block granularity (8192) — pad
+    # transient working views up to n_pad (dead rows are valid=False)
+    vecs, norms, valid = state.vectors, state.norms_sq, state.valid
+    cap = vecs.shape[0]
+    if cap < n_pad:
+        extra = n_pad - cap
+        vecs = jnp.concatenate(
+            [vecs, jnp.zeros((extra, vecs.shape[1]), vecs.dtype)]
+        )
+        norms = jnp.concatenate([norms, jnp.zeros((extra,), norms.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((extra,), bool)])
     kb = min(knn_k, 32)
     kd = jnp.full((n_pad, knn_k), MASKED, jnp.float32)
     ki = jnp.full((n_pad, knn_k), -1, jnp.int32)
     root = jax.random.PRNGKey(seed)
     for r in range(rounds):
         kd, ki = _rp_round(
-            state.vectors, state.norms_sq, state.valid, kd, ki,
+            vecs, norms, valid, kd, ki,
             jax.random.fold_in(root, r), n, block, kb,
         )
     for r in range(nn_rounds):
         kd, ki = _nn_descent_round(
-            state.vectors, state.norms_sq, state.valid, kd, ki, n,
+            vecs, norms, valid, kd, ki, n,
             jax.random.fold_in(root, 10_000 + r),
         )
     fwd_rows, fwd_dists = _prune_forward_all(state, kd, ki, m, prune_chunk)

@@ -135,7 +135,31 @@ def main(argv=None) -> int:
         cfg.rate_limit_burst,
         cfg.breaker_threshold,
         cfg.breaker_cooldown_s,
+        bulkhead_max_concurrent=cfg.bulkhead_max_concurrent,
+        bulkhead_max_wait_s=cfg.bulkhead_max_wait_s,
     )
+    degradation = None
+    if cfg.degradation_enabled:
+        # health-driven degradation levels + stale fallback serving
+        # (reference: resilience/graceful_degradation.go wired over the
+        # same health checkers the check_health action reports)
+        from longbow_tpu.serving.middleware import (
+            FallbackCache,
+            GracefulDegradation,
+        )
+        from longbow_tpu.utils.health import (
+            device_checker,
+            storage_checker,
+            store_checker,
+        )
+
+        degradation = GracefulDegradation()
+        degradation.register_check("store", store_checker(store))
+        degradation.register_check("storage", storage_checker(store))
+        degradation.register_check("device", device_checker())
+        degradation.start(cfg.degradation_interval_s)
+        middleware.degradation = degradation
+        middleware.fallback = FallbackCache(ttl_s=cfg.fallback_cache_ttl_s)
     ingest_queue = None
     if cfg.async_ingest:
         from longbow_tpu.serving.ingest import IngestQueue
@@ -180,6 +204,8 @@ def main(argv=None) -> int:
         pass
 
     log.info("stopping servers")
+    if degradation is not None:
+        degradation.stop()
     compactor.stop()
     if ingest_queue is not None:
         ingest_queue.close()  # drain before the final snapshot

@@ -41,6 +41,7 @@ from longbow_tpu.serving.security import (
 )
 from longbow_tpu.store.dataset import METRIC_METADATA_KEY
 from longbow_tpu.store.vector_store import VectorStore
+from longbow_tpu.utils.query_cache import QueryCache
 
 
 def _vector_column_to_numpy(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -120,6 +121,17 @@ class LongbowFlightServer(flight.FlightServerBase):
             origin_ts = float(schema_meta[b"longbow.ts"].decode())
         if self.middleware:
             self.middleware.admit("DoPut")
+        try:
+            self._do_put_stream(
+                reader, dataset, metric, is_replication, origin_ts
+            )
+        finally:
+            if self.middleware:
+                self.middleware.release("DoPut")
+
+    def _do_put_stream(
+        self, reader, dataset, metric, is_replication, origin_ts
+    ):
         auto_base = None  # running id base for id-less streams
         for chunk in reader:
             batch = chunk.data
@@ -201,6 +213,9 @@ class LongbowFlightServer(flight.FlightServerBase):
             if self.middleware:
                 self.middleware.record_failure("DoGet")
             raise flight.FlightServerError(f"bad request: {e}") from e
+        finally:
+            if self.middleware:
+                self.middleware.release("DoGet")
 
     def _do_search(self, tq):
         req = tq.search
@@ -221,24 +236,53 @@ class LongbowFlightServer(flight.FlightServerBase):
         if qv.size == 0:
             raise flight.FlightServerError("search needs vector or vectors")
 
+        # graceful degradation: under health pressure shed optional
+        # work, then fall back to stale cached answers (reference:
+        # resilience/graceful_degradation.go Execute + FallbackCache)
+        policy = None
+        fb = self.middleware.fallback if self.middleware else None
+        if self.middleware and self.middleware.degradation is not None:
+            policy = self.middleware.degradation.search_policy()
+        fb_key = None
+        if fb is not None:
+            fb_key = QueryCache.hash_query(
+                dsname, qv.tobytes(), req.k, req.text_query, req.alpha,
+                req.graph_alpha, req.fusion, req.include_vectors,
+                _filters_to_wire(req.filters), req.local_only,
+            )
+            if policy is not None and policy["serve_stale"]:
+                cached_tbl, found = fb.get(fb_key)
+                if found:
+                    self.metrics.counter(
+                        "longbow_degraded_fallback_served_total"
+                    ).inc()
+                    return flight.RecordBatchStream(cached_tbl)
+                if policy["cached_only"]:
+                    raise flight.FlightUnavailableError(
+                        "degraded (critical): only cached results served"
+                    )
+        allow_hybrid = policy is None or policy["allow_hybrid"]
+        allow_graph = policy is None or policy["allow_graph_rerank"]
+
         t_search = time.perf_counter()
         if ds is None:
             b = qv.shape[0] if qv.ndim == 2 else 1
             ids = np.empty((b, req.k), dtype=object)
             scores = np.zeros((b, req.k), np.float32)
             ok = np.zeros((b, req.k), bool)
-        elif req.text_query and 0.0 <= req.alpha < 1.0:
+        elif req.text_query and 0.0 <= req.alpha < 1.0 and allow_hybrid:
             ids, scores, ok = self.store.hybrid_search(
                 ds.name, qv, req.k,
                 text_query=req.text_query, alpha=req.alpha,
-                filters=req.filters, graph_alpha=req.graph_alpha,
+                filters=req.filters,
+                graph_alpha=req.graph_alpha if allow_graph else 0.0,
                 fusion=req.fusion,
             )
         else:
             ids, scores, ok = self.store.search(
                 ds.name, qv, req.k, filters=req.filters
             )
-            if req.graph_alpha > 0.0:
+            if req.graph_alpha > 0.0 and allow_graph:
                 ids, scores, ok = self.store.graph_rerank(
                     ds.name, ids, scores, ok, req.graph_alpha
                 )
@@ -284,6 +328,8 @@ class LongbowFlightServer(flight.FlightServerBase):
                 )
             )
         tbl = pa.table(dict(fields))
+        if fb is not None and fb_key is not None:
+            fb.put(fb_key, tbl)  # last-good answer for degraded serving
         return flight.RecordBatchStream(tbl)
 
     # ~2MB record batches: the reference's adaptive chunk target
@@ -350,17 +396,26 @@ class LongbowFlightServer(flight.FlightServerBase):
     def do_exchange(self, context, descriptor, reader, writer):
         if self.middleware:
             self.middleware.admit("DoExchange")
-        cmd = {}
-        if descriptor.descriptor_type == flight.DescriptorType.CMD:
-            cmd = json.loads(descriptor.command or b"{}")
-        elif descriptor.path:
-            cmd = {"protocol": "ingest", "dataset": descriptor.path[0].decode()}
-        proto = cmd.get("protocol", "ingest")
-        if proto == "ingest":
-            return self._exchange_ingest(cmd, reader, writer)
-        if proto in ("search", "VectorSearch"):
-            return self._exchange_search(cmd, reader, writer)
-        raise flight.FlightServerError(f"unknown exchange protocol {proto!r}")
+        try:
+            cmd = {}
+            if descriptor.descriptor_type == flight.DescriptorType.CMD:
+                cmd = json.loads(descriptor.command or b"{}")
+            elif descriptor.path:
+                cmd = {
+                    "protocol": "ingest",
+                    "dataset": descriptor.path[0].decode(),
+                }
+            proto = cmd.get("protocol", "ingest")
+            if proto == "ingest":
+                return self._exchange_ingest(cmd, reader, writer)
+            if proto in ("search", "VectorSearch"):
+                return self._exchange_search(cmd, reader, writer)
+            raise flight.FlightServerError(
+                f"unknown exchange protocol {proto!r}"
+            )
+        finally:
+            if self.middleware:
+                self.middleware.release("DoExchange")
 
     def _exchange_ingest(self, cmd, reader, writer):
         """Client streams put-batches; server acks each with the count
@@ -447,6 +502,9 @@ class LongbowFlightServer(flight.FlightServerBase):
             raise flight.FlightServerError(f"not found: {e}") from e
         except (ValueError, json.JSONDecodeError) as e:
             raise flight.FlightServerError(f"bad request: {e}") from e
+        finally:
+            if self.middleware:
+                self.middleware.release(action.type)
 
     def _do_action(self, action):
         name = action.type
@@ -475,7 +533,15 @@ class LongbowFlightServer(flight.FlightServerBase):
             hm.register("store", store_checker(self.store))
             hm.register("storage", storage_checker(self.store))
             hm.register("device", device_checker())
-            return ok(hm.check())
+            out = hm.check()
+            if self.middleware is not None:
+                if self.middleware.degradation is not None:
+                    out["degradation"] = (
+                        self.middleware.degradation.stats()
+                    )
+                if self.middleware.bulkhead.max_concurrent > 0:
+                    out["bulkhead"] = self.middleware.bulkhead.stats()
+            return ok(out)
         if name == "cluster-status":
             st = self.store.cluster_status()
             if self.cluster is not None:
@@ -698,12 +764,17 @@ def serve(
     meta_port: int = 3001,
     host: str = "0.0.0.0",
     block: bool = False,
+    middleware_chain=None,
 ) -> ServerHandle:
     """Start data (:3000) + meta (:3001) Flight servers sharing one
     store (reference: cmd/longbow/main.go:476-521)."""
     store = store or VectorStore()
-    data = LongbowFlightServer(store, f"grpc://{host}:{data_port}")
-    meta = LongbowFlightServer(store, f"grpc://{host}:{meta_port}")
+    data = LongbowFlightServer(
+        store, f"grpc://{host}:{data_port}", middleware_chain=middleware_chain
+    )
+    meta = LongbowFlightServer(
+        store, f"grpc://{host}:{meta_port}", middleware_chain=middleware_chain
+    )
     threads = []
     if block:
         t = threading.Thread(target=meta.serve, daemon=True)

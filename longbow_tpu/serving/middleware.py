@@ -1,13 +1,18 @@
-"""Admission control: token-bucket rate limiting + circuit breaker.
+"""Admission control + resilience kit: token-bucket rate limiting,
+circuit breaker, bulkhead, graceful degradation levels, fallback cache.
 
 reference: limiter/limiter.go:15-21 (RATE_LIMIT_RPS/BURST token
 bucket), middleware/circuit_breaker.go:15 (trips after 10 consecutive
-failures, 30s cooldown), resilience/circuit_breaker.go.
+failures, 30s cooldown), resilience/circuit_breaker.go,
+resilience/bulkhead.go (bounded concurrency semaphore),
+resilience/graceful_degradation.go:30-250 (health-driven levels +
+fallback strategies + TTL fallback cache).
 """
 from __future__ import annotations
 
 import threading
 import time
+from typing import Any, Callable, Optional
 
 import pyarrow.flight as flight
 
@@ -75,11 +80,198 @@ class CircuitBreaker:
                 self._opened_at = time.monotonic()
 
 
+class Bulkhead:
+    """Bounded concurrent executions (reference: resilience/bulkhead.go
+    — a named semaphore capping in-flight work so one slow operation
+    class can't exhaust every server thread). max_concurrent<=0
+    disables. A saturated bulkhead waits up to `max_wait_s` for a slot,
+    then rejects."""
+
+    def __init__(self, max_concurrent: int = 0, max_wait_s: float = 0.2):
+        self.max_concurrent = max_concurrent
+        self.max_wait_s = max_wait_s
+        self._sem = (
+            threading.Semaphore(max_concurrent)
+            if max_concurrent > 0
+            else None
+        )
+        self._in_flight = 0
+        self._rejected = 0
+        self._lock = threading.Lock()
+
+    def acquire(self) -> bool:
+        if self._sem is None:
+            return True
+        ok = self._sem.acquire(timeout=self.max_wait_s)
+        with self._lock:
+            if ok:
+                self._in_flight += 1
+            else:
+                self._rejected += 1
+        return ok
+
+    def release(self) -> None:
+        if self._sem is None:
+            return
+        with self._lock:
+            self._in_flight -= 1
+        self._sem.release()
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "max_concurrent": self.max_concurrent,
+                "in_flight": self._in_flight,
+                "rejected_total": self._rejected,
+            }
+
+
+# Degradation levels (reference: resilience/graceful_degradation.go:12-18)
+DEGRADATION_NONE = 0
+DEGRADATION_MINIMAL = 1
+DEGRADATION_MODERATE = 2
+DEGRADATION_SEVERE = 3
+DEGRADATION_CRITICAL = 4
+DEGRADATION_NAMES = ("none", "minimal", "moderate", "severe", "critical")
+
+
+class FallbackCache:
+    """TTL cache of last-good results, served when degraded (reference:
+    resilience/graceful_degradation.go FallbackCache). Separate from
+    the QueryCache: entries here deliberately outlive writes — stale
+    answers beat no answers once the engine is unhealthy."""
+
+    def __init__(self, ttl_s: float = 300.0, max_entries: int = 4096):
+        self.ttl_s = ttl_s
+        self.max_entries = max_entries
+        self._d: dict[str, tuple[float, Any]] = {}
+        self._lock = threading.Lock()
+
+    def get(self, key: str) -> tuple[Any, bool]:
+        with self._lock:
+            hit = self._d.get(key)
+            if hit is None:
+                return None, False
+            exp, val = hit
+            if time.monotonic() > exp:
+                del self._d[key]
+                return None, False
+            return val, True
+
+    def put(self, key: str, val: Any) -> None:
+        with self._lock:
+            if len(self._d) >= self.max_entries and key not in self._d:
+                # drop the entry closest to expiry
+                oldest = min(self._d, key=lambda k: self._d[k][0])
+                del self._d[oldest]
+            self._d[key] = (time.monotonic() + self.ttl_s, val)
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._d)
+
+
+class GracefulDegradation:
+    """Health-driven degradation levels (reference:
+    resilience/graceful_degradation.go:30-250). Health checks return
+    dicts with a "healthy" bool (the HealthManager checker convention);
+    the failure rate maps to a level with the reference's thresholds
+    (0 -> none, <=10% -> minimal, <=30% -> moderate, <=60% -> severe,
+    else critical). The serving edge consults `search_policy()` to shed
+    work: moderate drops graph re-rank, severe serves stale fallback
+    results when available, critical serves ONLY cached results."""
+
+    def __init__(self):
+        self._checks: dict[str, Callable[[], dict]] = {}
+        self._level = DEGRADATION_NONE
+        self._degraded_since = 0.0
+        self._last_change = 0.0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def register_check(self, name: str, fn: Callable[[], dict]) -> None:
+        with self._lock:
+            self._checks[name] = fn
+
+    @property
+    def level(self) -> int:
+        with self._lock:
+            return self._level
+
+    def set_level(self, level: int) -> None:
+        with self._lock:
+            if level != self._level:
+                self._level = level
+                self._last_change = time.monotonic()
+                if level > DEGRADATION_NONE and not self._degraded_since:
+                    self._degraded_since = time.monotonic()
+                elif level == DEGRADATION_NONE:
+                    self._degraded_since = 0.0
+
+    def assess(self) -> int:
+        with self._lock:
+            checks = dict(self._checks)
+        if not checks:
+            return DEGRADATION_NONE
+        failed = 0
+        for fn in checks.values():
+            try:
+                r = fn()
+                if not r.get("healthy", False):
+                    failed += 1
+            except Exception:
+                failed += 1
+        rate = failed / len(checks)
+        if rate == 0:
+            return DEGRADATION_NONE
+        if rate <= 0.1:
+            return DEGRADATION_MINIMAL
+        if rate <= 0.3:
+            return DEGRADATION_MODERATE
+        if rate <= 0.6:
+            return DEGRADATION_SEVERE
+        return DEGRADATION_CRITICAL
+
+    def start(self, interval_s: float = 5.0) -> None:
+        def loop():
+            while not self._stop.wait(interval_s):
+                self.set_level(self.assess())
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+
+    def search_policy(self) -> dict:
+        lvl = self.level
+        return {
+            "level": lvl,
+            "level_name": DEGRADATION_NAMES[lvl],
+            "allow_graph_rerank": lvl < DEGRADATION_MODERATE,
+            "allow_hybrid": lvl < DEGRADATION_SEVERE,
+            "serve_stale": lvl >= DEGRADATION_SEVERE,
+            "cached_only": lvl >= DEGRADATION_CRITICAL,
+        }
+
+    def stats(self) -> dict:
+        with self._lock:
+            return {
+                "current_level": DEGRADATION_NAMES[self._level],
+                "degraded_since": self._degraded_since or None,
+                "health_checks": len(self._checks),
+            }
+
+
 class MiddlewareChain:
     """The serving edge's interceptor chain
     (reference: cmd/longbow/main.go:448-458 CircuitBreaker -> RateLimit
     -> PartitionProxy; partition proxying is obsolete here — sharding
-    lives inside the device mesh)."""
+    lives inside the device mesh). Order: breaker -> rate limit ->
+    bulkhead (last, so a rejected request never holds a slot)."""
 
     def __init__(
         self,
@@ -87,9 +279,14 @@ class MiddlewareChain:
         rate_limit_burst: int = 0,
         breaker_threshold: int = 10,
         breaker_cooldown_s: float = 30.0,
+        bulkhead_max_concurrent: int = 0,
+        bulkhead_max_wait_s: float = 0.2,
     ):
         self.limiter = RateLimiter(rate_limit_rps, rate_limit_burst)
         self.breaker = CircuitBreaker(breaker_threshold, breaker_cooldown_s)
+        self.bulkhead = Bulkhead(bulkhead_max_concurrent, bulkhead_max_wait_s)
+        self.degradation: Optional[GracefulDegradation] = None
+        self.fallback: Optional[FallbackCache] = None
 
     def admit(self, op: str) -> None:
         if not self.breaker.allow():
@@ -98,6 +295,14 @@ class MiddlewareChain:
             )
         if not self.limiter.allow():
             raise flight.FlightUnavailableError("rate limit exceeded")
+        if not self.bulkhead.acquire():
+            raise flight.FlightUnavailableError(
+                f"bulkhead saturated for {op}"
+            )
+
+    def release(self, op: str) -> None:
+        """Release the bulkhead slot taken by a successful admit()."""
+        self.bulkhead.release()
 
     def record_failure(self, op: str) -> None:
         self.breaker.record_failure()

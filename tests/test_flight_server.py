@@ -265,3 +265,55 @@ def test_async_ingest_busy_then_ready():
         c.close()
         q.close()
         handle.shutdown()
+
+
+def test_degraded_serving_fallback_cache():
+    """Severe degradation serves stale cached results; critical rejects
+    uncached queries (reference: resilience/graceful_degradation.go)."""
+    import pyarrow.flight as flight
+
+    from longbow_tpu.serving.middleware import (
+        DEGRADATION_CRITICAL,
+        DEGRADATION_NONE,
+        DEGRADATION_SEVERE,
+        FallbackCache,
+        GracefulDegradation,
+        MiddlewareChain,
+    )
+
+    mw = MiddlewareChain()
+    gd = GracefulDegradation()
+    mw.degradation = gd
+    mw.fallback = FallbackCache(ttl_s=60.0)
+    store = VectorStore()
+    handle = serve(
+        store, data_port=0, meta_port=0, host="127.0.0.1",
+        middleware_chain=mw,
+    )
+    try:
+        c = LongbowClient("127.0.0.1")
+        c.data_location = f"grpc://127.0.0.1:{handle.data_server.port}"
+        c.meta_location = f"grpc://127.0.0.1:{handle.meta_server.port}"
+        c.connect()
+        v = _vecs(30, 8, seed=9)
+        c.write("deg", np.arange(30), v)
+        t1 = c.search("deg", v[5], k=3)  # healthy: populates fallback
+        assert t1.column("id")[0].as_py() == 5
+
+        gd.set_level(DEGRADATION_SEVERE)
+        # mutate the store: a fresh search would see the delete, the
+        # fallback path must serve the STALE cached answer
+        store.delete("deg", [5])
+        t2 = c.search("deg", v[5], k=3)
+        assert t2.column("id").to_pylist() == t1.column("id").to_pylist()
+
+        gd.set_level(DEGRADATION_CRITICAL)
+        with pytest.raises(flight.FlightError):
+            c.search("deg", v[20] + 100.0, k=3)  # uncached -> rejected
+
+        gd.set_level(DEGRADATION_NONE)
+        t3 = c.search("deg", v[5], k=3)  # healthy again: fresh result
+        assert 5 not in t3.column("id").to_pylist()
+        c.close()
+    finally:
+        handle.shutdown()

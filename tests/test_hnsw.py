@@ -251,3 +251,33 @@ def test_rp_blocked_builder():
         for i in range(32)
     ])
     assert rec >= 0.95, rec
+
+
+def test_rp_builder_capacity_below_block_padding():
+    """Regression: state capacity is padded at 4096 granularity but the
+    RP builder pads n at block granularity (8192 default at 1M) — when
+    cap < n_pad the round used to crash with a broadcast shape error."""
+    from longbow_tpu.index.graph import graph_init, beam_search
+    from longbow_tpu.index.graph_build import bulk_build_rp
+
+    rng = np.random.default_rng(1)
+    n, d, cap = 4200, 16, 5120  # block=2048 -> n_pad=6144 > cap
+    v = rng.standard_normal((n, d), dtype=np.float32)
+    st = graph_init(cap, d, 32, jnp.float32)
+    st = st._replace(
+        vectors=st.vectors.at[:n].set(v),
+        norms_sq=st.norms_sq.at[:n].set(np.sum(v * v, 1)),
+        valid=st.valid.at[:n].set(True),
+    )
+    st = bulk_build_rp(
+        st, n, m=12, m_max=24, knn_k=24, rounds=5, block=2048, nn_rounds=2
+    )
+    q = rng.standard_normal((16, d), dtype=np.float32)
+    sample = jnp.asarray(np.linspace(0, n - 1, 512, dtype=np.int32))
+    bd, bi = beam_search(st, jnp.asarray(q), sample, 10, 96)
+    ed, er = exact_search(jnp.asarray(q), jnp.asarray(v), 10, Metric.L2)
+    rec = np.mean([
+        len(set(np.asarray(bi)[i]) & set(np.asarray(er)[i])) / 10
+        for i in range(16)
+    ])
+    assert rec >= 0.9, rec

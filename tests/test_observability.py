@@ -160,3 +160,80 @@ def test_declared_metrics_move_under_load(tmp_path):
     assert len(ev._last_access) > 0
     text = generate_latest(reg.registry).decode()
     assert "longbow_vector_search_latency_seconds" in text
+
+
+def test_bulkhead_bounds_concurrency():
+    from longbow_tpu.serving.middleware import Bulkhead
+
+    bh = Bulkhead(max_concurrent=2, max_wait_s=0.01)
+    assert bh.acquire() and bh.acquire()
+    assert not bh.acquire()  # saturated -> timed-out reject
+    assert bh.stats()["rejected_total"] == 1
+    bh.release()
+    assert bh.acquire()
+    assert Bulkhead(max_concurrent=0).acquire()  # disabled
+
+
+def test_bulkhead_in_middleware_chain():
+    import pyarrow.flight as flight
+
+    mw = MiddlewareChain(bulkhead_max_concurrent=1, bulkhead_max_wait_s=0.01)
+    mw.admit("DoGet")
+    with pytest.raises(flight.FlightUnavailableError):
+        mw.admit("DoGet")
+    mw.release("DoGet")
+    mw.admit("DoGet")  # slot freed
+    mw.release("DoGet")
+
+
+def test_graceful_degradation_levels():
+    from longbow_tpu.serving.middleware import (
+        DEGRADATION_CRITICAL,
+        DEGRADATION_MODERATE,
+        DEGRADATION_NONE,
+        DEGRADATION_SEVERE,
+        GracefulDegradation,
+    )
+
+    gd = GracefulDegradation()
+    assert gd.assess() == DEGRADATION_NONE  # no checks registered
+    healthy = {"a": True, "b": True, "c": True, "d": True}
+
+    def mk(name):
+        return lambda: {"healthy": healthy[name]}
+
+    for n in healthy:
+        gd.register_check(n, mk(n))
+    assert gd.assess() == DEGRADATION_NONE
+    healthy["a"] = False  # 25% failed -> moderate
+    assert gd.assess() == DEGRADATION_MODERATE
+    healthy["b"] = False  # 50% -> severe
+    assert gd.assess() == DEGRADATION_SEVERE
+    healthy["c"] = healthy["d"] = False  # 100% -> critical
+    assert gd.assess() == DEGRADATION_CRITICAL
+
+    gd.set_level(DEGRADATION_SEVERE)
+    pol = gd.search_policy()
+    assert pol["serve_stale"] and not pol["allow_hybrid"]
+    assert not pol["cached_only"]
+    gd.set_level(DEGRADATION_NONE)
+    pol = gd.search_policy()
+    assert pol["allow_hybrid"] and pol["allow_graph_rerank"]
+    assert not pol["serve_stale"]
+
+
+def test_fallback_cache_ttl_and_eviction():
+    import time as _t
+
+    from longbow_tpu.serving.middleware import FallbackCache
+
+    fc = FallbackCache(ttl_s=0.05, max_entries=2)
+    fc.put("a", 1)
+    fc.put("b", 2)
+    fc.put("c", 3)  # evicts the entry closest to expiry
+    assert len(fc) == 2
+    v, found = fc.get("c")
+    assert found and v == 3
+    _t.sleep(0.06)
+    _, found = fc.get("c")
+    assert not found  # expired
