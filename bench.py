@@ -124,10 +124,12 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
     qps = B / dt
 
-    # ---- secondary: equal-memory SQ8 graph at 1M (BASELINE config 4:
+    # ---- secondary: equal-memory graph at 1M (BASELINE config 4:
     # match reference recall at <= reference memory while beating its
     # build throughput; reference memory = f32 vectors 512MB + graph
-    # 256MB = 768MB on SIFT-1M) ----
+    # 256MB = 768MB on SIFT-1M). bf16 vectors + bf16 edge dists =
+    # 651MB (0.85x) and rank within ~1% of exact — SQ8 codes would
+    # halve that again but cap recall@10 at ~0.944 on this corpus ----
     graph_fields = {}
     if os.environ.get("LONGBOW_BENCH_GRAPH", "1") == "1":
         try:
@@ -141,7 +143,8 @@ def main() -> None:
             gidx = None
             for it in range(2):  # first = cold (compiles), second = warm
                 gidx = HNSWIndex(
-                    D, dtype=jnp2.bfloat16, storage="sq8",
+                    D, dtype=jnp2.bfloat16, storage="dense",
+                    edge_dtype=jnp2.bfloat16,
                     config=HNSWConfig(m=32, m_max=64, ef_search=100),
                     capacity=ng,
                 )
@@ -149,7 +152,7 @@ def main() -> None:
                 gidx.add(gvecs)
                 gidx.state.nbrs.block_until_ready()
                 build_times.append(time.time() - t0)
-                log(f"sq8-graph build 1M iter{it}: {build_times[-1]:.0f}s")
+                log(f"graph build 1M iter{it}: {build_times[-1]:.0f}s")
             gq = queries[:128]
             gd, gr = gidx.search(gq, K, ef_search=200)
             g_got = np.asarray(gr)

@@ -102,6 +102,11 @@ class Config:
     # DNS discovery: "name:data_port[:meta_port]" re-resolved per probe
     # round (reference: mesh/discovery DNS mode)
     peers_dns: str = field(default_factory=lambda: _env("PEERS_DNS", ""))
+    # Kubernetes endpoints discovery: "service:data_port[:meta_port]"
+    # (reference: mesh/discovery k8s pods); region label for
+    # same-region-first fan-out (reference: mesh/region.go)
+    peers_k8s: str = field(default_factory=lambda: _env("PEERS_K8S", ""))
+    region: str = field(default_factory=lambda: _env("REGION", ""))
     replication: str = field(
         default_factory=lambda: _env("REPLICATION", "async")  # async|quorum|off
     )

@@ -36,12 +36,16 @@ class ClusterCoordinator:
         probe_interval_s: float = 1.0,
         global_search_timeout_s: float = 5.0,
         dns_name: str = "",
+        k8s_service: str = "",
+        region: str = "",
     ):
         self.store = store
         self.self_id = self_id
         self.membership = MembershipManager(
             self_id, peers, probe_interval_s=probe_interval_s,
             dns_name=dns_name or None,
+            k8s_service=k8s_service or None,
+            self_region=region,
         )
         self._peers: dict[str, Peer] = {}
         for m in self.membership.members.values():

@@ -10,11 +10,16 @@ TPU-backed search tier runs at (units of nodes, each fronting a slice),
 O(N) direct probing every period is cheaper than maintaining a UDP
 stack, and the failure-detection semantics the rest of the system
 needs — alive / suspect / dead with incarnation counters — are
-preserved. Discovery is static peers (the reference's default mode) or
-a DNS name resolved per probe round.
+preserved. Discovery modes (reference: mesh/discovery*.go): static
+peers, a DNS name resolved per probe round, or Kubernetes endpoints
+polled from the API server. Members carry an optional region label
+(reference: mesh/region.go region-aware member grouping) used to order
+fan-out and replication toward same-region peers first.
 """
 from __future__ import annotations
 
+import json
+import os
 import socket
 import threading
 import time
@@ -26,19 +31,25 @@ SUSPECT = "suspect"
 DEAD = "dead"
 
 
-def parse_peer(spec: str) -> tuple[str, int, int]:
-    """'host:data[:meta]' -> (host, data_port, meta_port); meta
-    defaults to data+1 (reference convention: :3000/:3001)."""
-    parts = spec.strip().rsplit(":", 2)
+def parse_peer(spec: str) -> tuple[str, int, int, str]:
+    """'host:data[:meta][@region]' -> (host, data_port, meta_port,
+    region); meta defaults to data+1 (reference convention:
+    :3000/:3001), region defaults to ''."""
+    spec = spec.strip()
+    region = ""
+    if "@" in spec:
+        spec, region = spec.rsplit("@", 1)
+    parts = spec.rsplit(":", 2)
     if len(parts) == 3 and parts[1].isdigit() and parts[2].isdigit():
-        return parts[0], int(parts[1]), int(parts[2])
-    host, port = spec.strip().rsplit(":", 1)
-    return host, int(port), int(port) + 1
+        return parts[0], int(parts[1]), int(parts[2]), region
+    host, port = spec.rsplit(":", 1)
+    return host, int(port), int(port) + 1, region
 
 
 @dataclass
 class Member:
-    """reference: mesh/member.go:18 Member{ID,Addr,Status,Incarnation}."""
+    """reference: mesh/member.go:18 Member{ID,Addr,Status,Incarnation};
+    region label per mesh/region.go."""
 
     id: str
     host: str
@@ -48,6 +59,7 @@ class Member:
     incarnation: int = 0
     last_seen: float = field(default_factory=time.time)
     misses: int = 0
+    region: str = ""
 
     @property
     def addr(self) -> str:
@@ -60,6 +72,7 @@ class Member:
             "status": self.status,
             "incarnation": self.incarnation,
             "last_seen": self.last_seen,
+            "region": self.region,
         }
 
 
@@ -80,8 +93,11 @@ class MembershipManager:
         dead_after: int = 5,
         probe_timeout_s: float = 2.0,
         dns_name: Optional[str] = None,
+        k8s_service: Optional[str] = None,
+        self_region: str = "",
     ):
         self.self_id = self_id
+        self.self_region = self_region
         self.probe_interval_s = probe_interval_s
         self.suspect_after = suspect_after
         self.dead_after = dead_after
@@ -90,21 +106,35 @@ class MembershipManager:
         # "name:data_port[:meta_port]" re-resolved every probe round so
         # scale-ups/downs of a headless service are picked up live
         self.dns_name = dns_name
+        # Kubernetes discovery (reference: mesh/discovery k8s pods +
+        # pod_parser.go): "service:data_port[:meta_port]" — endpoints
+        # polled from the API server each probe round
+        self.k8s_service = k8s_service
         self.members: dict[str, Member] = {}
         for spec in peers:
-            h, dp, mp = parse_peer(spec)
+            h, dp, mp, region = parse_peer(spec)
             mid = f"{h}:{dp}"
             if mid != self_id:
-                self.members[mid] = Member(mid, h, dp, mp)
+                self.members[mid] = Member(mid, h, dp, mp, region=region)
         self._subs: list[Callable[[Member], None]] = []
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
 
+    def _add_discovered(self, host: str, dp: int, mp: int, region="") -> None:
+        mid = f"{host}:{dp}"
+        if mid != self.self_id and mid not in self.members:
+            with self._lock:
+                # start SUSPECT: the first successful probe fires
+                # the subscriber callbacks (join notification)
+                self.members[mid] = Member(
+                    mid, host, dp, mp, status=SUSPECT, region=region
+                )
+
     def _discover_dns(self) -> None:
         if not self.dns_name:
             return
-        name, dp, mp = parse_peer(self.dns_name)
+        name, dp, mp, region = parse_peer(self.dns_name)
         try:
             infos = socket.getaddrinfo(
                 name, dp, proto=socket.IPPROTO_TCP
@@ -112,15 +142,65 @@ class MembershipManager:
         except OSError:
             return
         for info in infos:
-            host = info[4][0]
-            mid = f"{host}:{dp}"
-            if mid != self.self_id and mid not in self.members:
-                with self._lock:
-                    # start SUSPECT: the first successful probe fires
-                    # the subscriber callbacks (join notification)
-                    self.members[mid] = Member(
-                        mid, host, dp, mp, status=SUSPECT
-                    )
+            self._add_discovered(info[4][0], dp, mp, region)
+
+    def _discover_k8s(self) -> None:
+        """Poll the Kubernetes Endpoints API for peer pod IPs
+        (reference: mesh/discovery_k8s + pod_parser.go). Uses the
+        in-cluster service-account credentials; the API base and token
+        path are overridable for tests (LONGBOW_K8S_API / _TOKEN_FILE /
+        _NAMESPACE). Pod topology zone labels map to regions."""
+        if not self.k8s_service:
+            return
+        svc, dp, mp, _ = parse_peer(self.k8s_service)
+        api = os.environ.get("LONGBOW_K8S_API")
+        if not api:
+            host = os.environ.get("KUBERNETES_SERVICE_HOST")
+            port = os.environ.get("KUBERNETES_SERVICE_PORT", "443")
+            if not host:
+                return
+            api = f"https://{host}:{port}"
+        ns_file = "/var/run/secrets/kubernetes.io/serviceaccount/namespace"
+        ns = os.environ.get("LONGBOW_K8S_NAMESPACE")
+        if not ns:
+            try:
+                with open(ns_file) as f:
+                    ns = f.read().strip()
+            except OSError:
+                ns = "default"
+        token_file = os.environ.get(
+            "LONGBOW_K8S_TOKEN_FILE",
+            "/var/run/secrets/kubernetes.io/serviceaccount/token",
+        )
+        headers = {}
+        try:
+            with open(token_file) as f:
+                headers["Authorization"] = f"Bearer {f.read().strip()}"
+        except OSError:
+            pass
+        import ssl
+        import urllib.request
+
+        url = f"{api}/api/v1/namespaces/{ns}/endpoints/{svc}"
+        ctx = None
+        if url.startswith("https"):
+            ca = "/var/run/secrets/kubernetes.io/serviceaccount/ca.crt"
+            ctx = ssl.create_default_context(
+                cafile=ca if os.path.exists(ca) else None
+            )
+            if not os.path.exists(ca):
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+        try:
+            req = urllib.request.Request(url, headers=headers)
+            with urllib.request.urlopen(req, timeout=2.0, context=ctx) as r:
+                body = json.loads(r.read())
+        except Exception:
+            return
+        for subset in body.get("subsets") or []:
+            for addr in subset.get("addresses") or []:
+                region = (addr.get("nodeName") or "").split(".")[0]
+                self._add_discovered(addr.get("ip", ""), dp, mp, region)
 
     # -- probing --------------------------------------------------------
 
@@ -138,6 +218,7 @@ class MembershipManager:
 
     def probe_round(self) -> None:
         self._discover_dns()
+        self._discover_k8s()
         for m in list(self.members.values()):
             ok = self._probe_one(m)
             with self._lock:
@@ -166,14 +247,24 @@ class MembershipManager:
         self._subs.append(cb)
 
     def alive(self) -> list[Member]:
+        """Alive members, same-region peers first (reference:
+        mesh/region.go region-aware grouping — fan-out and replication
+        prefer peers that don't cross a region boundary)."""
         with self._lock:
-            return [m for m in self.members.values() if m.status == ALIVE]
+            live = [m for m in self.members.values() if m.status == ALIVE]
+        if self.self_region:
+            live.sort(key=lambda m: (m.region != self.self_region, m.id))
+        return live
 
     def status(self) -> dict:
         """reference: 'cluster-status' action payload shape."""
         with self._lock:
             return {
-                "self": {"id": self.self_id, "status": ALIVE},
+                "self": {
+                    "id": self.self_id,
+                    "status": ALIVE,
+                    "region": self.self_region,
+                },
                 "members": [m.to_dict() for m in self.members.values()],
             }
 

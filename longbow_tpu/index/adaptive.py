@@ -36,15 +36,18 @@ class AdaptiveIndex:
         migration_threshold: int = DEFAULT_MIGRATION_THRESHOLD,
         hnsw_config: Optional[HNSWConfig] = None,
         storage: str = "dense",
+        pq_m: Optional[int] = None,
     ):
         self.dim = dim
         self.metric = Metric.validate(metric)
         self.dtype = dtype
         self.migration_threshold = migration_threshold
         self.hnsw_config = hnsw_config or HNSWConfig()
-        # graph vector payload: "dense" (dtype) or "sq8" codes — the
-        # equal-memory quantized-graph config (arrow_hnsw.go:94)
+        # graph vector payload: "dense" (dtype), "sq8" codes, or "pq"
+        # codes — the equal-memory quantized-graph configs
+        # (arrow_hnsw.go:94, quantization_integration.go)
         self.storage = storage
+        self.pq_m = pq_m
         self._flat = FlatIndex(dim, metric, dtype)
         self._graph: Optional[HNSWIndex] = None
 
@@ -75,6 +78,7 @@ class AdaptiveIndex:
             self.dtype,
             capacity=self._flat.capacity,
             storage=self.storage,
+            pq_m=self.pq_m,
         )
         vecs = np.asarray(self._flat.vectors[: self._flat.count]).astype(
             np.float32
@@ -142,6 +146,7 @@ class AdaptiveIndex:
                 "migration_threshold", DEFAULT_MIGRATION_THRESHOLD
             ),
             storage=st.get("storage", "dense"),
+            pq_m=int(st.get("pq_m", 0)) or None,
         )
         if st["kind"] == "hnsw":
             idx._graph = HNSWIndex.import_state(st)

@@ -105,11 +105,12 @@ def make_index(
 ):
     kind = (kind or "adaptive").lower()
     storage = str(params.get("storage", "dense")).lower()
+    graph_pq_m = int(params.get("pq_m", 0)) or None
     if kind == "adaptive":
         return AdaptiveIndex(
             dim, metric, dtype=dtype,
             migration_threshold=migration_threshold,
-            hnsw_config=hnsw_config, storage=storage,
+            hnsw_config=hnsw_config, storage=storage, pq_m=graph_pq_m,
         )
     if kind == "flat":
         return AdaptiveIndex(
@@ -121,7 +122,7 @@ def make_index(
         return AdaptiveIndex(
             dim, metric, dtype=dtype,
             migration_threshold=0,  # migrate on first add
-            hnsw_config=hnsw_config, storage=storage,
+            hnsw_config=hnsw_config, storage=storage, pq_m=graph_pq_m,
         )
     if kind == "pq":
         return _QuantizedAdapter(

@@ -142,7 +142,10 @@ class FlatIndex:
             jv = jv / jnp.maximum(
                 jnp.linalg.norm(jv, axis=1, keepdims=True), 1e-30
             )
-        norms = squared_norms(jv)
+        # norms of the STORED (rounded) dtype: exact-f32 norms paired
+        # with bf16 inner products bias distances by 2*v.dv per row
+        # (~5% recall@10 at 1M, measured on-chip)
+        norms = squared_norms(jv.astype(self.dtype))
         self.vectors, self.norms_sq, self.valid = _append_block(
             self.vectors,
             self.norms_sq,

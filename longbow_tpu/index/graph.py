@@ -48,35 +48,64 @@ class GraphState(NamedTuple):
     HNSW the same way, arrow_hnsw.go:94, quantization_integration.go).
     Distance kernels fold the affine into the query so the uint8 codes
     stay the only big gathered operand (4x less HBM traffic than f32).
+
+    When `pq_books` is set, `vectors` holds PQ codes ([N_cap, M] uint8,
+    one byte per subspace) and traversal distances come from a
+    per-query ADC lookup table (reference: PQ/ADC inside HNSW
+    traversal, quantization_integration.go + pq/adc_table.go) — the
+    gathered operand shrinks to M bytes per row (dim/M-fold less HBM
+    gather traffic than SQ8).
     """
 
     vectors: jax.Array    # [N_cap, D] storage dtype (f32/bf16/u8 codes)
     norms_sq: jax.Array   # [N_cap] f32 (of the *effective* vectors)
     valid: jax.Array      # [N_cap] bool (allocated and not tombstoned)
     nbrs: jax.Array       # [N_cap, M2] int32, -1 padded
-    nbr_dists: jax.Array  # [N_cap, M2] f32, MASKED padded
+    nbr_dists: jax.Array  # [N_cap, M2] f32/bf16, MASKED padded
     nbr_count: jax.Array  # [N_cap] int32
     scale: Optional[jax.Array] = None   # [D] f32 (SQ8 dequant scale)
     offset: Optional[jax.Array] = None  # [D] f32 (SQ8 dequant offset)
+    pq_books: Optional[jax.Array] = None  # [M, 256, dsub] f32 codebooks
 
 
-def graph_init(capacity: int, dim: int, m2: int, dtype=jnp.float32) -> GraphState:
+def graph_init(
+    capacity: int, dim: int, m2: int, dtype=jnp.float32,
+    edge_dtype=jnp.float32,
+) -> GraphState:
+    """edge_dtype=bfloat16 halves the adjacency-distance HBM footprint
+    (reference parity: PackedAdjacency's optional f16 edge distances,
+    packed_adjacency_f16). Edge distances only steer insert-time
+    neighbor eviction — bf16 precision is ample there; beam search
+    never reads them."""
     return GraphState(
         vectors=jnp.zeros((capacity, dim), dtype=dtype),
         norms_sq=jnp.zeros((capacity,), jnp.float32),
         valid=jnp.zeros((capacity,), bool),
         nbrs=jnp.full((capacity, m2), INVALID, jnp.int32),
-        nbr_dists=jnp.full((capacity, m2), MASKED, jnp.float32),
+        nbr_dists=jnp.full((capacity, m2), MASKED, edge_dtype),
         nbr_count=jnp.zeros((capacity,), jnp.int32),
     )
 
 
+def pq_decode(codes: jax.Array, books: jax.Array) -> jax.Array:
+    """codes [..., M] u8 + books [M, 256, dsub] -> [..., M*dsub] f32."""
+    m, _, dsub = books.shape
+    flat_books = books.reshape(m * 256, dsub)
+    gidx = (
+        jnp.arange(m, dtype=jnp.int32) * 256 + codes.astype(jnp.int32)
+    )  # [..., M]
+    dec = jnp.take(flat_books, gidx, axis=0)  # [..., M, dsub]
+    return dec.reshape(codes.shape[:-1] + (m * dsub,))
+
+
 def gather_vectors_f32(state: GraphState, rows: jax.Array) -> jax.Array:
     """Gather rows as effective f32 vectors (dequantized when the
-    state is SQ8-coded). rows [...]-shaped -> [..., D] f32."""
+    state is SQ8- or PQ-coded). rows [...]-shaped -> [..., D] f32."""
     v = jnp.take(state.vectors, rows, axis=0)
     if state.scale is not None:
         return v.astype(jnp.float32) * state.scale + state.offset
+    if state.pq_books is not None:
+        return pq_decode(v, state.pq_books)
     return v.astype(jnp.float32)
 
 
@@ -91,6 +120,13 @@ def _gather_dist(
     SQ8 states fold the dequant affine into the query:
     q.(c*s + o) = (q*s).c + q.o — the codes are never dequantized in
     HBM, only the [B, R] inner products are materialized.
+
+    PQ states gather M-byte codes and read per-subspace inner products
+    from a per-query ADC table (tiny einsum, loop-invariant — XLA CSE
+    keeps it out of the traversal's hot loop): q.v_hat = sum_m
+    lut[b, m, code]. Exact |v_hat|^2 comes from norms_sq (stored at
+    encode time), so the only PQ approximation is the codebook
+    residual, not a norm estimate.
     """
     safe = jnp.maximum(rows, 0)
     vecs = jnp.take(state.vectors, safe, axis=0)  # [B,R,D] storage dtype
@@ -101,6 +137,20 @@ def _gather_dist(
             "bd,brd->br", qs, vecs.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         ) + (queries_f32 @ state.offset)[:, None]
+    elif state.pq_books is not None:
+        books = state.pq_books
+        m, _, dsub = books.shape
+        b, r = rows.shape
+        qs = queries_f32.reshape(b, m, dsub)
+        lut = jnp.einsum(
+            "bmd,mkd->bmk", qs, books, preferred_element_type=jnp.float32
+        ).reshape(b, m * 256)  # [B, M*256] per-query ADC table
+        gidx = (
+            jnp.arange(m, dtype=jnp.int32)[None, None, :] * 256
+            + vecs.astype(jnp.int32)
+        )  # [B, R, M]
+        per = jnp.take_along_axis(lut, gidx.reshape(b, r * m), axis=1)
+        ip = jnp.sum(per.reshape(b, r, m), axis=2)
     else:
         ip = jnp.einsum(
             "bd,brd->br", queries_f32, vecs.astype(jnp.float32),
@@ -125,12 +175,17 @@ def entry_candidates(
     svecs = jnp.take(state.vectors, sample_rows, axis=0)
     svn = jnp.take(state.norms_sq, sample_rows, axis=0)
     svalid = jnp.take(state.valid, sample_rows, axis=0)
+    bias = 0.0
     if state.scale is not None:
         q_eff = queries_f32 * state.scale[None, :]
         bias = (queries_f32 @ state.offset)[:, None]
+    elif state.pq_books is not None:
+        # decode the (small) entry sample: one matmul beats per-row
+        # LUT gathers at sample sizes
+        svecs = pq_decode(svecs, state.pq_books)
+        q_eff = queries_f32
     else:
         q_eff = queries_f32
-        bias = 0.0
     ip = jax.lax.dot_general(
         q_eff, svecs.astype(jnp.float32), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -164,7 +164,9 @@ def insert_batch(
         sel_dists, ((0, 0), (0, pad_cols)), constant_values=MASKED
     )
     nbrs = state.nbrs.at[new_rows].set(fwd_rows)
-    nbr_dists = state.nbr_dists.at[new_rows].set(fwd_dists)
+    nbr_dists = state.nbr_dists.at[new_rows].set(
+        fwd_dists.astype(state.nbr_dists.dtype)
+    )
     nbr_count = state.nbr_count.at[new_rows].set(
         jnp.sum(sel_rows >= 0, axis=1).astype(jnp.int32)
     )
@@ -211,7 +213,9 @@ def insert_batch(
         new_cnt = jnp.where(do & has_space, cnt + 1, cnt)
 
         nbrs = nbrs.at[t].set(new_row_n, mode="drop")
-        nbr_dists = nbr_dists.at[t].set(new_row_d, mode="drop")
+        nbr_dists = nbr_dists.at[t].set(
+            new_row_d.astype(nbr_dists.dtype), mode="drop"
+        )
         nbr_count = nbr_count.at[t].set(new_cnt, mode="drop")
         alive = alive & ~chosen
         return nbrs, nbr_dists, nbr_count, alive
@@ -344,24 +348,38 @@ def _prune_forward_all(state, knn_d, knn_i, m: int, chunk: int):
     return sr.reshape(n_pad, m), sd.reshape(n_pad, m)
 
 
+def _is_quantized(state: GraphState) -> bool:
+    return state.scale is not None or state.pq_books is not None
+
+
 def _densified(state: GraphState) -> GraphState:
-    """SQ8-coded state -> transient bf16 dense state for bulk builds
+    """SQ8/PQ-coded state -> transient bf16 dense state for bulk builds
     (graph construction wants the fused bf16 scan; costs 2 bytes/dim/row
     for the duration of the build, freed when it returns)."""
-    if state.scale is None:
+    if state.scale is not None:
+        dense = (
+            state.vectors.astype(jnp.float32) * state.scale + state.offset
+        ).astype(jnp.bfloat16)
+    elif state.pq_books is not None:
+        from longbow_tpu.index.graph import pq_decode
+
+        dense = pq_decode(state.vectors, state.pq_books).astype(
+            jnp.bfloat16
+        )
+    else:
         return state
-    dense = (
-        state.vectors.astype(jnp.float32) * state.scale + state.offset
-    ).astype(jnp.bfloat16)
-    return state._replace(vectors=dense, scale=None, offset=None)
+    return state._replace(
+        vectors=dense, scale=None, offset=None, pq_books=None
+    )
 
 
 def _reattach_codes(orig: GraphState, built: GraphState) -> GraphState:
-    """Put the original SQ8 codes back on the built state. Keep
+    """Put the original SQ8/PQ codes back on the built state. Keep
     `built`'s non-vector buffers: the build may have donated the shared
     norms/valid/adjacency buffers, so `orig`'s copies are dead."""
     return built._replace(
-        vectors=orig.vectors, scale=orig.scale, offset=orig.offset
+        vectors=orig.vectors, scale=orig.scale, offset=orig.offset,
+        pq_books=orig.pq_books,
     )
 
 
@@ -383,7 +401,7 @@ def bulk_build_edges(
        (forward + incoming) — the fixed-shape, sort-based equivalent of
        HNSW's bidirectional linking + pruning.
     """
-    if state.scale is not None:
+    if _is_quantized(state):
         return _reattach_codes(
             state,
             bulk_build_edges(
@@ -505,7 +523,9 @@ def _symmetrize_and_store(
         sel_i = jnp.where(kcols2 == col, tgt[:, None], sel_i)
         sel_d = jnp.where(kcols2 == col, MASKED, sel_d)
     nbrs = state.nbrs.at[rows].set(sel_i)
-    nbr_dists = state.nbr_dists.at[rows].set(sel_d)
+    nbr_dists = state.nbr_dists.at[rows].set(
+        sel_d.astype(state.nbr_dists.dtype)
+    )
     nbr_count = state.nbr_count.at[rows].set(cnt)
     return state._replace(nbrs=nbrs, nbr_dists=nbr_dists, nbr_count=nbr_count)
 
@@ -563,7 +583,7 @@ def bulk_build_clustered(
     nn_descent_rounds: int = 2,
 ) -> GraphState:
     """Cluster-blocked kNN-graph build for large corpora."""
-    if state.scale is not None:
+    if _is_quantized(state):
         return _reattach_codes(
             state,
             bulk_build_clustered(
@@ -988,7 +1008,7 @@ def bulk_build_rp(
     """Random-projection blocked kNN-graph build (the large-n default
     on TPU). O(N * block * D) flops per round vs the exact builder's
     O(N^2 * D); every stage device-resident."""
-    if state.scale is not None:
+    if _is_quantized(state):
         return _reattach_codes(
             state,
             bulk_build_rp(
@@ -1014,17 +1034,40 @@ def bulk_build_rp(
     kd = jnp.full((n_pad, knn_k), MASKED, jnp.float32)
     ki = jnp.full((n_pad, knn_k), -1, jnp.int32)
     root = jax.random.PRNGKey(seed)
+
+    import os as _os
+    import time as _t
+    _dbg = _os.environ.get("LONGBOW_BUILD_DEBUG") == "1"
+    _t0 = _t.time()
+
+    def _stage(label, *arrs):
+        nonlocal _t0
+        if _dbg:
+            for a in arrs:
+                jax.block_until_ready(a)
+            now = _t.time()
+            print(
+                f"[rp-build {n}] {label}: {now - _t0:.1f}s",
+                file=__import__("sys").stderr, flush=True,
+            )
+            _t0 = now
+
     for r in range(rounds):
         kd, ki = _rp_round(
             vecs, norms, valid, kd, ki,
             jax.random.fold_in(root, r), n, block, kb,
         )
+        _stage(f"rp round {r}", kd)
     for r in range(nn_rounds):
         kd, ki = _nn_descent_round(
             vecs, norms, valid, kd, ki, n,
             jax.random.fold_in(root, 10_000 + r),
         )
+        _stage(f"nn-descent round {r}", kd)
     fwd_rows, fwd_dists = _prune_forward_all(state, kd, ki, m, prune_chunk)
-    return _symmetrize_and_store(
+    _stage("prune", fwd_rows)
+    out = _symmetrize_and_store(
         state, fwd_rows[:n], fwd_dists[:n], n, m_max=m_max
     )
+    _stage("symmetrize", out.nbrs)
+    return out

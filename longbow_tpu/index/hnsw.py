@@ -15,11 +15,47 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from longbow_tpu.index.graph import GraphState, beam_search, graph_init
+from longbow_tpu.index.graph import (
+    GraphState,
+    beam_search,
+    graph_init,
+    pq_decode,
+)
 from longbow_tpu.index.graph_build import bulk_build_edges, insert_batch
 from longbow_tpu.ops.distance import MASKED, Metric, pad_to, squared_norms
 
 MIN_CAPACITY = 4096
+PQ_TRAIN_SAMPLE = 65_536  # codebook k-means training sample cap
+
+
+def _pq_encode_chunked(
+    jv: jax.Array, books: jax.Array, chunk: int = 65_536
+) -> jax.Array:
+    """Encode [n, D] f32 -> [n, M] u8 codes in one jitted program
+    (lax.map over row chunks: the [M, chunk, 256] assignment tensor
+    stays ~2GB instead of n/chunk times that)."""
+    import functools as _ft
+
+    from longbow_tpu.index.pq import _encode
+
+    n, d = jv.shape
+    m = books.shape[0]
+    dsub = d // m
+    n_pad = -(-n // chunk) * chunk
+    jvp = jnp.pad(jv, ((0, n_pad - n), (0, 0)))
+
+    @_ft.partial(jax.jit, static_argnames=("chunk",))
+    def run(jvp, books, chunk):
+        blocks = jvp.reshape(-1, chunk, d)
+
+        def one(vb):
+            return _encode(
+                vb.reshape(chunk, m, dsub).transpose(1, 0, 2), books
+            )
+
+        return jax.lax.map(one, blocks).reshape(n_pad, m)
+
+    return run(jvp, books, chunk)[:n]
 
 
 class HNSWConfig:
@@ -67,6 +103,9 @@ class HNSWIndex:
         capacity: int = MIN_CAPACITY,
         mips_bound: Optional[float] = None,
         storage: str = "dense",
+        edge_dtype=jnp.float32,
+        pq_m: Optional[int] = None,
+        pq_rerank: bool = True,
     ):
         self.dim = dim
         self.metric = Metric.validate(metric)
@@ -81,15 +120,43 @@ class HNSWIndex:
         self._mips_msq = float(mips_bound or 0.0)  # max |x|^2 bound
         self.config = config or HNSWConfig()
         self.dtype = dtype
-        if storage not in ("dense", "sq8"):
-            raise ValueError("storage must be dense|sq8")
+        if storage not in ("dense", "sq8", "pq"):
+            raise ValueError("storage must be dense|sq8|pq")
         self.storage = storage
+        self.edge_dtype = edge_dtype
+        self.pq_m = 0
+        if storage == "pq":
+            # PQ codes as the traversal payload (reference: PQ/ADC in
+            # HNSW traversal, quantization_integration.go). Dot metric
+            # would need PQ over the MIPS-augmented space — use the
+            # standalone 'pq' index kind for MIPS instead.
+            if self._mips:
+                raise ValueError(
+                    "storage='pq' serves L2/cosine; use index kind "
+                    "'pq' for the dot metric (native MIPS LUTs)"
+                )
+            self.pq_m = int(pq_m or max(dim // 4, 1))
+            if dim % self.pq_m != 0:
+                raise ValueError(
+                    f"dim {dim} not divisible by pq_m {self.pq_m}"
+                )
+        # PQ traversal ranks by ADC (codebook residual error is real);
+        # a host-RAM f16 copy re-ranks an oversampled pool exactly —
+        # the tier split the reference gets from re-ranking against its
+        # Arrow-resident originals (quantization_integration.go) and
+        # our 'disk' kind's HBM-codes + host-rerank design. HBM then
+        # holds only codes + adjacency.
+        self.pq_rerank = bool(pq_rerank) and storage == "pq"
+        self._rerank_host: Optional[np.ndarray] = None  # [cap, dim] f16
         self.count = 0
         cap = pad_to(capacity, MIN_CAPACITY)
         store_dim = dim + 1 if self._mips else dim
+        if storage == "pq":
+            store_dim = self.pq_m  # vectors array holds M-byte codes
         self.state = graph_init(
             cap, store_dim, self.config.m_max,
-            jnp.uint8 if storage == "sq8" else dtype,
+            jnp.uint8 if storage in ("sq8", "pq") else dtype,
+            edge_dtype=edge_dtype,
         )
         self._pending: list[np.ndarray] = []  # rows stored, not yet linked
         self._sample_dirty = True
@@ -142,6 +209,47 @@ class HNSWIndex:
 
     # ------------------------------------------------------------------
 
+    def _pq_host_rerank(
+        self, q_np: np.ndarray, d, r, k: int, normalize: bool
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact re-rank of the ADC-ranked pool against the host f16
+        copy; returns ([B, k] f32, [B, k] i32) numpy. One device->host
+        fetch (the serving edge fetches results anyway); the numpy
+        einsum over [B, pool, dim] is microseconds at serving shapes."""
+        d_np = np.asarray(d)
+        r_np = np.asarray(r)
+        q = q_np
+        if normalize:
+            q = q / np.maximum(
+                np.linalg.norm(q, axis=1, keepdims=True), 1e-30
+            )
+        safe = np.maximum(r_np, 0)
+        vec = self._rerank_host[safe].astype(np.float32)  # [B, P, dim]
+        ip = np.einsum("bd,bpd->bp", q, vec, dtype=np.float32)
+        vn = np.sum(vec * vec, axis=2)
+        qn = np.sum(q * q, axis=1, keepdims=True)
+        dist = np.maximum(qn - 2.0 * ip + vn, 0.0)
+        bad = (r_np < 0) | (d_np >= MASKED)
+        dist[bad] = np.float32(MASKED)
+        order = np.argsort(dist, axis=1)[:, :k]
+        d2 = np.take_along_axis(dist, order, axis=1).astype(np.float32)
+        r2 = np.take_along_axis(r_np, order, axis=1)
+        r2 = np.where(d2 >= MASKED, -1, r2).astype(np.int32)
+        return d2, r2
+
+    def _host_store(self, vecs16: np.ndarray, start: int) -> None:
+        """Append rows to the host-RAM re-rank copy (f16; HBM never
+        sees it — the tier split of the 'disk' kind / reference
+        disk_vector_store.go)."""
+        cap = self.capacity
+        if self._rerank_host is None:
+            self._rerank_host = np.zeros((cap, self.dim), np.float16)
+        elif self._rerank_host.shape[0] < cap:
+            new = np.zeros((cap, self.dim), np.float16)
+            new[: self._rerank_host.shape[0]] = self._rerank_host
+            self._rerank_host = new
+        self._rerank_host[start : start + len(vecs16)] = vecs16
+
     def add(self, vecs: np.ndarray) -> np.ndarray:
         """Store + link vectors; returns assigned internal row ids."""
         vecs = np.ascontiguousarray(np.atleast_2d(vecs), dtype=np.float32)
@@ -189,9 +297,37 @@ class HNSWIndex:
                 + self.state.offset
             )
             norms = squared_norms(deq)
+        elif self.storage == "pq":
+            if self.state.pq_books is None:
+                # codebooks train on a sample of the first batch
+                # (reference trains PQ on data arriving before the
+                # threshold, pq_training.go; k-means on the MXU)
+                from longbow_tpu.ops.kmeans import kmeans_init, lloyd
+
+                tr = jv[:PQ_TRAIN_SAMPLE]
+                dsub = self.dim // self.pq_m
+                sub = tr.reshape(-1, self.pq_m, dsub).transpose(1, 0, 2)
+                books, _ = lloyd(sub, kmeans_init(sub, 256, 0), 12)
+                self.state = self.state._replace(pq_books=books)
+            store = _pq_encode_chunked(jv, self.state.pq_books)
+            # |v_hat|^2 of the decoded vectors: ADC distances from the
+            # LUT must see consistent norms
+            norms = squared_norms(pq_decode(store, self.state.pq_books))
+            if self.pq_rerank:
+                hv = vecs
+                if self.metric == Metric.COSINE:
+                    hv = vecs / np.maximum(
+                        np.linalg.norm(vecs, axis=1, keepdims=True), 1e-30
+                    )
+                self._host_store(hv.astype(np.float16), self.count)
         else:
             store = jv.astype(self.dtype)
-            norms = squared_norms(jv)
+            # norms of the STORED (rounded) vectors, not the f32
+            # originals: with bf16 storage, exact-f32 norms paired with
+            # rounded inner products add a per-row bias 2*v.dv that
+            # costs ~5% recall@10 at 1M (measured on-chip); consistent
+            # norms make the metric |q - v_hat|^2 exactly
+            norms = squared_norms(store)
         s = self.state
         start = self.count
         self.state = s._replace(
@@ -220,9 +356,6 @@ class HNSWIndex:
             import jax as _jax
 
             on_tpu = _jax.default_backend() in ("tpu", "axon")
-            fused_ok = on_tpu and (
-                self.dtype == jnp.bfloat16 or self.storage == "sq8"
-            )  # sq8 builds densify to bf16 internally
             exact_limit = 150_000
             if n >= exact_limit and on_tpu:
                 # sub-quadratic device-resident build: random-projection
@@ -309,10 +442,13 @@ class HNSWIndex:
         normalize = self.metric == Metric.COSINE
         self._refresh_sample()
         ef = max(ef_search or self.config.ef_search, k)
+        # PQ+rerank: oversample the ADC-ranked pool, exact host re-rank
+        rerank = self.pq_rerank and self._rerank_host is not None
+        pool_k = min(max(4 * k, 32), ef) if rerank else k
 
         eligible = filter_mask
         d, r = beam_search(
-            self.state, queries, self._sample_rows, k, ef,
+            self.state, queries, self._sample_rows, pool_k, ef,
             eligible=eligible, normalize=normalize,
         )
         for _ in range(self.config.adaptive_ef_retries):
@@ -321,9 +457,11 @@ class HNSWIndex:
                 break
             ef = ef * 5
             d, r = beam_search(
-                self.state, queries, self._sample_rows, k, ef,
+                self.state, queries, self._sample_rows, pool_k, ef,
                 eligible=eligible, normalize=normalize,
             )
+        if rerank:
+            d, r = self._pq_host_rerank(q_np, d, r, k, normalize)
         if self._mips:
             # convert augmented-L2 distance back to raw inner product:
             # dist = |q|^2 + M^2 - 2 q.x  =>  q.x = (|q|^2 + M^2 - dist)/2
@@ -361,6 +499,10 @@ class HNSWIndex:
                 corpus.astype(jnp.float32) * self.state.scale
                 + self.state.offset
             ).astype(jnp.bfloat16)
+        elif self.state.pq_books is not None:  # pq: transient decode
+            corpus = pq_decode(corpus, self.state.pq_books).astype(
+                jnp.bfloat16
+            )
         valid = self.state.valid
         d, r = _ex(
             jnp.asarray(q_np),
@@ -396,21 +538,28 @@ class HNSWIndex:
             "ef_construction": self.config.ef_construction,
             "ef_search": self.config.ef_search,
             "mips_msq": self._mips_msq,
+            "pq_m": self.pq_m,
             "vectors": (
                 np.asarray(s.vectors[:n])
-                if self.storage == "sq8"
+                if self.storage in ("sq8", "pq")
                 # f32 in the archive: bf16 doesn't survive np.save
                 else np.asarray(s.vectors[:n]).astype(np.float32)
             ),
+            "edge_dtype": str(jnp.dtype(self.edge_dtype)),
             "norms_sq": np.asarray(s.norms_sq[:n]),
             "valid": np.asarray(s.valid[:n]),
             "nbrs": np.asarray(s.nbrs[:n]),
-            "nbr_dists": np.asarray(s.nbr_dists[:n]),
+            # f32 in the archive: bf16 doesn't survive np.save
+            "nbr_dists": np.asarray(s.nbr_dists[:n]).astype(np.float32),
             "nbr_count": np.asarray(s.nbr_count[:n]),
         }
         if s.scale is not None:
             st["sq8_scale"] = np.asarray(s.scale)
             st["sq8_offset"] = np.asarray(s.offset)
+        if s.pq_books is not None:
+            st["pq_books"] = np.asarray(s.pq_books)
+        if self._rerank_host is not None:
+            st["pq_rerank_host"] = self._rerank_host[:n]
         return st
 
     @classmethod
@@ -421,11 +570,20 @@ class HNSWIndex:
             ef_search=st["ef_search"],
         )
         storage = st.get("storage", "dense")
+        edge_dtype = jnp.dtype(str(st.get("edge_dtype", "float32")))
         idx = cls(
             st["dim"], st["metric"], cfg, jnp.dtype(st["dtype"]),
             capacity=max(MIN_CAPACITY, st["count"]),
             storage=storage,
+            edge_dtype=edge_dtype,
+            pq_m=int(st.get("pq_m", 0)) or None,
         )
+        if "pq_books" in st:
+            # set before the state rebuild below AND carried into it
+            # (trained books must survive an empty-count import too)
+            idx.state = idx.state._replace(
+                pq_books=jnp.asarray(st["pq_books"])
+            )
         # restore the MIPS augmentation bound: without it a dot-metric
         # index reports wrong inner products and rejects all later adds
         idx._mips_msq = float(st.get("mips_msq", 0.0))
@@ -444,13 +602,13 @@ class HNSWIndex:
             idx.state = GraphState(
                 vectors=place(
                     st["vectors"], 0,
-                    np.uint8 if storage == "sq8"
+                    np.uint8 if storage in ("sq8", "pq")
                     else jnp.dtype(st["dtype"]),
                 ),
                 norms_sq=place(st["norms_sq"], 0, np.float32),
                 valid=place(st["valid"], False, bool),
                 nbrs=place(st["nbrs"], -1, np.int32),
-                nbr_dists=place(st["nbr_dists"], float(MASKED), np.float32),
+                nbr_dists=place(st["nbr_dists"], float(MASKED), edge_dtype),
                 nbr_count=place(st["nbr_count"], 0, np.int32),
                 scale=(
                     jnp.asarray(st["sq8_scale"])
@@ -460,7 +618,13 @@ class HNSWIndex:
                     jnp.asarray(st["sq8_offset"])
                     if "sq8_offset" in st else None
                 ),
+                pq_books=(
+                    jnp.asarray(st["pq_books"])
+                    if "pq_books" in st else None
+                ),
             )
             idx.count = n
             idx._sample_dirty = True
+            if "pq_rerank_host" in st:
+                idx._host_store(st["pq_rerank_host"], 0)
         return idx

@@ -185,7 +185,10 @@ class IVFIndex:
             cell_of[j] = c
             slots[j] = self.cell_fill[c]
             self.cell_fill[c] += 1
-        norms = np.sum(v.astype(np.float64) ** 2, axis=1).astype(np.float32)
+        # norms of the STORED (rounded) cell dtype — exact norms with
+        # rounded inner products bias distances (~5% recall@10 at 1M)
+        vr = np.asarray(v, dtype=self.dtype).astype(np.float64)
+        norms = np.sum(vr ** 2, axis=1).astype(np.float32)
         self.cells, self.cell_norms, self.cell_rows = _ivf_scatter(
             self.cells, self.cell_norms, self.cell_rows,
             jnp.asarray(cell_of), jnp.asarray(slots), jnp.asarray(v),

@@ -209,7 +209,10 @@ class ShardedFlatIndex:
                 + self._shard_counts[j]
                 + np.arange(len(take))
             )
-        norms = (batch.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+        # norms of the STORED (rounded) dtype: exact norms paired with
+        # rounded inner products bias distances (~5% recall@10 at 1M)
+        br = batch.astype(self.dtype).astype(np.float64)
+        norms = (br ** 2).sum(-1).astype(np.float32)
         starts = self._shard_counts.astype(np.int32).reshape(s, 1)
 
         self.vectors, self.norms_sq, self.valid = _sharded_append(

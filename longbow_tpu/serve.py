@@ -110,7 +110,7 @@ def main(argv=None) -> int:
     # (reference: cmd/longbow/main.go:370-458 wires gossip -> ring ->
     # forwarder -> interceptors at boot)
     cluster = None
-    if cfg.peers.strip() or cfg.peers_dns.strip():
+    if cfg.peers.strip() or cfg.peers_dns.strip() or cfg.peers_k8s.strip():
         from longbow_tpu.distributed.cluster import ClusterCoordinator
 
         self_id = cfg.node_id or f"{cfg.host}:{cfg.data_port}"
@@ -123,6 +123,8 @@ def main(argv=None) -> int:
             sync_interval_s=cfg.sync_interval_s,
             probe_interval_s=cfg.probe_interval_s,
             dns_name=cfg.peers_dns,
+            k8s_service=cfg.peers_k8s,
+            region=cfg.region,
         )
         cluster.start()
         log.info(

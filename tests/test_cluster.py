@@ -46,8 +46,10 @@ def _vecs(n, d, seed=0):
 
 
 def test_parse_peer():
-    assert parse_peer("h:3000") == ("h", 3000, 3001)
-    assert parse_peer("h:3000:3005") == ("h", 3000, 3005)
+    assert parse_peer("h:3000") == ("h", 3000, 3001, "")
+    assert parse_peer("h:3000:3005") == ("h", 3000, 3005, "")
+    assert parse_peer("h:3000@us-east") == ("h", 3000, 3001, "us-east")
+    assert parse_peer("h:3000:3005@eu") == ("h", 3000, 3005, "eu")
 
 
 def test_membership_transitions():
@@ -327,3 +329,73 @@ def test_dns_discovery():
     mm.probe_round()
     assert mm.members  # localhost resolved into the member set
     assert all(m.data_port == 12345 for m in mm.members.values())
+
+
+def test_region_aware_alive_ordering():
+    """Same-region peers order first in fan-out (reference:
+    mesh/region.go region-aware member grouping)."""
+    mm = MembershipManager(
+        "self:1", ["a:3000@eu", "b:3000@us", "c:3000@eu"],
+        self_region="eu",
+    )
+    for m in mm.members.values():
+        m.status = "alive"
+    order = [m.region for m in mm.alive()]
+    assert order == ["eu", "eu", "us"]
+
+
+def test_k8s_endpoint_discovery(monkeypatch, tmp_path):
+    """Peers discovered from the Kubernetes Endpoints API (reference:
+    mesh/discovery k8s pods) — exercised against a local fake API."""
+    import http.server
+    import json as _json
+    import threading as _th
+
+    payload = {
+        "subsets": [
+            {
+                "addresses": [
+                    {"ip": "10.0.0.7", "nodeName": "node-a.zone1"},
+                    {"ip": "10.0.0.8", "nodeName": "node-b.zone2"},
+                ]
+            }
+        ]
+    }
+    seen = {}
+
+    class FakeK8s(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen["path"] = self.path
+            seen["auth"] = self.headers.get("Authorization")
+            body = _json.dumps(payload).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), FakeK8s)
+    t = _th.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        tok = tmp_path / "token"
+        tok.write_text("sekret")
+        monkeypatch.setenv(
+            "LONGBOW_K8S_API", f"http://127.0.0.1:{srv.server_port}"
+        )
+        monkeypatch.setenv("LONGBOW_K8S_TOKEN_FILE", str(tok))
+        monkeypatch.setenv("LONGBOW_K8S_NAMESPACE", "prod")
+        mm = MembershipManager(
+            "self:1", [], k8s_service="longbow:3000"
+        )
+        mm._discover_k8s()
+        assert seen["path"] == "/api/v1/namespaces/prod/endpoints/longbow"
+        assert seen["auth"] == "Bearer sekret"
+        ids = sorted(mm.members)
+        assert ids == ["10.0.0.7:3000", "10.0.0.8:3000"]
+        assert mm.members["10.0.0.7:3000"].region == "node-a"
+        assert mm.members["10.0.0.7:3000"].meta_port == 3001
+    finally:
+        srv.shutdown()

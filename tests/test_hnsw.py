@@ -281,3 +281,70 @@ def test_rp_builder_capacity_below_block_padding():
         for i in range(16)
     ])
     assert rec >= 0.9, rec
+
+
+def test_pq_graph_storage():
+    """PQ codes as the traversal payload (reference: PQ/ADC inside
+    HNSW, quantization_integration.go + pq/adc_table.go): codebooks
+    train on the first batch, beam search ranks via per-query ADC
+    tables, incremental adds encode, export/import round-trips."""
+    from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
+
+    rng = np.random.default_rng(0)
+    n, d = 4000, 32
+    # clustered data (PQ residual is tiny relative to cluster spread)
+    centers = rng.standard_normal((64, d)).astype(np.float32) * 4.0
+    v = (centers[rng.integers(0, 64, n)]
+         + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
+    idx = HNSWIndex(
+        d, config=HNSWConfig(m=12, m_max=24, ef_search=64),
+        dtype=jnp.bfloat16, storage="pq", pq_m=8, capacity=n,
+    )
+    idx.add(v)
+    assert idx.state.vectors.shape == (idx.capacity, 8)
+    assert idx.state.vectors.dtype == jnp.uint8
+    assert idx.state.pq_books.shape == (8, 256, 4)
+
+    q = v[:64] + 0.01 * rng.standard_normal((64, d)).astype(np.float32)
+    dd, rr = idx.search(q, 10)
+    ed, er = exact_search(
+        jnp.asarray(q), jnp.asarray(v), 10, Metric.L2,
+        exact_precision=True,
+    )
+    rec = np.mean([
+        len(set(np.asarray(rr)[i]) & set(np.asarray(er)[i])) / 10
+        for i in range(64)
+    ])
+    assert rec >= 0.9, rec  # ADC pool + exact host re-rank
+
+    # incremental adds encode through the trained books
+    idx.add(v[:100] + 0.05)
+    assert idx.count == n + 100
+    dd, rr = idx.search(q, 10)  # post-add reference
+
+    # export/import: books + codes + rerank copy survive, results
+    # identical
+    st = idx.export_state()
+    idx2 = HNSWIndex.import_state(st)
+    dd2, rr2 = idx2.search(q, 10)
+    assert np.array_equal(np.asarray(rr), np.asarray(rr2))
+
+
+def test_pq_graph_rejects_dot_metric():
+    from longbow_tpu.index.hnsw import HNSWIndex
+
+    with pytest.raises(ValueError):
+        HNSWIndex(32, metric="dot", storage="pq")
+
+
+def test_pq_graph_through_factory():
+    from longbow_tpu.index.factory import make_index
+
+    idx = make_index(
+        "hnsw", 16, "l2", storage="pq", pq_m=4, migration_threshold=0
+    )
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((3000, 16), dtype=np.float32)
+    idx.add(v)
+    d, r = idx.search(v[:8], 5)
+    assert (np.asarray(r)[:, 0] == np.arange(8)).mean() >= 0.8
