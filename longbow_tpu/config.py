@@ -107,6 +107,11 @@ class Config:
     # same-region-first fan-out (reference: mesh/region.go)
     peers_k8s: str = field(default_factory=lambda: _env("PEERS_K8S", ""))
     region: str = field(default_factory=lambda: _env("REGION", ""))
+    # replicated: every node holds everything, reads merge freshness.
+    # partitioned: rows route to ring owners (reference: sharding/ring)
+    placement: str = field(
+        default_factory=lambda: _env("PLACEMENT", "replicated")
+    )
     replication: str = field(
         default_factory=lambda: _env("REPLICATION", "async")  # async|quorum|off
     )
@@ -172,6 +177,8 @@ class Config:
             raise ValueError("WAL_SYNC must be always|batch|adaptive|never")
         if self.replication not in ("async", "quorum", "off"):
             raise ValueError("REPLICATION must be async|quorum|off")
+        if self.placement not in ("replicated", "partitioned"):
+            raise ValueError("PLACEMENT must be replicated|partitioned")
         return self
 
 

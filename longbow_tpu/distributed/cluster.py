@@ -38,9 +38,20 @@ class ClusterCoordinator:
         dns_name: str = "",
         k8s_service: str = "",
         region: str = "",
+        placement: str = "replicated",  # replicated | partitioned
     ):
         self.store = store
         self.self_id = self_id
+        if placement not in ("replicated", "partitioned"):
+            raise ValueError("placement must be replicated|partitioned")
+        # partitioned: each row id has ONE owner through a
+        # consistent-hash ring (reference: sharding/ring.go + partition
+        # proxy semantics) — the corpus can exceed one node's HBM and
+        # reads merge through global search. Replication + Merkle
+        # anti-entropy are replicated-mode machinery and stay off.
+        self.placement = placement
+        if placement == "partitioned":
+            replication_mode = "off"
         self.membership = MembershipManager(
             self_id, peers, probe_interval_s=probe_interval_s,
             dns_name=dns_name or None,
@@ -59,9 +70,16 @@ class ClusterCoordinator:
                 level=replication_level,
             )
         self.sync_worker: Optional[SyncWorker] = None
-        if self._peers:
+        if self._peers and placement == "replicated":
             self.sync_worker = SyncWorker(
                 store, list(self._peers.values()), interval_s=sync_interval_s
+            )
+        self.ring = None
+        if placement == "partitioned":
+            from longbow_tpu.distributed.ring import ConsistentHashRing
+
+            self.ring = ConsistentHashRing(
+                sorted({self_id, *self._peers.keys()})
             )
         self.global_search_timeout_s = global_search_timeout_s
         self._replication_level = replication_level
@@ -95,6 +113,8 @@ class ClusterCoordinator:
 
         if m.status == ALIVE:
             self._peer_for(m)
+            if self.ring is not None:
+                self.ring.add(m.id)  # discovered nodes take ownership
 
     # -- lifecycle ------------------------------------------------------
 
@@ -130,9 +150,48 @@ class ClusterCoordinator:
         )
 
     def on_delete(self, dataset, ids) -> bool:
+        if self.placement == "partitioned":
+            # broadcast: only the owner holds the row, everyone else's
+            # delete is an idempotent no-op (reference routes deletes by
+            # key through the ring; broadcast trades one cheap RPC per
+            # node for not tracking ownership on the delete path)
+            for p in self._peers.values():
+                p.replicate_delete(dataset, ids)
+            return True
         if self.replicator is None:
             return True
         return self.replicator.on_delete(dataset, ids)
+
+    def partition_put(
+        self, dataset, ids, vectors, columns, metric, timestamp
+    ) -> "np.ndarray":
+        """Partitioned placement: route each row to its ring owner
+        (reference: partition proxy sharding/proxy.go:21-145 + ring
+        assignment). Forwards remote slices as replication-marked puts
+        (the owner applies them without re-forwarding) and returns the
+        boolean mask of rows THIS node keeps. Rows whose owner is
+        unreachable stay local — availability over placement purity
+        (the reference's forwarder falls back the same way)."""
+        ids = np.asarray(ids)
+        owners = np.asarray(
+            [self.ring.lookup(str(i)) for i in ids.tolist()]
+        )
+        keep = owners == self.self_id
+        for node in set(owners.tolist()) - {self.self_id}:
+            sl = owners == node
+            peer = self._peers.get(node)
+            cols = (
+                {k: np.asarray(v)[sl] for k, v in columns.items()}
+                if columns
+                else None
+            )
+            ok = peer is not None and peer.replicate_put(
+                dataset, ids[sl], np.asarray(vectors)[sl], cols,
+                metric, timestamp,
+            )
+            if not ok:
+                keep = keep | sl  # owner down: keep rows serving here
+        return keep
 
     # -- read path ------------------------------------------------------
 
@@ -242,6 +301,9 @@ class ClusterCoordinator:
 
     def status(self) -> dict:
         st = self.membership.status()
+        st["placement"] = self.placement
+        if self.ring is not None:
+            st["ring_nodes"] = sorted(self.ring.nodes)
         if self.replicator:
             st["replication"] = {
                 "mode": self.replication_mode,

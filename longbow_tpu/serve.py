@@ -125,6 +125,7 @@ def main(argv=None) -> int:
             dns_name=cfg.peers_dns,
             k8s_service=cfg.peers_k8s,
             region=cfg.region,
+            placement=cfg.placement,
         )
         cluster.start()
         log.info(

@@ -163,6 +163,23 @@ class LongbowFlightServer(flight.FlightServerBase):
                 self.cluster is not None or self.ingest is not None
             ):
                 ts = time.time()  # stamp once so replicas agree on LWW
+            if (
+                self.cluster is not None
+                and not is_replication
+                and self.cluster.placement == "partitioned"
+            ):
+                # route rows to their ring owners; keep only ours
+                # (reference: partition proxy sharding/proxy.go:21-145)
+                keep = self.cluster.partition_put(
+                    dataset, ids, vecs, columns or None, metric, ts
+                )
+                if not keep.any():
+                    continue
+                ids, vecs = ids[keep], vecs[keep]
+                if columns:
+                    columns = {
+                        k: np.asarray(v)[keep] for k, v in columns.items()
+                    }
             try:
                 if self.ingest is not None:
                     self.ingest.submit(
@@ -186,7 +203,11 @@ class LongbowFlightServer(flight.FlightServerBase):
                     "longbow_ipc_decode_errors_total"
                 ).inc()
                 raise
-            if self.cluster is not None and not is_replication:
+            if (
+                self.cluster is not None
+                and not is_replication
+                and self.cluster.placement != "partitioned"
+            ):
                 self.cluster.on_put(
                     dataset, ids, vecs, columns or None, metric, ts
                 )
@@ -440,8 +461,22 @@ class LongbowFlightServer(flight.FlightServerBase):
                 for n in tbl.column_names
                 if n not in _RESERVED
             }
-            self.store.put(dataset, ids, vecs, columns or None)
-            total += batch.num_rows
+            n_in = batch.num_rows
+            if (
+                self.cluster is not None
+                and self.cluster.placement == "partitioned"
+            ):
+                ts = time.time()
+                keep = self.cluster.partition_put(
+                    dataset, ids, vecs, columns or None, None, ts
+                )
+                ids, vecs = ids[keep], vecs[keep]
+                columns = {
+                    k: np.asarray(v)[keep] for k, v in columns.items()
+                }
+            if len(ids):
+                self.store.put(dataset, ids, vecs, columns or None)
+            total += n_in
             writer.write_batch(
                 pa.record_batch({"rows_ingested": pa.array([total], pa.int64())})
             )

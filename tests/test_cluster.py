@@ -399,3 +399,118 @@ def test_k8s_endpoint_discovery(monkeypatch, tmp_path):
         assert mm.members["10.0.0.7:3000"].meta_port == 3001
     finally:
         srv.shutdown()
+
+
+def test_consistent_hash_ring():
+    """reference: sharding/ring.go — clockwise assignment, vnodes,
+    distinct-node preference walk, stability under node removal."""
+    from longbow_tpu.distributed.ring import ConsistentHashRing
+
+    ring = ConsistentHashRing(["a:1", "b:1", "c:1"])
+    keys = [str(i) for i in range(3000)]
+    owners = [ring.lookup(k) for k in keys]
+    from collections import Counter
+
+    c = Counter(owners)
+    assert set(c) == {"a:1", "b:1", "c:1"}
+    # 20 vnodes keep the spread sane (reference uses the same count)
+    assert min(c.values()) > 3000 * 0.15, c
+    # preference list: distinct nodes, owner first
+    pl = ring.preference_list(keys[0], 2)
+    assert pl[0] == ring.lookup(keys[0]) and len(set(pl)) == 2
+    # removing a node only remaps ITS keys (consistency property)
+    before = dict(zip(keys, owners))
+    ring.remove("b:1")
+    moved = sum(
+        1 for k in keys
+        if before[k] != ring.lookup(k) and before[k] != "b:1"
+    )
+    assert moved == 0
+    assert all(ring.lookup(k) != "b:1" for k in keys)
+
+
+@pytest.fixture
+def three_partitioned_nodes():
+    ports = _free_ports(6)
+    specs = [f"127.0.0.1:{ports[2*i]}:{ports[2*i+1]}" for i in range(3)]
+
+    class _PNode(_Node):
+        def __init__(self, i, all_specs, data_port, meta_port):
+            import threading
+
+            self.store = VectorStore()
+            self.id = f"127.0.0.1:{data_port}"
+            self.cluster = ClusterCoordinator(
+                self.store, self.id, all_specs,
+                placement="partitioned",
+                sync_interval_s=3600, probe_interval_s=0.2,
+            )
+            self.data = LongbowFlightServer(
+                self.store, f"grpc://127.0.0.1:{data_port}",
+                cluster=self.cluster,
+            )
+            self.meta = LongbowFlightServer(
+                self.store, f"grpc://127.0.0.1:{meta_port}",
+                cluster=self.cluster,
+            )
+            self.threads = []
+            for srv in (self.data, self.meta):
+                t = threading.Thread(target=srv.serve, daemon=True)
+                t.start()
+                self.threads.append(t)
+            self.client = LongbowClient(
+                "127.0.0.1", data_port, meta_port
+            )
+
+    nodes = [_PNode(i, specs, ports[2*i], ports[2*i+1]) for i in range(3)]
+    for n in nodes:
+        n.cluster.membership.start()
+    t0 = time.time()
+    while time.time() - t0 < 10:
+        if all(len(n.cluster.membership.alive()) == 2 for n in nodes):
+            break
+        time.sleep(0.1)
+    yield nodes
+    for n in nodes:
+        n.stop()
+
+
+def test_partitioned_placement(three_partitioned_nodes):
+    """Rows route to ring owners: the corpus is DISJOINT across nodes,
+    global reads merge the true top-k, deletes broadcast (reference:
+    sharding ring + partition proxy + scatter-gather)."""
+    n0, n1, n2 = three_partitioned_nodes
+    v = _vecs(90, 8, seed=5)
+    n0.client.write("parts", np.arange(90), v)
+
+    def count(n):
+        try:
+            return n.store.get("parts").live_count
+        except KeyError:
+            return 0
+
+    t0 = time.time()
+    while time.time() - t0 < 10 and sum(count(n) for n in (n0, n1, n2)) < 90:
+        time.sleep(0.1)
+    counts = [count(n) for n in (n0, n1, n2)]
+    assert sum(counts) == 90, counts          # disjoint partition
+    assert all(c < 90 for c in counts), counts  # actually spread
+    assert max(counts) - min(counts) < 80
+
+    # global read from any node returns the true nearest row
+    for n in (n0, n1, n2):
+        t = n.client.search("parts", v[17], k=3)
+        assert t.column("id")[0].as_py() == 17
+
+    # delete broadcasts to the owner wherever it lives
+    n2.client.delete("parts", [17])
+    t0 = time.time()
+    while time.time() - t0 < 10 and sum(count(n) for n in (n0, n1, n2)) != 89:
+        time.sleep(0.1)
+    assert sum(count(n) for n in (n0, n1, n2)) == 89
+    t = n0.client.search("parts", v[17], k=3)
+    assert 17 not in t.column("id").to_pylist()
+
+    st = n0.client.cluster_status()
+    assert st["placement"] == "partitioned"
+    assert len(st["ring_nodes"]) == 3
