@@ -474,17 +474,21 @@ def _symmetrize_and_store(
     inc_d = jnp.where(inc_ok, jnp.take(d2, pos), MASKED)
     inc_de = jnp.where(inc_ok, jnp.take(de2, pos), MASKED)
 
-    # merge forward + incoming, dedup, keep best m_max by priority
+    # merge forward + incoming, dedup, keep best m_max by priority.
+    # Duplicates only occur BETWEEN the lists (each is internally
+    # unique: forward = distinct heuristic picks; incoming = one edge
+    # per (src,dst) pair), so the dedup mask is [n, R, m] — 4.5x fewer
+    # compares than the naive [n, (m+R)^2] all-pairs check
+    dup_inc = jnp.any(
+        (inc_src[:, :, None] == fwd_rows[:, None, :])
+        & (fwd_rows[:, None, :] >= 0),
+        axis=2,
+    )  # [n, R]
+    inc_d = jnp.where(dup_inc, MASKED, inc_d)
+    inc_de = jnp.where(dup_inc, MASKED, inc_de)
     all_i = jnp.concatenate([fwd_rows, inc_src], axis=1)  # [n, m+R]
     all_d = jnp.concatenate([fwd_dists, inc_d], axis=1)
     all_de = jnp.concatenate([fwd_dists, inc_de], axis=1)
-    # dedup (incoming may duplicate a forward edge): keep first
-    kk = all_i.shape[1]
-    eq = all_i[:, :, None] == all_i[:, None, :]
-    earlier = jnp.tril(jnp.ones((kk, kk), bool), k=-1)
-    dup = jnp.any(eq & earlier & (all_i[:, None, :] >= 0), axis=2)
-    all_d = jnp.where(dup, MASKED, all_d)
-    all_de = jnp.where(dup, MASKED, all_de)
     all_d = jnp.where(all_i >= 0, all_d, MASKED)
     all_de = jnp.where(all_i >= 0, all_de, MASKED)
 
@@ -913,13 +917,14 @@ def _rp_round(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("expand", "rev_slots", "chunk"),
+    static_argnames=("expand", "rev_slots", "chunk", "ext_k"),
     donate_argnums=(3, 4),
 )
 def _nn_descent_round(
     vectors, norms_sq, valid, knn_d, knn_i, n: int,
     rkey=None,
     expand: int = 4, rev_slots: int = 32, chunk: int = 1024,
+    ext_k: int = 0,
 ):
     """One NN-descent round as ONE program: reverse join + lax.map over
     row chunks (the eager per-chunk loop paid a relay round trip per
@@ -960,6 +965,8 @@ def _nn_descent_round(
         top_r = jnp.take_along_axis(rv_c, rc, axis=1)
         heads = jnp.concatenate([top_f, top_r], axis=1)
         ext = jnp.take(knn_i, jnp.maximum(heads, 0), axis=0)
+        if ext_k:  # cap the per-head join width (gather-bound stage)
+            ext = ext[:, :, :ext_k]
         ext = jnp.where(heads[:, :, None] >= 0, ext, -1)
         cand = jnp.concatenate(
             [ki_c, rv_c, ext.reshape(chunk, -1)], axis=1

@@ -363,14 +363,20 @@ class HNSWIndex:
                 # build is flop-bound past ~150k rows)
                 from longbow_tpu.index.graph_build import bulk_build_rp
 
-                # tuned on-chip (see docs/ARCHITECTURE.md): 4 rp rounds
-                # at block 8192 + 3 sampled-descent rounds reach kNN
-                # recall ~0.95 on clustered corpora at 200k-1M
+                # tuned on-chip (see docs/ARCHITECTURE.md): with
+                # consistent stored-dtype norms, 3 rp rounds at block
+                # 8192 + 1 sampled-descent round already saturate the
+                # post-prune graph quality at 1M (recall@10 0.984 @
+                # efS=100, identical to 4rp+3nd, measured) — 23.6k
+                # vec/s core build. Keep a second descent round below
+                # 500k rows where it costs ~3s and buys robustness on
+                # harder (uniform) distributions.
                 self.state = bulk_build_rp(
                     self.state, n, m=self.config.m,
                     m_max=self.config.m_max,
                     knn_k=max(self.config.m, 48),
-                    rounds=4, block=8192, nn_rounds=3,
+                    rounds=3, block=8192,
+                    nn_rounds=1 if n >= 500_000 else 2,
                 )
             elif n >= exact_limit:
                 from longbow_tpu.index.graph_build import (

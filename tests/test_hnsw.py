@@ -348,3 +348,27 @@ def test_pq_graph_through_factory():
     idx.add(v)
     d, r = idx.search(v[:8], 5)
     assert (np.asarray(r)[:, 0] == np.arange(8)).mean() >= 0.8
+
+
+def test_symmetrize_no_duplicate_neighbors():
+    """Adjacency rows stay duplicate-free after symmetrize (the dedup
+    only checks incoming-vs-forward; each list is internally unique)."""
+    from longbow_tpu.index.graph_build import bulk_build_edges
+    from longbow_tpu.index.graph import graph_init
+
+    rng = np.random.default_rng(3)
+    n, d = 3000, 24
+    v = rng.standard_normal((n, d), dtype=np.float32)
+    st = graph_init(4096, d, 32, jnp.float32)
+    st = st._replace(
+        vectors=st.vectors.at[:n].set(v),
+        norms_sq=st.norms_sq.at[:n].set(np.sum(v * v, 1)),
+        valid=st.valid.at[:n].set(True),
+    )
+    st = bulk_build_edges(st, n, m=16, m_max=32, knn_k=32)
+    # last 2 slots are Kleinberg long-range randoms (may repeat a
+    # neighbor by design) — the merged/deduped region is the rest
+    nbrs = np.asarray(st.nbrs[:n])[:, :-2]
+    for i in range(0, n, 37):
+        row = nbrs[i][nbrs[i] >= 0]
+        assert len(row) == len(set(row.tolist())), i
