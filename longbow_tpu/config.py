@@ -106,6 +106,9 @@ class Config:
     # (reference: mesh/discovery k8s pods); region label for
     # same-region-first fan-out (reference: mesh/region.go)
     peers_k8s: str = field(default_factory=lambda: _env("PEERS_K8S", ""))
+    # LAN zero-config discovery: "group:port" UDP multicast beacons
+    # (reference: mesh/discovery mDNS mode), e.g. 224.0.1.187:7946
+    peers_lan: str = field(default_factory=lambda: _env("PEERS_LAN", ""))
     region: str = field(default_factory=lambda: _env("REGION", ""))
     # replicated: every node holds everything, reads merge freshness.
     # partitioned: rows route to ring owners (reference: sharding/ring)

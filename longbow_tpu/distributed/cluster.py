@@ -38,6 +38,7 @@ class ClusterCoordinator:
         dns_name: str = "",
         k8s_service: str = "",
         region: str = "",
+        lan_group: str = "",
         placement: str = "replicated",  # replicated | partitioned
     ):
         self.store = store
@@ -57,6 +58,7 @@ class ClusterCoordinator:
             dns_name=dns_name or None,
             k8s_service=k8s_service or None,
             self_region=region,
+            lan_group=lan_group or None,
         )
         self._peers: dict[str, Peer] = {}
         for m in self.membership.members.values():

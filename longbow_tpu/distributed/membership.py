@@ -95,6 +95,8 @@ class MembershipManager:
         dns_name: Optional[str] = None,
         k8s_service: Optional[str] = None,
         self_region: str = "",
+        lan_group: Optional[str] = None,
+        advertise_host: str = "",
     ):
         self.self_id = self_id
         self.self_region = self_region
@@ -110,6 +112,14 @@ class MembershipManager:
         # pod_parser.go): "service:data_port[:meta_port]" — endpoints
         # polled from the API server each probe round
         self.k8s_service = k8s_service
+        # LAN zero-config discovery (reference: mesh/discovery mDNS via
+        # zeroconf): "group:port" — nodes announce themselves on a UDP
+        # multicast group each probe round and fold in what they hear
+        self.lan_group = lan_group
+        self.advertise_host = advertise_host
+        self._lan_sock = None
+        if lan_group:
+            self._lan_open()
         self.members: dict[str, Member] = {}
         for spec in peers:
             h, dp, mp, region = parse_peer(spec)
@@ -216,9 +226,69 @@ class MembershipManager:
         except OSError:
             return False
 
+    def _lan_open(self) -> None:
+        import struct
+
+        group, port, _, _ = parse_peer(self.lan_group)
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        try:
+            s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+        except (AttributeError, OSError):
+            pass
+        s.bind(("", port))
+        mreq = struct.pack(
+            "4s4s", socket.inet_aton(group), socket.inet_aton("0.0.0.0")
+        )
+        s.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
+        s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, 1)
+        # loop multicast back so same-host nodes (and tests) hear it
+        s.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
+        s.setblocking(False)
+        self._lan_sock = s
+        self._lan_dest = (group, port)
+
+    def _discover_lan(self) -> None:
+        """Announce self on the multicast group; fold in peers heard
+        (reference: mDNS zeroconf discovery, mesh/discovery*.go)."""
+        if self._lan_sock is None:
+            return
+        try:
+            h, dp, mp, _ = parse_peer(self.self_id)
+        except (ValueError, IndexError):
+            return
+        beacon = json.dumps({
+            "longbow": 1,
+            "id": self.self_id,
+            "host": self.advertise_host or h,
+            "data_port": dp,
+            "meta_port": mp,
+            "region": self.self_region,
+        }).encode()
+        try:
+            self._lan_sock.sendto(beacon, self._lan_dest)
+        except OSError:
+            pass
+        for _ in range(64):  # drain what's queued, bounded
+            try:
+                pkt, _addr = self._lan_sock.recvfrom(2048)
+            except (BlockingIOError, OSError):
+                break
+            try:
+                msg = json.loads(pkt)
+            except ValueError:
+                continue
+            if msg.get("longbow") != 1 or msg.get("id") == self.self_id:
+                continue
+            self._add_discovered(
+                msg.get("host", ""), int(msg.get("data_port", 0)),
+                int(msg.get("meta_port", 0)), msg.get("region", ""),
+            )
+
     def probe_round(self) -> None:
         self._discover_dns()
         self._discover_k8s()
+        self._discover_lan()
         for m in list(self.members.values()):
             ok = self._probe_one(m)
             with self._lock:
@@ -285,3 +355,8 @@ class MembershipManager:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5)
+        if self._lan_sock is not None:
+            try:
+                self._lan_sock.close()
+            except OSError:
+                pass

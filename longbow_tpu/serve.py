@@ -110,7 +110,10 @@ def main(argv=None) -> int:
     # (reference: cmd/longbow/main.go:370-458 wires gossip -> ring ->
     # forwarder -> interceptors at boot)
     cluster = None
-    if cfg.peers.strip() or cfg.peers_dns.strip() or cfg.peers_k8s.strip():
+    if (
+        cfg.peers.strip() or cfg.peers_dns.strip()
+        or cfg.peers_k8s.strip() or cfg.peers_lan.strip()
+    ):
         from longbow_tpu.distributed.cluster import ClusterCoordinator
 
         self_id = cfg.node_id or f"{cfg.host}:{cfg.data_port}"
@@ -125,6 +128,7 @@ def main(argv=None) -> int:
             dns_name=cfg.peers_dns,
             k8s_service=cfg.peers_k8s,
             region=cfg.region,
+            lan_group=cfg.peers_lan,
             placement=cfg.placement,
         )
         cluster.start()

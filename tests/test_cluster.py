@@ -514,3 +514,39 @@ def test_partitioned_placement(three_partitioned_nodes):
     st = n0.client.cluster_status()
     assert st["placement"] == "partitioned"
     assert len(st["ring_nodes"]) == 3
+
+
+def test_lan_multicast_discovery():
+    """Zero-config LAN discovery: two nodes on the same multicast
+    group find each other with no peer list (reference: mDNS discovery
+    mesh/discovery*.go, zeroconf)."""
+    import socket as _s
+
+    # pick a free UDP port for the group
+    probe = _s.socket(_s.AF_INET, _s.SOCK_DGRAM)
+    probe.bind(("", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    group = f"224.0.1.187:{port}"
+
+    a = MembershipManager(
+        "127.0.0.1:4100", [], lan_group=group, self_region="r1"
+    )
+    b = MembershipManager(
+        "127.0.0.1:4200", [], lan_group=group, self_region="r2"
+    )
+    try:
+        # a announces; b hears it on the next round (loop enabled)
+        for _ in range(5):
+            a.probe_round()
+            b.probe_round()
+            if "127.0.0.1:4100" in b.members and "127.0.0.1:4200" in a.members:
+                break
+            time.sleep(0.05)
+        assert "127.0.0.1:4100" in b.members
+        assert "127.0.0.1:4200" in a.members
+        assert b.members["127.0.0.1:4100"].region == "r1"
+        assert a.members["127.0.0.1:4200"].meta_port == 4201
+    finally:
+        a.stop()
+        b.stop()
