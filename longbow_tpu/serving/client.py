@@ -25,16 +25,40 @@ class LongbowClient:
         self.meta_location = f"grpc://{host}:{meta_port}"
         self._data: Optional[flight.FlightClient] = None
         self._meta: Optional[flight.FlightClient] = None
+        # smart routing (reference: Go SmartClient client/client.go:15
+        # — per-addr connection cache + ring-aware request placement)
+        self._ring = None
+        self._route_conns: dict = {}
 
     def connect(self) -> "LongbowClient":
         self._data = flight.FlightClient(self.data_location)
         self._meta = flight.FlightClient(self.meta_location)
         return self
 
+    def enable_smart_routing(self) -> "LongbowClient":
+        """Route writes directly to their partition owners (reference:
+        SmartClient). Fetches cluster-status; a no-op on replicated
+        deployments. Safe against a stale ring: the server re-routes
+        any row it doesn't own."""
+        st = self.cluster_status()
+        if st.get("placement") == "partitioned" and st.get("ring_nodes"):
+            from longbow_tpu.distributed.ring import ConsistentHashRing
+
+            self._ring = ConsistentHashRing(st["ring_nodes"])
+        return self
+
+    def _conn_for(self, node: str) -> flight.FlightClient:
+        c = self._route_conns.get(node)
+        if c is None:
+            c = flight.FlightClient(f"grpc://{node}")
+            self._route_conns[node] = c
+        return c
+
     def close(self) -> None:
-        for c in (self._data, self._meta):
+        for c in (self._data, self._meta, *self._route_conns.values()):
             if c is not None:
                 c.close()
+        self._route_conns.clear()
 
     def _dc(self) -> flight.FlightClient:
         if self._data is None:
@@ -69,6 +93,38 @@ class LongbowClient:
         vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
         n, d = vectors.shape
         ids = np.asarray(ids)
+        meta = {}
+        if metric:
+            meta[METRIC_METADATA_KEY] = metric
+        if timestamp is not None:
+            meta["longbow.ts"] = repr(float(timestamp))
+        if replicated:
+            meta["longbow.replication"] = "1"
+        if self._ring is not None and not replicated:
+            # smart routing: one direct put per owner (reference:
+            # SmartClient routes by key, saving the server-side
+            # forward hop). Stamp the timestamp once so owners agree.
+            if "longbow.ts" not in meta:
+                import time as _t
+
+                meta["longbow.ts"] = repr(_t.time())
+            owners = np.asarray(
+                [self._ring.lookup(str(i)) for i in ids.tolist()]
+            )
+            for node in sorted(set(owners.tolist())):
+                sl = owners == node
+                self._put_slice(
+                    self._conn_for(node), dataset, ids[sl], vectors[sl],
+                    {k: np.asarray(v)[sl] for k, v in (columns or {}).items()},
+                    meta,
+                )
+            return
+        self._put_slice(
+            self._dc(), dataset, ids, vectors, columns or {}, meta
+        )
+
+    def _put_slice(self, conn, dataset, ids, vectors, columns, meta):
+        d = vectors.shape[1]
         id_arr = (
             pa.array([str(i) for i in ids], pa.string())
             if ids.dtype.kind in "OUS"
@@ -82,18 +138,11 @@ class LongbowClient:
         }
         for name, vals in (columns or {}).items():
             cols[name] = pa.array(np.asarray(vals))
-        meta = {}
-        if metric:
-            meta[METRIC_METADATA_KEY] = metric
-        if timestamp is not None:
-            meta["longbow.ts"] = repr(float(timestamp))
-        if replicated:
-            meta["longbow.replication"] = "1"
         table = pa.table(cols)
         if meta:
             table = table.replace_schema_metadata(meta)
         descriptor = flight.FlightDescriptor.for_path(dataset)
-        writer, _ = self._dc().do_put(descriptor, table.schema)
+        writer, _ = conn.do_put(descriptor, table.schema)
         writer.write_table(table)
         writer.close()
 

@@ -550,3 +550,43 @@ def test_lan_multicast_discovery():
     finally:
         a.stop()
         b.stop()
+
+
+def test_smart_client_routes_to_owners(three_partitioned_nodes):
+    """Client-side ring routing puts each row directly on its owner
+    (reference: Go SmartClient client/client.go:15) — the local-only
+    view of every node matches the ring assignment exactly."""
+    from longbow_tpu.distributed.ring import ConsistentHashRing
+
+    n0, n1, n2 = three_partitioned_nodes
+    c = n0.client.enable_smart_routing()
+    assert c._ring is not None
+    v = _vecs(60, 8, seed=11)
+    ids = np.arange(1000, 1060)
+    c.write("smart", ids, v)
+
+    ring = ConsistentHashRing(sorted(n.id for n in (n0, n1, n2)))
+    t0 = time.time()
+    while time.time() - t0 < 10:
+        total = 0
+        for n in (n0, n1, n2):
+            try:
+                total += n.store.get("smart").live_count
+            except KeyError:
+                pass
+        if total == 60:
+            break
+        time.sleep(0.1)
+    for n in (n0, n1, n2):
+        want = {int(i) for i in ids if ring.lookup(str(i)) == n.id}
+        try:
+            ds = n.store.get("smart")
+            got = {
+                int(i) for i in ds._row_to_id if i is not None
+            }
+        except KeyError:
+            got = set()
+        assert got == want, (n.id, got ^ want)
+    # reads still merge globally from any node
+    t = n1.client.search("smart", v[7], k=1)
+    assert t.column("id")[0].as_py() == 1007
