@@ -23,7 +23,92 @@ from longbow_tpu.index.sq8 import SQ8Index
 from longbow_tpu.index.ivf import IVFIndex
 from longbow_tpu.index.tiered import TieredIndex
 
-INDEX_KINDS = ("adaptive", "flat", "hnsw", "pq", "sq8", "bq", "disk", "ivf")
+INDEX_KINDS = (
+    "adaptive", "flat", "hnsw", "pq", "sq8", "bq", "disk", "ivf",
+    "mesh_flat", "mesh_graph",
+)
+
+
+class _MeshAdapter:
+    """Uniform surface over the device-mesh sharded indexes
+    (parallel/sharded.py, parallel/sharded_graph.py) — the intra-slice
+    tier: corpus row-sharded over a jax.sharding.Mesh, per-shard search
+    + all_gather top-k merge over ICI in one shard_map program
+    (reference capability: ShardedHNSW sharded_hnsw.go:378 +
+    scatter-gather, re-shaped for the mesh)."""
+
+    def __init__(self, inner, kind: str, dim: int):
+        self._inner = inner
+        self.kind = kind
+        self.dim = dim
+
+    def __len__(self):
+        return len(self._inner)
+
+    @property
+    def capacity(self) -> int:
+        cap = getattr(self._inner, "capacity", 0)
+        if not cap and getattr(self._inner, "valid", None) is not None:
+            cap = self._inner.valid.shape[0]
+        return max(cap, len(self._inner), 1)
+
+    def add(self, vecs: np.ndarray) -> np.ndarray:
+        return self._inner.add(vecs)
+
+    def delete_rows(self, rows: np.ndarray) -> None:
+        self._inner.delete_rows(np.asarray(rows))
+
+    def search(self, queries, k, *, filter_mask=None, ef_search=None,
+               exact=False):
+        if self.kind == "mesh_flat":
+            mask = filter_mask
+            if mask is not None and hasattr(mask, "shape"):
+                cap = self._inner.valid.shape[0]
+                if mask.shape[0] > cap:
+                    mask = mask[:cap]
+                elif mask.shape[0] < cap:
+                    mask = jnp.pad(mask, (0, cap - mask.shape[0]))
+            return self._inner.search(queries, k, filter_mask=mask)
+        # mesh_graph: traversal is unfiltered; oversample + host-side
+        # mask filter (the reference's bitmap post-filter semantics)
+        if filter_mask is None:
+            return self._inner.search(queries, k, ef_search=ef_search)
+        kk = min(max(4 * k, 32), max(len(self._inner), k))
+        d, r = self._inner.search(queries, kk, ef_search=ef_search)
+        d = np.asarray(d)
+        r = np.asarray(r)
+        m = np.asarray(filter_mask)
+        okr = (r >= 0) & (r < m.shape[0])
+        keep = okr & m[np.clip(r, 0, m.shape[0] - 1)]
+        from longbow_tpu.ops.distance import MASKED as _MASK
+
+        d = np.where(keep, d, np.float32(_MASK))
+        order = np.argsort(d, axis=1)[:, :k]
+        d2 = np.take_along_axis(d, order, axis=1)
+        r2 = np.where(
+            d2 < float(_MASK), np.take_along_axis(r, order, axis=1), -1
+        )
+        return d2.astype(np.float32), r2.astype(np.int32)
+
+    def get_vectors(self, rows: np.ndarray) -> np.ndarray:
+        return self._inner.get_vectors(np.asarray(rows))
+
+    def export_state(self) -> dict:
+        st = self._inner.export_state()
+        st["kind"] = self.kind
+        st["dim"] = self.dim
+        return st
+
+    @classmethod
+    def import_state(cls, st: dict):
+        from longbow_tpu.parallel.sharded import ShardedFlatIndex
+        from longbow_tpu.parallel.sharded_graph import ShardedGraphIndex
+
+        inner_cls = (
+            ShardedFlatIndex if st["kind"] == "mesh_flat"
+            else ShardedGraphIndex
+        )
+        return cls(inner_cls.import_state(st), st["kind"], st["dim"])
 
 
 class _QuantizedAdapter:
@@ -106,6 +191,22 @@ def make_index(
     kind = (kind or "adaptive").lower()
     storage = str(params.get("storage", "dense")).lower()
     graph_pq_m = int(params.get("pq_m", 0)) or None
+    if kind in ("mesh_flat", "mesh_graph"):
+        # intra-slice mesh tier: LONGBOW index param mesh_shards picks
+        # how many devices; default all (v5e-8 = 8-way row sharding)
+        from longbow_tpu.parallel.mesh import make_mesh
+        from longbow_tpu.parallel.sharded import ShardedFlatIndex
+        from longbow_tpu.parallel.sharded_graph import ShardedGraphIndex
+
+        mesh = make_mesh(int(params.get("mesh_shards", 0)) or None)
+        if kind == "mesh_flat":
+            inner = ShardedFlatIndex(dim, mesh, metric, dtype=dtype)
+        else:
+            inner = ShardedGraphIndex(
+                dim, mesh, metric,
+                config=hnsw_config, dtype=dtype,
+            )
+        return _MeshAdapter(inner, kind, dim)
     if kind == "adaptive":
         return AdaptiveIndex(
             dim, metric, dtype=dtype,
@@ -175,4 +276,6 @@ def import_index(state: dict):
         return AdaptiveIndex.import_state(state)
     if kind in ("pq", "sq8", "bq", "disk", "ivf"):
         return _QuantizedAdapter.import_state(state)
+    if kind in ("mesh_flat", "mesh_graph"):
+        return _MeshAdapter.import_state(state)
     raise ValueError(f"cannot import index state of kind {kind!r}")

@@ -264,3 +264,46 @@ class ShardedFlatIndex:
             mesh=self.mesh,
             shard_rows=self.shard_capacity,
         )
+
+    def get_vectors(self, rows: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            jnp.take(self.vectors, jnp.asarray(rows), axis=0).astype(
+                jnp.float32
+            )
+        )
+
+    def export_state(self) -> dict:
+        """Snapshot payload. Row ids are shard-strided, so the import
+        must reproduce the same mesh size + shard capacity."""
+        return {
+            "kind": "mesh_flat",
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": str(jnp.dtype(self.dtype)),
+            "n_shards": self.n_shards,
+            "shard_capacity": self.shard_capacity,
+            "shard_counts": self._shard_counts.copy(),
+            "vectors": np.asarray(self.vectors).astype(np.float32),
+            "norms_sq": np.asarray(self.norms_sq),
+            "valid": np.asarray(self.valid),
+        }
+
+    @classmethod
+    def import_state(cls, st: dict) -> "ShardedFlatIndex":
+        from longbow_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(int(st["n_shards"]))  # raises if too few devices
+        idx = cls(
+            int(st["dim"]), mesh, st["metric"],
+            dtype=jnp.dtype(str(st["dtype"])),
+            shard_capacity=int(st["shard_capacity"]),
+        )
+        idx._shard_counts = np.asarray(st["shard_counts"], np.int64)
+        sh = NamedSharding(mesh, P(SHARD_AXIS, None))
+        sh1 = NamedSharding(mesh, P(SHARD_AXIS))
+        idx.vectors = jax.device_put(
+            jnp.asarray(st["vectors"], idx.dtype), sh
+        )
+        idx.norms_sq = jax.device_put(jnp.asarray(st["norms_sq"]), sh1)
+        idx.valid = jax.device_put(jnp.asarray(st["valid"]), sh1)
+        return idx

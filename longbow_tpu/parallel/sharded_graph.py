@@ -296,3 +296,67 @@ class ShardedGraphIndex:
             d = np.take_along_axis(d_all, order, axis=1)
             corpus_rows = np.take_along_axis(r_all, order, axis=1)
         return d, corpus_rows
+
+    # -- uniform index surface (factory adapter) ------------------------
+
+    @property
+    def capacity(self) -> int:
+        return max(self.count, 1)
+
+    def _host_all(self) -> np.ndarray:
+        if len(self._vectors_host) > 1:
+            self._vectors_host = [np.concatenate(self._vectors_host)]
+        return (
+            self._vectors_host[0]
+            if self._vectors_host
+            else np.zeros((0, self.dim), np.float32)
+        )
+
+    def get_vectors(self, rows: np.ndarray) -> np.ndarray:
+        return self._host_all()[np.asarray(rows, np.int64)]
+
+    def export_state(self) -> dict:
+        """Snapshot payload. add() rows are corpus-linear (mesh-size
+        independent), so the import may rebuild on ANY device count —
+        per-shard sub-graphs are reconstructed (bulk builds are fast;
+        the single-device HNSWIndex path imports adjacency verbatim)."""
+        return {
+            "kind": "mesh_graph",
+            "dim": self.dim,
+            "metric": self.metric,
+            "dtype": str(jnp.dtype(self.dtype)),
+            "count": self.count,
+            "fold_ratio": self.fold_ratio,
+            "m": self.config.m,
+            "m_max": self.config.m_max,
+            "ef_construction": self.config.ef_construction,
+            "ef_search": self.config.ef_search,
+            "vectors": self._host_all(),
+            "deleted": np.asarray(
+                sorted(getattr(self, "_deleted", ())), np.int64
+            ),
+        }
+
+    @classmethod
+    def import_state(cls, st: dict) -> "ShardedGraphIndex":
+        from longbow_tpu.index.hnsw import HNSWConfig
+        from longbow_tpu.parallel.mesh import make_mesh
+
+        cfg = HNSWConfig(
+            m=int(st["m"]), m_max=int(st["m_max"]),
+            ef_construction=int(st["ef_construction"]),
+            ef_search=int(st["ef_search"]),
+        )
+        idx = cls(
+            int(st["dim"]), make_mesh(), st["metric"], config=cfg,
+            dtype=jnp.dtype(str(st["dtype"])),
+            fold_ratio=float(st.get("fold_ratio", 0.25)),
+        )
+        v = np.asarray(st["vectors"], np.float32)
+        if len(v):
+            idx.add(v)
+            dead = np.asarray(st.get("deleted", []), np.int64)
+            if len(dead):
+                idx.delete_rows(dead)
+            idx.build()
+        return idx

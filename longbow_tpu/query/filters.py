@@ -59,16 +59,27 @@ class ColumnStore:
         }
         self.capacity = new_cap
 
-    def append(self, columns: dict, n: int, capacity: int) -> None:
+    def append(
+        self, columns: dict, n: int, capacity: int, rows=None
+    ) -> None:
         """Append n rows of column data ({name: list/ndarray}).
 
         Columns absent from this batch get defaults (0 / NaN-free 0 /
         code -1) so row alignment holds across batches with different
         schemas (the reference's additive schema evolution,
         schema_evolution.go:29).
+
+        rows: optional explicit row positions — mesh-sharded indexes
+        assign shard-strided (non-contiguous) rows; values scatter to
+        them instead of appending at count.
         """
         self._grow(capacity)
         start = self.count
+        rows_np = None if rows is None else np.asarray(rows, np.int64)
+        rows_j = (
+            None if rows_np is None
+            else jnp.asarray(rows_np.astype(np.int32))
+        )
         known = set(self._numeric) | set(self._str_codes)
         for name in known - set(columns):
             # absent existing column: rows keep the zero/-1 fill that
@@ -88,9 +99,13 @@ class ColumnStore:
                 col = self._str_codes.get(name)
                 if col is None:
                     col = jnp.full((self.capacity,), -1, jnp.int32)
-                self._str_codes[name] = jax.lax.dynamic_update_slice(
-                    col, jnp.asarray(codes), (start,)
-                )
+                if rows_j is None:
+                    col = jax.lax.dynamic_update_slice(
+                        col, jnp.asarray(codes), (start,)
+                    )
+                else:
+                    col = col.at[rows_j].set(jnp.asarray(codes))
+                self._str_codes[name] = col
             else:
                 vals_f = arr.astype(
                     np.int64 if arr.dtype.kind in "iu" else np.float32
@@ -114,7 +129,10 @@ class ColumnStore:
                                 col_h[: old.shape[0]] = np.asarray(
                                     old, np.int64
                                 )[: self.capacity]
-                        col_h[start : start + n] = vals_f
+                        if rows_np is None:
+                            col_h[start : start + n] = vals_f
+                        else:
+                            col_h[rows_np] = vals_f
                         self._host_numeric[name] = col_h
                         continue
                 col = self._numeric.get(name)
@@ -123,10 +141,17 @@ class ColumnStore:
                     if col is not None:
                         base = col.astype(dt)
                     col = base
-                self._numeric[name] = jax.lax.dynamic_update_slice(
-                    col, jnp.asarray(vals_f), (start,)
-                )
-        self.count = start + n
+                if rows_j is None:
+                    col = jax.lax.dynamic_update_slice(
+                        col, jnp.asarray(vals_f), (start,)
+                    )
+                else:
+                    col = col.at[rows_j].set(jnp.asarray(vals_f))
+                self._numeric[name] = col
+        if rows_np is None:
+            self.count = start + n
+        elif len(rows_np):
+            self.count = max(start, int(rows_np.max()) + 1)
 
     def fields(self) -> list[str]:
         return sorted(

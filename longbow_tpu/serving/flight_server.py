@@ -600,7 +600,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                         for k, v in req.items()
                         if k in ("pq_m", "rerank", "rerank_factor",
                                  "path", "storage", "n_cells",
-                                 "n_probe")
+                                 "n_probe", "mesh_shards")
                     },
                 )
             return ok({"created": dsname})

@@ -141,7 +141,9 @@ class Dataset:
                 self.index.delete_rows(np.asarray(stale_rows))
 
             rows = self.index.add(vectors)
-            self.columns.append(columns or {}, n, self.index.capacity)
+            self.columns.append(
+                columns or {}, n, self.index.capacity, rows=rows
+            )
             if columns:
                 for tc in TEXT_COLUMNS:
                     if tc in columns:
@@ -153,7 +155,9 @@ class Dataset:
                 key = self._key(uid)
                 self._id_to_row[key] = int(rows[j])
                 self._lww[key] = ts
-            need = int(rows[-1]) + 1 - len(self._row_to_id)
+            # rows.max(), not rows[-1]: mesh-sharded indexes return
+            # shard-strided (non-ascending) row ids
+            need = int(np.max(rows)) + 1 - len(self._row_to_id)
             if need > 0:
                 self._row_to_id.extend([None] * need)
             for j, uid in enumerate(ids):

@@ -319,3 +319,31 @@ def test_snapshot_remote_mirror(tmp_path):
     assert store2.get("m").live_count == 30
     ids, _, _ = store2.search("m", v[4], 1, use_cache=False)
     assert ids[0, 0] == 4
+
+
+def test_mesh_dataset_snapshot_recover(tmp_path):
+    """A mesh-sharded dataset snapshots its sharded state and recovers
+    onto the same mesh size with identical results."""
+    store = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    store.get_or_create("mm", 8, index_kind="mesh_flat")
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((200, 8), dtype=np.float32)
+    store.put("mm", np.arange(200), v, columns={"g": np.arange(200) % 3})
+    ids1, sc1, ok1 = store.search("mm", v[7], 3)
+    store.snapshot()
+    store.close()
+
+    store2 = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    ds = store2.get("mm")
+    assert ds.index.kind == "mesh_flat"
+    ids2, sc2, ok2 = store2.search("mm", v[7], 3)
+    assert [i for r in ids2 for i in r] == [i for r in ids1 for i in r]
+    # filters survive (column values at the strided rows)
+    from longbow_tpu.query.parser import Filter
+
+    ids3, _, ok3 = store2.search(
+        "mm", v[9], 3, filters=[Filter("g", "=", "0")]
+    )
+    got = [ids3[0, j] for j in range(3) if ok3[0, j]]
+    assert got and all(int(i) % 3 == 0 for i in got)
+    store2.close()

@@ -199,3 +199,74 @@ def test_sharded_graph_live_ingest():
     assert r[0, 0] != rows2[0] and r[1, 0] != 5
     d, r = idx.search(extra2[:5], 1)
     assert (r[:, 0] == rows3[:5]).mean() >= 0.8
+
+
+def test_mesh_flat_through_store():
+    """The mesh tier as a first-class index kind: 8-way row-sharded
+    exact search behind the same Dataset/VectorStore surface
+    (reference capability: ShardedHNSW + scatter-gather, VERDICT r1
+    'make multi-device the real serving path')."""
+    from longbow_tpu.store.vector_store import VectorStore
+
+    vs = VectorStore()
+    vs.get_or_create("mf", 16, index_kind="mesh_flat")
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((500, 16), dtype=np.float32)
+    vs.put("mf", np.arange(500), v, columns={"grp": np.arange(500) % 5})
+    ids, scores, ok = vs.search("mf", v[17], 5)
+    assert ids[0, 0] == 17 and ok[0, 0]
+    # filters ride the sharded valid mask
+    from longbow_tpu.query.parser import Filter
+
+    ids, scores, ok = vs.search(
+        "mf", v[18], 5, filters=[Filter("grp", "=", "3")]
+    )
+    got = [ids[0, j] for j in range(5) if ok[0, j]]
+    assert got and all(int(i) % 5 == 3 for i in got)
+    # deletes tombstone
+    vs.delete("mf", [17])
+    ids, scores, ok = vs.search("mf", v[17], 3)
+    assert 17 not in [ids[0, j] for j in range(3) if ok[0, j]]
+
+
+def test_mesh_flat_export_import_roundtrip():
+    from longbow_tpu.index.factory import import_index, make_index
+
+    idx = make_index("mesh_flat", 8, "l2")
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal((300, 8), dtype=np.float32)
+    rows = idx.add(v)
+    st = idx.export_state()
+    idx2 = import_index(st)
+    q = jnp.asarray(v[:6])
+    d1, r1 = idx.search(q, 3)
+    d2, r2 = idx2.search(q, 3)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_mesh_graph_through_factory():
+    from longbow_tpu.index.factory import import_index, make_index
+
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal((3000, 16), dtype=np.float32)
+    idx = make_index("mesh_graph", 16, "l2")
+    idx.add(v)
+    d, r = idx.search(v[:10], 5)
+    r = np.asarray(r)
+    assert (r[:, 0] == np.arange(10)).mean() >= 0.8
+    # filtered search: oversample + host mask post-filter
+    mask = np.zeros(idx.capacity, dtype=bool)
+    mask[:1000] = True
+    d, r = idx.search(v[:5], 5, filter_mask=jnp.asarray(mask))
+    r = np.asarray(r)
+    real = r[r >= 0]
+    assert (real < 1000).all()
+    # live adds after build: interim segment, then export/import
+    idx.add(v[:50] + 0.01)
+    d, r = idx.search(v[3] + 0.01, 1)
+    assert np.asarray(r)[0, 0] in (3, 3000 + 3)
+    st = idx.export_state()
+    idx2 = import_index(st)
+    assert len(idx2) == 3050
+    d2, r2 = idx2.search(v[:10], 5)
+    assert (np.asarray(r2)[:, 0] == np.arange(10)).mean() >= 0.8
