@@ -142,6 +142,7 @@ def main() -> None:
             build_times = []
             gidx = None
             for it in range(2):  # first = cold (compiles), second = warm
+                gidx = None  # free the previous state BEFORE allocating
                 gidx = HNSWIndex(
                     D, dtype=jnp2.bfloat16, storage="dense",
                     edge_dtype=jnp2.bfloat16,
@@ -178,25 +179,28 @@ def main() -> None:
                 jnp2.asarray(queries[:128] + 1e-6 * i)
                 for i in range(g_iters)
             ]
-            _beam(
-                gidx.state, gqs[0], gidx._sample_rows, K, 150,
-                expand_per_iter=4,
-            )[0].block_until_ready()
-            t0 = time.perf_counter()
-            gouts = [
+            g_qps = {}
+            for g_ef in (100, 150):
                 _beam(
-                    gidx.state, x, gidx._sample_rows, K, 150,
+                    gidx.state, gqs[0], gidx._sample_rows, K, g_ef,
                     expand_per_iter=4,
-                )[0]
-                for x in gqs
-            ]
-            float(gouts[-1][0, 0])
-            g_dt = (time.perf_counter() - t0) / g_iters
+                )[0].block_until_ready()
+                t0 = time.perf_counter()
+                gouts = [
+                    _beam(
+                        gidx.state, x, gidx._sample_rows, K, g_ef,
+                        expand_per_iter=4,
+                    )[0]
+                    for x in gqs
+                ]
+                float(gouts[-1][0, 0])
+                g_qps[g_ef] = 128 * g_iters / (time.perf_counter() - t0)
             graph_fields = {
                 "graph_build_vps_1M": round(ng / build_times[-1], 1),
                 "graph_build_vps_1M_cold": round(ng / build_times[0], 1),
                 "graph_recall_at_10_efs150": round(grecall, 4),
-                "graph_qps_efs150": round(128 / g_dt, 1),
+                "graph_qps_efs100": round(g_qps[100], 1),
+                "graph_qps_efs150": round(g_qps[150], 1),
                 "graph_hbm_bytes": int(hbm),
                 "graph_hbm_vs_reference_768MB": round(
                     hbm / (768 * 1024 * 1024), 3

@@ -111,6 +111,9 @@ class IVFIndex:
         self.cell_rows = None    # [C, cap]
         self.cell_fill: Optional[np.ndarray] = None  # host fill counts
         self.valid = None        # [N_cap] by global row
+        # overflow residual: exact flat segment merged at search
+        self._spill = None
+        self._spill_rows = np.zeros((0,), np.int64)
         self.count = 0
         self._host_vecs: list[np.ndarray] = []  # staged until train
 
@@ -159,10 +162,15 @@ class IVFIndex:
         asn = self._assign(v)
         rows = np.arange(self.count, self.count + n, dtype=np.int64)
 
-        # size cells on first fill: cap = 2x mean occupancy
+        # size cells on first fill: cap = 2x MEAN occupancy — bounding
+        # by the largest cell let one hot cell balloon the padded
+        # tensor (measured: 5.8GB at 1M clustered, probes gathering
+        # ~90% padding). Rows beyond a cell's cap spill to a flat
+        # residual segment that every query matmul-scans and merges —
+        # dense scans ride the MXU, so a spilled row costs far less
+        # than the padding it would otherwise force.
         if self.cells is None:
-            counts = np.bincount(asn, minlength=self.n_cells)
-            cap = max(16, int(2 * max(n // self.n_cells, counts.max())))
+            cap = max(16, int(2 * (n // self.n_cells + 1)))
             self.cells = jnp.zeros(
                 (self.n_cells, cap, self.dim), self.dtype
             )
@@ -176,12 +184,12 @@ class IVFIndex:
         # host-side slot assignment (tiny), one device scatter
         slots = np.empty(n, np.int64)
         cell_of = np.empty(n, np.int64)
+        spill = np.zeros(n, bool)
         for j in range(n):
             c = asn[j]
             if self.cell_fill[c] >= cap:
-                # overflow: steal the least-filled cell's semantics by
-                # rebuilding is overkill; drop into round-robin cells
-                c = int(np.argmin(self.cell_fill))
+                spill[j] = True
+                continue
             cell_of[j] = c
             slots[j] = self.cell_fill[c]
             self.cell_fill[c] += 1
@@ -189,11 +197,24 @@ class IVFIndex:
         # rounded inner products bias distances (~5% recall@10 at 1M)
         vr = np.asarray(v, dtype=self.dtype).astype(np.float64)
         norms = np.sum(vr ** 2, axis=1).astype(np.float32)
-        self.cells, self.cell_norms, self.cell_rows = _ivf_scatter(
-            self.cells, self.cell_norms, self.cell_rows,
-            jnp.asarray(cell_of), jnp.asarray(slots), jnp.asarray(v),
-            jnp.asarray(norms), jnp.asarray(rows, dtype=jnp.int32),
-        )
+        keep = ~spill
+        if keep.any():
+            self.cells, self.cell_norms, self.cell_rows = _ivf_scatter(
+                self.cells, self.cell_norms, self.cell_rows,
+                jnp.asarray(cell_of[keep]), jnp.asarray(slots[keep]),
+                jnp.asarray(np.asarray(v)[keep]),
+                jnp.asarray(norms[keep]),
+                jnp.asarray(rows[keep], dtype=jnp.int32),
+            )
+        if spill.any():
+            from longbow_tpu.index.flat import FlatIndex
+
+            if self._spill is None:
+                self._spill = FlatIndex(self.dim, Metric.L2, self.dtype)
+            self._spill.add(np.asarray(v)[spill])
+            self._spill_rows = np.concatenate(
+                [self._spill_rows, rows[spill]]
+            )
 
         need = self.count + n
         if self.valid is None or self.valid.shape[0] < need:
@@ -221,11 +242,37 @@ class IVFIndex:
             valid = jnp.logical_and(
                 valid, filter_mask[: valid.shape[0]]
             )
-        return _ivf_search(
+        d, r = _ivf_search(
             self.cells, self.cell_norms, self.cell_rows, valid,
             self.centroids, self.cent_norms, q, k,
             min(self.n_probe, self.n_cells),
         )
+        if self._spill is not None and len(self._spill):
+            # merge the exact spill-segment scan (global valid mask
+            # mapped onto spill-local rows)
+            sp_mask = np.asarray(valid)[self._spill_rows]
+            sd, sr = self._spill.search(
+                q, min(k, len(self._spill)),
+                filter_mask=jnp.asarray(
+                    np.pad(
+                        sp_mask,
+                        (0, self._spill.capacity - len(sp_mask)),
+                    )
+                ),
+            )
+            sd = np.asarray(sd, np.float32)
+            sr = np.asarray(sr)
+            sg = np.where(
+                sr >= 0, self._spill_rows[np.maximum(sr, 0)], -1
+            ).astype(np.int32)
+            d = np.asarray(d)
+            r = np.asarray(r)
+            d_all = np.concatenate([d, sd], axis=1)
+            r_all = np.concatenate([r, sg], axis=1)
+            order = np.argsort(d_all, axis=1)[:, :k]
+            d = np.take_along_axis(d_all, order, axis=1)
+            r = np.take_along_axis(r_all, order, axis=1)
+        return d, r
 
     def get_vectors(self, rows: np.ndarray) -> np.ndarray:
         # invert the cell placement (host bookkeeping is per-add; for
@@ -237,7 +284,23 @@ class IVFIndex:
         cellsf = np.asarray(
             self.cells.reshape(-1, self.dim), dtype=np.float32
         )
-        return np.stack([cellsf[order[int(r)]] for r in rows])
+        spillf = None
+        spill_pos = {
+            int(r): i for i, r in enumerate(self._spill_rows)
+        }
+        out = []
+        for r in rows:
+            r = int(r)
+            if r in order:
+                out.append(cellsf[order[r]])
+            else:
+                if spillf is None:
+                    spillf = np.asarray(
+                        self._spill.vectors[: len(self._spill)],
+                        dtype=np.float32,
+                    )
+                out.append(spillf[spill_pos[r]])
+        return np.stack(out)
 
     # -- persistence hooks --
 
@@ -255,6 +318,15 @@ class IVFIndex:
             "cell_rows": np.asarray(self.cell_rows),
             "cell_fill": self.cell_fill,
             "valid": np.asarray(self.valid[: max(self.count, 1)]),
+            "spill_rows": self._spill_rows,
+            "spill_vectors": (
+                np.asarray(
+                    self._spill.vectors[: len(self._spill)],
+                    dtype=np.float32,
+                )
+                if self._spill is not None
+                else np.zeros((0, self.dim), np.float32)
+            ),
         }
 
     @classmethod
@@ -275,4 +347,11 @@ class IVFIndex:
         v[: len(st["valid"])] = st["valid"]
         idx.valid = jnp.asarray(v)
         idx.count = n
+        sp = np.asarray(st.get("spill_vectors", np.zeros((0, 1))))
+        if len(sp):
+            from longbow_tpu.index.flat import FlatIndex
+
+            idx._spill = FlatIndex(idx.dim, Metric.L2, idx.dtype)
+            idx._spill.add(sp.astype(np.float32))
+            idx._spill_rows = np.asarray(st["spill_rows"], np.int64)
         return idx

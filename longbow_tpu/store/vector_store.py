@@ -53,6 +53,10 @@ class VectorStore:
         # read recency (reference: record_eviction.go feeds access
         # stats from reads)
         self.eviction = None
+        # pluggable hybrid re-ranker: (query_text, [ids]) -> scores
+        # (reference: Reranker interface / CrossEncoder slot in the
+        # hybrid pipeline, hybrid_pipeline.go:120-200)
+        self.reranker = None
         # memory backpressure hook (reference:
         # memory_backpressure.go:31): hard limit rejects writes here
         self.backpressure = None
@@ -370,6 +374,21 @@ class VectorStore:
                 fused = fuse_linear(dense_pairs, sparse, alpha, k)
             if graph_alpha > 0.0:
                 fused = ds.graph.rank_with_graph(fused, graph_alpha)[:k]
+            if self.reranker is not None:
+                # final-stage pluggable re-ranker (reference: Reranker
+                # interface with CrossEncoder slot in the hybrid
+                # pipeline, hybrid_pipeline.go:120-200): called with
+                # (query_text, [ids]) -> scores; fused order replaced
+                try:
+                    rr = self.reranker(
+                        text_query, [doc for doc, _ in fused]
+                    )
+                    fused = sorted(
+                        zip((doc for doc, _ in fused), rr),
+                        key=lambda p: -p[1],
+                    )[:k]
+                except Exception:
+                    pass  # reranker failure degrades to fused order
             for j, (doc, score) in enumerate(fused):
                 out_ids[row, j] = doc
                 out_scores[row, j] = score

@@ -289,3 +289,50 @@ def test_ivf_in_store(tmp_path):
     assert vs2.get("iv").index.kind == "ivf"
     ids, _, _ = vs2.search("iv", v[7], 3, use_cache=False)
     assert ids[0, 0] == 7
+
+
+def test_ivf_imbalanced_cells_spill_to_flat_residual():
+    """Hot cells overflow into an exact flat residual instead of
+    ballooning the padded cell tensor (regression: a 1M clustered
+    corpus allocated 5.8GB of mostly-padding HBM)."""
+    from longbow_tpu.index.ivf import IVFIndex
+
+    rng = np.random.default_rng(0)
+    # pathological imbalance: 80% of rows IDENTICAL (k-means collapses
+    # them into one cell; ties all assign to the same argmin)
+    hot = np.tile(rng.standard_normal((1, 16)).astype(np.float32), (4000, 1))
+    hot += 1e-4 * rng.standard_normal((4000, 16)).astype(np.float32)
+    rest = rng.standard_normal((1000, 16)).astype(np.float32) + 8.0
+    v = np.concatenate([hot, rest])
+    idx = IVFIndex(16, n_cells=64, n_probe=16)
+    rows = idx.add(v)
+    cap = idx.cells.shape[1]
+    assert cap <= 2 * (5000 // 64 + 1)  # bounded by MEAN occupancy
+    assert idx._spill is not None and len(idx._spill) > 0
+
+    assert int(idx.cell_fill.sum()) + len(idx._spill) == 5000
+
+    # distinct rows still self-match exactly
+    d, r = idx.search(v[4000:4032], 1)
+    hit = (np.asarray(r)[:, 0] == np.arange(4000, 4032)).mean()
+    assert hit >= 0.95, hit
+    # a query at the hot point finds a hot row at ~zero distance
+    # (works only if the spill residual is merged — the cells hold a
+    # fraction of the blob)
+    d, r = idx.search(v[:1], 5)
+    assert float(np.asarray(d)[0, 0]) < 0.1
+    assert int(np.asarray(r)[0, 0]) < 4000
+    # deletes reach spilled rows via the global valid mask
+    spilled = int(idx._spill_rows[0])
+    idx.delete_rows(np.array([spilled]))
+    d, r = idx.search(v[spilled : spilled + 1], 10)
+    assert spilled not in np.asarray(r)[0]
+    # export/import keeps the residual
+    st = idx.export_state()
+    idx2 = IVFIndex.import_state(st)
+    assert len(idx2._spill) == len(idx._spill)
+    d1, r1 = idx.search(v[:4], 3)
+    d2, r2 = idx2.search(v[:4], 3)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    gv = idx2.get_vectors(np.concatenate([rows[:3], idx._spill_rows[:2]]))
+    assert gv.shape == (5, 16)

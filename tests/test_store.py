@@ -199,3 +199,30 @@ def test_int64_columns_exact():
     )
     got = sorted(i for i in ids[0] if i is not None)
     assert got == [0, 1, 2], got
+
+
+def test_hybrid_reranker_hook():
+    """Pluggable final-stage re-ranker (reference: Reranker interface,
+    CrossEncoder slot in hybrid_pipeline.go:120-200)."""
+    from longbow_tpu.store.vector_store import VectorStore
+
+    vs = VectorStore()
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((50, 8)).astype(np.float32)
+    vs.put("rr", np.arange(50), v,
+           columns={"text": np.array(["alpha beta"] * 50)})
+
+    calls = {}
+
+    def reranker(query_text, ids):
+        calls["q"] = query_text
+        # score ids by reversed id value: forces a visible re-order
+        return [float(i) for i in ids]
+
+    vs.reranker = reranker
+    ids, scores, ok = vs.hybrid_search(
+        "rr", v[3], 5, text_query="alpha", alpha=0.5
+    )
+    assert calls["q"] == "alpha"
+    got = [int(ids[0, j]) for j in range(5) if ok[0, j]]
+    assert got == sorted(got, reverse=True)  # reranker order won
