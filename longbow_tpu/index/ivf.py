@@ -114,6 +114,7 @@ class IVFIndex:
         # overflow residual: exact flat segment merged at search
         self._spill = None
         self._spill_rows = np.zeros((0,), np.int64)
+        self._spill_rows_j = None  # device cache of the row map
         self.count = 0
         self._host_vecs: list[np.ndarray] = []  # staged until train
 
@@ -215,6 +216,7 @@ class IVFIndex:
             self._spill_rows = np.concatenate(
                 [self._spill_rows, rows[spill]]
             )
+            self._spill_rows_j = None  # invalidate the device cache
 
         need = self.count + n
         if self.valid is None or self.valid.shape[0] < need:
@@ -248,30 +250,33 @@ class IVFIndex:
             min(self.n_probe, self.n_cells),
         )
         if self._spill is not None and len(self._spill):
-            # merge the exact spill-segment scan (global valid mask
-            # mapped onto spill-local rows)
-            sp_mask = np.asarray(valid)[self._spill_rows]
-            sd, sr = self._spill.search(
-                q, min(k, len(self._spill)),
-                filter_mask=jnp.asarray(
-                    np.pad(
-                        sp_mask,
-                        (0, self._spill.capacity - len(sp_mask)),
-                    )
-                ),
+            # merge the exact spill-segment scan — all on device (a
+            # host-side merge would force a sync per call and break
+            # queued-dispatch pipelining on the serving path). The
+            # global valid mask maps onto spill-local rows via one
+            # device gather of the cached row map.
+            if self._spill_rows_j is None:
+                rj = np.zeros(self._spill.capacity, np.int32)
+                rj[: len(self._spill_rows)] = self._spill_rows
+                self._spill_rows_j = jnp.asarray(rj)
+            sp_mask = jnp.take(
+                valid, self._spill_rows_j, axis=0
             )
-            sd = np.asarray(sd, np.float32)
-            sr = np.asarray(sr)
-            sg = np.where(
-                sr >= 0, self._spill_rows[np.maximum(sr, 0)], -1
-            ).astype(np.int32)
-            d = np.asarray(d)
-            r = np.asarray(r)
-            d_all = np.concatenate([d, sd], axis=1)
-            r_all = np.concatenate([r, sg], axis=1)
-            order = np.argsort(d_all, axis=1)[:, :k]
-            d = np.take_along_axis(d_all, order, axis=1)
-            r = np.take_along_axis(r_all, order, axis=1)
+            sd, sr = self._spill.search(
+                q, min(k, len(self._spill)), filter_mask=sp_mask
+            )
+            sg = jnp.where(
+                sr >= 0,
+                jnp.take(self._spill_rows_j, jnp.maximum(sr, 0)),
+                -1,
+            )
+            d_all = jnp.concatenate([jnp.asarray(d), sd], axis=1)
+            r_all = jnp.concatenate([jnp.asarray(r), sg], axis=1)
+            neg, pos = jax.lax.top_k(-d_all, k)
+            d = -neg
+            r = jnp.where(
+                d < MASKED, jnp.take_along_axis(r_all, pos, axis=1), -1
+            )
         return d, r
 
     def get_vectors(self, rows: np.ndarray) -> np.ndarray:
