@@ -182,18 +182,22 @@ class IVFIndex:
             self.cell_fill = np.zeros(self.n_cells, np.int64)
 
         cap = self.cells.shape[1]
-        # host-side slot assignment (tiny), one device scatter
-        slots = np.empty(n, np.int64)
-        cell_of = np.empty(n, np.int64)
-        spill = np.zeros(n, bool)
-        for j in range(n):
-            c = asn[j]
-            if self.cell_fill[c] >= cap:
-                spill[j] = True
-                continue
-            cell_of[j] = c
-            slots[j] = self.cell_fill[c]
-            self.cell_fill[c] += 1
+        # vectorized slot assignment (a per-row Python loop cost ~2min
+        # of the 1M build): stable-sort by cell, position-in-run gives
+        # each row its slot relative to the cell's current fill
+        order = np.argsort(asn, kind="stable")
+        asn_sorted = asn[order]
+        run_start = np.searchsorted(asn_sorted, asn_sorted)
+        pos_in_run = np.arange(n) - run_start[np.arange(n)]
+        # map back to input order
+        pos = np.empty(n, np.int64)
+        pos[order] = pos_in_run
+        slots = self.cell_fill[asn] + pos
+        cell_of = asn.astype(np.int64)
+        spill = slots >= cap
+        self.cell_fill += np.bincount(
+            asn[~spill], minlength=self.n_cells
+        )
         # norms of the STORED (rounded) cell dtype — exact norms with
         # rounded inner products bias distances (~5% recall@10 at 1M)
         vr = np.asarray(v, dtype=self.dtype).astype(np.float64)
