@@ -138,7 +138,10 @@ def main() -> None:
             from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
 
             ng = N
-            gvecs = corpus
+            # device-resident input: the production build shape (the
+            # Dataset already holds vectors on device when an index
+            # build starts); avoids re-uploading 512MB per iteration
+            gvecs = c16
             build_times = []
             gidx = None
             for it in range(2):  # first = cold (compiles), second = warm

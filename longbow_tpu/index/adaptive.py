@@ -80,10 +80,19 @@ class AdaptiveIndex:
             storage=self.storage,
             pq_m=self.pq_m,
         )
-        vecs = np.asarray(self._flat.vectors[: self._flat.count]).astype(
-            np.float32
-        )
-        g.add(vecs)
+        if (
+            self.metric == Metric.L2
+            and self.storage == "dense"
+            and self._flat.vectors.dtype == g.dtype
+        ):
+            # device-to-device migration: no host round trip (the
+            # vectors are already on device in the flat block)
+            g.add(self._flat.vectors[: self._flat.count])
+        else:
+            vecs = np.asarray(
+                self._flat.vectors[: self._flat.count]
+            ).astype(np.float32)
+            g.add(vecs)
         dead = np.nonzero(~np.asarray(self._flat.valid[: self._flat.count]))[0]
         if len(dead):
             g.delete_rows(dead)

@@ -251,7 +251,23 @@ class HNSWIndex:
         self._rerank_host[start : start + len(vecs16)] = vecs16
 
     def add(self, vecs: np.ndarray) -> np.ndarray:
-        """Store + link vectors; returns assigned internal row ids."""
+        """Store + link vectors; returns assigned internal row ids.
+
+        Device-resident input (a jax.Array) takes a fast path for
+        plain-L2 dense storage: no host round trip, no re-upload — the
+        production shape, since Dataset/VectorStore already hold
+        vectors on device when an index (re)build starts."""
+        if (
+            isinstance(vecs, jax.Array)
+            and self.storage == "dense"
+            and not self._mips
+            and self.metric == Metric.L2
+            and vecs.ndim == 2
+            and vecs.shape[1] == self.dim
+        ):
+            return self._add_arrays(
+                vecs.astype(self.dtype), None
+            )
         vecs = np.ascontiguousarray(np.atleast_2d(vecs), dtype=np.float32)
         if vecs.ndim != 2 or vecs.shape[1] != self.dim:
             raise ValueError(f"expected [n, {self.dim}], got {vecs.shape}")
@@ -327,6 +343,15 @@ class HNSWIndex:
             # rounded inner products add a per-row bias 2*v.dv that
             # costs ~5% recall@10 at 1M (measured on-chip); consistent
             # norms make the metric |q - v_hat|^2 exactly
+            norms = squared_norms(store)
+        return self._add_arrays(store, norms)
+
+    def _add_arrays(self, store: jax.Array, norms) -> np.ndarray:
+        """Scatter already-prepared storage rows + link (shared tail
+        of add(); the device fast path enters here directly)."""
+        n = store.shape[0]
+        self._grow_to(self.count + n)
+        if norms is None:
             norms = squared_norms(store)
         s = self.state
         start = self.count

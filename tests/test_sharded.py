@@ -270,3 +270,22 @@ def test_mesh_graph_through_factory():
     assert len(idx2) == 3050
     d2, r2 = idx2.search(v[:10], 5)
     assert (np.asarray(r2)[:, 0] == np.arange(10)).mean() >= 0.8
+
+
+def test_mesh_graph_through_store():
+    from longbow_tpu.store.vector_store import VectorStore
+
+    vs = VectorStore()
+    vs.get_or_create("mg", 16, index_kind="mesh_graph")
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((2500, 16), dtype=np.float32)
+    vs.put("mg", np.arange(2500), v)
+    ids, scores, ok = vs.search("mg", v[9], 3)
+    assert ids[0, 0] == 9 and ok[0, 0]
+    # live adds after build serve from the interim segment
+    vs.put("mg", np.arange(2500, 2550), v[:50] + 0.01)
+    ids, scores, ok = vs.search("mg", v[3] + 0.01, 1)
+    assert ids[0, 0] in (3, 2503)
+    vs.delete("mg", [9])
+    ids, scores, ok = vs.search("mg", v[9], 3)
+    assert 9 not in [ids[0, j] for j in range(3) if ok[0, j]]
