@@ -248,7 +248,7 @@ from longbow_tpu.ops.distance import exact_search
 )
 def _self_knn_fused_all(
     vectors, norms_sq, valid, n: int, k: int, n_pad: int,
-    qb: int = 256, tile_n: int = 2048,
+    qb: int = 256, tile_n: int = 0,
 ):
     """The WHOLE exact self-kNN in ONE jitted program: lax.map over
     query blocks, each a fused Pallas scan of the full corpus.
@@ -256,7 +256,10 @@ def _self_knn_fused_all(
     One dispatch for the entire build — the previous per-chunk eager
     loop paid a ~30ms relay round trip per 128 queries (that overhead,
     not compute, was ~80% of round 1's 59s 200k build)."""
-    from longbow_tpu.ops.pallas_scan import fused_flat_search
+    from longbow_tpu.ops.pallas_scan import (
+        fused_flat_search,
+        tile_for_dim as _tile_for_dim,
+    )
 
     n_blocks = -(-n_pad // qb)
 
@@ -265,7 +268,8 @@ def _self_knn_fused_all(
         rows = jnp.minimum(rows, n - 1)
         q = jnp.take(vectors, rows, axis=0)
         d, i = fused_flat_search(
-            q, vectors, norms_sq, valid, min(k + 1, 64), tile_n=tile_n
+            q, vectors, norms_sq, valid, min(k + 1, 64),
+            tile_n=tile_n or _tile_for_dim(vectors.shape[1])
         )
         self_hit = i == rows[:, None]
         d = jnp.where(self_hit, MASKED, d)

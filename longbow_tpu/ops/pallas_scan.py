@@ -35,6 +35,17 @@ _MASKED = 3.0e38
 _BIG_I32 = 2**30
 
 
+def tile_for_dim(d: int) -> int:
+    """Corpus-tile rows that fit the kernel's scoped-VMEM budget at
+    this dimensionality (measured on v5e: 2048 OOMs at D=384; 1024
+    compiles at D<=512, 512 at D<=1536+)."""
+    if d <= 128:
+        return 2048
+    if d <= 512:
+        return 1024
+    return 512
+
+
 def _row_argmin(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-row (min value [B,1], first column index of the min [B,1])."""
     m = jnp.min(x, axis=1, keepdims=True)
@@ -171,7 +182,7 @@ def fused_flat_search(
     *,
     extra_mask=None,
     normalize: bool = False,
-    tile_n: int = 1024,
+    tile_n: int = 0,  # 0 = dimension-aware default (tile_for_dim)
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Flat exact k-NN with fused streaming top-k.
@@ -207,6 +218,7 @@ def fused_flat_search(
 
     # pad shapes to hardware tiles (bf16 sublane tiling wants 16 rows)
     d_pad = pad_to(d, 128)
+    tile_n = tile_n or min(tile_for_dim(d), 1024)
     n_pad = pad_to(n, tile_n)
     b_pad = pad_to(b, 16 if corpus.dtype == jnp.bfloat16 else 8)
     kpad = 128  # one lane register per query row for the running top-k
@@ -294,7 +306,7 @@ def flat_search_rerank(
     pool: int = 64,
     extra_mask=None,
     normalize: bool = False,
-    tile_n: int = 2048,
+    tile_n: int = 0,  # 0 = dimension-aware default (tile_for_dim)
 ) -> tuple[jax.Array, jax.Array]:
     """Fused bf16 scan for a candidate pool + exact-f32-arithmetic
     re-rank of the pool (storage stays bf16).
@@ -305,6 +317,7 @@ def flat_search_rerank(
     same 4.7 ms/128q). The residual ~1% is bf16 *storage* rounding.
     """
     pool = max(pool, k)
+    tile_n = tile_n or tile_for_dim(corpus.shape[1])
     d, i = fused_flat_search(
         queries, corpus, corpus_norms_sq, valid, pool, metric,
         extra_mask=extra_mask, normalize=normalize, tile_n=tile_n,
