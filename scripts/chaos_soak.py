@@ -49,9 +49,10 @@ def spawn(i, ports, specs, root):
         LONGBOW_PROBE_INTERVAL_S="0.5",
         LONGBOW_FORCE_CPU="1",
     )
+    logf = open(root / f"node{i}.log", "ab")
     return subprocess.Popen(
         [sys.executable, "-m", "longbow_tpu.serve"],
-        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.STDOUT,
+        env=env, stdout=logf, stderr=subprocess.STDOUT,
     )
 
 
@@ -123,7 +124,16 @@ def main() -> int:
                 restarted = True
             time.sleep(0.2)
 
-        # give anti-entropy a couple of sync rounds
+        # wait for the restarted node to come back up (a fresh
+        # process pays ~20s of jax import before it binds), then give
+        # anti-entropy a couple of sync rounds
+        t0 = time.time()
+        while time.time() - t0 < 60:
+            try:
+                clients[victim].check_readiness()
+                break
+            except Exception:
+                time.sleep(1.0)
         time.sleep(12)
         counts = {}
         for i in (0, 2, victim):
