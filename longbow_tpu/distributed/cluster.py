@@ -132,7 +132,7 @@ class ClusterCoordinator:
         if self.replicator:
             self.replicator.drain(timeout_s=5.0)
             self.replicator.close()
-        for p in self._peers.values():
+        for p in list(self._peers.values()):
             try:
                 p.client.close()
             except Exception:
@@ -157,7 +157,9 @@ class ClusterCoordinator:
             # delete is an idempotent no-op (reference routes deletes by
             # key through the ring; broadcast trades one cheap RPC per
             # node for not tracking ownership on the delete path)
-            for p in self._peers.values():
+            # snapshot: the probe thread inserts discovered peers
+            # concurrently (dict mutation during iteration)
+            for p in list(self._peers.values()):
                 p.replicate_delete(dataset, ids)
             return True
         if self.replicator is None:
@@ -208,18 +210,22 @@ class ClusterCoordinator:
         *,
         raw_filters=None,
         local: Optional[tuple] = None,
-        metric: str = "l2",
+        metric: Optional[str] = "l2",
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Fan `VectorSearch {local_only: true}` out to alive peers,
         merge with the local top-k (reference: global_search.go:48-280;
         per-peer flight clients, merged local+remote results).
 
         local: optional (ids, scores, ok) from the local search.
+        metric: None = unknown locally (the dataset lives only on
+        peers) — resolved from the peers' responses so dot-metric
+        scores merge in the right direction.
         Returns merged (ids [B,k] object, scores [B,k] f32, ok [B,k]).
         """
         qv = np.atleast_2d(np.asarray(query_vectors, np.float32))
         b = qv.shape[0]
-        # per-query candidate pools {id: best_score}
+        # per-query candidate pools {id: best_score}; direction is
+        # resolved after the fan-out when the metric is unknown
         bigger_better = metric == "dot"
         pools: list[dict] = [dict() for _ in range(b)]
 
@@ -234,9 +240,6 @@ class ClusterCoordinator:
                     cur = pools[row].get(uid)
                     if cur is None or (s > cur if bigger_better else s < cur):
                         pools[row][uid] = s
-
-        if local is not None:
-            fold(*local)
 
         alive = self.membership.alive()
         results: list[Optional[dict]] = [None] * len(alive)
@@ -268,6 +271,17 @@ class ClusterCoordinator:
             t.start()
         for t in threads:
             t.join(timeout=self.global_search_timeout_s)
+
+        if metric is None:
+            # dataset unknown locally: take the metric the owning
+            # peers report (VectorSearch responses carry it)
+            metric = next(
+                (r["metric"] for r in results if r and r.get("metric")),
+                "l2",
+            )
+            bigger_better = metric == "dot"
+        if local is not None:
+            fold(*local)
 
         for resp in results:
             if not resp:

@@ -38,6 +38,31 @@ from longbow_tpu.ops.distance import MASKED
 _BIG = jnp.float32(3.0e38)
 
 
+def build_stage_timer(n: int, tag: str = "build"):
+    """Stage-timing hook for bulk builds, active under
+    LONGBOW_BUILD_DEBUG=1 (each call blocks on the given arrays and
+    prints the elapsed stage time to stderr). No-op otherwise."""
+    import os
+    import sys
+    import time as _t
+
+    if os.environ.get("LONGBOW_BUILD_DEBUG") != "1":
+        return lambda label, *arrs: None
+    state = {"t": _t.time()}
+
+    def stage(label, *arrs):
+        for a in arrs:
+            jax.block_until_ready(a)
+        now = _t.time()
+        print(
+            f"[{tag} {n}] {label}: {now - state['t']:.1f}s",
+            file=sys.stderr, flush=True,
+        )
+        state["t"] = now
+
+    return stage
+
+
 def _pairwise_l2(a: jax.Array, b: jax.Array) -> jax.Array:
     """[Bi, C, D] x [Bi, S, D] -> [Bi, C, S] squared L2 (batched MXU)."""
     ip = jnp.einsum("bcd,bsd->bcs", a, b, preferred_element_type=jnp.float32)
@@ -248,7 +273,7 @@ from longbow_tpu.ops.distance import exact_search
 )
 def _self_knn_fused_all(
     vectors, norms_sq, valid, n: int, k: int, n_pad: int,
-    qb: int = 256, tile_n: int = 0,
+    qb: int = 128, tile_n: int = 0,  # B=128: the canonical fused shape
 ):
     """The WHOLE exact self-kNN in ONE jitted program: lax.map over
     query blocks, each a fused Pallas scan of the full corpus.
@@ -605,22 +630,10 @@ def bulk_build_clustered(
         n_clusters = max(64, min(4096, n // 1024))
     d = state.vectors.shape[1]
 
-    import os
-    import time as _t
-
-    _dbg = os.environ.get("LONGBOW_BUILD_DEBUG") == "1"
-    _t0 = _t.time()
+    _timer = build_stage_timer(n)
 
     def _stage(label):
-        nonlocal _t0
-        if _dbg:
-            jax.block_until_ready(state.vectors)
-            now = _t.time()
-            print(
-                f"[build {n}] {label}: {now - _t0:.1f}s",
-                file=__import__("sys").stderr, flush=True,
-            )
-            _t0 = now
+        _timer(label, state.vectors)
 
     # -- 1. centroids on a strided sample --
     s = min(train_sample, n)
@@ -1046,22 +1059,7 @@ def bulk_build_rp(
     ki = jnp.full((n_pad, knn_k), -1, jnp.int32)
     root = jax.random.PRNGKey(seed)
 
-    import os as _os
-    import time as _t
-    _dbg = _os.environ.get("LONGBOW_BUILD_DEBUG") == "1"
-    _t0 = _t.time()
-
-    def _stage(label, *arrs):
-        nonlocal _t0
-        if _dbg:
-            for a in arrs:
-                jax.block_until_ready(a)
-            now = _t.time()
-            print(
-                f"[rp-build {n}] {label}: {now - _t0:.1f}s",
-                file=__import__("sys").stderr, flush=True,
-            )
-            _t0 = now
+    _stage = build_stage_timer(n, tag="rp-build")
 
     for r in range(rounds):
         kd, ki = _rp_round(

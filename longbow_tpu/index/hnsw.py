@@ -368,19 +368,11 @@ class HNSWIndex:
         was_empty = self.count == 0
         self.count += n
         self._sample_dirty = True
-        import os as _os
+        from longbow_tpu.index.graph_build import build_stage_timer
 
-        if _os.environ.get("LONGBOW_BUILD_DEBUG") == "1":
-            import sys as _sys
-            import time as _time
-
-            _t0 = _time.time()
-            jax.block_until_ready(self.state.vectors)
-            print(
-                f"[add {n}] store/norms/scatter flush: "
-                f"{_time.time() - _t0:.1f}s",
-                file=_sys.stderr, flush=True,
-            )
+        build_stage_timer(n, tag="add")(
+            "store/norms/scatter flush", self.state.vectors
+        )
 
         if was_empty and n >= 2 * self.config.insert_batch_size:
             # bulk path: kNN graph on the MXU + symmetrize — orders of

@@ -238,7 +238,16 @@ class IVFIndex:
             self.valid = self.valid.at[jnp.asarray(rows)].set(False)
 
     def search(self, queries, k: int, *, filter_mask=None):
-        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        q_np = np.atleast_2d(np.asarray(queries, np.float32))
+        if self.cells is None or self.count == 0:
+            # empty/untrained index: an empty result set, not a crash
+            # (searches can race dataset creation at startup)
+            b = q_np.shape[0]
+            return (
+                np.full((b, k), float(MASKED), np.float32),
+                np.full((b, k), -1, np.int32),
+            )
+        q = jnp.asarray(q_np)
         if self.metric == Metric.COSINE:
             q = q / jnp.maximum(
                 jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30

@@ -211,9 +211,12 @@ class LongbowFlightServer(flight.FlightServerBase):
                 self.cluster.on_put(
                     dataset, ids, vecs, columns or None, metric, ts
                 )
+            # count rows APPLIED LOCALLY (post-partition slice):
+            # forwarded rows are counted by their owners, so the
+            # cluster-wide sum equals rows ingested exactly once
             self.metrics.counter(
                 "longbow_flight_rows_processed_total"
-            ).inc(batch.num_rows)
+            ).inc(len(ids))
 
     # -- queries (reference: servers.go:28 DoGet -> store_query.go:126) --
 
@@ -314,7 +317,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                 dsname, qv, req.k,
                 raw_filters=_filters_to_wire(req.filters),
                 local=(ids, scores, ok),
-                metric=ds.metric if ds is not None else Metric.L2,
+                metric=ds.metric if ds is not None else None,
             )
         self.metrics.histogram(
             "longbow_vector_search_latency_seconds"
@@ -634,17 +637,24 @@ class LongbowFlightServer(flight.FlightServerBase):
                 scores = np.zeros((b, req.k), np.float32)
                 okm = np.zeros((b, req.k), bool)
             if fan_out:
-                metric = Metric.L2
                 try:
                     metric = self.store.get(req.dataset).metric
                 except KeyError:
-                    pass
+                    metric = None  # resolved from the owning peers
                 ids, scores, okm = self.cluster.global_search(
                     req.dataset, qv, req.k,
                     raw_filters=_filters_to_wire(req.filters),
                     local=(ids, scores, okm), metric=metric,
                 )
-            return ok(_response_ids_scores(ids, scores, okm))
+            resp = _response_ids_scores(ids, scores, okm)
+            try:
+                # responses carry the metric so a coordinator that
+                # doesn't hold the dataset merges in the right
+                # direction (dot = bigger-is-better)
+                resp["metric"] = self.store.get(req.dataset).metric
+            except KeyError:
+                pass
+            return ok(resp)
         if name == "VectorSearchByID":
             req = json.loads(body)
             ds = self.store.get(req["dataset"])

@@ -53,7 +53,14 @@ class IngestQueue:
     ) -> None:
         """Enqueue one put; blocks (backpressure) when the queue is
         full — the reference's backpressure wait loop
-        (store_actions.go:655-672)."""
+        (store_actions.go:655-672). The hard HBM limit is checked
+        BEFORE acking: an enqueued batch is a durability promise, so
+        over-limit writes must be rejected up front, not dropped by
+        the worker later."""
+        bp = getattr(self.store, "backpressure", None)
+        if bp is not None:
+            # raises MemoryPressureError over the hard cap
+            bp.check_admit(self.store)
         self._q.put(
             (dataset, ids, vectors, columns, metric, timestamp),
             timeout=block_s,
@@ -70,10 +77,27 @@ class IngestQueue:
                 self._active += 1
             try:
                 dataset, ids, vectors, columns, metric, ts = job
-                self.store.put(
-                    dataset, ids, vectors, columns, metric=metric,
-                    timestamp=ts,
-                )
+                while not self._stop.is_set():
+                    try:
+                        self.store.put(
+                            dataset, ids, vectors, columns,
+                            metric=metric, timestamp=ts,
+                        )
+                        break
+                    except Exception as e:
+                        from longbow_tpu.store.compaction import (
+                            MemoryPressureError,
+                        )
+
+                        if not isinstance(e, MemoryPressureError):
+                            raise
+                        # the batch was ACKED at DoPut time: dropping
+                        # it here would be silent data loss. Block the
+                        # worker until the backpressure controller
+                        # admits again — the queue fills, readiness
+                        # reports BUSY, and DoPut's hard-limit check
+                        # rejects NEW writes up front.
+                        time.sleep(0.5)
             except Exception as e:  # keep draining; surface via errors
                 self.errors.append(f"{time.time():.0f} {e!r}")
                 del self.errors[:-20]

@@ -111,10 +111,15 @@ def _compact_locked(dataset) -> dict:
     dataset._id_to_row.clear()
     dataset._row_to_id = []
     new_rows = dataset.index.add(vecs)
-    dataset.columns.append(live_cols, len(ids), dataset.index.capacity)
+    # rows= and max(): mesh-sharded indexes return shard-strided
+    # (non-ascending) row ids — same fix as Dataset.put
+    dataset.columns.append(
+        live_cols, len(ids), dataset.index.capacity, rows=new_rows
+    )
     for j, uid in enumerate(ids):
         dataset._id_to_row[uid] = int(new_rows[j])
-    dataset._row_to_id = [None] * (int(new_rows[-1]) + 1)
+    top = int(np.max(new_rows)) if len(new_rows) else -1
+    dataset._row_to_id = [None] * (top + 1)
     for j, uid in enumerate(ids):
         dataset._row_to_id[int(new_rows[j])] = uid
     dataset.filter_cache.invalidate()

@@ -159,3 +159,28 @@ def test_memory_backpressure():
     with pytest.raises(MemoryPressureError):
         vs.put("big", [99999], _vecs(1, 16))
     assert hard.rejected_total == 1
+
+
+def test_compaction_mesh_strided_rows():
+    """Regression (review finding): compaction rebuilt id maps with
+    new_rows[-1] and contiguous column appends — wrong for the
+    shard-strided rows mesh indexes assign."""
+    from longbow_tpu.query.parser import Filter
+    from longbow_tpu.store.compaction import compact_dataset
+    from longbow_tpu.store.vector_store import VectorStore
+
+    vs = VectorStore()
+    vs.get_or_create("cm", 8, index_kind="mesh_flat")
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((240, 8), dtype=np.float32)
+    vs.put("cm", np.arange(240), v, columns={"g": np.arange(240) % 4})
+    vs.delete("cm", list(range(0, 240, 3)))  # 33% tombstones
+    ds = vs.get("cm")
+    out = compact_dataset(ds)
+    assert out["live_rows"] == 160
+    ids, sc, ok = vs.search("cm", v[1], 3)
+    assert ids[0, 0] == 1
+    # filter columns landed at the strided rows
+    ids, sc, ok = vs.search("cm", v[2], 4, filters=[Filter("g", "=", "2")])
+    got = [ids[0, j] for j in range(4) if ok[0, j]]
+    assert got and all(int(i) % 4 == 2 for i in got)

@@ -226,3 +226,33 @@ def test_hybrid_reranker_hook():
     assert calls["q"] == "alpha"
     got = [int(ids[0, j]) for j in range(5) if ok[0, j]]
     assert got == sorted(got, reverse=True)  # reranker order won
+
+
+def test_async_ingest_hard_limit_rejects_before_ack():
+    """Regression (review finding): the async ingest queue must reject
+    over-hard-limit writes at submit time — an enqueued batch is a
+    durability promise, silently dropping it later is data loss."""
+    import pytest
+
+    from longbow_tpu.serving.ingest import IngestQueue
+    from longbow_tpu.store.compaction import (
+        MemoryBackpressureController,
+        MemoryPressureError,
+    )
+    from longbow_tpu.store.vector_store import VectorStore
+
+    vs = VectorStore()
+    rng = np.random.default_rng(0)
+    vs.put("full", np.arange(100), rng.standard_normal((100, 64)).astype(np.float32))
+    vs.backpressure = MemoryBackpressureController(hard_bytes=1)
+    q = IngestQueue(vs)
+    try:
+        with pytest.raises(MemoryPressureError):
+            q.submit(
+                "full", np.arange(100, 110),
+                rng.standard_normal((10, 64)).astype(np.float32),
+                None, None, None,
+            )
+    finally:
+        vs.backpressure = None
+        q.close()
