@@ -63,6 +63,15 @@ class Config:
     storage_dtype: str = field(
         default_factory=lambda: _env("STORAGE_DTYPE", "bfloat16")
     )
+    # default index kind for datasets created implicitly by DoPut
+    # (adaptive | flat | hnsw | pq | sq8 | bq | disk | ivf | mesh_flat
+    # | mesh_graph); per-dataset CreateNamespace index wins
+    index_kind: str = field(
+        default_factory=lambda: _env("INDEX_KIND", "adaptive")
+    )
+    mesh_shards: int = field(
+        default_factory=lambda: _env("MESH_SHARDS", 0, int)
+    )
 
     # admission (reference: RATE_LIMIT_RPS/BURST, circuit breaker)
     rate_limit_rps: float = field(
@@ -182,6 +191,12 @@ class Config:
             raise ValueError("REPLICATION must be async|quorum|off")
         if self.placement not in ("replicated", "partitioned"):
             raise ValueError("PLACEMENT must be replicated|partitioned")
+        from longbow_tpu.index.factory import INDEX_KINDS
+
+        if self.index_kind not in INDEX_KINDS:
+            raise ValueError(
+                f"INDEX_KIND must be one of {INDEX_KINDS}"
+            )
         return self
 
 

@@ -60,6 +60,10 @@ def main(argv=None) -> int:
         ),
         query_cache_size=cfg.query_cache_size,
         query_cache_ttl=cfg.query_cache_ttl_s,
+        default_index_kind=cfg.index_kind,
+        default_index_params=(
+            {"mesh_shards": cfg.mesh_shards} if cfg.mesh_shards else None
+        ),
         persist_dir=cfg.data_dir or None,
         wal_sync=cfg.wal_sync,
         snapshot_backend=snapshot_backend,

@@ -597,7 +597,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                     dsname,
                     int(req["dim"]),
                     req.get("metric"),
-                    index_kind=req.get("index", "adaptive"),
+                    index_kind=req.get("index"),
                     index_params={
                         k: v
                         for k, v in req.items()

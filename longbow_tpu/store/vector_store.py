@@ -37,6 +37,8 @@ class VectorStore:
         persist_dir=None,
         wal_sync: str = "batch",
         snapshot_backend=None,
+        default_index_kind: str = "adaptive",
+        default_index_params: Optional[dict] = None,
     ):
         self._datasets: dict[str, Dataset] = {}
         self._namespaces: dict[str, set] = {}  # ns -> dataset names
@@ -45,6 +47,11 @@ class VectorStore:
         self.dtype = dtype
         self.migration_threshold = migration_threshold
         self.hnsw_config = hnsw_config or HNSWConfig()
+        # deployment-wide default for datasets created implicitly by
+        # DoPut (an explicit CreateNamespace index wins); lets a
+        # multi-chip deployment default to the mesh tier
+        self.default_index_kind = default_index_kind
+        self.default_index_params = dict(default_index_params or {})
         self.query_cache: QueryCache = QueryCache(
             query_cache_size, query_cache_ttl
         )
@@ -80,7 +87,7 @@ class VectorStore:
         dim: int,
         metric: Optional[str] = None,
         *,
-        index_kind: str = "adaptive",
+        index_kind: Optional[str] = None,
         index_params: Optional[dict] = None,
     ) -> Dataset:
         with self._lock:
@@ -93,8 +100,12 @@ class VectorStore:
                     dtype=self.dtype,
                     hnsw_config=self.hnsw_config,
                     migration_threshold=self.migration_threshold,
-                    index_kind=index_kind,
-                    index_params=index_params,
+                    index_kind=index_kind or self.default_index_kind,
+                    index_params=(
+                        index_params
+                        if index_params is not None
+                        else self.default_index_params
+                    ),
                 )
                 self._datasets[name] = ds
                 ns = name.split("/", 1)[0] if "/" in name else "default"
