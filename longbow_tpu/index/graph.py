@@ -213,7 +213,9 @@ def beam_search(
     normalize: bool = False,
     max_iters: int = 0,
     ring_size: int = 128,
-    expand_per_iter: int = 2,
+    expand_per_iter: int = 4,  # on-chip sweep: +10% QPS vs 2 at -0.1%
+                               # recall (iteration count halves; the
+                               # loop is gathered-row-bound either way)
 ) -> tuple[jax.Array, jax.Array]:
     """Batched best-first graph search.
 
