@@ -123,7 +123,10 @@ def select_neighbors_heuristic(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ef_construction", "m", "cand_cap", "reverse_passes"),
+    static_argnames=(
+        "ef_construction", "m", "cand_cap", "reverse_passes",
+        "expand_per_iter",
+    ),
     donate_argnums=(0,),
 )
 def insert_batch(
@@ -135,6 +138,7 @@ def insert_batch(
     m: int = 32,
     cand_cap: int = 64,
     reverse_passes: int = 8,
+    expand_per_iter: int = 1,  # 1 = quality-first construction beam
 ) -> GraphState:
     """Link a batch of already-stored vectors into the graph."""
     bi = new_rows.shape[0]
@@ -146,8 +150,8 @@ def insert_batch(
     # -- 1. candidates from the existing graph --
     gd, gi = beam_search(
         state, q, sample_rows, k=cand_cap, ef=ef_construction,
-        max_iters=ef_construction + 16,
-        expand_per_iter=1,  # construction favors quality over latency
+        max_iters=(ef_construction // max(expand_per_iter, 1)) + 16,
+        expand_per_iter=expand_per_iter,
     )
     # exclude self-matches (a re-inserted duplicate row is fine, the
     # actual row id must not self-link)

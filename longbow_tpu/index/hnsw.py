@@ -70,6 +70,8 @@ class HNSWConfig:
         insert_batch_size: int = 1024,
         entry_sample_size: int = 2048,
         adaptive_ef_retries: int = 2,
+        insert_expand: int = 1,
+        reverse_passes: int = 8,
     ):
         self.m = m
         self.m_max = m_max
@@ -77,6 +79,11 @@ class HNSWConfig:
         self.ef_search = ef_search
         self.insert_batch_size = insert_batch_size
         self.entry_sample_size = entry_sample_size
+        # construction beam width per iteration + reverse-edge passes:
+        # live-insert throughput levers (wider/shallower construction
+        # beams halve iterations at slight neighborhood-quality cost)
+        self.insert_expand = insert_expand
+        self.reverse_passes = reverse_passes
         # reference retries with ef*5 up to 3 attempts when under-full
         # (arrow_hnsw.go:920-947); we keep the same escape hatch
         self.adaptive_ef_retries = adaptive_ef_retries
@@ -439,6 +446,8 @@ class HNSWIndex:
                 ef_construction=self.config.ef_construction,
                 m=self.config.m,
                 cand_cap=min(64, max(self.config.m * 2, 16)),
+                reverse_passes=self.config.reverse_passes,
+                expand_per_iter=self.config.insert_expand,
             )
         return rows
 
