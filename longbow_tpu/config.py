@@ -32,6 +32,18 @@ class Config:
 
     # storage (reference: STORAGE_* knobs, MAX_WAL_SIZE 100MB)
     data_dir: str = field(default_factory=lambda: _env("DATA_DIR", ""))
+    # io_uring WAL backend (reference: STORAGE_USE_IOURING,
+    # wal_backend_linux.go:15-125); falls back to buffered FS writes
+    # when the kernel/sandbox refuses io_uring
+    wal_io_uring: bool = field(
+        default_factory=lambda: _env("WAL_IOURING", False, bool)
+    )
+    # transport security (reference: SDK bearer auth client.py:63-70,
+    # docs/security.md TLS): empty = open plaintext (dev default)
+    auth_token: str = field(default_factory=lambda: _env("AUTH_TOKEN", ""))
+    tls_cert_file: str = field(default_factory=lambda: _env("TLS_CERT", ""))
+    tls_key_file: str = field(default_factory=lambda: _env("TLS_KEY", ""))
+    tls_ca_file: str = field(default_factory=lambda: _env("TLS_CA", ""))
     max_wal_mb: int = field(default_factory=lambda: _env("MAX_WAL_MB", 100, int))
     wal_sync: str = field(default_factory=lambda: _env("WAL_SYNC", "batch"))
     # remote snapshot mirror (reference: s3_backend.go): either an S3

@@ -23,6 +23,11 @@ from longbow_tpu.distributed.replicator import Peer, PeerReplicator, SyncWorker
 log = logging.getLogger("longbow.cluster")
 
 
+class ConsistencyError(RuntimeError):
+    """A read's consistency level could not be met (reference:
+    QuorumManager read levels, quorum.go:93-126)."""
+
+
 class ClusterCoordinator:
     def __init__(
         self,
@@ -40,9 +45,15 @@ class ClusterCoordinator:
         region: str = "",
         lan_group: str = "",
         placement: str = "replicated",  # replicated | partitioned
+        api_key: str = "",
+        tls_root_certs=None,
     ):
         self.store = store
         self.self_id = self_id
+        # peer-auth credentials: intra-cluster hops present the same
+        # bearer token / TLS roots the serving edge requires
+        self._api_key = api_key or None
+        self._tls_root_certs = tls_root_certs
         if placement not in ("replicated", "partitioned"):
             raise ValueError("placement must be replicated|partitioned")
         # partitioned: each row id has ONE owner through a
@@ -62,7 +73,7 @@ class ClusterCoordinator:
         )
         self._peers: dict[str, Peer] = {}
         for m in self.membership.members.values():
-            self._peers[m.id] = Peer(m.host, m.data_port, m.meta_port)
+            self._peers[m.id] = self._make_peer(m)
         self.replication_mode = replication_mode
         self.replicator: Optional[PeerReplicator] = None
         if replication_mode != "off" and self._peers:
@@ -85,14 +96,21 @@ class ClusterCoordinator:
             )
         self.global_search_timeout_s = global_search_timeout_s
         self._replication_level = replication_level
+        self._started = False
         # DNS-discovered members join live: create their Peer clients
         # and fold them into the replication/sync fan-outs
         self.membership.subscribe(self._on_member_change)
 
+    def _make_peer(self, m: Member) -> Peer:
+        return Peer(
+            m.host, m.data_port, m.meta_port,
+            api_key=self._api_key, tls_root_certs=self._tls_root_certs,
+        )
+
     def _peer_for(self, m: Member) -> Peer:
         p = self._peers.get(m.id)
         if p is None:
-            p = Peer(m.host, m.data_port, m.meta_port)
+            p = self._make_peer(m)
             self._peers[m.id] = p
             if self.replicator is not None:
                 self.replicator.peers.append(p)
@@ -106,8 +124,14 @@ class ClusterCoordinator:
                 )
             if self.sync_worker is not None:
                 self.sync_worker.peers.append(p)
-            else:
+            elif self.placement == "replicated":
+                # mirror the __init__ guard: Merkle anti-entropy stays
+                # off in partitioned mode (it would pull every dataset
+                # to every node, collapsing partitioning into full
+                # replication)
                 self.sync_worker = SyncWorker(self.store, [p])
+                if self._started:
+                    self.sync_worker.start()
         return p
 
     def _on_member_change(self, m: Member) -> None:
@@ -121,6 +145,7 @@ class ClusterCoordinator:
     # -- lifecycle ------------------------------------------------------
 
     def start(self) -> None:
+        self._started = True
         self.membership.start()
         if self.sync_worker:
             self.sync_worker.start()
@@ -211,6 +236,7 @@ class ClusterCoordinator:
         raw_filters=None,
         local: Optional[tuple] = None,
         metric: Optional[str] = "l2",
+        consistency: str = "",
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Fan `VectorSearch {local_only: true}` out to alive peers,
         merge with the local top-k (reference: global_search.go:48-280;
@@ -220,6 +246,9 @@ class ClusterCoordinator:
         metric: None = unknown locally (the dataset lives only on
         peers) — resolved from the peers' responses so dot-metric
         scores merge in the right direction.
+        consistency: ""/best-effort, or ONE|QUORUM|ALL — raises
+        ConsistencyError when fewer nodes (peers + self) answer than
+        the level requires (reference: quorum.go:93-126).
         Returns merged (ids [B,k] object, scores [B,k] f32, ok [B,k]).
         """
         qv = np.atleast_2d(np.asarray(query_vectors, np.float32))
@@ -272,6 +301,27 @@ class ClusterCoordinator:
         for t in threads:
             t.join(timeout=self.global_search_timeout_s)
 
+        # consistency accounting: total member view = alive peers +
+        # self; answered = peers that responded + self (when it holds
+        # the dataset). The level is judged against the CURRENT member
+        # view, like the reference's quorum of replicas (quorum.go:118)
+        if consistency:
+            total = len(alive) + 1
+            answered = sum(1 for r in results if r) + (
+                1 if local is not None else 0
+            )
+            required = {
+                "ONE": 1,
+                "QUORUM": total // 2 + 1,
+                "ALL": total,
+            }[consistency]
+            if answered < required:
+                raise ConsistencyError(
+                    f"consistency {consistency} not met: "
+                    f"{answered}/{total} nodes answered, "
+                    f"required {required}"
+                )
+
         if metric is None:
             # dataset unknown locally: take the metric the owning
             # peers report (VectorSearch responses carry it)
@@ -314,6 +364,60 @@ class ClusterCoordinator:
                 out_scores[row, j] = s
                 out_ok[row, j] = True
         return out_ids, out_scores, out_ok
+
+    # -- coordinated checkpoints ---------------------------------------
+
+    def coordinated_checkpoint(self, timeout_s: float = 30.0) -> dict:
+        """Two-phase cluster checkpoint (reference:
+        CheckpointCoordinator InitiateCheckpoint/WaitForBarrier,
+        checkpoint_coordinator.go:21-126): every alive peer first
+        drains its ingest queue and acks the epoch (prepare barrier),
+        and only when ALL ack does anyone snapshot+truncate — so a
+        cluster restore never mixes snapshot epochs.
+        """
+        import time as _t
+
+        epoch = int(_t.time() * 1000)
+        alive = self.membership.alive()
+        prepared, failed = [], []
+        for m in alive:
+            peer = self._peer_for(m)
+            try:
+                r = peer.client._action(
+                    "checkpoint-prepare",
+                    {"epoch": epoch, "timeout_s": timeout_s},
+                )
+                if r.get("ready"):
+                    prepared.append(m.id)
+                else:
+                    failed.append(m.id)
+            except Exception as e:
+                log.warning("checkpoint prepare %s failed: %s", m.id, e)
+                failed.append(m.id)
+        if failed:
+            return {
+                "epoch": epoch, "ok": False, "phase": "prepare",
+                "prepared": prepared, "failed": failed,
+            }
+        committed = []
+        for m in alive:
+            peer = self._peer_for(m)
+            try:
+                r = peer.client._action(
+                    "checkpoint-commit", {"epoch": epoch}
+                )
+                if r.get("committed"):
+                    committed.append(m.id)
+                else:
+                    failed.append(m.id)
+            except Exception as e:
+                log.warning("checkpoint commit %s failed: %s", m.id, e)
+                failed.append(m.id)
+        return {
+            "epoch": epoch, "ok": not failed, "phase": "commit",
+            "prepared": prepared, "committed": committed,
+            "failed": failed,
+        }
 
     def status(self) -> dict:
         st = self.membership.status()

@@ -19,12 +19,15 @@ fan-out and replication toward same-region peers first.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import socket
 import threading
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
+
+log = logging.getLogger("longbow.membership")
 
 ALIVE = "alive"
 SUSPECT = "suspect"
@@ -195,12 +198,22 @@ class MembershipManager:
         ctx = None
         if url.startswith("https"):
             ca = "/var/run/secrets/kubernetes.io/serviceaccount/ca.crt"
-            ctx = ssl.create_default_context(
-                cafile=ca if os.path.exists(ca) else None
-            )
-            if not os.path.exists(ca):
+            if os.path.exists(ca):
+                ctx = ssl.create_default_context(cafile=ca)
+            elif os.environ.get("LONGBOW_K8S_INSECURE") == "1":
+                # explicit test-only opt-out; without it a MITM on the
+                # API path could inject "peers" that then receive
+                # replicated vector data
+                ctx = ssl.create_default_context()
                 ctx.check_hostname = False
                 ctx.verify_mode = ssl.CERT_NONE
+            else:
+                log.error(
+                    "k8s discovery: service-account CA missing at %s; "
+                    "refusing unverified https (set LONGBOW_K8S_INSECURE=1 "
+                    "to override in tests)", ca,
+                )
+                return
         try:
             req = urllib.request.Request(url, headers=headers)
             with urllib.request.urlopen(req, timeout=2.0, context=ctx) as r:

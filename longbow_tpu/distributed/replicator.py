@@ -32,9 +32,15 @@ def required_acks(level: str, n_peers: int) -> int:
 
 
 class Peer:
-    def __init__(self, host: str, data_port: int, meta_port: int):
+    def __init__(
+        self, host: str, data_port: int, meta_port: int,
+        api_key=None, tls_root_certs=None,
+    ):
         self.addr = f"{host}:{data_port}"
-        self.client = LongbowClient(host, data_port, meta_port)
+        self.client = LongbowClient(
+            host, data_port, meta_port,
+            api_key=api_key, tls_root_certs=tls_root_certs,
+        )
         self.breaker = CircuitBreaker(threshold=5, cooldown_s=10.0)
 
     def replicate_put(

@@ -13,6 +13,8 @@ index state is functional.
 """
 from __future__ import annotations
 
+import logging
+import threading
 from typing import Optional
 
 import jax
@@ -22,6 +24,8 @@ import numpy as np
 from longbow_tpu.index.flat import FlatIndex
 from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
 from longbow_tpu.ops.distance import Metric
+
+log = logging.getLogger("longbow.adaptive")
 
 DEFAULT_MIGRATION_THRESHOLD = 200_000
 
@@ -50,6 +54,15 @@ class AdaptiveIndex:
         self.pq_m = pq_m
         self._flat = FlatIndex(dim, metric, dtype)
         self._graph: Optional[HNSWIndex] = None
+        # background migration (reference: AutoShardingIndex migrates
+        # in background with interim dual-read, hnsw_autoshard.go:49,
+        # docs/autoshard.md:16-36): the flat index keeps serving ALL
+        # rows while the builder thread catches up, so puts/searches
+        # never stall behind the bulk build. _mlock guards mutations +
+        # the final swap; searches stay lock-free (functional arrays).
+        self.background_migration = True
+        self._mlock = threading.RLock()
+        self._builder: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------------
 
@@ -66,48 +79,103 @@ class AdaptiveIndex:
 
     # ------------------------------------------------------------------
 
-    def _maybe_migrate(self) -> None:
-        if self._graph is not None:
-            return
-        if len(self._flat) < self.migration_threshold:
-            return
-        g = HNSWIndex(
-            self.dim,
-            self.metric,
-            self.hnsw_config,
-            self.dtype,
-            capacity=self._flat.capacity,
-            storage=self.storage,
-            pq_m=self.pq_m,
-        )
+    def _graph_chunk(self, g: HNSWIndex, a: int, b: int) -> None:
+        """Feed flat rows [a, b) to the graph, preserving row ids
+        (graph insertion order == flat row order)."""
         if (
             self.metric == Metric.L2
             and self.storage == "dense"
             and self._flat.vectors.dtype == g.dtype
         ):
-            # device-to-device migration: no host round trip (the
-            # vectors are already on device in the flat block)
-            g.add(self._flat.vectors[: self._flat.count])
+            # device-to-device: no host round trip (the vectors are
+            # already on device in the flat block)
+            g.add(self._flat.vectors[a:b])
         else:
-            vecs = np.asarray(
-                self._flat.vectors[: self._flat.count]
-            ).astype(np.float32)
-            g.add(vecs)
-        dead = np.nonzero(~np.asarray(self._flat.valid[: self._flat.count]))[0]
-        if len(dead):
-            g.delete_rows(dead)
-        self._graph = g
-        self._flat = FlatIndex(self.dim, self.metric, self.dtype, capacity=1)
+            g.add(np.asarray(self._flat.vectors[a:b]).astype(np.float32))
+
+    def _build_graph(self) -> None:
+        """Builder-thread body: bulk-build from a snapshot, then catch
+        up on rows added meanwhile, then swap under the mutation lock.
+        The flat index serves every row until the swap, so there is no
+        read gap and no blocked put."""
+        try:
+            with self._mlock:
+                self._flat.flush()
+                built = self._flat.count
+                cap = self._flat.capacity
+            g = HNSWIndex(
+                self.dim,
+                self.metric,
+                self.hnsw_config,
+                self.dtype,
+                capacity=cap,
+                storage=self.storage,
+                pq_m=self.pq_m,
+            )
+            self._graph_chunk(g, 0, built)  # the long part, lock-free
+            while True:
+                with self._mlock:
+                    self._flat.flush()
+                    count = self._flat.count
+                    if count - built <= 4096:
+                        # final small delta: fold in + swap atomically
+                        if count > built:
+                            self._graph_chunk(g, built, count)
+                        dead = np.nonzero(
+                            ~np.asarray(self._flat.valid[:count])
+                        )[0]
+                        if len(dead):
+                            g.delete_rows(dead)
+                        self._graph = g
+                        self._flat = FlatIndex(
+                            self.dim, self.metric, self.dtype, capacity=1
+                        )
+                        return
+                # large backlog: catch up outside the lock (adds only
+                # append past `count`, so [built, count) is stable)
+                self._graph_chunk(g, built, count)
+                built = count
+        except Exception:
+            log.exception("background migration failed; staying flat")
+        finally:
+            self._builder = None
+
+    def _maybe_migrate(self) -> None:
+        if self._graph is not None or self._builder is not None:
+            return
+        if len(self._flat) < self.migration_threshold:
+            return
+        # threshold 0 = the explicit "hnsw" kind: the graph IS the
+        # index, so the first batch builds synchronously; background
+        # applies only to genuine flat->graph crossings mid-serve
+        if not self.background_migration or self.migration_threshold <= 0:
+            self._build_graph()
+            return
+        t = threading.Thread(
+            target=self._build_graph, daemon=True,
+            name="longbow-migrate",
+        )
+        self._builder = t
+        t.start()
+
+    def wait_migration(self, timeout_s: Optional[float] = None) -> bool:
+        """Block until any in-flight migration finishes (tests/ops)."""
+        t = self._builder
+        if t is not None:
+            t.join(timeout_s)
+        return self._graph is not None
 
     def add(self, vecs: np.ndarray) -> np.ndarray:
-        if self._graph is not None:
-            return self._graph.add(vecs)
-        rows = self._flat.add(vecs)
+        with self._mlock:
+            if self._graph is not None:
+                return self._graph.add(vecs)
+            rows = self._flat.add(vecs)
         self._maybe_migrate()
         return rows
 
     def delete_rows(self, rows: np.ndarray) -> None:
-        (self._graph or self._flat).delete_rows(rows)
+        with self._mlock:
+            (self._graph or self._flat).delete_rows(rows)
 
     def search(
         self,
@@ -133,6 +201,7 @@ class AdaptiveIndex:
     def get_vectors(self, rows: np.ndarray) -> np.ndarray:
         if self._graph is not None:
             return self._graph.get_vectors(rows)
+        self._flat.flush()
         return np.asarray(
             jnp.take(
                 self._flat.vectors, jnp.asarray(rows), axis=0

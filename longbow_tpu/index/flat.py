@@ -24,7 +24,6 @@ from longbow_tpu.ops.distance import (
     Metric,
     exact_search,
     pad_to,
-    squared_norms,
 )
 from longbow_tpu.ops.pallas_scan import flat_search_rerank, fused_flat_search
 
@@ -35,21 +34,51 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _append_block(vectors, norms, valid, new_vecs, new_norms, row):
-    """Write new rows at [row : row+n) in place (donated buffers).
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1, 2), static_argnames=("normalize",)
+)
+def _ingest_block(vectors, norms, valid, new_f32, row, n, normalize):
+    """One fused append: normalize (cosine) + round to storage dtype +
+    |v|^2 of the ROUNDED rows + in-place writes (donated buffers).
 
-    `row` is a traced scalar so appends at any offset share one
-    compiled program (batch size still specializes the compile, which
-    the ingest pipeline amortizes by padding to fixed batch shapes).
+    ONE dispatch per batch — the previous eager chain (device_put,
+    normalize, astype x2, norms, update) cost ~6 host round trips
+    (~30ms each through the axon relay; ~23ms/batch even on CPU).
+
+    `row`/`n` are traced scalars; new_f32 may be PADDED past n (batch
+    shapes are bucketed to limit recompiles) — padding rows get
+    written but their valid bits stay False, and the next append
+    overwrites them (capacity is pre-grown past row + padded length).
     """
-    n = new_vecs.shape[0]
-    vectors = jax.lax.dynamic_update_slice(vectors, new_vecs, (row, 0))
+    if normalize:
+        new_f32 = new_f32 / jnp.maximum(
+            jnp.linalg.norm(new_f32, axis=1, keepdims=True), 1e-30
+        )
+    stored = new_f32.astype(vectors.dtype)
+    # norms of the STORED (rounded) dtype: exact-f32 norms paired
+    # with bf16 inner products bias distances by 2*v.dv per row
+    # (~5% recall@10 at 1M, measured on-chip)
+    sf = stored.astype(jnp.float32)
+    new_norms = jnp.sum(sf * sf, axis=-1)
+    vectors = jax.lax.dynamic_update_slice(vectors, stored, (row, 0))
     norms = jax.lax.dynamic_update_slice(norms, new_norms, (row,))
-    valid = jax.lax.dynamic_update_slice(
-        valid, jnp.ones((n,), dtype=bool), (row,)
-    )
+    nv = jnp.arange(new_f32.shape[0]) < n
+    valid = jax.lax.dynamic_update_slice(valid, nv, (row,))
     return vectors, norms, valid
+
+
+def _bucket_rows(n: int) -> int:
+    """Pad append shapes to powers of two (min 256; multiples of 256k
+    past 256k) so flushes share compiled programs. NEVER let a jitted
+    program's input shapes track the row count exactly (CLAUDE.md: the
+    n//16 entry sample recompiled insert_batch per add — 214 vs 3462
+    inserts/s; exact-shape stage flushes put 1s compiles on the p99)."""
+    if n > 262144:
+        return -(-n // 262144) * 262144
+    b = 256
+    while b < n:
+        b *= 2
+    return b
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -104,12 +133,31 @@ class FlatIndex:
         self.vectors = jnp.zeros((cap, dim), dtype=dtype)
         self.norms_sq = jnp.zeros((cap,), dtype=jnp.float32)
         self.valid = jnp.zeros((cap,), dtype=bool)
+        # host staging: np appends accumulate here and flush to device
+        # in large amortized blocks (one jit per ~count/8 rows) — a
+        # per-put device write rewrites the whole corpus buffer on
+        # backends without donation and costs a dispatch everywhere
+        # (reference analogue: applyBatchToMemory + async index jobs,
+        # store_actions.go:813 — memtable first, index work deferred)
+        self._device_count = 0
+        self._stage: list[np.ndarray] = []
+        self._stage_rows = 0
+        self._stage_dead: list[int] = []
 
     # -- properties ---------------------------------------------------
 
     @property
     def capacity(self) -> int:
-        return self.vectors.shape[0]
+        """Row capacity AFTER the pending stage flushes — masks and
+        metadata columns sized against this stay consistent across the
+        flush that the next search triggers."""
+        needed = self._device_count + (
+            _bucket_rows(self._stage_rows) if self._stage_rows else 0
+        )
+        cap = self.vectors.shape[0]
+        while cap < needed:
+            cap *= 2
+        return cap
 
     def __len__(self) -> int:
         return self.count
@@ -117,52 +165,105 @@ class FlatIndex:
     # -- mutation -----------------------------------------------------
 
     def _grow_to(self, need: int) -> None:
-        new_cap = self.capacity
+        cur = self.vectors.shape[0]
+        new_cap = cur
         while new_cap < need:
             new_cap *= 2
-        if new_cap == self.capacity:
+        if new_cap == cur:
             return
-        pad = new_cap - self.capacity
+        pad = new_cap - cur
         self.vectors = jnp.pad(self.vectors, ((0, pad), (0, 0)))
         self.norms_sq = jnp.pad(self.norms_sq, (0, pad))
         self.valid = jnp.pad(self.valid, (0, pad))
 
-    def add(self, vecs: np.ndarray) -> np.ndarray:
-        """Append vectors; returns the assigned internal row ids."""
+    def add(self, vecs) -> np.ndarray:
+        """Append vectors; returns the assigned internal row ids.
+
+        np input: rows land in the host stage (a memcpy) and flush to
+        device in amortized blocks — ONE jitted program (normalize +
+        round + norms + update fused) per ~count/8 rows. jax-array
+        input: device fast path, exact shape (bulk loads — no
+        re-upload, one compile per distinct shape).
+        """
+        if isinstance(vecs, jax.Array):
+            if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+                raise ValueError(
+                    f"expected [n, {self.dim}] vectors, got {vecs.shape}"
+                )
+            self.flush()
+            n = vecs.shape[0]
+            self._grow_to(self.count + n)
+            self.vectors, self.norms_sq, self.valid = _ingest_block(
+                self.vectors, self.norms_sq, self.valid,
+                vecs.astype(jnp.float32), self.count, n,
+                self.metric == Metric.COSINE,
+            )
+            rows = np.arange(self.count, self.count + n, dtype=np.int64)
+            self.count += n
+            self._device_count = self.count
+            return rows
         vecs = np.ascontiguousarray(vecs, dtype=np.float32)
         if vecs.ndim != 2 or vecs.shape[1] != self.dim:
             raise ValueError(
                 f"expected [n, {self.dim}] vectors, got {vecs.shape}"
             )
         n = vecs.shape[0]
-        self._grow_to(self.count + n)
-        jv = jnp.asarray(vecs)
-        if self.metric == Metric.COSINE:
-            # store normalized rows: cosine becomes a dot scan
-            jv = jv / jnp.maximum(
-                jnp.linalg.norm(jv, axis=1, keepdims=True), 1e-30
-            )
-        # norms of the STORED (rounded) dtype: exact-f32 norms paired
-        # with bf16 inner products bias distances by 2*v.dv per row
-        # (~5% recall@10 at 1M, measured on-chip)
-        norms = squared_norms(jv.astype(self.dtype))
-        self.vectors, self.norms_sq, self.valid = _append_block(
-            self.vectors,
-            self.norms_sq,
-            self.valid,
-            jv.astype(self.dtype),
-            norms,
-            self.count,
-        )
         rows = np.arange(self.count, self.count + n, dtype=np.int64)
+        self._stage.append(vecs)
+        self._stage_rows += n
         self.count += n
+        # flush interval scales with the corpus: on backends without
+        # buffer donation (CPU) a flush copies the WHOLE device block,
+        # so count/4 bounds the amortized copy cost at 4 copies/row;
+        # on TPU donation makes the flush a true in-place update and
+        # the interval just batches dispatches
+        if self._stage_rows >= max(16384, self._device_count // 4):
+            self.flush()
         return rows
+
+    def flush(self) -> None:
+        """Apply staged host rows to the device block (one fused jit;
+        tombstones recorded while staged apply after)."""
+        if not self._stage_rows:
+            return
+        block = (
+            self._stage[0]
+            if len(self._stage) == 1
+            else np.concatenate(self._stage)
+        )
+        n = block.shape[0]
+        n_pad = _bucket_rows(n)
+        if n_pad != n:
+            block = np.pad(block, ((0, n_pad - n), (0, 0)))
+        self._grow_to(self._device_count + n_pad)
+        self.vectors, self.norms_sq, self.valid = _ingest_block(
+            self.vectors, self.norms_sq, self.valid,
+            block, self._device_count, n,
+            self.metric == Metric.COSINE,
+        )
+        self._device_count += n
+        self._stage = []
+        self._stage_rows = 0
+        if self._stage_dead:
+            self.valid = _tombstone(
+                self.valid, jnp.asarray(self._stage_dead)
+            )
+            self._stage_dead = []
 
     def delete_rows(self, rows: np.ndarray) -> None:
         """Tombstone internal rows (reference: tombstone bitsets,
-        dataset.go:35-102). Rows stay allocated until compaction."""
+        dataset.go:35-102). Rows stay allocated until compaction.
+        Rows still in the host stage are tombstoned at flush."""
         if len(rows) == 0:
             return
+        rows = np.asarray(rows)
+        if self._stage_rows:
+            staged = rows >= self._device_count
+            if staged.any():
+                self._stage_dead.extend(rows[staged].tolist())
+                rows = rows[~staged]
+            if len(rows) == 0:
+                return
         self.valid = _tombstone(self.valid, jnp.asarray(rows))
 
     # -- search -------------------------------------------------------
@@ -183,6 +284,7 @@ class FlatIndex:
         round trip on this platform, so all shaping happens in numpy on
         the host and everything else runs inside ONE jitted program.
         """
+        self.flush()
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         normalize = self.metric == Metric.COSINE
         metric = Metric.DOT if normalize else self.metric
@@ -236,6 +338,7 @@ class FlatIndex:
     # -- state export (persistence hooks) -----------------------------
 
     def export_state(self) -> dict:
+        self.flush()
         return {
             "kind": "flat",
             "dim": self.dim,

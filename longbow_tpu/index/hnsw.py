@@ -213,8 +213,9 @@ class HNSWIndex:
         # BUCKETED size: a sample shaped exactly n//16 changes on every
         # add, recompiling beam_search/insert_batch per batch (measured:
         # 214 inserts/s at 500k vs 1684/s at the 32k cap where the
-        # shape is stable). Rounding up to 8192 multiples gives 4 shapes
-        # ever; oversized samples just repeat rows (harmless scan dupes)
+        # shape is stable). Rounding up to 2048 multiples bounds the
+        # distinct shapes at ~15 between 2048 and the 32k cap; oversized
+        # samples just repeat rows (harmless scan dupes)
         if n <= self.config.entry_sample_size:
             s = n  # tiny index: every row (no duplicate entries)
         else:

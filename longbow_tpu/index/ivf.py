@@ -313,6 +313,7 @@ class IVFIndex:
                 out.append(cellsf[order[r]])
             else:
                 if spillf is None:
+                    self._spill.flush()
                     spillf = np.asarray(
                         self._spill.vectors[: len(self._spill)],
                         dtype=np.float32,
@@ -338,10 +339,10 @@ class IVFIndex:
             "valid": np.asarray(self.valid[: max(self.count, 1)]),
             "spill_rows": self._spill_rows,
             "spill_vectors": (
-                np.asarray(
+                (self._spill.flush() or np.asarray(
                     self._spill.vectors[: len(self._spill)],
                     dtype=np.float32,
-                )
+                ))
                 if self._spill is not None
                 else np.zeros((0, self.dim), np.float32)
             ),

@@ -4,15 +4,33 @@ The TPU-native replacement for the reference's batch distance assembly +
 heap select (reference: internal/simd/batch_operations.go:17-146,
 simd_blocked.go:15-122, arrow_kernels.go `select_k`:230). One Pallas
 kernel streams corpus tiles HBM->VMEM, computes a [B, TILE_N] distance
-block on the MXU, and folds it into a per-query running top-k held in
-VMEM scratch — the [B, N] score matrix never touches HBM, so the scan
-runs at corpus-read bandwidth.
+block on the MXU, and folds it into per-query candidate registers held
+in VMEM — the [B, N] score matrix never touches HBM.
 
-Top-k maintenance uses threshold-gated selection: we track the current
-k-th best value per query; a tile is folded in (k argmin rounds) only
-when any score beats a query's threshold. After the first few tiles the
-threshold converges and fold-ins become rare, so the steady-state cost
-is the matmul plus one compare pass per tile.
+Candidate maintenance is LANE-LOCAL and branch-free (the v5e numbers
+that killed the previous insert-round design, all measured with a
+dependency-chained harness: one full VPU pass over a [128, 2048] f32
+tile costs ~2us, a single argmin insert round ~6.4us, and a
+data-dependent while-loop iteration adds ~1us of scalar sync — so any
+per-tile work beyond ~1 pass dominates the matmul). Instead:
+
+  - scores are bitcast to order-preserving int32 ("sortable" trick:
+    negative floats XOR 0x7FFFFFFF), packed with their 4-bit
+    column-group id in the low bits;
+  - one vertical min-reduce over the tile's 16 column groups yields,
+    per (query, lane), the best candidate among the tile rows congruent
+    to that lane mod 128 — one fused VPU pass, no scalar core;
+  - a depth-4 bubble merge keeps the best 4 candidates per (query,
+    lane) across all tiles in [B, 512] registers (pure vreg min/max).
+
+The kernel therefore emits 512 candidates per query (best-4 per
+row-residue class). That is top-k-EXACT unless >4 of a query's true
+top-k rows collide in the same residue class mod 128, which for k<=64
+over 1M rows is vanishingly rare even on clustered data (consecutive
+similar rows land in *different* lanes); the recall gates in bench.py
+hold the wrapper's pool->exact-rerank pipeline to the same bar as the
+old exact kernel. The wrapper selects the requested pool/k from the
+candidates with one jax.lax.top_k.
 
 Supported metric modes:
   - "l2":  needs per-row corpus norms; dist = |q|^2 - 2 q.v + |v|^2
@@ -24,6 +42,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -32,7 +51,11 @@ from longbow_tpu.ops.distance import MASKED, Metric, pad_to
 # Python scalars (not traced arrays) so the kernel body has no captured
 # constants — Pallas requires all array inputs to be explicit.
 _MASKED = 3.0e38
-_BIG_I32 = 2**30
+# sortable-int image of _MASKED (init value of the candidate registers)
+_MASKED_I32 = int(np.float32(_MASKED).view(np.int32))
+
+LANES = 128
+DEPTH = 4  # candidates kept per (query, lane): 512 total per query
 
 
 def tile_for_dim(d: int) -> int:
@@ -46,126 +69,99 @@ def tile_for_dim(d: int) -> int:
     return 512
 
 
-def _row_argmin(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-row (min value [B,1], first column index of the min [B,1])."""
-    m = jnp.min(x, axis=1, keepdims=True)
-    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    col = jnp.min(jnp.where(x == m, cols, _BIG_I32), axis=1, keepdims=True)
-    return m, col
+def _sortable_i32(x: jax.Array) -> jax.Array:
+    """f32 -> int32 with the same total order (for >=0 the bitcast is
+    order-preserving; negatives need their magnitude bits flipped)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jnp.where(u < 0, u ^ 0x7FFFFFFF, u)
 
 
-def _row_argmax(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    m = jnp.max(x, axis=1, keepdims=True)
-    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    col = jnp.min(jnp.where(x == m, cols, _BIG_I32), axis=1, keepdims=True)
-    return m, col
+def _unsortable_f32(u: jax.Array) -> jax.Array:
+    """Inverse of _sortable_i32 (the transform is an involution)."""
+    return jax.lax.bitcast_convert_type(
+        jnp.where(u < 0, u ^ 0x7FFFFFFF, u), jnp.float32
+    )
+
+
+def _tile_scores(q, qn, tile, vn, mode: str):
+    """[B, TILE_N] distances on the MXU + epilogue. vn carries |v|^2
+    (l2) or 0 (ip) for valid rows and MASKED for padding/tombstones so
+    masking rides the epilogue add for free. NOTE: do NOT clamp
+    negatives here — a jnp.maximum on this expression sends the Mosaic
+    compiler into a minutes-long pathological compile on v5e (verified
+    empirically); the wrapper clamps the final [B, k] output instead."""
+    ip = jax.lax.dot_general(
+        q,
+        tile,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if mode == "l2":
+        return qn - 2.0 * ip + vn
+    return vn - ip
 
 
 def _scan_kernel(
     q_ref,        # [B, D] VMEM
     qn_ref,       # [B, 1] VMEM (|q|^2; zeros for ip mode)
     tile_ref,     # [TILE_N, D] VMEM corpus tile
-    vn_ref,       # [1, TILE_N] VMEM (corpus |v|^2, pre-masked with MASKED)
-    out_vals_ref,  # [B, KPAD]
-    out_idx_ref,   # [B, KPAD]
-    best_vals,    # scratch [B, KPAD] f32
-    best_idx,    # scratch [B, KPAD] i32
-    s_ref,       # scratch [B, TILE_N] f32 (mutable tile scores)
+    vn_ref,       # [1, TILE_N] VMEM (corpus |v|^2, pre-masked w/ MASKED)
+    out_vals_ref,  # [B, DEPTH*LANES] i32 (sortable-packed values)
+    out_ids_ref,   # [B, DEPTH*LANES] i32 (global column-group ids)
+    rv_ref,       # scratch [B, DEPTH*LANES] i32
+    ri_ref,       # scratch [B, DEPTH*LANES] i32
     *,
-    k: int,
     tile_n: int,
     mode: str,
 ):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
+    b = q_ref.shape[0]
+    g = tile_n // LANES  # column groups per tile (<= 16: 4 id bits)
 
     @pl.when(step == 0)
     def _init():
-        best_vals[:] = jnp.full_like(best_vals, _MASKED)
-        best_idx[:] = jnp.full_like(best_idx, -1)
+        rv_ref[:] = jnp.full_like(rv_ref, _MASKED_I32)
+        ri_ref[:] = jnp.full_like(ri_ref, -1)
 
-    # ---- distances for this tile (MXU + epilogue) ----
-    ip = jax.lax.dot_general(
-        q_ref[:],
-        tile_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [B, TILE_N]
-    if mode == "l2":
-        # vn_ref carries |v|^2 for valid rows and MASKED for padding or
-        # tombstoned rows, so masking rides the epilogue add for free.
-        # NOTE: do NOT clamp negatives here — a jnp.maximum on this
-        # expression sends the Mosaic compiler into a minutes-long
-        # pathological compile on v5e (verified empirically); the
-        # wrapper clamps the final [B, k] output instead.
-        scores = qn_ref[:] - 2.0 * ip + vn_ref[:]
-    else:  # "ip"
-        scores = vn_ref[:] - ip  # vn is 0 for valid rows, MASKED otherwise
+    scores = _tile_scores(q_ref[:], qn_ref[:], tile_ref[:], vn_ref[:], mode)
+    u = _sortable_i32(scores).reshape(b, g, LANES)
+    gi = jax.lax.broadcasted_iota(jnp.int32, (b, g, LANES), 1)
+    # pack the 4-bit group id into the value's low bits: the vertical
+    # min then carries its own argmin (tie-break/truncation noise is
+    # 2^-19 relative — the serving pipeline re-ranks exactly anyway)
+    packed = jnp.bitwise_and(u, -16) | gi
 
-    # ---- threshold-gated fold-in ----
-    # Exactly `rounds` insert iterations run per tile, where rounds =
-    # max over queries of how many tile scores beat that query's current
-    # k-th best. In steady state (threshold converged) rounds is 0 for
-    # almost every tile, so the scan stays matmul/bandwidth-bound: the
-    # per-tile cost is one compare+count pass and a single scalar read
-    # for the trip count — no per-round scalar sync like a while-cond.
-    # Counting with the *pre-insert* threshold can only overcount, never
-    # undercount (inserting lowers the threshold), so this stays exact.
-    s_ref[:] = scores
-    base = step * tile_n
+    def merge(pm):
+        """Bubble one [B, LANES] candidate column into the depth-DEPTH
+        per-lane registers — pure vreg min/max selects."""
+        m_i = jnp.bitwise_and(pm, 15) + step * g      # global group id
+        m_v = jnp.bitwise_and(pm, -16)
+        for d in range(DEPTH):
+            rv = rv_ref[:, d * LANES:(d + 1) * LANES]
+            ri = ri_ref[:, d * LANES:(d + 1) * LANES]
+            swap = m_v < rv
+            nv = jnp.where(swap, m_v, rv)
+            ni = jnp.where(swap, m_i, ri)
+            m_v = jnp.where(swap, rv, m_v)
+            m_i = jnp.where(swap, ri, m_i)
+            rv_ref[:, d * LANES:(d + 1) * LANES] = nv
+            ri_ref[:, d * LANES:(d + 1) * LANES] = ni
 
-    def round_():
-        """One insert round: move the per-query best remaining tile
-        score into that query's top-k slot set (if it improves it)."""
-        s = s_ref[:]
-        m_val, m_col = _row_argmin(s)
-        w_val, w_col = _row_argmax(best_vals[:])
-        do = m_val < w_val  # [B, 1]
-        kcols = jax.lax.broadcasted_iota(jnp.int32, best_vals.shape, 1)
-        at_worst = kcols == w_col
-        best_vals[:] = jnp.where(at_worst & do, m_val, best_vals[:])
-        best_idx[:] = jnp.where(at_worst & do, base + m_col, best_idx[:])
-        scols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        # retire the candidate whether or not it was inserted so every
-        # round strictly shrinks the remaining hit set
-        s_ref[:] = jnp.where(scols == m_col, _MASKED, s)
+    # half-split vertical reduce: two candidates per (query, lane) per
+    # tile for the SAME total reduce work as one full min — halves the
+    # same-residue collision window (adjacent similar rows land in
+    # different lanes; only rows 128*j apart within a half-tile compete)
+    if g >= 2:
+        merge(jnp.min(packed[:, : g // 2], axis=1))
+        merge(jnp.min(packed[:, g // 2 :], axis=1))
+    else:
+        merge(jnp.min(packed, axis=1))
 
-    # Two unconditional rounds cover the common case (a tile rarely
-    # contributes more than 2 of any query's final top-k once the
-    # threshold has converged) without any scalar-core sync; the
-    # while-loop mops up rare residual hits to keep the scan exact.
-    for _ in range(min(2, k)):
-        round_()
-
-    def cond(it):
-        kth = jnp.max(best_vals[:], axis=1, keepdims=True)
-        # hard bound: each round retires one column per row, so > tile_n
-        # rounds is impossible; the bound also guards interpret mode
-        return jnp.logical_and(it < tile_n, jnp.any(s_ref[:] < kth))
-
-    def body(it):
-        round_()
-        return it + 1
-
-    jax.lax.while_loop(cond, body, jnp.int32(0))
-
-    # ---- emit sorted results on the final step ----
     @pl.when(step == nsteps - 1)
     def _emit():
-        bv = best_vals[:]
-        bi = best_idx[:]
-        ov = jnp.full_like(bv, _MASKED)
-        oi = jnp.full_like(bi, -1)
-        kcols = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1)
-        for j in range(k):
-            m_val, m_col = _row_argmin(bv)
-            sel = kcols == m_col
-            pick_i = jnp.max(jnp.where(sel, bi, -_BIG_I32), axis=1, keepdims=True)
-            ov = jnp.where(kcols == j, m_val, ov)
-            oi = jnp.where(kcols == j, pick_i, oi)
-            bv = jnp.where(sel, _MASKED, bv)
-        out_vals_ref[:] = ov
-        out_idx_ref[:] = oi
+        out_vals_ref[:] = rv_ref[:]
+        out_ids_ref[:] = ri_ref[:]
 
 
 @functools.partial(
@@ -185,7 +181,7 @@ def fused_flat_search(
     tile_n: int = 0,  # 0 = dimension-aware default (tile_for_dim)
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Flat exact k-NN with fused streaming top-k.
+    """Flat k-NN with fused streaming candidate scan.
 
     queries:  [B, D] f32/bf16 (D should be 128-aligned; padded if not)
     corpus:   [N, D] same dtype; N padded internally to tile_n
@@ -194,18 +190,26 @@ def fused_flat_search(
     valid:    [N] bool — False rows (padding/tombstones) never returned
     Returns (dist [B, k] f32, idx [B, k] i32), sorted ascending.
 
+    Results come from the kernel's 512-candidate-per-query registers
+    (see module docstring): top-k-exact unless >4 of the true top-k
+    share a row-residue class mod 128 within the corpus.
+
     For cosine: pre-normalize corpus + queries and call with metric="dot".
     """
     metric = Metric.validate(metric)
     if metric == Metric.COSINE:
-        raise ValueError("fused_flat_search: pre-normalize and use dot for cosine")
+        raise ValueError(
+            "fused_flat_search: pre-normalize and use dot for cosine"
+        )
     mode = "l2" if metric == Metric.L2 else "ip"
     # serving-path fusion: query normalization and filter-mask combine
     # happen inside this jit — each would otherwise be a separate eager
     # dispatch costing a ~30ms host round trip on this platform
     if normalize:
         queries = queries / jnp.maximum(
-            jnp.linalg.norm(queries.astype(jnp.float32), axis=1, keepdims=True),
+            jnp.linalg.norm(
+                queries.astype(jnp.float32), axis=1, keepdims=True
+            ),
             1e-30,
         ).astype(queries.dtype)
     if extra_mask is not None:
@@ -213,15 +217,15 @@ def fused_flat_search(
 
     b, d = queries.shape
     n = corpus.shape[0]
-    if k > 128:
-        raise ValueError("fused_flat_search supports k <= 128")
+    ncand = DEPTH * LANES
+    if k > ncand:
+        raise ValueError(f"fused_flat_search supports k <= {ncand}")
 
     # pad shapes to hardware tiles (bf16 sublane tiling wants 16 rows)
     d_pad = pad_to(d, 128)
     tile_n = tile_n or min(tile_for_dim(d), 1024)
     n_pad = pad_to(n, tile_n)
     b_pad = pad_to(b, 16 if corpus.dtype == jnp.bfloat16 else 8)
-    kpad = 128  # one lane register per query row for the running top-k
 
     # queries compute in the corpus dtype on the MXU (bf16 corpus halves
     # HBM traffic — the reference's fp16 mode, docs/vectorsearch.md:137)
@@ -244,16 +248,17 @@ def fused_flat_search(
         else jnp.zeros((b_pad, 1), jnp.float32)
     )
     # fold validity into the norm row: invalid -> MASKED so the epilogue
-    # add pushes the distance out of top-k range
-    vn_base = corpus_norms_sq.astype(jnp.float32) if mode == "l2" else jnp.zeros(
-        (n_pad,), jnp.float32
+    # add pushes the distance out of candidate range
+    vn_base = (
+        corpus_norms_sq.astype(jnp.float32)
+        if mode == "l2"
+        else jnp.zeros((n_pad,), jnp.float32)
     )
-    vn = jnp.where(valid.astype(bool), vn_base, MASKED)[None, :]  # [1, n_pad]
+    vn = jnp.where(valid.astype(bool), vn_base, MASKED)[None, :]
 
     grid = (n_pad // tile_n,)
-    kernel = functools.partial(_scan_kernel, k=k, tile_n=tile_n, mode=mode)
-
-    out_vals, out_idx = pl.pallas_call(
+    kernel = functools.partial(_scan_kernel, tile_n=tile_n, mode=mode)
+    out_vals, out_ids = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -263,17 +268,16 @@ def fused_flat_search(
             pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((b_pad, kpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_pad, kpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, ncand), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, ncand), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b_pad, kpad), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, kpad), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, ncand), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, ncand), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((b_pad, kpad), jnp.float32),
-            pltpu.VMEM((b_pad, kpad), jnp.int32),
-            pltpu.VMEM((b_pad, tile_n), jnp.float32),
+            pltpu.VMEM((b_pad, ncand), jnp.int32),
+            pltpu.VMEM((b_pad, ncand), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * n_pad * d_pad,
@@ -282,6 +286,15 @@ def fused_flat_search(
         ),
         interpret=interpret,
     )(queries, qn, corpus, vn)
+
+    # decode candidates -> rows, then select the k best (one top_k)
+    lane = jnp.arange(ncand, dtype=jnp.int32) % LANES
+    rows = jnp.where(
+        out_ids >= 0, out_ids * LANES + lane[None, :], -1
+    )
+    neg, pos = jax.lax.top_k(-out_vals, k)
+    out_idx = jnp.take_along_axis(rows, pos, axis=1)
+    out_vals = _unsortable_f32(-neg)
 
     out_vals = out_vals[:b, :k]
     if mode == "l2":
@@ -311,10 +324,11 @@ def flat_search_rerank(
     """Fused bf16 scan for a candidate pool + exact-f32-arithmetic
     re-rank of the pool (storage stays bf16).
 
-    The scan is HBM-bandwidth-bound, so pool=64 costs the same as
-    pool=10; the re-rank removes the bf16 matmul's cancellation noise
-    (recall vs the f32 oracle: 0.944 -> 0.9895 on clustered 1M x 128,
-    same 4.7 ms/128q). The residual ~1% is bf16 *storage* rounding.
+    The scan cost is independent of pool size (candidates come from the
+    kernel's 512-wide registers), so pool=64 costs the same as pool=10;
+    the re-rank removes the bf16 matmul's cancellation noise (recall vs
+    the f32 oracle: 0.944 -> 0.9895 on clustered 1M x 128). The
+    residual ~1% is bf16 *storage* rounding.
     """
     pool = max(pool, k)
     tile_n = tile_n or tile_for_dim(corpus.shape[1])

@@ -65,6 +65,9 @@ class VectorSearchRequest:
     fusion: str = "linear"  # linear | rrf | cascade
     include_vectors: bool = False
     vector_format: str = ""
+    # read consistency for fan-out searches (reference: QuorumManager
+    # ONE/QUORUM/ALL reads, quorum.go:93-126); "" = best-effort
+    consistency: str = ""
 
     def query_vectors(self) -> list:
         """Normalized batch of query vectors."""
@@ -114,9 +117,19 @@ def parse_search_request(obj: dict) -> VectorSearchRequest:
         fusion=str(obj.get("fusion", "linear") or "linear"),
         include_vectors=bool(obj.get("include_vectors", False)),
         vector_format=obj.get("vector_format", "") or "",
+        consistency=str(obj.get("consistency", "") or "").upper(),
     )
     if req.k <= 0:
         raise ValueError(f"k must be positive, got {req.k}")
+    if req.consistency not in ("", "ONE", "QUORUM", "ALL"):
+        raise ValueError(
+            f"consistency must be ONE|QUORUM|ALL, got {req.consistency!r}"
+        )
+    if req.vector_format not in ("", "f32", "f16", "quantized"):
+        raise ValueError(
+            f"vector_format must be f32|f16|quantized, "
+            f"got {req.vector_format!r}"
+        )
     return req
 
 

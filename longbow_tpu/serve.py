@@ -66,6 +66,7 @@ def main(argv=None) -> int:
         ),
         persist_dir=cfg.data_dir or None,
         wal_sync=cfg.wal_sync,
+        wal_io_uring=cfg.wal_io_uring,
         snapshot_backend=snapshot_backend,
     )
 
@@ -121,6 +122,25 @@ def main(argv=None) -> int:
         from longbow_tpu.distributed.cluster import ClusterCoordinator
 
         self_id = cfg.node_id or f"{cfg.host}:{cfg.data_port}"
+        # Partitioned placement hashes self_id into the consistent-hash
+        # ring AND hands it to clients as a dialable address
+        # (cluster-status ring_nodes -> smart routing). A bind-address
+        # identity like 0.0.0.0 would claim a keyspace slice nobody can
+        # dial and differs per coordinator -> duplicate/stale copies.
+        # Require an advertisable host:port in partitioned mode.
+        if cfg.placement == "partitioned":
+            host_part = self_id.rsplit(":", 1)[0]
+            if host_part in ("", "0.0.0.0", "::", "[::]"):
+                log.error(
+                    "partitioned placement requires a dialable node "
+                    "identity: set LONGBOW_NODE_ID=<advertised-host:port> "
+                    "(got %r from the bind address)", self_id,
+                )
+                return 2
+        peer_ca = None
+        if cfg.tls_ca_file:
+            with open(cfg.tls_ca_file, "rb") as f:
+                peer_ca = f.read()
         cluster = ClusterCoordinator(
             store,
             self_id,
@@ -134,6 +154,8 @@ def main(argv=None) -> int:
             region=cfg.region,
             lan_group=cfg.peers_lan,
             placement=cfg.placement,
+            api_key=cfg.auth_token,
+            tls_root_certs=peer_ca,
         )
         cluster.start()
         log.info(
@@ -176,12 +198,18 @@ def main(argv=None) -> int:
         from longbow_tpu.serving.ingest import IngestQueue
 
         ingest_queue = IngestQueue(store, max_depth=cfg.ingest_queue_depth)
+    sec = dict(
+        auth_token=cfg.auth_token or None,
+        tls_cert_file=cfg.tls_cert_file or None,
+        tls_key_file=cfg.tls_key_file or None,
+    )
     data = LongbowFlightServer(
         store,
         f"grpc://{cfg.host}:{cfg.data_port}",
         middleware_chain=middleware,
         cluster=cluster,
         ingest_queue=ingest_queue,
+        **sec,
     )
     meta = LongbowFlightServer(
         store,
@@ -189,6 +217,7 @@ def main(argv=None) -> int:
         middleware_chain=middleware,
         cluster=cluster,
         ingest_queue=ingest_queue,
+        **sec,
     )
 
     # pyarrow's FlightServerBase.serve() installs its own SIGINT/SIGTERM

@@ -20,9 +20,24 @@ class LongbowClient:
         host: str = "localhost",
         data_port: int = 3000,
         meta_port: int = 3001,
+        *,
+        api_key: Optional[str] = None,
+        tls_root_certs: Optional[bytes] = None,
     ):
-        self.data_location = f"grpc://{host}:{data_port}"
-        self.meta_location = f"grpc://{host}:{meta_port}"
+        """api_key: sent as `authorization: Bearer <key>` on every call
+        (reference: SDK client.py:63-70). tls_root_certs: PEM CA bundle
+        — switches the connection to grpc+tls."""
+        scheme = "grpc+tls" if tls_root_certs else "grpc"
+        self.data_location = f"{scheme}://{host}:{data_port}"
+        self.meta_location = f"{scheme}://{host}:{meta_port}"
+        self._tls_root_certs = tls_root_certs
+        self._opts = (
+            flight.FlightCallOptions(
+                headers=[(b"authorization", f"Bearer {api_key}".encode())]
+            )
+            if api_key
+            else None
+        )
         self._data: Optional[flight.FlightClient] = None
         self._meta: Optional[flight.FlightClient] = None
         # smart routing (reference: Go SmartClient client/client.go:15
@@ -30,9 +45,16 @@ class LongbowClient:
         self._ring = None
         self._route_conns: dict = {}
 
+    def _new_conn(self, location: str) -> flight.FlightClient:
+        if self._tls_root_certs:
+            return flight.FlightClient(
+                location, tls_root_certs=self._tls_root_certs
+            )
+        return flight.FlightClient(location)
+
     def connect(self) -> "LongbowClient":
-        self._data = flight.FlightClient(self.data_location)
-        self._meta = flight.FlightClient(self.meta_location)
+        self._data = self._new_conn(self.data_location)
+        self._meta = self._new_conn(self.meta_location)
         return self
 
     def enable_smart_routing(self) -> "LongbowClient":
@@ -50,7 +72,8 @@ class LongbowClient:
     def _conn_for(self, node: str) -> flight.FlightClient:
         c = self._route_conns.get(node)
         if c is None:
-            c = flight.FlightClient(f"grpc://{node}")
+            scheme = "grpc+tls" if self._tls_root_certs else "grpc"
+            c = self._new_conn(f"{scheme}://{node}")
             self._route_conns[node] = c
         return c
 
@@ -142,7 +165,7 @@ class LongbowClient:
         if meta:
             table = table.replace_schema_metadata(meta)
         descriptor = flight.FlightDescriptor.for_path(dataset)
-        writer, _ = conn.do_put(descriptor, table.schema)
+        writer, _ = conn.do_put(descriptor, table.schema, options=self._opts)
         writer.write_table(table)
         writer.close()
 
@@ -176,20 +199,23 @@ class LongbowClient:
         if include_vectors:
             req["include_vectors"] = True
         ticket = flight.Ticket(json.dumps({"search": req}).encode())
-        return self._dc().do_get(ticket).read_all()
+        return self._dc().do_get(ticket, options=self._opts).read_all()
 
     def scan(self, dataset: str, limit: int = 0) -> pa.Table:
         ticket = flight.Ticket(
             json.dumps({"name": dataset, "limit": limit}).encode()
         )
-        return self._dc().do_get(ticket).read_all()
+        return self._dc().do_get(ticket, options=self._opts).read_all()
 
     # -- actions -------------------------------------------------------
 
     def _action(self, name: str, body: dict, meta: bool = True):
         client = self._mc() if meta else self._dc()
         action = flight.Action(name, json.dumps(body).encode())
-        out = [json.loads(r.body.to_pybytes()) for r in client.do_action(action)]
+        out = [
+            json.loads(r.body.to_pybytes())
+            for r in client.do_action(action, options=self._opts)
+        ]
         return out[0] if out else {}
 
     def search_by_id(self, dataset: str, id, k: int = 10) -> dict:
@@ -222,10 +248,12 @@ class LongbowClient:
         )
 
     def list_namespaces(self) -> list:
-        return [
-            f.descriptor.path[0].decode()
-            for f in self._mc().list_flights()
-        ]
+        flights = (
+            self._mc().list_flights(options=self._opts)
+            if self._opts is not None
+            else self._mc().list_flights()
+        )
+        return [f.descriptor.path[0].decode() for f in flights]
 
     def check_readiness(self) -> dict:
         return self._action("check_readiness", {})
@@ -259,7 +287,7 @@ class LongbowClient:
         it = iter(batches)
         first = next(it)
         schema = self._put_schema(first)
-        writer, reader = self._dc().do_exchange(descriptor)
+        writer, reader = self._dc().do_exchange(descriptor, options=self._opts)
         total = 0
         writer.begin(schema)
         for ids, vecs in [first, *it]:
@@ -276,7 +304,7 @@ class LongbowClient:
                 {"protocol": "search", "dataset": dataset, "k": k}
             ).encode()
         )
-        writer, reader = self._dc().do_exchange(descriptor)
+        writer, reader = self._dc().do_exchange(descriptor, options=self._opts)
         out = []
         first = np.atleast_2d(np.asarray(query_batches[0], np.float32))
         schema = pa.schema(

@@ -56,9 +56,23 @@ def _vector_column_to_numpy(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def _ids_column_to_numpy(col) -> np.ndarray:
+    """Arrow column -> numpy without the per-row to_pylist walk
+    (to_pylist on ids/metadata columns was the DoPut edge bottleneck:
+    35 MB/s served vs the reference's 763-1663,
+    /root/reference/docs/performance.md:20-25). Numeric columns come
+    back zero-copy when there are no nulls; strings as one object
+    array built in C."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return np.asarray(col.to_pylist())
+    return np.asarray(col.to_numpy(zero_copy_only=False))
+
+
+def _meta_columns_to_numpy(tbl: pa.Table, names) -> dict:
+    return {
+        n: _ids_column_to_numpy(tbl.column(n))
+        for n in names
+        if n not in _RESERVED
+    }
 
 
 _RESERVED = {"id", "vector", "timestamp"}
@@ -75,8 +89,31 @@ class LongbowFlightServer(flight.FlightServerBase):
         audit_logger=None,
         cluster=None,
         ingest_queue=None,
+        auth_token=None,
+        tls_cert_file=None,
+        tls_key_file=None,
         **kw,
     ):
+        # transport security (reference: SDK bearer headers
+        # client.py:63-70, docs/security.md TLS): every call must carry
+        # `authorization: Bearer <token>` when a token is configured;
+        # TLS flips the listener to grpc+tls with the given cert/key
+        if auth_token:
+            from longbow_tpu.serving.security import bearer_middleware
+
+            tokens = (
+                [auth_token] if isinstance(auth_token, str) else auth_token
+            )
+            mw = dict(kw.pop("middleware", None) or {})
+            mw.update(bearer_middleware(tokens))
+            kw["middleware"] = mw
+        if tls_cert_file:
+            from longbow_tpu.serving.security import load_tls_certificates
+
+            kw["tls_certificates"] = load_tls_certificates(
+                tls_cert_file, tls_key_file
+            )
+            location = location.replace("grpc://", "grpc+tls://", 1)
         super().__init__(location, **kw)
         self.store = store
         self.location = location
@@ -122,9 +159,10 @@ class LongbowFlightServer(flight.FlightServerBase):
         if self.middleware:
             self.middleware.admit("DoPut")
         try:
-            self._do_put_stream(
-                reader, dataset, metric, is_replication, origin_ts
-            )
+            with self.metrics.time_op("DoPut"):
+                self._do_put_stream(
+                    reader, dataset, metric, is_replication, origin_ts
+                )
         finally:
             if self.middleware:
                 self.middleware.release("DoPut")
@@ -153,11 +191,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                     )
                 ids = np.arange(auto_base, auto_base + len(vecs))
                 auto_base += len(vecs)
-            columns = {
-                n: np.asarray(tbl.column(n).to_pylist())
-                for n in names
-                if n not in _RESERVED
-            }
+            columns = _meta_columns_to_numpy(tbl, names)
             ts = origin_ts
             if ts is None and (
                 self.cluster is not None or self.ingest is not None
@@ -313,12 +347,18 @@ class LongbowFlightServer(flight.FlightServerBase):
         if fan_out:
             # cross-process global search: merge alive peers' local
             # top-k (reference: store_query.go:696-717 -> global_search.go)
-            ids, scores, ok = self.cluster.global_search(
-                dsname, qv, req.k,
-                raw_filters=_filters_to_wire(req.filters),
-                local=(ids, scores, ok),
-                metric=ds.metric if ds is not None else None,
-            )
+            from longbow_tpu.distributed.cluster import ConsistencyError
+
+            try:
+                ids, scores, ok = self.cluster.global_search(
+                    dsname, qv, req.k,
+                    raw_filters=_filters_to_wire(req.filters),
+                    local=(ids, scores, ok),
+                    metric=ds.metric if ds is not None else None,
+                    consistency=req.consistency,
+                )
+            except ConsistencyError as e:
+                raise flight.FlightUnavailableError(str(e)) from e
         self.metrics.histogram(
             "longbow_vector_search_latency_seconds"
         ).observe(time.perf_counter() - t_search)
@@ -326,31 +366,70 @@ class LongbowFlightServer(flight.FlightServerBase):
             "longbow_flight_operations_total", ("op",)
         ).labels(op="VectorSearch").inc()
 
-        out_ids, out_scores, out_qidx, rows = [], [], [], []
-        for b in range(ids.shape[0]):
-            for j in range(ids.shape[1]):
-                if ok[b, j]:
-                    out_ids.append(ids[b, j])
-                    out_scores.append(float(scores[b, j]))
-                    out_qidx.append(b)
+        # vectorized response assembly (the per-row python loop here
+        # showed up in serving profiles)
+        okm = np.asarray(ok)
+        bi, ji = np.nonzero(okm)
+        out_ids = ids[bi, ji].tolist()
         fields = [
             ("id", _ids_arrow_array(out_ids)),
-            ("score", pa.array(out_scores, pa.float32())),
-            ("query_index", pa.array(out_qidx, pa.int32())),
+            ("score", pa.array(np.asarray(scores)[bi, ji], pa.float32())),
+            ("query_index", pa.array(bi.astype(np.int32), pa.int32())),
         ]
         if req.include_vectors and out_ids:
             vrows = np.asarray(
                 [ds._id_to_row[Dataset_key(i)] for i in out_ids]
             )
             vecs = ds.get_vectors_by_rows(vrows)
-            fields.append(
-                (
-                    "vector",
-                    pa.FixedSizeListArray.from_arrays(
-                        pa.array(vecs.reshape(-1), pa.float32()), ds.dim
-                    ),
+            # vector_format: result payload encoding (reference:
+            # requests.go:19,34 — "f32" | "f16" | "quantized")
+            if req.vector_format == "f16":
+                fields.append(
+                    (
+                        "vector",
+                        pa.FixedSizeListArray.from_arrays(
+                            pa.array(
+                                vecs.astype(np.float16).reshape(-1),
+                                pa.float16(),
+                            ),
+                            ds.dim,
+                        ),
+                    )
                 )
-            )
+            elif req.vector_format == "quantized":
+                # per-row symmetric int8: scale = max|v|/127 rides in a
+                # sibling column so clients can dequantize exactly
+                scale = np.maximum(
+                    np.abs(vecs).max(axis=1), 1e-30
+                ) / 127.0
+                codes = np.clip(
+                    np.round(vecs / scale[:, None]), -127, 127
+                ).astype(np.int8)
+                fields.append(
+                    (
+                        "vector",
+                        pa.FixedSizeListArray.from_arrays(
+                            pa.array(codes.reshape(-1), pa.int8()),
+                            ds.dim,
+                        ),
+                    )
+                )
+                fields.append(
+                    (
+                        "vector_scale",
+                        pa.array(scale.astype(np.float32), pa.float32()),
+                    )
+                )
+            else:
+                fields.append(
+                    (
+                        "vector",
+                        pa.FixedSizeListArray.from_arrays(
+                            pa.array(vecs.reshape(-1), pa.float32()),
+                            ds.dim,
+                        ),
+                    )
+                )
         tbl = pa.table(dict(fields))
         if fb is not None and fb_key is not None:
             fb.put(fb_key, tbl)  # last-good answer for degraded serving
@@ -459,11 +538,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                 if "id" in tbl.column_names
                 else np.arange(total, total + len(vecs))
             )
-            columns = {
-                n: np.asarray(tbl.column(n).to_pylist())
-                for n in tbl.column_names
-                if n not in _RESERVED
-            }
+            columns = _meta_columns_to_numpy(tbl, tbl.column_names)
             n_in = batch.num_rows
             if (
                 self.cluster is not None
@@ -507,22 +582,23 @@ class LongbowFlightServer(flight.FlightServerBase):
             tbl = pa.Table.from_batches([batch])
             qv = _vector_column_to_numpy(tbl.column("vector"))
             ids, scores, ok = self.store.search(dataset, qv, k)
-            rows = {"batch_index": [], "query_index": [], "id": [],
-                    "score": []}
-            for b in range(ids.shape[0]):
-                for j in range(ids.shape[1]):
-                    if ok[b, j]:
-                        rows["batch_index"].append(bi)
-                        rows["query_index"].append(b)
-                        rows["id"].append(int(ids[b, j]))
-                        rows["score"].append(float(scores[b, j]))
+            okm = np.asarray(ok)
+            qi, ji = np.nonzero(okm)
             writer.write_batch(
                 pa.record_batch(
                     {
-                        "batch_index": pa.array(rows["batch_index"], pa.int32()),
-                        "query_index": pa.array(rows["query_index"], pa.int32()),
-                        "id": pa.array(rows["id"], pa.int64()),
-                        "score": pa.array(rows["score"], pa.float32()),
+                        "batch_index": pa.array(
+                            np.full(len(qi), bi, np.int32), pa.int32()
+                        ),
+                        "query_index": pa.array(
+                            qi.astype(np.int32), pa.int32()
+                        ),
+                        "id": pa.array(
+                            [int(v) for v in ids[qi, ji]], pa.int64()
+                        ),
+                        "score": pa.array(
+                            np.asarray(scores)[qi, ji], pa.float32()
+                        ),
                     }
                 )
             )
@@ -637,15 +713,23 @@ class LongbowFlightServer(flight.FlightServerBase):
                 scores = np.zeros((b, req.k), np.float32)
                 okm = np.zeros((b, req.k), bool)
             if fan_out:
+                from longbow_tpu.distributed.cluster import (
+                    ConsistencyError,
+                )
+
                 try:
                     metric = self.store.get(req.dataset).metric
                 except KeyError:
                     metric = None  # resolved from the owning peers
-                ids, scores, okm = self.cluster.global_search(
-                    req.dataset, qv, req.k,
-                    raw_filters=_filters_to_wire(req.filters),
-                    local=(ids, scores, okm), metric=metric,
-                )
+                try:
+                    ids, scores, okm = self.cluster.global_search(
+                        req.dataset, qv, req.k,
+                        raw_filters=_filters_to_wire(req.filters),
+                        local=(ids, scores, okm), metric=metric,
+                        consistency=req.consistency,
+                    )
+                except ConsistencyError as e:
+                    raise flight.FlightUnavailableError(str(e)) from e
             resp = _response_ids_scores(ids, scores, okm)
             try:
                 # responses carry the metric so a coordinator that
@@ -687,6 +771,44 @@ class LongbowFlightServer(flight.FlightServerBase):
         if name == "GetGraphStats":
             req = json.loads(body)
             return ok(self.store.graph_stats(req.get("dataset", "")))
+        if name == "checkpoint-prepare":
+            # barrier phase 1 (reference: checkpoint_coordinator.go:67
+            # InitiateCheckpoint): drain in-flight ingest so the
+            # upcoming snapshot covers every acked write
+            req = json.loads(body or b"{}")
+            ready = True
+            if self.ingest is not None:
+                ready = self.ingest.drain(
+                    timeout_s=float(req.get("timeout_s", 30.0))
+                )
+            return ok({"ready": ready, "epoch": req.get("epoch")})
+        if name == "checkpoint-commit":
+            # barrier phase 2: snapshot + WAL truncate
+            req = json.loads(body or b"{}")
+            if self.store.engine is None:
+                return ok({"committed": False, "error": "no persist_dir"})
+            self.store.snapshot()
+            return ok({"committed": True, "epoch": req.get("epoch")})
+        if name == "checkpoint":
+            # coordinator entry point: barrier alive peers on an epoch,
+            # then commit everywhere (single-node: local snapshot)
+            req = json.loads(body or b"{}")
+            if self.ingest is not None:
+                self.ingest.drain(
+                    timeout_s=float(req.get("timeout_s", 30.0))
+                )
+            if self.cluster is not None and self.cluster.has_peers():
+                result = self.cluster.coordinated_checkpoint(
+                    timeout_s=float(req.get("timeout_s", 30.0))
+                )
+                if result["ok"] and self.store.engine is not None:
+                    self.store.snapshot()
+                    result["local"] = True
+                return ok(result)
+            if self.store.engine is None:
+                return ok({"ok": False, "error": "no persist_dir"})
+            self.store.snapshot()
+            return ok({"ok": True, "local": True})
         if name == "merkle-state":
             req = json.loads(body)
             return ok(self.store.get(req["dataset"]).merkle_state())
@@ -715,6 +837,9 @@ class LongbowFlightServer(flight.FlightServerBase):
             ("GetGraphStats", "GraphRAG: edge-store stats"),
             ("merkle-state", "anti-entropy: merkle root + leaves"),
             ("export-delta", "anti-entropy: rows of one merkle bucket"),
+            ("checkpoint", "coordinated cluster snapshot (epoch barrier)"),
+            ("checkpoint-prepare", "checkpoint barrier phase 1"),
+            ("checkpoint-commit", "checkpoint barrier phase 2"),
         ]
 
     # -- discovery --
@@ -779,15 +904,13 @@ def _response_ids_scores(ids, scores, ok) -> dict:
     (requests.go:24-27); flattened across the query batch, with a
     query_index column (wire-compatible superset) so batched fan-out
     responses merge per query."""
-    out_i, out_s, out_q = [], [], []
-    for b in range(ids.shape[0]):
-        for j in range(ids.shape[1]):
-            if ok[b, j]:
-                v = ids[b, j]
-                out_i.append(v.item() if hasattr(v, "item") else v)
-                out_s.append(float(scores[b, j]))
-                out_q.append(b)
-    return {"ids": out_i, "scores": out_s, "query_index": out_q}
+    okm = np.asarray(ok)
+    bi, ji = np.nonzero(okm)
+    out_i = [
+        v.item() if hasattr(v, "item") else v for v in ids[bi, ji]
+    ]
+    out_s = np.asarray(scores)[bi, ji].astype(float).tolist()
+    return {"ids": out_i, "scores": out_s, "query_index": bi.tolist()}
 
 
 class ServerHandle:

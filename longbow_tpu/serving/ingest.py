@@ -67,44 +67,102 @@ class IngestQueue:
         )
         self._observe_depth()
 
+    # coalescing cap: one device append per <= this many rows
+    # (reference: adaptive batching to 50k rows / 32MB,
+    # store_actions.go:530-618)
+    MAX_COALESCE_ROWS = 65536
+
     def _loop(self):
+        import numpy as np
+
         while not self._stop.is_set():
             try:
-                job = self._q.get(timeout=0.2)
+                first = self._q.get(timeout=0.2)
             except queue.Empty:
                 continue
+            # group-commit: greedily drain queued jobs and apply each
+            # (dataset, metric, column-key) group as ONE store.put —
+            # one WAL write, one device append, one metrics pass.
+            # Per-row origin timestamps preserve LWW across the merge.
+            batch = [first]
+            rows = len(first[1])
+            while rows < self.MAX_COALESCE_ROWS:
+                try:
+                    j = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                batch.append(j)
+                rows += len(j[1])
             with self._lock:
-                self._active += 1
+                self._active += len(batch)
+            groups: dict = {}
+            order = []
+            for j in batch:
+                key = (j[0], j[4], tuple(sorted((j[3] or {}).keys())))
+                if key not in groups:
+                    groups[key] = []
+                    order.append(key)
+                groups[key].append(j)
             try:
-                dataset, ids, vectors, columns, metric, ts = job
-                while not self._stop.is_set():
-                    try:
-                        self.store.put(
-                            dataset, ids, vectors, columns,
-                            metric=metric, timestamp=ts,
+                for key in order:
+                    gs = groups[key]
+                    if len(gs) == 1:
+                        dataset, ids, vectors, columns, metric, ts = gs[0]
+                    else:
+                        dataset, metric, colkeys = key
+                        ids = np.concatenate(
+                            [np.asarray(g[1]) for g in gs]
                         )
-                        break
-                    except Exception as e:
-                        from longbow_tpu.store.compaction import (
-                            MemoryPressureError,
+                        vectors = np.concatenate([g[2] for g in gs])
+                        columns = (
+                            {
+                                c: np.concatenate(
+                                    [np.asarray(g[3][c]) for g in gs]
+                                )
+                                for c in colkeys
+                            }
+                            or None
                         )
-
-                        if not isinstance(e, MemoryPressureError):
-                            raise
-                        # the batch was ACKED at DoPut time: dropping
-                        # it here would be silent data loss. Block the
-                        # worker until the backpressure controller
-                        # admits again — the queue fills, readiness
-                        # reports BUSY, and DoPut's hard-limit check
-                        # rejects NEW writes up front.
-                        time.sleep(0.5)
+                        now = time.time()
+                        ts = np.concatenate(
+                            [
+                                np.full(
+                                    len(g[1]),
+                                    g[5] if g[5] is not None else now,
+                                )
+                                for g in gs
+                            ]
+                        )
+                    self._apply(dataset, ids, vectors, columns, metric, ts)
             except Exception as e:  # keep draining; surface via errors
                 self.errors.append(f"{time.time():.0f} {e!r}")
                 del self.errors[:-20]
             finally:
                 with self._lock:
-                    self._active -= 1
+                    self._active -= len(batch)
                 self._observe_depth()
+
+    def _apply(self, dataset, ids, vectors, columns, metric, ts):
+        while not self._stop.is_set():
+            try:
+                self.store.put(
+                    dataset, ids, vectors, columns,
+                    metric=metric, timestamp=ts,
+                )
+                return
+            except Exception as e:
+                from longbow_tpu.store.compaction import (
+                    MemoryPressureError,
+                )
+
+                if not isinstance(e, MemoryPressureError):
+                    raise
+                # the batch was ACKED at DoPut time: dropping it here
+                # would be silent data loss. Block the worker until the
+                # backpressure controller admits again — the queue
+                # fills, readiness reports BUSY, and DoPut's hard-limit
+                # check rejects NEW writes up front.
+                time.sleep(0.5)
 
     def drain(self, timeout_s: float = 60.0) -> bool:
         t0 = time.time()

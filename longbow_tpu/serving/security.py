@@ -1,10 +1,13 @@
-"""Input sanitization + audit logging.
+"""Input sanitization + audit logging + transport security.
 
 reference: security/input_sanitizer.go:9-62, audit.go:16-32,
-ip rate limiter (middleware covers rate limiting).
+ip rate limiter (middleware covers rate limiting); the reference SDK
+sends `Bearer <api_key>` call headers and deployments assume TLS
+(longbowclientsdk/src/longbow/client.py:63-70, docs/security.md).
 """
 from __future__ import annotations
 
+import hmac
 import json
 import re
 import threading
@@ -72,3 +75,56 @@ class AuditLogger:
         }
         with self._lock, open(self.path, "a") as f:
             f.write(json.dumps(entry, default=str) + "\n")
+
+
+# -- transport security (reference: SDK bearer headers client.py:63-70,
+#    docs/security.md TLS) ---------------------------------------------
+
+def _load_bearer_middleware():
+    """Lazily import pyarrow.flight (security.py is also used by
+    non-serving code paths that must not require grpc)."""
+    import pyarrow.flight as flight
+
+    class BearerTokenMiddlewareFactory(flight.ServerMiddlewareFactory):
+        """Rejects every call that doesn't carry a valid
+        `authorization: Bearer <token>` header. Constant-time compare;
+        tokens may be rotated by passing several accepted values."""
+
+        def __init__(self, tokens):
+            self.tokens = [t for t in tokens if t]
+
+        def start_call(self, info, headers):
+            vals = []
+            for k, v in headers.items():
+                if (k.lower() if isinstance(k, str) else k) == "authorization":
+                    vals = v if isinstance(v, (list, tuple)) else [v]
+                    break
+            for v in vals:
+                if isinstance(v, bytes):
+                    v = v.decode("utf-8", "replace")
+                if not v.startswith("Bearer "):
+                    continue
+                presented = v[len("Bearer "):]
+                for tok in self.tokens:
+                    if hmac.compare_digest(presented, tok):
+                        return None
+            raise flight.FlightUnauthenticatedError(
+                "missing or invalid bearer token"
+            )
+
+    return BearerTokenMiddlewareFactory
+
+
+def bearer_middleware(tokens) -> dict:
+    """-> the `middleware=` dict for FlightServerBase."""
+    factory = _load_bearer_middleware()(tokens)
+    return {"auth": factory}
+
+
+def load_tls_certificates(cert_file: str, key_file: str):
+    """-> the `tls_certificates=` list for FlightServerBase."""
+    with open(cert_file, "rb") as f:
+        cert = f.read()
+    with open(key_file, "rb") as f:
+        key = f.read()
+    return [(cert, key)]

@@ -66,6 +66,7 @@ class StorageEngine:
         max_wal_bytes: int = MAX_WAL_BYTES,
         sync: str = "batch",
         snapshot_backend=None,
+        io_uring: bool = False,
     ):
         """snapshot_backend: optional remote mirror (S3/MinIO/R2 or the
         LocalBackend; reference: s3_backend.go:33) — every snapshot
@@ -74,7 +75,7 @@ class StorageEngine:
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.max_wal_bytes = max_wal_bytes
-        self.wal = WAL(self.dir / "wal.log", sync=sync)
+        self.wal = WAL(self.dir / "wal.log", sync=sync, io_uring=io_uring)
         self.backend = snapshot_backend
 
     # -- logging --------------------------------------------------------

@@ -68,6 +68,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint64),
         ]
+        # io_uring WAL backend (reference: wal_backend_linux.go:15-125)
+        lib.lb_uring_open.restype = ctypes.c_uint64
+        lib.lb_uring_open.argtypes = [ctypes.c_char_p, ctypes.c_uint32]
+        lib.lb_uring_write.restype = ctypes.c_int64
+        lib.lb_uring_write.argtypes = [
+            ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64
+        ]
+        lib.lb_uring_fsync.restype = ctypes.c_int64
+        lib.lb_uring_fsync.argtypes = [ctypes.c_uint64]
+        lib.lb_uring_size.restype = ctypes.c_int64
+        lib.lb_uring_size.argtypes = [ctypes.c_uint64]
+        lib.lb_uring_truncate.restype = ctypes.c_int64
+        lib.lb_uring_truncate.argtypes = [ctypes.c_uint64]
+        lib.lb_uring_close.restype = None
+        lib.lb_uring_close.argtypes = [ctypes.c_uint64]
         _lib = lib
         return _lib
 

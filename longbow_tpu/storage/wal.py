@@ -72,6 +72,77 @@ def _scan_frames(buf: bytes) -> tuple[list[int], int]:
     return out, pos
 
 
+class _FileBackend:
+    """Portable buffered-write backend (reference: FSBackend,
+    wal_backend.go:30-101)."""
+
+    name = "fs"
+
+    def __init__(self, path: Path):
+        self.path = path
+        self._f = open(path, "ab")
+
+    def write(self, frame: bytes) -> None:
+        self._f.write(frame)
+
+    def sync(self) -> None:
+        self._f.flush()
+        os.fsync(self._f.fileno())
+
+    def size(self) -> int:
+        self._f.flush()
+        return self.path.stat().st_size if self.path.exists() else 0
+
+    def truncate(self) -> None:
+        self._f.close()
+        open(self.path, "wb").close()
+        self._f = open(self.path, "ab")
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class _UringBackend:
+    """Linux io_uring backend: appends are submitted asynchronously and
+    the group-commit fsync is an IOSQE_IO_DRAIN-ordered fdatasync that
+    reaps every completion (reference: UringBackend,
+    wal_backend_linux.go:15-125; native/longbow_native.cpp lb_uring_*).
+    Raises OSError at construction when the kernel/sandbox refuses
+    io_uring — callers fall back to _FileBackend."""
+
+    name = "io_uring"
+
+    def __init__(self, path: Path, entries: int = 128):
+        self._lib = native.get_lib()
+        if self._lib is None:
+            raise OSError("native library unavailable")
+        self._h = self._lib.lb_uring_open(
+            str(path).encode(), entries
+        )
+        if not self._h:
+            raise OSError("io_uring setup failed")
+        self.path = path
+
+    def write(self, frame: bytes) -> None:
+        if self._lib.lb_uring_write(self._h, frame, len(frame)) < 0:
+            raise OSError("io_uring write failed")
+
+    def sync(self) -> None:
+        if self._lib.lb_uring_fsync(self._h) < 0:
+            raise OSError("io_uring fsync reported IO errors")
+
+    def size(self) -> int:
+        return max(self._lib.lb_uring_size(self._h), 0)
+
+    def truncate(self) -> None:
+        if self._lib.lb_uring_truncate(self._h) < 0:
+            raise OSError("io_uring truncate failed")
+
+    def close(self) -> None:
+        self._lib.lb_uring_close(self._h)
+        self._h = 0
+
+
 class WAL:
     """Append-only CRC-framed log with group-commit fsync."""
 
@@ -81,6 +152,7 @@ class WAL:
         *,
         sync: str = "batch",  # "always" | "batch" | "adaptive" | "never"
         sync_interval_s: float = 0.05,
+        io_uring: bool = False,
     ):
         """sync="adaptive" is the reference's AdaptiveWAL
         (adaptive_wal.go): the group-commit interval stretches under
@@ -97,7 +169,14 @@ class WAL:
             offsets, _ = _scan_frames(buf)
             if offsets:
                 self._seq = _HDR.unpack_from(buf, offsets[-1])[1]
-        self._f = open(self.path, "ab")
+        self._backend = None
+        if io_uring:
+            try:
+                self._backend = _UringBackend(self.path)
+            except OSError:
+                pass  # fall back below (old kernel / seccomp / no lib)
+        if self._backend is None:
+            self._backend = _FileBackend(self.path)
         self._lock = threading.Lock()
         self.sync = sync
         self._dirty = False
@@ -122,8 +201,7 @@ class WAL:
         while not self._stop.wait(self._sync_interval):
             with self._lock:
                 if self._dirty:
-                    self._f.flush()
-                    os.fsync(self._f.fileno())
+                    self._backend.sync()
                     self._dirty = False
                 batch = self._bytes_since_sync
                 self._bytes_since_sync = 0
@@ -157,7 +235,7 @@ class WAL:
         with self._lock:
             self._seq += 1
             frame = _encode_frame(self._seq, time.time(), name, kind, payload)
-            self._f.write(frame)
+            self._backend.write(frame)
             self._bytes_since_sync += len(frame)
             try:
                 from longbow_tpu.metrics import get_registry
@@ -168,32 +246,30 @@ class WAL:
             except Exception:
                 pass  # metrics must never fail a write
             if self.sync == "always":
-                self._f.flush()
-                os.fsync(self._f.fileno())
+                self._backend.sync()
             else:
                 self._dirty = True
             return self._seq
 
     def flush(self) -> None:
         with self._lock:
-            self._f.flush()
-            os.fsync(self._f.fileno())
+            self._backend.sync()
             self._dirty = False
 
     @property
     def size_bytes(self) -> int:
         with self._lock:
-            self._f.flush()
-        return self.path.stat().st_size if self.path.exists() else 0
+            return self._backend.size()
+
+    @property
+    def backend_name(self) -> str:
+        return self._backend.name
 
     def truncate(self) -> None:
         """Drop all entries (after a successful snapshot)
         (reference: TruncateWAL, engine.go)."""
         with self._lock:
-            self._f.close()
-            self._f = open(self.path, "wb")
-            self._f.close()
-            self._f = open(self.path, "ab")
+            self._backend.truncate()
             self._dirty = False
 
     def close(self) -> None:
@@ -201,7 +277,7 @@ class WAL:
         if self._fsync_thread:
             self._fsync_thread.join(timeout=2)
         self.flush()
-        self._f.close()
+        self._backend.close()
 
     # ------------------------------------------------------------------
 

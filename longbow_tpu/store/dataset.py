@@ -102,41 +102,77 @@ class Dataset:
         ids: np.ndarray,
         vectors: np.ndarray,
         columns: Optional[dict] = None,
-        timestamp: Optional[float] = None,
+        timestamp=None,
     ) -> None:
         """Upsert rows by user id. Duplicate ids tombstone the old row
         and write a new one, last-writer-wins by timestamp
-        (reference: lww.go, UpdatePrimaryIndex store_actions.go:813)."""
+        (reference: lww.go, UpdatePrimaryIndex store_actions.go:813).
+
+        timestamp: scalar, per-row array (coalesced ingest batches
+        carry each job's origin ts), or None (now). In-batch duplicate
+        ids dedupe to the newest occurrence before the device append.
+
+        Hot path discipline: ids become native Python keys in ONE
+        `.tolist()` call; all dict updates run over pre-converted lists
+        (the per-row `_key()` conversion was 45% of ingest CPU)."""
         ids = np.asarray(ids)
-        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        # device-input fast path: a jax array (e.g. a pre-staged bf16
+        # block) goes straight to the index — np conversion here would
+        # fetch it back to host (~13s at 1M rows through the relay)
+        device_input = isinstance(vectors, jax.Array)
+        if not device_input:
+            vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         n = len(ids)
         if vectors.shape[0] != n:
             raise ValueError("ids/vectors length mismatch")
-        ts = timestamp if timestamp is not None else time.time()
+        keys = ids.tolist()
+        ts_list = None
+        if isinstance(timestamp, np.ndarray):
+            ts_list = timestamp.tolist()
+            ts = ts_list[-1] if ts_list else time.time()
+        else:
+            ts = timestamp if timestamp is not None else time.time()
 
         with self._lock:
-            # LWW: drop stale writes
+            lww = self._lww
+            idr = self._id_to_row
+            # LWW stale-drop + in-batch dedupe (newest occurrence wins)
             keep = np.ones(n, dtype=bool)
-            for j, uid in enumerate(ids):
-                old_ts = self._lww.get(self._key(uid))
-                if old_ts is not None and old_ts > ts:
+            seen: dict = {}
+            dropped = False
+            for j, k in enumerate(keys):
+                tj = ts_list[j] if ts_list is not None else ts
+                old_ts = lww.get(k)
+                if old_ts is not None and old_ts > tj:
                     keep[j] = False
-            if not keep.all():
-                ids, vectors = ids[keep], vectors[keep]
+                    dropped = True
+                    continue
+                prev = seen.get(k)
+                if prev is not None:
+                    if ts_list is not None and ts_list[prev] > tj:
+                        keep[j] = False
+                        dropped = True
+                        continue
+                    keep[prev] = False
+                    dropped = True
+                seen[k] = j
+            if dropped:
+                sel = np.nonzero(keep)[0]
+                ids, vectors = ids[sel], vectors[sel]
+                sl = sel.tolist()
+                keys = [keys[j] for j in sl]
+                if ts_list is not None:
+                    ts_list = [ts_list[j] for j in sl]
                 if columns:
                     columns = {
-                        k: np.asarray(v)[keep] for k, v in columns.items()
+                        k: np.asarray(v)[sel] for k, v in columns.items()
                     }
-                n = len(ids)
+                n = len(keys)
             if n == 0:
                 return
 
             # tombstone overwritten rows
-            stale_rows = [
-                self._id_to_row[self._key(u)]
-                for u in ids
-                if self._key(u) in self._id_to_row
-            ]
+            stale_rows = [idr[k] for k in keys if k in idr]
             if stale_rows:
                 self.index.delete_rows(np.asarray(stale_rows))
 
@@ -149,19 +185,25 @@ class Dataset:
                     if tc in columns:
                         vals = np.asarray(columns[tc])
                         for j in range(n):
-                            self.bm25.add(self._key(ids[j]), str(vals[j]))
+                            self.bm25.add(keys[j], str(vals[j]))
                         break
-            for j, uid in enumerate(ids):
-                key = self._key(uid)
-                self._id_to_row[key] = int(rows[j])
-                self._lww[key] = ts
-            # rows.max(), not rows[-1]: mesh-sharded indexes return
+            rows_list = rows.tolist()
+            if ts_list is None:
+                for k, r in zip(keys, rows_list):
+                    idr[k] = r
+                    lww[k] = ts
+            else:
+                for k, r, tj in zip(keys, rows_list, ts_list):
+                    idr[k] = r
+                    lww[k] = tj
+            # max(rows), not rows[-1]: mesh-sharded indexes return
             # shard-strided (non-ascending) row ids
-            need = int(np.max(rows)) + 1 - len(self._row_to_id)
+            need = max(rows_list) + 1 - len(self._row_to_id)
             if need > 0:
                 self._row_to_id.extend([None] * need)
-            for j, uid in enumerate(ids):
-                self._row_to_id[int(rows[j])] = ids[j]
+            r2i = self._row_to_id
+            for r, k in zip(rows_list, keys):
+                r2i[r] = k
             self._row_ids_np = None
             self.filter_cache.invalidate()
 
@@ -303,7 +345,13 @@ class Dataset:
         if graph is not None:
             objs = list(graph.state)
         elif flat is not None:
-            objs = [flat.vectors, flat.norms_sq, flat.valid]
+            # post-flush capacity projection: host-staged rows are
+            # committed device bytes (they land on the next flush), so
+            # backpressure must see them before the flush happens
+            cap = flat.capacity
+            total += cap * (
+                flat.dim * jnp.dtype(flat.dtype).itemsize + 4 + 1
+            )
         elif inner is not None:  # quantized adapters
             for attr in ("codes", "codebooks", "valid", "rerank_vectors",
                          "vectors_bf16", "norms_sq"):

@@ -36,6 +36,7 @@ class VectorStore:
         query_cache_ttl: float = 60.0,
         persist_dir=None,
         wal_sync: str = "batch",
+        wal_io_uring: bool = False,
         snapshot_backend=None,
         default_index_kind: str = "adaptive",
         default_index_params: Optional[dict] = None,
@@ -76,6 +77,7 @@ class VectorStore:
             self.engine = StorageEngine(
                 persist_dir, sync=wal_sync,
                 snapshot_backend=snapshot_backend,
+                io_uring=wal_io_uring,
             )
             self.engine.recover(self)
 
@@ -208,9 +210,12 @@ class VectorStore:
         metric: Optional[str] = None,
         *,
         _log: bool = True,
-        timestamp: Optional[float] = None,
+        timestamp=None,
     ) -> None:
-        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        import jax as _jax
+
+        if not isinstance(vectors, _jax.Array):
+            vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
         if self.backpressure is not None:
             self.backpressure.check_admit(self)
         ds = self.get_or_create(dataset, vectors.shape[1], metric)

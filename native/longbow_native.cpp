@@ -124,3 +124,204 @@ int64_t lb_wal_scan(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// io_uring WAL backend (reference: UringBackend wal_backend_linux.go:
+// 15-125 — async batched writes + fsync off the caller's thread).
+// Raw syscalls, no liburing dependency; callers fall back to buffered
+// pwrite when setup fails (old kernel, seccomp).
+#ifdef __linux__
+#include <linux/io_uring.h>
+#include <sys/mman.h>
+#include <sys/syscall.h>
+#include <sys/stat.h>
+#include <unistd.h>
+#include <fcntl.h>
+#include <cstdlib>
+#include <cerrno>
+
+namespace {
+
+struct LbUring {
+    int ring_fd = -1;
+    int file_fd = -1;
+    unsigned sq_entries = 0;
+    void* sq_ptr = nullptr; size_t sq_size = 0;
+    void* cq_ptr = nullptr; size_t cq_size = 0;  // may alias sq_ptr
+    io_uring_sqe* sqes = nullptr; size_t sqes_size = 0;
+    unsigned* sq_head = nullptr;
+    unsigned* sq_tail = nullptr;
+    unsigned* sq_mask = nullptr;
+    unsigned* sq_array = nullptr;
+    unsigned* cq_head = nullptr;
+    unsigned* cq_tail = nullptr;
+    unsigned* cq_mask = nullptr;
+    io_uring_cqe* cqes = nullptr;
+    uint64_t offset = 0;     // append position
+    unsigned inflight = 0;   // submitted, not yet reaped
+    int64_t io_errors = 0;
+};
+
+int uring_setup_sys(unsigned entries, io_uring_params* p) {
+    return (int)syscall(SYS_io_uring_setup, entries, p);
+}
+int uring_enter_sys(int fd, unsigned to_submit, unsigned min_complete,
+                    unsigned flags) {
+    return (int)syscall(SYS_io_uring_enter, fd, to_submit, min_complete,
+                        flags, nullptr, 0);
+}
+
+// reap every available completion; frees the write buffers
+void uring_reap(LbUring* u) {
+    unsigned head = __atomic_load_n(u->cq_head, __ATOMIC_ACQUIRE);
+    unsigned tail = __atomic_load_n(u->cq_tail, __ATOMIC_ACQUIRE);
+    while (head != tail) {
+        io_uring_cqe* cqe = &u->cqes[head & *u->cq_mask];
+        if (cqe->user_data) free((void*)(uintptr_t)cqe->user_data);
+        if (cqe->res < 0) u->io_errors++;
+        head++;
+        if (u->inflight) u->inflight--;
+    }
+    __atomic_store_n(u->cq_head, head, __ATOMIC_RELEASE);
+}
+
+io_uring_sqe* uring_next_sqe(LbUring* u) {
+    unsigned head = __atomic_load_n(u->sq_head, __ATOMIC_ACQUIRE);
+    unsigned tail = *u->sq_tail;
+    if (tail - head >= u->sq_entries) {
+        // queue full: wait for one completion, then reap
+        uring_enter_sys(u->ring_fd, 0, 1, IORING_ENTER_GETEVENTS);
+        uring_reap(u);
+    }
+    unsigned idx = (*u->sq_tail) & *u->sq_mask;
+    io_uring_sqe* sqe = &u->sqes[idx];
+    memset(sqe, 0, sizeof(*sqe));
+    u->sq_array[idx] = idx;
+    return sqe;
+}
+
+void uring_submit(LbUring* u) {
+    __atomic_store_n(u->sq_tail, *u->sq_tail + 1, __ATOMIC_RELEASE);
+    uring_enter_sys(u->ring_fd, 1, 0, 0);
+    u->inflight++;
+}
+
+}  // namespace
+
+// -> handle (>0) or 0 on failure
+extern "C" uint64_t lb_uring_open(const char* path, uint32_t entries) {
+    LbUring* u = new LbUring();
+    io_uring_params p;
+    memset(&p, 0, sizeof(p));
+    u->ring_fd = uring_setup_sys(entries ? entries : 64, &p);
+    if (u->ring_fd < 0) { delete u; return 0; }
+    u->sq_entries = p.sq_entries;
+    u->sq_size = p.sq_off.array + p.sq_entries * sizeof(unsigned);
+    u->cq_size = p.cq_off.cqes + p.cq_entries * sizeof(io_uring_cqe);
+    bool single = p.features & IORING_FEAT_SINGLE_MMAP;
+    if (single && u->cq_size > u->sq_size) u->sq_size = u->cq_size;
+    u->sq_ptr = mmap(nullptr, u->sq_size, PROT_READ | PROT_WRITE,
+                     MAP_SHARED | MAP_POPULATE, u->ring_fd,
+                     IORING_OFF_SQ_RING);
+    if (u->sq_ptr == MAP_FAILED) { close(u->ring_fd); delete u; return 0; }
+    if (single) {
+        u->cq_ptr = u->sq_ptr;
+    } else {
+        u->cq_ptr = mmap(nullptr, u->cq_size, PROT_READ | PROT_WRITE,
+                         MAP_SHARED | MAP_POPULATE, u->ring_fd,
+                         IORING_OFF_CQ_RING);
+        if (u->cq_ptr == MAP_FAILED) { close(u->ring_fd); delete u; return 0; }
+    }
+    u->sqes_size = p.sq_entries * sizeof(io_uring_sqe);
+    u->sqes = (io_uring_sqe*)mmap(nullptr, u->sqes_size,
+                                  PROT_READ | PROT_WRITE,
+                                  MAP_SHARED | MAP_POPULATE, u->ring_fd,
+                                  IORING_OFF_SQES);
+    if (u->sqes == MAP_FAILED) { close(u->ring_fd); delete u; return 0; }
+    char* sq = (char*)u->sq_ptr;
+    char* cq = (char*)u->cq_ptr;
+    u->sq_head = (unsigned*)(sq + p.sq_off.head);
+    u->sq_tail = (unsigned*)(sq + p.sq_off.tail);
+    u->sq_mask = (unsigned*)(sq + p.sq_off.ring_mask);
+    u->sq_array = (unsigned*)(sq + p.sq_off.array);
+    u->cq_head = (unsigned*)(cq + p.cq_off.head);
+    u->cq_tail = (unsigned*)(cq + p.cq_off.tail);
+    u->cq_mask = (unsigned*)(cq + p.cq_off.ring_mask);
+    u->cqes = (io_uring_cqe*)(cq + p.cq_off.cqes);
+
+    u->file_fd = open(path, O_WRONLY | O_CREAT | O_APPEND, 0644);
+    if (u->file_fd < 0) { close(u->ring_fd); delete u; return 0; }
+    struct stat st;
+    if (fstat(u->file_fd, &st) == 0) u->offset = (uint64_t)st.st_size;
+    return (uint64_t)(uintptr_t)u;
+}
+
+// async append: copies buf, submits, returns new file size (or -1)
+extern "C" int64_t lb_uring_write(uint64_t h, const uint8_t* buf, uint64_t len) {
+    LbUring* u = (LbUring*)(uintptr_t)h;
+    if (!u || u->file_fd < 0) return -1;
+    uring_reap(u);  // opportunistic buffer recycling
+    void* copy = malloc(len);
+    if (!copy) return -1;
+    memcpy(copy, buf, len);
+    io_uring_sqe* sqe = uring_next_sqe(u);
+    sqe->opcode = IORING_OP_WRITE;
+    sqe->fd = u->file_fd;
+    sqe->addr = (uint64_t)(uintptr_t)copy;
+    sqe->len = (uint32_t)len;
+    sqe->off = u->offset;
+    sqe->user_data = (uint64_t)(uintptr_t)copy;
+    uring_submit(u);
+    u->offset += len;
+    return (int64_t)u->offset;
+}
+
+// barrier: fdatasync AFTER all prior writes complete; waits for
+// everything in flight. -> 0 ok, -1 on any IO error so far
+extern "C" int64_t lb_uring_fsync(uint64_t h) {
+    LbUring* u = (LbUring*)(uintptr_t)h;
+    if (!u || u->file_fd < 0) return -1;
+    io_uring_sqe* sqe = uring_next_sqe(u);
+    sqe->opcode = IORING_OP_FSYNC;
+    sqe->fd = u->file_fd;
+    sqe->fsync_flags = IORING_FSYNC_DATASYNC;
+    sqe->flags = IOSQE_IO_DRAIN;  // run only after queued writes
+    uring_submit(u);
+    while (u->inflight) {
+        int rc = uring_enter_sys(u->ring_fd, 0, 1, IORING_ENTER_GETEVENTS);
+        if (rc < 0 && errno != EINTR) { u->io_errors++; break; }
+        uring_reap(u);
+    }
+    return u->io_errors ? -1 : 0;
+}
+
+extern "C" int64_t lb_uring_size(uint64_t h) {
+    LbUring* u = (LbUring*)(uintptr_t)h;
+    return u ? (int64_t)u->offset : -1;
+}
+
+extern "C" int64_t lb_uring_truncate(uint64_t h) {
+    LbUring* u = (LbUring*)(uintptr_t)h;
+    if (!u || u->file_fd < 0) return -1;
+    lb_uring_fsync(h);
+    if (ftruncate(u->file_fd, 0) != 0) return -1;
+    u->offset = 0;
+    return 0;
+}
+
+extern "C" void lb_uring_close(uint64_t h) {
+    LbUring* u = (LbUring*)(uintptr_t)h;
+    if (!u) return;
+    lb_uring_fsync(h);
+    if (u->file_fd >= 0) close(u->file_fd);
+    if (u->ring_fd >= 0) close(u->ring_fd);
+    delete u;
+}
+#else  // !__linux__
+extern "C" uint64_t lb_uring_open(const char*, uint32_t) { return 0; }
+extern "C" int64_t lb_uring_write(uint64_t, const uint8_t*, uint64_t) { return -1; }
+extern "C" int64_t lb_uring_fsync(uint64_t) { return -1; }
+extern "C" int64_t lb_uring_size(uint64_t) { return -1; }
+extern "C" int64_t lb_uring_truncate(uint64_t) { return -1; }
+extern "C" void lb_uring_close(uint64_t) {}
+#endif

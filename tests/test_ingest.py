@@ -1,0 +1,148 @@
+"""Ingest-path tests: flat host staging, coalescing ingest queue,
+in-batch dedupe, and non-blocking background migration
+(reference: the async dual-queue ingest pipeline store_actions.go:426-708
+and background auto-sharding migration hnsw_autoshard.go:49).
+"""
+import time
+
+import numpy as np
+import pytest
+
+from longbow_tpu.index.adaptive import AdaptiveIndex
+from longbow_tpu.index.flat import FlatIndex
+from longbow_tpu.store.vector_store import VectorStore
+
+
+def _vecs(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, d), dtype=np.float32)
+
+
+def test_flat_staging_search_sees_staged_rows():
+    idx = FlatIndex(8)
+    v = _vecs(100, 8)
+    rows = idx.add(v)          # stays in the host stage
+    assert idx._stage_rows == 100 and len(idx) == 100
+    d, r = idx.search(v[:5], 1)  # search flushes
+    assert idx._stage_rows == 0
+    np.testing.assert_array_equal(np.asarray(r)[:, 0], rows[:5])
+
+
+def test_flat_staged_delete_applies_at_flush():
+    idx = FlatIndex(8)
+    v = _vecs(50, 8)
+    idx.add(v)
+    idx.delete_rows(np.asarray([3]))   # still staged
+    d, r = idx.search(v[3:4], 1)
+    assert int(np.asarray(r)[0, 0]) != 3
+
+
+def test_flat_staging_export_roundtrip():
+    idx = FlatIndex(8)
+    v = _vecs(40, 8)
+    idx.add(v)                         # staged
+    st = idx.export_state()            # must flush
+    idx2 = FlatIndex.import_state(st)
+    d, r = idx2.search(v[7:8], 1)
+    assert int(np.asarray(r)[0, 0]) == 7
+
+
+def test_flat_capacity_stable_across_flush():
+    idx = FlatIndex(8)
+    idx.add(_vecs(100, 8))
+    cap_before = idx.capacity
+    idx.flush()
+    assert idx.capacity == cap_before
+
+
+def test_dataset_put_duplicate_ids_in_batch_dedupes_to_last():
+    vs = VectorStore()
+    v = _vecs(4, 8)
+    vs.put("d", np.asarray([1, 2, 1, 3]), v)
+    ds = vs.get("d")
+    assert ds.live_count == 3
+    got = ds.get_vectors_by_rows(
+        np.asarray([ds._id_to_row[1]])
+    )[0]
+    # last occurrence (row 2 of the batch) wins
+    np.testing.assert_allclose(got, v[2], rtol=0.02, atol=0.02)
+
+
+def test_dataset_put_per_row_timestamps_lww():
+    vs = VectorStore()
+    v = _vecs(2, 8)
+    vs.put("d", np.asarray([7]), v[:1], timestamp=100.0)
+    # stale per-row write is dropped, fresh one applies
+    vs.put(
+        "d", np.asarray([7, 8]), v,
+        timestamp=np.asarray([50.0, 200.0]),
+    )
+    ds = vs.get("d")
+    got = ds.get_vectors_by_rows(np.asarray([ds._id_to_row[7]]))[0]
+    np.testing.assert_allclose(got, v[0], rtol=0.02, atol=0.02)
+    assert ds._lww[8] == 200.0
+
+
+def test_ingest_queue_coalesces_same_dataset():
+    from longbow_tpu.serving.ingest import IngestQueue
+
+    vs = VectorStore()
+    calls = []
+    orig = vs.put
+
+    def counting_put(*a, **kw):
+        calls.append(len(a[1]))
+        return orig(*a, **kw)
+
+    vs.put = counting_put
+    q = IngestQueue(vs, max_depth=64)
+    # stall the worker so jobs pile up and coalesce
+    v = _vecs(10, 8)
+    for i in range(20):
+        q.submit("c", np.arange(i * 10, i * 10 + 10), v, None, None,
+                 float(i))
+    assert q.drain(timeout_s=30.0)
+    q.close()
+    assert vs.get("c").live_count == 200
+    # fewer store.put calls than jobs = coalescing happened
+    assert len(calls) < 20
+    # per-row timestamps preserved job origin ts
+    assert vs.get("c")._lww[5] == 0.0
+    assert vs.get("c")._lww[195] == 19.0
+
+
+def test_background_migration_does_not_block_puts():
+    idx = AdaptiveIndex(8, migration_threshold=500)
+    slow = {"done": False}
+    orig = AdaptiveIndex._graph_chunk
+
+    def slow_chunk(self, g, a, b):
+        if not slow["done"]:
+            slow["done"] = True
+            time.sleep(1.5)  # simulate a long bulk build
+        return orig(self, g, a, b)
+
+    AdaptiveIndex._graph_chunk = slow_chunk
+    try:
+        v = _vecs(700, 8)
+        idx.add(v[:600])  # crosses threshold -> background build
+        t0 = time.perf_counter()
+        for i in range(5):
+            idx.add(v[600 + i * 20 : 600 + (i + 1) * 20])
+        assert time.perf_counter() - t0 < 1.0, "puts blocked on build"
+        assert idx.kind == "flat"  # still serving from flat
+        d, r = idx.search(v[650:651], 1)
+        assert int(np.asarray(r)[0, 0]) == 650  # dual-read covers tail
+        assert idx.wait_migration(timeout_s=60.0)
+        assert idx.kind == "hnsw"
+        # row ids preserved across migration
+        d, r = idx.search(v[650:651], 1)
+        assert int(np.asarray(r)[0, 0]) == 650
+    finally:
+        AdaptiveIndex._graph_chunk = orig
+
+
+def test_sync_migration_for_explicit_hnsw_kind():
+    idx = AdaptiveIndex(8, migration_threshold=0)
+    idx.add(_vecs(300, 8))
+    assert idx.kind == "hnsw"

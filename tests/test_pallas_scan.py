@@ -63,11 +63,12 @@ def test_fused_scan_unaligned_shapes():
 
 
 def test_fused_scan_k_exceeds_limit():
+    # candidate registers hold DEPTH*LANES = 512 per query
     q, c = _data(n=256, d=32, b=2)
     norms = squared_norms(jnp.asarray(c))
     valid = jnp.ones((256,), dtype=bool)
     with pytest.raises(ValueError):
         fused_flat_search(
-            jnp.asarray(q), jnp.asarray(c), norms, valid, 200, Metric.L2,
+            jnp.asarray(q), jnp.asarray(c), norms, valid, 600, Metric.L2,
             interpret=True,
         )

@@ -347,3 +347,51 @@ def test_mesh_dataset_snapshot_recover(tmp_path):
     got = [ids3[0, j] for j in range(3) if ok3[0, j]]
     assert got and all(int(i) % 3 == 0 for i in got)
     store2.close()
+
+
+def test_wal_io_uring_backend(tmp_path):
+    """io_uring WAL writes + fsync + truncate round trip (reference:
+    UringBackend wal_backend_linux.go:15-125). Skips cleanly where the
+    kernel/sandbox refuses io_uring (WAL falls back to FS)."""
+    import pytest
+
+    from longbow_tpu.storage.wal import WAL
+
+    w = WAL(tmp_path / "u.log", sync="always", io_uring=True)
+    if w.backend_name != "io_uring":
+        w.close()
+        pytest.skip("io_uring unavailable on this host")
+    for i in range(50):
+        w.append_op("ds", {"op": "delete", "ids": [i]})
+    w.flush()
+    assert w.size_bytes > 0
+    frames = list(WAL.replay(tmp_path / "u.log"))
+    assert len(frames) == 50
+    assert frames[-1][0] == 50  # seq preserved
+    w.truncate()
+    assert w.size_bytes == 0
+    w.append_op("ds", {"op": "delete", "ids": [99]})
+    w.close()
+    frames = list(WAL.replay(tmp_path / "u.log"))
+    assert len(frames) == 1 and frames[0][0] == 51
+
+
+def test_store_with_io_uring_wal(tmp_path):
+    """Full store persistence through the io_uring backend."""
+    import numpy as np
+
+    from longbow_tpu.store.vector_store import VectorStore
+
+    vs = VectorStore(
+        persist_dir=tmp_path, wal_sync="always", wal_io_uring=True
+    )
+    v = np.random.default_rng(0).standard_normal((20, 8), np.float32)
+    vs.put("d", np.arange(20), v)
+    vs.engine.wal.flush()
+    # crash-style recovery: new store replays the WAL
+    vs2 = VectorStore(
+        persist_dir=tmp_path, wal_sync="always", wal_io_uring=True
+    )
+    assert vs2.get("d").live_count == 20
+    vs.close()
+    vs2.close()

@@ -29,13 +29,18 @@ def run_worker(args, worker_id, stats, stop):
     next_id = worker_id * 10_000_000
     lat = []
     ops = rows = errors = 0
+    # pre-generated payloads: the load generator must not spend its
+    # CPU on standard_normal per op (it was ~half the client cost and
+    # capped the measured server throughput)
+    pregen = [
+        rng.standard_normal((args.batch_size, args.dim), dtype=np.float32)
+        for _ in range(4)
+    ]
     while not stop.is_set():
         try:
             t0 = time.perf_counter()
             if args.mode == "ingest":
-                v = rng.standard_normal(
-                    (args.batch_size, args.dim), dtype=np.float32
-                )
+                v = pregen[ops & 3]
                 ids = np.arange(next_id, next_id + args.batch_size)
                 next_id += args.batch_size
                 c.write(args.dataset, ids, v)
@@ -107,6 +112,32 @@ def run_micro(out_path: str | None) -> int:
     for _ in range(10):
         store.hybrid_search("h", q[:1], 10, text_query="alpha doc", alpha=0.5)
     out["hybrid_qps"] = round(10 / (time.time() - t0), 1)
+
+    # WAL append+fsync latency per backend (reference:
+    # wal_benchmark_test.go; io_uring vs buffered FS)
+    import tempfile
+
+    from longbow_tpu.storage.wal import WAL
+
+    with tempfile.TemporaryDirectory() as td:
+        payload = {"op": "delete", "ids": list(range(64))}
+        for uring in (False, True):
+            w = WAL(
+                f"{td}/w{int(uring)}.log", sync="always", io_uring=uring
+            )
+            name = w.backend_name
+            if uring and name != "io_uring":
+                w.close()
+                continue  # sandbox refused io_uring
+            for _ in range(10):
+                w.append_op("bench", payload)  # warm
+            n = 300
+            t0 = time.time()
+            for _ in range(n):
+                w.append_op("bench", payload)
+            dt = time.time() - t0
+            out[f"wal_{name}_sync_appends_per_s"] = round(n / dt, 1)
+            w.close()
 
     blob = json.dumps(out)
     if out_path:
