@@ -11,9 +11,12 @@ reference number for vs_baseline — on a 1M corpus the reference would
 be slower, so the reported ratio understates the speedup.
 
 Method notes:
-- Throughput is measured with an on-device chained loop (each batch's
-  query depends on the previous result) and one final value fetch; this
-  platform's host round-trips are ~30 ms and would otherwise dominate.
+- Throughput forces EVERY dispatched batch to execute: all outputs feed
+  one pre-compiled on-device reduction whose scalar is fetched. (Round-3
+  finding: fetching/blocking on only the LAST of a queue of independent
+  dispatches does NOT prove the others ran through the axon relay —
+  that methodology reported up to 26 TB/s "effective bandwidth".
+  A reduction over all outputs is dependency-forced and honest.)
 - Recall is measured against the full-f32 exact oracle on held-out
   queries (recall 1.0-by-construction scans still get measured, the
   bf16 fused kernel does ~0.99).
@@ -85,7 +88,7 @@ def main() -> None:
     # ---- accuracy of the serving kernel ----
     if on_tpu:
         search_one = lambda q: flat_search_rerank(
-            q, c16, norms, valid, K, Metric.L2, pool=64, tile_n=2048
+            q, c16, norms, valid, K, Metric.L2, pool=64
         )
     else:
         search_one = lambda q: exact_search(
@@ -106,21 +109,22 @@ def main() -> None:
         )
     )
 
-    # ---- throughput: queue distinct-input dispatches, fetch once ----
-    # (reuses the already-compiled kernel; a fori-loop wrapper would be
-    # a fresh program and cost a multi-minute compile on this platform.
-    # Distinct inputs defeat the platform's identical-computation cache;
-    # the device executes the queue serially, so wall time / iters is
-    # the true per-batch latency.)
+    # ---- throughput: dispatch distinct inputs, force ALL of them via
+    # one pre-compiled on-device reduction, fetch its scalar ----
     iters = 50
     qbatches = [
         jnp.asarray(queries[:B] + 1e-6 * i) for i in range(iters)
     ]
+
+    @jax.jit
+    def _force_all(*ds):
+        return sum(jnp.sum(x) for x in ds)
+
     d, _ = search_one(qbatches[0])
-    float(d[0, 0])  # warm + drain
+    float(np.asarray(_force_all(*([d] * iters))))  # warm kernel+reducer
     t0 = time.perf_counter()
     outs = [search_one(q)[0] for q in qbatches]
-    float(outs[-1][0, 0])  # forces the whole queue to drain
+    float(np.asarray(_force_all(*outs)))  # depends on every dispatch
     dt = (time.perf_counter() - t0) / iters
     qps = B / dt
 
@@ -184,10 +188,11 @@ def main() -> None:
             ]
             g_qps = {}
             for g_ef in (100, 150):
-                _beam(
+                gd0 = _beam(
                     gidx.state, gqs[0], gidx._sample_rows, K, g_ef,
                     expand_per_iter=4,
-                )[0].block_until_ready()
+                )[0]
+                float(np.asarray(_force_all(*([gd0] * g_iters))))
                 t0 = time.perf_counter()
                 gouts = [
                     _beam(
@@ -196,7 +201,7 @@ def main() -> None:
                     )[0]
                     for x in gqs
                 ]
-                float(gouts[-1][0, 0])
+                float(np.asarray(_force_all(*gouts)))
                 g_qps[g_ef] = 128 * g_iters / (time.perf_counter() - t0)
             graph_fields = {
                 "graph_build_vps_1M": round(ng / build_times[-1], 1),

@@ -1,15 +1,20 @@
 """GraphRAG edge store: typed weighted edges + traversal + re-ranking.
 
-reference: GraphStore (graph_store.go:11), GraphNavigator BFS/A*
-strategies (graph_navigator.go:25,149), spreading-activation
-RankWithGraph (docs/vectorsearch.md:266-279).
+reference: GraphStore (graph_store.go:11), GraphNavigator BFS/A*/
+parallel strategies + LRU path cache (graph_navigator.go:25,149,
+navigator_strategy_astar.go:11, navigator_strategy_parallel.go),
+graph analytics (graph_analytics.go), disk-backed edges
+(disk_graph.go:19), spreading-activation RankWithGraph
+(docs/vectorsearch.md:266-279).
 """
 from __future__ import annotations
 
 import heapq
 import threading
-from collections import defaultdict, deque
-from typing import Optional
+from collections import OrderedDict, defaultdict, deque
+from typing import Callable, Optional
+
+PATH_CACHE_SIZE = 1024
 
 
 class GraphStore:
@@ -18,12 +23,16 @@ class GraphStore:
         self._radj: dict = defaultdict(list)  # reverse adjacency
         self._edge_count = 0
         self._lock = threading.Lock()
+        # LRU path cache, invalidated by writes (reference:
+        # graph_navigator.go:149 path caching)
+        self._path_cache: OrderedDict = OrderedDict()
 
     def add_edge(self, src, dst, edge_type: str = "", weight: float = 1.0):
         with self._lock:
             self._adj[src].append((dst, edge_type, weight))
             self._radj[dst].append((src, edge_type, weight))
             self._edge_count += 1
+            self._path_cache.clear()
 
     def neighbors(self, node) -> list:
         return list(self._adj.get(node, ()))
@@ -35,6 +44,48 @@ class GraphStore:
         }
 
     # -- traversal (reference: graph_navigator.go strategies) --
+
+    def _cached(self, key, compute):
+        with self._lock:
+            if key in self._path_cache:
+                self._path_cache.move_to_end(key)
+                return self._path_cache[key]
+        out = compute()
+        with self._lock:
+            self._path_cache[key] = out
+            while len(self._path_cache) > PATH_CACHE_SIZE:
+                self._path_cache.popitem(last=False)
+        return out
+
+    def find_path(
+        self,
+        src,
+        dst,
+        max_hops: int = 3,
+        strategy: str = "bfs",
+        heuristic: Optional[Callable] = None,
+    ) -> Optional[list]:
+        """Strategy dispatch + LRU path cache (reference:
+        GraphNavigator.FindPath, graph_navigator.go:25,149).
+        strategies: bfs | weighted (Dijkstra) | astar (needs a
+        heuristic(node, dst) -> float, e.g. vector distance)."""
+        key = (src, dst, max_hops, strategy)
+        if strategy == "bfs":
+            return self._cached(
+                key, lambda: self.bfs_path(src, dst, max_hops)
+            )
+        if strategy == "weighted":
+            return self._cached(
+                key, lambda: self.weighted_path(src, dst, max_hops)
+            )
+        if strategy == "astar":
+            if heuristic is None:
+                return self._cached(
+                    key, lambda: self.weighted_path(src, dst, max_hops)
+                )
+            # heuristic-guided: don't cache across heuristic objects
+            return self.astar_path(src, dst, max_hops, heuristic)
+        raise ValueError(f"unknown path strategy {strategy!r}")
 
     def bfs_path(self, src, dst, max_hops: int = 3) -> Optional[list]:
         """Shortest path by hop count; None if unreachable."""
@@ -89,6 +140,108 @@ class GraphStore:
                     heapq.heappush(pq, (c, to, path + [to]))
         return None
 
+    def astar_path(
+        self, src, dst, max_hops: int, heuristic: Callable
+    ) -> Optional[list]:
+        """A* with a caller-supplied heuristic(node, dst) -> float
+        (reference: navigator_strategy_astar.go:11 — the vector-store
+        navigator uses embedding distance as the guide). Edge cost is
+        1/weight like the Dijkstra strategy; the heuristic guides
+        expansion order (guided search, as in the reference — not
+        guaranteed admissible)."""
+        if src == dst:
+            return [src]
+        pq = [(heuristic(src, dst), 0.0, src, [src])]
+        best = {src: 0.0}
+        while pq:
+            _, g, node, path = heapq.heappop(pq)
+            if node == dst:
+                return path
+            if len(path) > max_hops:
+                continue
+            for to, _, w in self._adj.get(node, ()):
+                g2 = g + 1.0 / max(w, 1e-9)
+                if g2 < best.get(to, float("inf")):
+                    best[to] = g2
+                    heapq.heappush(
+                        pq, (g2 + heuristic(to, dst), g2, to, path + [to])
+                    )
+        return None
+
+    def parallel_bfs(self, sources, max_hops: int = 3) -> dict:
+        """Multi-source frontier BFS (reference:
+        navigator_strategy_parallel.go — goroutine-parallel BFS; here
+        one frontier sweep carries every source, which is the
+        batched/vectorized shape of the same work).
+        -> {node: (hops, origin_source)} for every reached node."""
+        out: dict = {}
+        frontier = []
+        for s in sources:
+            if s not in out:
+                out[s] = (0, s)
+                frontier.append(s)
+        hops = 0
+        while frontier and hops < max_hops:
+            hops += 1
+            nxt = []
+            for node in frontier:
+                origin = out[node][1]
+                for to, _, _ in self._adj.get(node, ()):
+                    if to not in out:
+                        out[to] = (hops, origin)
+                        nxt.append(to)
+            frontier = nxt
+        return out
+
+    # -- analytics (reference: graph_analytics.go) ---------------------
+
+    def analytics(self, top_hubs: int = 10) -> dict:
+        """Degree stats, hubs, weakly-connected components."""
+        with self._lock:
+            adj = {k: list(v) for k, v in self._adj.items()}
+            radj = {k: list(v) for k, v in self._radj.items()}
+        nodes = set(adj) | set(radj)
+        out_deg = {n: len(adj.get(n, ())) for n in nodes}
+        in_deg = {n: len(radj.get(n, ())) for n in nodes}
+        n = len(nodes)
+        # weakly connected components via undirected union traversal
+        seen: set = set()
+        comp_sizes = []
+        for start in nodes:
+            if start in seen:
+                continue
+            size = 0
+            stack = [start]
+            seen.add(start)
+            while stack:
+                u = stack.pop()
+                size += 1
+                for to, _, _ in adj.get(u, ()):
+                    if to not in seen:
+                        seen.add(to)
+                        stack.append(to)
+                for fr, _, _ in radj.get(u, ()):
+                    if fr not in seen:
+                        seen.add(fr)
+                        stack.append(fr)
+            comp_sizes.append(size)
+        hubs = sorted(out_deg.items(), key=lambda kv: -kv[1])[:top_hubs]
+        return {
+            "nodes": n,
+            "edges": self._edge_count,
+            "density": (
+                self._edge_count / (n * (n - 1)) if n > 1 else 0.0
+            ),
+            "max_out_degree": max(out_deg.values(), default=0),
+            "max_in_degree": max(in_deg.values(), default=0),
+            "avg_out_degree": (
+                sum(out_deg.values()) / n if n else 0.0
+            ),
+            "components": len(comp_sizes),
+            "largest_component": max(comp_sizes, default=0),
+            "top_hubs": [[h, d] for h, d in hubs],
+        }
+
     # -- spreading activation re-rank --
 
     def rank_with_graph(
@@ -138,3 +291,150 @@ class GraphStore:
         for f, t, ty, w in st.get("edges", []):
             g.add_edge(f, t, ty, w)
         return g
+
+
+class DiskGraphStore(GraphStore):
+    """Disk-backed edge store (reference: disk_graph.go:19): edge
+    payloads live in an append-only log file; RAM holds only
+    node -> [file offset] indexes. Adjacency reads seek the log, so
+    RAM stays O(edges * 8B) instead of O(edges * payload).
+    Crash-safe: the log is replayed on open (partial tail lines are
+    dropped)."""
+
+    def __init__(self, path):
+        super().__init__()
+        import json as _json
+        from pathlib import Path as _Path
+
+        self._json = _json
+        self.path = _Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._offsets: dict = defaultdict(list)   # src -> [offset]
+        self._roffsets: dict = defaultdict(list)  # dst -> [offset]
+        self._adj = None  # base-class adjacency unused
+        self._radj = None
+        if self.path.exists():
+            self._replay()
+        self._f = open(self.path, "ab")
+
+    def _replay(self):
+        with open(self.path, "rb") as f:
+            off = 0
+            for line in f:
+                if not line.endswith(b"\n"):
+                    break  # torn tail write
+                try:
+                    src, dst, _, _ = self._json.loads(line)
+                except Exception:
+                    break
+                self._offsets[src].append(off)
+                self._roffsets[dst].append(off)
+                self._edge_count += 1
+                off += len(line)
+
+    def _read(self, offsets) -> list:
+        out = []
+        with open(self.path, "rb") as f:
+            for off in offsets:
+                f.seek(off)
+                src, dst, ty, w = self._json.loads(f.readline())
+                out.append((src, dst, ty, w))
+        return out
+
+    def add_edge(self, src, dst, edge_type: str = "", weight: float = 1.0):
+        with self._lock:
+            line = (
+                self._json.dumps([src, dst, edge_type, weight]).encode()
+                + b"\n"
+            )
+            off = self._f.tell()
+            self._f.write(line)
+            self._f.flush()
+            self._offsets[src].append(off)
+            self._roffsets[dst].append(off)
+            self._edge_count += 1
+            self._path_cache.clear()
+
+    def neighbors(self, node) -> list:
+        return [
+            (d, ty, w)
+            for _, d, ty, w in self._read(self._offsets.get(node, ()))
+        ]
+
+    # GraphStore algorithms read self._adj/self._radj mappings; present
+    # lazy views over the offset indexes with the same shape
+    @property
+    def _adj_view(self):
+        store = self
+
+        class _View:
+            def get(self, node, default=()):
+                return store.neighbors(node) or default
+
+        return _View()
+
+    def __getattribute__(self, name):
+        if name == "_adj":
+            v = object.__getattribute__(self, "__dict__").get("_adj")
+            if v is None:
+                return object.__getattribute__(self, "_adj_view")
+            return v
+        if name == "_radj":
+            v = object.__getattribute__(self, "__dict__").get("_radj")
+            if v is None:
+                store = self
+
+                class _RView:
+                    def get(self, node, default=()):
+                        rows = store._read(
+                            store._roffsets.get(node, ())
+                        )
+                        return [
+                            (s, ty, w) for s, _, ty, w in rows
+                        ] or default
+
+                return _RView()
+            return v
+        return object.__getattribute__(self, name)
+
+    def stats(self) -> dict:
+        return {
+            "nodes": len(
+                set(self._offsets) | set(self._roffsets)
+            ),
+            "edges": self._edge_count,
+            "disk": str(self.path),
+        }
+
+    def analytics(self, top_hubs: int = 10) -> dict:
+        # recompute over the offset indexes (degree = offset counts)
+        nodes = set(self._offsets) | set(self._roffsets)
+        out_deg = {n: len(self._offsets.get(n, ())) for n in nodes}
+        in_deg = {n: len(self._roffsets.get(n, ())) for n in nodes}
+        n = len(nodes)
+        hubs = sorted(out_deg.items(), key=lambda kv: -kv[1])[:top_hubs]
+        return {
+            "nodes": n,
+            "edges": self._edge_count,
+            "density": self._edge_count / (n * (n - 1)) if n > 1 else 0.0,
+            "max_out_degree": max(out_deg.values(), default=0),
+            "max_in_degree": max(in_deg.values(), default=0),
+            "avg_out_degree": sum(out_deg.values()) / n if n else 0.0,
+            "top_hubs": [[h, d] for h, d in hubs],
+            "disk": str(self.path),
+        }
+
+    def export_state(self) -> dict:
+        edges = []
+        with open(self.path, "rb") as f:
+            for line in f:
+                if not line.endswith(b"\n"):
+                    break
+                try:
+                    edges.append(tuple(self._json.loads(line)))
+                except Exception:
+                    break
+        return {"edges": edges, "disk": True}
+
+    def close(self):
+        self._f.close()

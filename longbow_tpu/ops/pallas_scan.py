@@ -60,13 +60,15 @@ DEPTH = 4  # candidates kept per (query, lane): 512 total per query
 
 def tile_for_dim(d: int) -> int:
     """Corpus-tile rows that fit the kernel's scoped-VMEM budget at
-    this dimensionality (measured on v5e: 2048 OOMs at D=384; 1024
-    compiles at D<=512, 512 at D<=1536+)."""
+    this dimensionality. The lane-candidate kernel dropped the [B,T]
+    scores scratch, so tiles doubled vs round 2 (measured on v5e:
+    4096 @ D<=128 runs 2.4ms/128q at 1M — 1.65x over 2048 from halved
+    grid overhead)."""
     if d <= 128:
-        return 2048
+        return 4096
     if d <= 512:
-        return 1024
-    return 512
+        return 2048
+    return 1024
 
 
 def _sortable_i32(x: jax.Array) -> jax.Array:
@@ -127,16 +129,19 @@ def _scan_kernel(
     scores = _tile_scores(q_ref[:], qn_ref[:], tile_ref[:], vn_ref[:], mode)
     u = _sortable_i32(scores).reshape(b, g, LANES)
     gi = jax.lax.broadcasted_iota(jnp.int32, (b, g, LANES), 1)
-    # pack the 4-bit group id into the value's low bits: the vertical
-    # min then carries its own argmin (tie-break/truncation noise is
-    # 2^-19 relative — the serving pipeline re-ranks exactly anyway)
-    packed = jnp.bitwise_and(u, -16) | gi
+    # pack the group id into the value's low bits (field width follows
+    # g: 4 bits at tile 2048, 5 at 4096): the vertical min then carries
+    # its own argmin (tie-break/truncation noise is <= 2^-18 relative —
+    # the serving pipeline re-ranks exactly anyway)
+    id_bits = max((g - 1).bit_length(), 1)
+    id_mask = (1 << id_bits) - 1
+    packed = jnp.bitwise_and(u, ~id_mask) | gi
 
     def merge(pm):
         """Bubble one [B, LANES] candidate column into the depth-DEPTH
         per-lane registers — pure vreg min/max selects."""
-        m_i = jnp.bitwise_and(pm, 15) + step * g      # global group id
-        m_v = jnp.bitwise_and(pm, -16)
+        m_i = jnp.bitwise_and(pm, id_mask) + step * g  # global group id
+        m_v = jnp.bitwise_and(pm, ~id_mask)
         for d in range(DEPTH):
             rv = rv_ref[:, d * LANES:(d + 1) * LANES]
             ri = ri_ref[:, d * LANES:(d + 1) * LANES]
@@ -223,7 +228,7 @@ def fused_flat_search(
 
     # pad shapes to hardware tiles (bf16 sublane tiling wants 16 rows)
     d_pad = pad_to(d, 128)
-    tile_n = tile_n or min(tile_for_dim(d), 1024)
+    tile_n = tile_n or tile_for_dim(d)
     n_pad = pad_to(n, tile_n)
     b_pad = pad_to(b, 16 if corpus.dtype == jnp.bfloat16 else 8)
 

@@ -679,7 +679,8 @@ class LongbowFlightServer(flight.FlightServerBase):
                         for k, v in req.items()
                         if k in ("pq_m", "rerank", "rerank_factor",
                                  "path", "storage", "n_cells",
-                                 "n_probe", "mesh_shards")
+                                 "n_probe", "mesh_shards",
+                                 "graph_disk")
                     },
                 )
             return ok({"created": dsname})
@@ -766,11 +767,15 @@ class LongbowFlightServer(flight.FlightServerBase):
             path = self.store.traverse_graph(
                 req["dataset"], req["from"], req.get("to"),
                 int(req.get("max_hops", 3)),
+                strategy=req.get("strategy", "bfs"),
             )
             return ok({"path": path})
         if name == "GetGraphStats":
             req = json.loads(body)
             return ok(self.store.graph_stats(req.get("dataset", "")))
+        if name == "graph-analytics":
+            req = json.loads(body)
+            return ok(self.store.graph_analytics(req.get("dataset", "")))
         if name == "checkpoint-prepare":
             # barrier phase 1 (reference: checkpoint_coordinator.go:67
             # InitiateCheckpoint): drain in-flight ingest so the
@@ -835,6 +840,7 @@ class LongbowFlightServer(flight.FlightServerBase):
             ("add-edge", "GraphRAG: add an edge"),
             ("traverse-graph", "GraphRAG: BFS traverse"),
             ("GetGraphStats", "GraphRAG: edge-store stats"),
+            ("graph-analytics", "GraphRAG: degree/component analytics"),
             ("merkle-state", "anti-entropy: merkle root + leaves"),
             ("export-delta", "anti-entropy: rows of one merkle bucket"),
             ("checkpoint", "coordinated cluster snapshot (epoch barrier)"),

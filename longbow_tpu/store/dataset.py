@@ -52,6 +52,7 @@ class Dataset:
         migration_threshold: int = 200_000,
         index_kind: str = "adaptive",
         index_params: Optional[dict] = None,
+        graph_disk_path=None,
     ):
         self.name = name
         self.dim = dim
@@ -84,7 +85,13 @@ class Dataset:
         # (reference: lww.go:8)
         self._lww: dict = {}
         self.bm25 = BM25Index()
-        self.graph = GraphStore()
+        if graph_disk_path is not None:
+            # disk-backed edge store (reference: disk_graph.go:19)
+            from longbow_tpu.hybrid.graph_store import DiskGraphStore
+
+            self.graph = DiskGraphStore(graph_disk_path)
+        else:
+            self.graph = GraphStore()
         self._lock = threading.Lock()
         self.created_at = time.time()
 
@@ -291,6 +298,36 @@ class Dataset:
         ):
             self._row_ids_np = np.asarray(self._row_to_id, dtype=object)
         return self._row_ids_np
+
+    def graph_heuristic(self):
+        """Embedding-distance heuristic for A* graph navigation
+        (reference: navigator_strategy_astar.go:11). Vector fetches go
+        through a small host cache — each miss is one device gather
+        (~30ms behind a relay, microseconds locally)."""
+        cache: dict = {}
+
+        def vec(uid):
+            v = cache.get(uid)
+            if v is None:
+                row = self._id_to_row.get(self._key(np.asarray(uid)))
+                if row is None:
+                    return None
+                if len(cache) > 256:
+                    cache.clear()
+                v = np.asarray(
+                    self.index.get_vectors(np.asarray([row]))[0],
+                    np.float32,
+                )
+                cache[uid] = v
+            return v
+
+        def h(node, dst):
+            a, b = vec(node), vec(dst)
+            if a is None or b is None:
+                return 0.0  # unknown node: no guidance
+            return float(np.linalg.norm(a - b))
+
+        return h
 
     def search_by_id(self, uid, k: int, **kw):
         """reference: VectorSearchByID action (store_actions.go:341)."""

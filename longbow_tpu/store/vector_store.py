@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import threading
 import time
+from pathlib import Path
 from typing import Optional
 
 import jax.numpy as jnp
@@ -95,6 +96,29 @@ class VectorStore:
         with self._lock:
             ds = self._datasets.get(name)
             if ds is None:
+                params = (
+                    index_params
+                    if index_params is not None
+                    else self.default_index_params
+                )
+                graph_disk_path = None
+                if params and params.get("graph_disk"):
+                    # disk-backed edge store lives next to the WAL (or
+                    # tmp when the store is memory-only)
+                    import tempfile
+
+                    base = (
+                        self.engine.dir
+                        if self.engine is not None
+                        else Path(tempfile.gettempdir()) / "longbow_graphs"
+                    )
+                    graph_disk_path = (
+                        Path(base) / "graphs"
+                        / f"{name.replace('/', '_')}.edges"
+                    )
+                    params = {
+                        k: v for k, v in params.items() if k != "graph_disk"
+                    }
                 ds = Dataset(
                     name,
                     dim,
@@ -103,11 +127,8 @@ class VectorStore:
                     hnsw_config=self.hnsw_config,
                     migration_threshold=self.migration_threshold,
                     index_kind=index_kind or self.default_index_kind,
-                    index_params=(
-                        index_params
-                        if index_params is not None
-                        else self.default_index_params
-                    ),
+                    index_params=params,
+                    graph_disk_path=graph_disk_path,
                 )
                 self._datasets[name] = ds
                 ns = name.split("/", 1)[0] if "/" in name else "default"
@@ -448,14 +469,37 @@ class VectorStore:
             self.engine.log_edge(dataset, src, dst, edge_type, weight)
         self.get(dataset).graph.add_edge(src, dst, edge_type, weight)
 
-    def traverse_graph(self, dataset, src, dst=None, max_hops=3):
-        g = self.get(dataset).graph
+    def traverse_graph(
+        self, dataset, src, dst=None, max_hops=3, strategy="bfs"
+    ):
+        """reference: GraphNavigator strategies (graph_navigator.go:25
+        — bfs | weighted | astar | parallel). astar uses embedding
+        distance between stored vectors as its guide when available."""
+        ds = self.get(dataset)
+        g = ds.graph
         if dst is None:
+            if strategy == "parallel":
+                srcs = src if isinstance(src, (list, tuple)) else [src]
+                return [
+                    [node, hops, origin]
+                    for node, (hops, origin) in g.parallel_bfs(
+                        srcs, max_hops
+                    ).items()
+                ]
             return g.traverse(src, max_hops)
-        return g.bfs_path(src, dst, max_hops)
+        heuristic = (
+            ds.graph_heuristic() if strategy == "astar" else None
+        )
+        return g.find_path(
+            src, dst, max_hops, strategy=strategy, heuristic=heuristic
+        )
 
     def graph_stats(self, dataset: str) -> dict:
         return self.get(dataset).graph.stats()
+
+    def graph_analytics(self, dataset: str) -> dict:
+        """reference: graph_analytics.go — degree stats + components."""
+        return self.get(dataset).graph.analytics()
 
     # -- persistence lifecycle (reference: Snapshot
     #    store_persistence_methods.go:27, graceful shutdown final

@@ -102,3 +102,53 @@ def test_cascade_fusion():
     docs = [d for d, _ in out]
     assert "z" not in docs
     assert docs[0] == "b"  # dense-good + sparse-boosted wins
+
+
+def test_graph_navigator_parity():
+    """A*, parallel BFS, path cache, analytics (reference:
+    navigator_strategy_astar.go:11, navigator_strategy_parallel.go,
+    graph_navigator.go:149, graph_analytics.go)."""
+    import numpy as np
+
+    from longbow_tpu.store.vector_store import VectorStore
+
+    vs = VectorStore()
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((10, 8), np.float32)
+    vs.put("g", np.arange(10), v)
+    for a, b in [(0, 1), (1, 2), (2, 3), (0, 4), (4, 3), (3, 5)]:
+        vs.add_edge("g", a, b)
+    # strategies agree on reachability
+    assert vs.traverse_graph("g", 0, 3, 5, strategy="bfs")
+    assert vs.traverse_graph("g", 0, 3, 5, strategy="weighted")
+    p = vs.traverse_graph("g", 0, 3, 5, strategy="astar")
+    assert p[0] == 0 and p[-1] == 3
+    # parallel multi-source BFS
+    out = vs.traverse_graph("g", [0, 5], max_hops=2, strategy="parallel")
+    nodes = {row[0] for row in out}
+    assert {0, 1, 4, 5} <= nodes
+    # path cache hit: same query returns identical object state fast
+    assert vs.traverse_graph("g", 0, 3, 5, strategy="bfs") == \
+        vs.traverse_graph("g", 0, 3, 5, strategy="bfs")
+    a = vs.graph_analytics("g")
+    assert a["edges"] == 6 and a["nodes"] == 6
+    assert a["components"] == 1
+
+
+def test_disk_graph_store(tmp_path):
+    """Disk-backed edge store with crash-safe replay (reference:
+    disk_graph.go:19)."""
+    import numpy as np
+
+    from longbow_tpu.store.vector_store import VectorStore
+
+    vs = VectorStore(persist_dir=tmp_path)
+    vs.get_or_create("dg", 8, index_params={"graph_disk": True})
+    vs.put("dg", np.arange(5),
+           np.random.default_rng(1).standard_normal((5, 8), np.float32))
+    for a, b in [(0, 1), (1, 2), (2, 3)]:
+        vs.add_edge("dg", a, b)
+    assert vs.traverse_graph("dg", 0, 3, 5) == [0, 1, 2, 3]
+    st = vs.graph_stats("dg")
+    assert st["edges"] == 3 and "disk" in st
+    vs.close()
