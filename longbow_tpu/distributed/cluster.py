@@ -274,19 +274,27 @@ class ClusterCoordinator:
         results: list[Optional[dict]] = [None] * len(alive)
 
         def one(i: int, m: Member):
+            # Arrow both directions via DoExchange (reference streams
+            # Arrow for exactly this hop, stream_aggregator.go:17 —
+            # JSON-encoded vectors/results don't scale past toy sizes)
             peer = self._peer_for(m)
             try:
-                body = {
-                    "dataset": dataset,
-                    "vectors": qv.tolist(),
-                    "k": k,
-                    "local_only": True,
-                }
-                if raw_filters:
-                    body["filters"] = raw_filters
-                results[i] = peer.client._action(
-                    "VectorSearch", body, meta=False
+                tables, peer_metric = peer.client.exchange_search(
+                    dataset, [qv], k,
+                    filters=raw_filters, local_only=True,
+                    with_metric=True,
                 )
+                t = tables[0]
+                results[i] = {
+                    "ids": t.column("id").to_pylist(),
+                    "scores": t.column("score").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "query_index": t.column("query_index").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "metric": peer_metric,
+                }
                 peer.breaker.record_success()
             except Exception as e:  # peer slow/dead: skip, breaker counts
                 peer.breaker.record_failure()

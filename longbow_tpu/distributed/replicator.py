@@ -102,13 +102,28 @@ class PeerReplicator:
             self._worker = threading.Thread(target=self._loop, daemon=True)
             self._worker.start()
 
+    def _observe(self, enq_ts: float) -> None:
+        try:
+            from longbow_tpu.metrics import get_registry
+
+            reg = get_registry()
+            reg.gauge("longbow_replication_queue_depth").set(
+                self._q.qsize()
+            )
+            reg.gauge("longbow_replication_lag_seconds").set(
+                max(time.time() - enq_ts, 0.0)
+            )
+        except Exception:
+            pass  # metrics must never fail replication
+
     def _loop(self):
         while not self._stop.is_set():
             try:
-                job = self._q.get(timeout=0.2)
+                enq_ts, job = self._q.get(timeout=0.2)
             except queue.Empty:
                 continue
             self._fanout(*job)
+            self._observe(enq_ts)
 
     def _fanout(
         self, kind, dataset, ids, vectors, columns, metric=None, ts=None
@@ -132,9 +147,11 @@ class PeerReplicator:
         """Returns True when the consistency level is satisfied."""
         if self.mode == "async":
             try:
-                self._q.put_nowait(
-                    ("put", dataset, ids, vectors, columns, metric, timestamp)
-                )
+                self._q.put_nowait((
+                    time.time(),
+                    ("put", dataset, ids, vectors, columns, metric,
+                     timestamp),
+                ))
                 return True
             except queue.Full:
                 return False
@@ -146,9 +163,10 @@ class PeerReplicator:
     def on_delete(self, dataset, ids) -> bool:
         if self.mode == "async":
             try:
-                self._q.put_nowait(
-                    ("delete", dataset, ids, None, None, None, None)
-                )
+                self._q.put_nowait((
+                    time.time(),
+                    ("delete", dataset, ids, None, None, None, None),
+                ))
                 return True
             except queue.Full:
                 return False

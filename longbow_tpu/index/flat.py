@@ -14,6 +14,7 @@ docs/autoshard.md:30-33).
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional
 
 import jax
@@ -143,6 +144,14 @@ class FlatIndex:
         self._stage: list[np.ndarray] = []
         self._stage_rows = 0
         self._stage_dead: list[int] = []
+        # Dispatch lock: appends DONATE the corpus buffers, and a
+        # concurrent search that grabbed the old reference dispatches
+        # against a deleted buffer ("Buffer has been deleted or
+        # donated"). Serializing DISPATCH (not the device compute or
+        # the result fetch) is sufficient: executions on a device run
+        # in dispatch order, and a read execution dispatched before
+        # the donating one holds its own buffer reference.
+        self._mu = threading.RLock()
 
     # -- properties ---------------------------------------------------
 
@@ -185,6 +194,10 @@ class FlatIndex:
         input: device fast path, exact shape (bulk loads — no
         re-upload, one compile per distinct shape).
         """
+        with self._mu:
+            return self._add_locked(vecs)
+
+    def _add_locked(self, vecs) -> np.ndarray:
         if isinstance(vecs, jax.Array):
             if vecs.ndim != 2 or vecs.shape[1] != self.dim:
                 raise ValueError(
@@ -224,6 +237,10 @@ class FlatIndex:
     def flush(self) -> None:
         """Apply staged host rows to the device block (one fused jit;
         tombstones recorded while staged apply after)."""
+        with self._mu:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
         if not self._stage_rows:
             return
         block = (
@@ -257,14 +274,15 @@ class FlatIndex:
         if len(rows) == 0:
             return
         rows = np.asarray(rows)
-        if self._stage_rows:
-            staged = rows >= self._device_count
-            if staged.any():
-                self._stage_dead.extend(rows[staged].tolist())
-                rows = rows[~staged]
-            if len(rows) == 0:
-                return
-        self.valid = _tombstone(self.valid, jnp.asarray(rows))
+        with self._mu:
+            if self._stage_rows:
+                staged = rows >= self._device_count
+                if staged.any():
+                    self._stage_dead.extend(rows[staged].tolist())
+                    rows = rows[~staged]
+                if len(rows) == 0:
+                    return
+            self.valid = _tombstone(self.valid, jnp.asarray(rows))
 
     # -- search -------------------------------------------------------
 
@@ -284,7 +302,6 @@ class FlatIndex:
         round trip on this platform, so all shaping happens in numpy on
         the host and everything else runs inside ONE jitted program.
         """
-        self.flush()
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         normalize = self.metric == Metric.COSINE
         metric = Metric.DOT if normalize else self.metric
@@ -305,40 +322,48 @@ class FlatIndex:
             b_pad = -(-b // 128) * 128
             if b_pad != b:
                 q = np.pad(q, ((0, b_pad - b), (0, 0)))
-            packs = [
-                _fused_packed(
-                    jnp.asarray(q[off : off + 128]),
-                    self.vectors,
-                    self.norms_sq,
-                    self.valid,
-                    k_pad,
-                    metric,
-                    filter_mask,
-                    normalize,
-                )
-                for off in range(0, b_pad, 128)
-            ]
+            with self._mu:  # dispatch under the lock, fetch outside
+                self._flush_locked()
+                packs = [
+                    _fused_packed(
+                        jnp.asarray(q[off : off + 128]),
+                        self.vectors,
+                        self.norms_sq,
+                        self.valid,
+                        k_pad,
+                        metric,
+                        filter_mask,
+                        normalize,
+                    )
+                    for off in range(0, b_pad, 128)
+                ]
             flat = np.concatenate([np.asarray(p) for p in packs])
             dd = np.ascontiguousarray(flat[:, :k_pad]).view(np.float32)
             ii = flat[:, k_pad:]
             return dd[:b, :k], ii[:b, :k]
-        d, i = exact_search(
-            jnp.asarray(q),
-            self.vectors,
-            k,
-            metric,
-            corpus_norms_sq=self.norms_sq,
-            valid=self.valid,
-            extra_mask=filter_mask,
-            normalize=normalize,
-            exact_precision=False,
-        )
+        with self._mu:  # dispatch under the lock, fetch outside
+            self._flush_locked()
+            d, i = exact_search(
+                jnp.asarray(q),
+                self.vectors,
+                k,
+                metric,
+                corpus_norms_sq=self.norms_sq,
+                valid=self.valid,
+                extra_mask=filter_mask,
+                normalize=normalize,
+                exact_precision=False,
+            )
         return np.asarray(d), np.asarray(i)
 
     # -- state export (persistence hooks) -----------------------------
 
     def export_state(self) -> dict:
-        self.flush()
+        with self._mu:
+            return self._export_locked()
+
+    def _export_locked(self) -> dict:
+        self._flush_locked()
         return {
             "kind": "flat",
             "dim": self.dim,

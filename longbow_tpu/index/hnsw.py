@@ -510,15 +510,25 @@ class HNSWIndex:
             self.state, queries, self._sample_rows, pool_k, ef,
             eligible=eligible, normalize=normalize,
         )
-        for _ in range(self.config.adaptive_ef_retries):
-            filled = bool(np.asarray(d)[:, k - 1].max() < MASKED)
-            if filled or ef >= self.count:
-                break
-            ef = ef * 5
-            d, r = beam_search(
-                self.state, queries, self._sample_rows, pool_k, ef,
-                eligible=eligible, normalize=normalize,
-            )
+        # adaptive-ef retry needs a device fetch to see fill-ness —
+        # skip it when under-fill is implausible (no filters and the
+        # corpus dwarfs ef: the entry scan alone yields >= k valid
+        # rows), so the common unfiltered search never host-syncs
+        # mid-call (review finding: ~30ms/search behind the relay)
+        check_fill = (
+            self.config.adaptive_ef_retries > 0
+            and (eligible is not None or self.count < 8 * ef)
+        )
+        if check_fill:
+            for _ in range(self.config.adaptive_ef_retries):
+                filled = bool(np.asarray(d)[:, k - 1].max() < MASKED)
+                if filled or ef >= self.count:
+                    break
+                ef = ef * 5
+                d, r = beam_search(
+                    self.state, queries, self._sample_rows, pool_k, ef,
+                    eligible=eligible, normalize=normalize,
+                )
         if rerank:
             d, r = self._pq_host_rerank(q_np, d, r, k, normalize)
         if self._mips:

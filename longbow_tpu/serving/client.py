@@ -297,12 +297,26 @@ class LongbowClient:
         writer.close()
         return total
 
-    def exchange_search(self, dataset: str, query_batches, k: int = 10):
-        """Stream query batches; yields one arrow table per batch."""
+    def exchange_search(
+        self,
+        dataset: str,
+        query_batches,
+        k: int = 10,
+        *,
+        filters=None,
+        local_only: bool = False,
+        with_metric: bool = False,
+    ):
+        """Stream query batches; returns one arrow table per batch
+        (Arrow both directions — the peer global-search transport).
+        with_metric=True -> (tables, metric_from_schema_metadata)."""
+        cmd = {"protocol": "search", "dataset": dataset, "k": k}
+        if filters:
+            cmd["filters"] = filters
+        if local_only:
+            cmd["local_only"] = True
         descriptor = flight.FlightDescriptor.for_command(
-            json.dumps(
-                {"protocol": "search", "dataset": dataset, "k": k}
-            ).encode()
+            json.dumps(cmd).encode()
         )
         writer, reader = self._dc().do_exchange(descriptor, options=self._opts)
         out = []
@@ -324,6 +338,13 @@ class LongbowClient:
             )
             out.append(pa.Table.from_batches([reader.read_chunk().data]))
         writer.close()
+        if with_metric:
+            metric = ""
+            meta = out[0].schema.metadata if out else None
+            key = METRIC_METADATA_KEY.encode()
+            if meta and key in meta:
+                metric = meta[key].decode()
+            return out, metric
         return out
 
     @staticmethod

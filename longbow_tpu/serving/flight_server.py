@@ -562,16 +562,40 @@ class LongbowFlightServer(flight.FlightServerBase):
     def _exchange_search(self, cmd, reader, writer):
         """Client streams query batches; server streams result batches
         tagged with the incoming batch index (reference:
-        vector_search_exchange.go)."""
+        vector_search_exchange.go). Accepts optional "filters" (wire
+        filter objects) and "local_only" in the command; the schema
+        metadata carries the dataset metric so fan-out coordinators
+        merge scores in the right direction (the peer global-search
+        hop uses this path — Arrow both ways, replacing the JSON
+        action transport that the reference's StreamAggregator also
+        avoids, stream_aggregator.go:17)."""
         dataset = cmd["dataset"]
         k = int(cmd.get("k", 10))
+        filters = None
+        if cmd.get("filters"):
+            from longbow_tpu.query.parser import _parse_filters
+
+            filters = _parse_filters(cmd["filters"])
+        try:
+            metric = self.store.get(dataset).metric
+        except KeyError:
+            metric = ""
+        str_ids = False
+        try:
+            ds = self.store.get(dataset)
+            rid = next(iter(ds._id_to_row), None)
+            str_ids = isinstance(rid, str)
+        except KeyError:
+            pass
+        id_type = pa.string() if str_ids else pa.int64()
         out_schema = pa.schema(
             [
                 ("batch_index", pa.int32()),
                 ("query_index", pa.int32()),
-                ("id", pa.int64()),
+                ("id", id_type),
                 ("score", pa.float32()),
-            ]
+            ],
+            metadata={METRIC_METADATA_KEY: metric},
         )
         writer.begin(out_schema)
         bi = 0
@@ -581,9 +605,27 @@ class LongbowFlightServer(flight.FlightServerBase):
                 continue
             tbl = pa.Table.from_batches([batch])
             qv = _vector_column_to_numpy(tbl.column("vector"))
-            ids, scores, ok = self.store.search(dataset, qv, k)
-            okm = np.asarray(ok)
-            qi, ji = np.nonzero(okm)
+            try:
+                ids, scores, ok = self.store.search(
+                    dataset, qv, k, filters=filters
+                )
+                okm = np.asarray(ok)
+                qi, ji = np.nonzero(okm)
+                id_vals = ids[qi, ji]
+                id_arr = (
+                    pa.array([str(v) for v in id_vals], pa.string())
+                    if str_ids
+                    else pa.array(
+                        [int(v) for v in id_vals], pa.int64()
+                    )
+                )
+                score_arr = pa.array(
+                    np.asarray(scores)[qi, ji], pa.float32()
+                )
+            except KeyError:
+                qi = np.zeros((0,), np.int32)
+                id_arr = pa.array([], id_type)
+                score_arr = pa.array([], pa.float32())
             writer.write_batch(
                 pa.record_batch(
                     {
@@ -593,13 +635,10 @@ class LongbowFlightServer(flight.FlightServerBase):
                         "query_index": pa.array(
                             qi.astype(np.int32), pa.int32()
                         ),
-                        "id": pa.array(
-                            [int(v) for v in ids[qi, ji]], pa.int64()
-                        ),
-                        "score": pa.array(
-                            np.asarray(scores)[qi, ji], pa.float32()
-                        ),
-                    }
+                        "id": id_arr,
+                        "score": score_arr,
+                    },
+                    schema=out_schema,
                 )
             )
             bi += 1

@@ -201,8 +201,17 @@ class WAL:
         while not self._stop.wait(self._sync_interval):
             with self._lock:
                 if self._dirty:
+                    t0 = time.perf_counter()
                     self._backend.sync()
                     self._dirty = False
+                    try:
+                        from longbow_tpu.metrics import get_registry
+
+                        get_registry().histogram(
+                            "longbow_wal_fsync_seconds"
+                        ).observe(time.perf_counter() - t0)
+                    except Exception:
+                        pass
                 batch = self._bytes_since_sync
                 self._bytes_since_sync = 0
             if self.sync == "adaptive":

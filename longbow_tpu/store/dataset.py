@@ -266,6 +266,7 @@ class Dataset:
         valid_mask [B,k] bool). Scores follow reference semantics:
         distance for l2/cosine, raw inner product for dot."""
         mask = self.filter_mask(filters or [])
+        t0 = time.perf_counter()
         d, r = self.index.search(
             jnp.asarray(queries, dtype=jnp.float32),
             k,
@@ -273,6 +274,19 @@ class Dataset:
             ef_search=ef_search,
             exact=exact,
         )
+        dt = time.perf_counter() - t0
+        if dt > 1.0:
+            # first call on a fresh (corpus, batch) shape = XLA/Mosaic
+            # compile (seconds-to-minutes on this platform); warm calls
+            # are milliseconds, so >1s is a reliable compile signal
+            try:
+                from longbow_tpu.metrics import get_registry
+
+                get_registry().histogram(
+                    "longbow_tpu_kernel_compile_seconds"
+                ).observe(dt)
+            except Exception:
+                pass
         d = np.asarray(d)
         r = np.asarray(r)
         ok = (d < float(MASKED)) & (r >= 0)
