@@ -19,6 +19,10 @@ import numpy as np
 
 from longbow_tpu.distributed.membership import MembershipManager, Member
 from longbow_tpu.distributed.replicator import Peer, PeerReplicator, SyncWorker
+from longbow_tpu.distributed.vector_clock import (
+    SplitBrainDetector,
+    VectorClock,
+)
 
 log = logging.getLogger("longbow.cluster")
 
@@ -96,6 +100,21 @@ class ClusterCoordinator:
             )
         self.global_search_timeout_s = global_search_timeout_s
         self._replication_level = replication_level
+        # causality tracking per dataset: local writes tick this node's
+        # component, replica applies merge the origin's clock; a
+        # 'concurrent' comparison = writes that LWW resolved silently —
+        # surfaced as a counter (reference: vector_clock.go:23 in the
+        # write path; LWW remains the resolution policy, lww.go:8)
+        self.clocks: dict[str, VectorClock] = {}
+        self._clock_lock = threading.Lock()
+        self.conflicts = 0
+        # split-brain watchdog: compares this node's membership view
+        # with alive peers' views on a slow timer (reference:
+        # split_brain_detector.go:25)
+        self.split_brain = SplitBrainDetector()
+        self._split_brain_view: Optional[dict] = None
+        self._sb_stop = threading.Event()
+        self._sb_thread: Optional[threading.Thread] = None
         self._started = False
         # DNS-discovered members join live: create their Peer clients
         # and fold them into the replication/sync fan-outs
@@ -149,8 +168,14 @@ class ClusterCoordinator:
         self.membership.start()
         if self.sync_worker:
             self.sync_worker.start()
+        if self._peers:
+            self._sb_thread = threading.Thread(
+                target=self._split_brain_loop, daemon=True
+            )
+            self._sb_thread.start()
 
     def stop(self) -> None:
+        self._sb_stop.set()
         self.membership.stop()
         if self.sync_worker:
             self.sync_worker.stop()
@@ -169,12 +194,77 @@ class ClusterCoordinator:
         """Replicate a locally-applied put (reference:
         peer_replicator.go:76). Returns False when a quorum write
         misses its consistency level."""
+        with self._clock_lock:
+            clock = (
+                self.clocks.setdefault(dataset, VectorClock())
+                .tick(self.self_id)
+                .to_dict()
+            )
         if self.replicator is None:
             return True
         return self.replicator.on_put(
             dataset, ids, vectors, columns,
-            metric=metric, timestamp=timestamp,
+            metric=metric, timestamp=timestamp, clock=clock,
         )
+
+    def observe_remote_clock(self, dataset: str, remote: dict) -> None:
+        """Merge a replica write's origin clock; count concurrent
+        (conflicting, LWW-resolved) writes so operators can see silent
+        conflict resolution happening (reference: vector_clock.go:23)."""
+        rc = VectorClock.from_dict(remote)
+        with self._clock_lock:
+            local = self.clocks.setdefault(dataset, VectorClock())
+            if local.compare(rc) == "concurrent":
+                self.conflicts += 1
+                try:
+                    from longbow_tpu.metrics import get_registry
+
+                    get_registry().counter(
+                        "longbow_replication_conflicts_total"
+                    ).inc()
+                except Exception:
+                    pass
+                log.warning(
+                    "concurrent writes on %s (LWW resolved): %s vs %s",
+                    dataset, local.to_dict(), remote,
+                )
+            local.merge(rc)
+
+    def _split_brain_loop(self) -> None:
+        while not self._sb_stop.wait(15.0):
+            try:
+                self._split_brain_view = self.check_split_brain()
+            except Exception:
+                pass
+
+    def check_split_brain(self) -> dict:
+        """One membership-view comparison round; caches the verdict
+        for status() (reference: split_brain_detector.go:25)."""
+        mine = {
+            m.id: m.status == "alive"
+            for m in self.membership.members.values()
+        }
+        peer_views: dict[str, dict] = {}
+        for m in self.membership.alive():
+            try:
+                st = self._peer_for(m).client.cluster_status()
+                peer_views[m.id] = {
+                    x["id"]: x.get("status") == "alive"
+                    for x in st.get("members", [])
+                    if x.get("id") in mine
+                }
+            except Exception:
+                continue
+        verdict = self.split_brain.check(mine, peer_views)
+        try:
+            from longbow_tpu.metrics import get_registry
+
+            get_registry().gauge("longbow_cluster_split_brain").set(
+                1.0 if verdict["split_brain"] else 0.0
+            )
+        except Exception:
+            pass
+        return verdict
 
     def on_delete(self, dataset, ids) -> bool:
         if self.placement == "partitioned":
@@ -440,4 +530,7 @@ class ClusterCoordinator:
             }
         if self.sync_worker:
             st["anti_entropy"] = {"synced_rows": self.sync_worker.synced_rows}
+        st["write_conflicts_lww_resolved"] = self.conflicts
+        if self._split_brain_view is not None:
+            st["split_brain"] = self._split_brain_view
         return st

@@ -44,14 +44,15 @@ class Peer:
         self.breaker = CircuitBreaker(threshold=5, cooldown_s=10.0)
 
     def replicate_put(
-        self, dataset, ids, vectors, columns, metric=None, timestamp=None
+        self, dataset, ids, vectors, columns, metric=None, timestamp=None,
+        clock=None,
     ) -> bool:
         if not self.breaker.allow():
             return False
         try:
             self.client.write(
                 dataset, ids, vectors, columns, metric,
-                timestamp=timestamp, replicated=True,
+                timestamp=timestamp, replicated=True, clock=clock,
             )
             self.breaker.record_success()
             return True
@@ -126,12 +127,15 @@ class PeerReplicator:
             self._observe(enq_ts)
 
     def _fanout(
-        self, kind, dataset, ids, vectors, columns, metric=None, ts=None
+        self, kind, dataset, ids, vectors, columns, metric=None, ts=None,
+        clock=None,
     ) -> int:
         acks = 0
         for p in self.peers:
             ok = (
-                p.replicate_put(dataset, ids, vectors, columns, metric, ts)
+                p.replicate_put(
+                    dataset, ids, vectors, columns, metric, ts, clock
+                )
                 if kind == "put"
                 else p.replicate_delete(dataset, ids)
             )
@@ -142,7 +146,7 @@ class PeerReplicator:
 
     def on_put(
         self, dataset, ids, vectors, columns=None, metric=None,
-        timestamp=None,
+        timestamp=None, clock=None,
     ) -> bool:
         """Returns True when the consistency level is satisfied."""
         if self.mode == "async":
@@ -150,13 +154,14 @@ class PeerReplicator:
                 self._q.put_nowait((
                     time.time(),
                     ("put", dataset, ids, vectors, columns, metric,
-                     timestamp),
+                     timestamp, clock),
                 ))
                 return True
             except queue.Full:
                 return False
         acks = self._fanout(
-            "put", dataset, ids, vectors, columns, metric, timestamp
+            "put", dataset, ids, vectors, columns, metric, timestamp,
+            clock,
         )
         return acks >= required_acks(self.level, len(self.peers))
 
@@ -165,7 +170,8 @@ class PeerReplicator:
             try:
                 self._q.put_nowait((
                     time.time(),
-                    ("delete", dataset, ids, None, None, None, None),
+                    ("delete", dataset, ids, None, None, None, None,
+                     None),
                 ))
                 return True
             except queue.Full:

@@ -199,7 +199,8 @@ def entry_candidates(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "ef", "max_iters", "ring_size", "normalize", "expand_per_iter"
+        "k", "ef", "max_iters", "ring_size", "normalize",
+        "expand_per_iter", "track_results", "approx_merge",
     ),
 )
 def beam_search(
@@ -216,6 +217,8 @@ def beam_search(
     expand_per_iter: int = 4,  # on-chip sweep: +10% QPS vs 2 at -0.1%
                                # recall (iteration count halves; the
                                # loop is gathered-row-bound either way)
+    track_results: bool = True,
+    approx_merge: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched best-first graph search.
 
@@ -225,10 +228,23 @@ def beam_search(
     mirroring reference bitmap search arrow_hnsw.go:754).
     Returns (dist [B, k] f32, rows [B, k] i32) sorted ascending; empty
     slots have dist >= MASKED and row -1.
+
+    track_results=False defers result extraction to AFTER the loop:
+    the beam is exactly HNSW's ef-wide working set W, and any visited
+    node outside it is worse than every beam entry, so top-k of the
+    validity-filtered final beam equals the tracked result set
+    whenever the beam holds >= k valid rows. Callers enable this on
+    the unfiltered path when tombstones are light (HNSWIndex gates on
+    dead fraction); it removes, per loop iteration, one [B, ex*M2]
+    row gather of res_mask (the loop is gather-RATE-bound — this
+    gather costs the same as the vector gather despite being 1 byte),
+    one top_k over k+ex*M2 columns, and the O(w^2) in-gather dedup.
     """
     b, d = queries.shape
     m2 = state.nbrs.shape[1]
     ex = max(1, expand_per_iter)
+    if k > ef:  # deferred extraction needs the beam to cover k
+        track_results = True
     if max_iters <= 0:
         # each iteration expands up to `ex` nodes per query; budget the
         # same total expansions as single-node HNSW (~2*ef)
@@ -254,19 +270,23 @@ def beam_search(
     beam_i = jnp.pad(er, ((0, 0), (0, pad)), constant_values=-1)
     expanded = jnp.zeros((b, e), bool)
 
-    # result set: entries eligible for return
-    er_ok = jnp.take(res_mask, jnp.maximum(er, 0)) & (er >= 0)
-    rd0 = jnp.where(er_ok, ed, MASKED)
-    neg, pos = jax.lax.top_k(-rd0, k)
-    res_d = -neg
-    res_i = jnp.where(
-        res_d < MASKED, jnp.take_along_axis(er, pos, axis=1), -1
-    )
+    if track_results:
+        # result set: entries eligible for return
+        er_ok = jnp.take(res_mask, jnp.maximum(er, 0)) & (er >= 0)
+        rd0 = jnp.where(er_ok, ed, MASKED)
+        neg, pos = jax.lax.top_k(-rd0, k)
+        res_d = -neg
+        res_i = jnp.where(
+            res_d < MASKED, jnp.take_along_axis(er, pos, axis=1), -1
+        )
 
     visited = jnp.full((b, ring_size), -1, jnp.int32)
 
     def cond(carry):
-        beam_d, beam_i, expanded, res_d, res_i, visited, it = carry
+        if track_results:
+            beam_d, beam_i, expanded, res_d, res_i, visited, it = carry
+        else:
+            beam_d, beam_i, expanded, visited, it = carry
         frontier = jnp.where(expanded | (beam_d >= MASKED), MASKED, beam_d)
         best_unexp = jnp.min(frontier, axis=1)  # [B]
         # classic ef semantics: explore while the best unexpanded node
@@ -278,7 +298,10 @@ def beam_search(
         return jnp.logical_and(it < max_iters, jnp.any(active))
 
     def body(carry):
-        beam_d, beam_i, expanded, res_d, res_i, visited, it = carry
+        if track_results:
+            beam_d, beam_i, expanded, res_d, res_i, visited, it = carry
+        else:
+            beam_d, beam_i, expanded, visited, it = carry
 
         # -- pick the `ex` best unexpanded beam entries per query --
         frontier = jnp.where(expanded | (beam_d >= MASKED), MASKED, beam_d)
@@ -310,26 +333,32 @@ def beam_search(
         nd = _gather_dist(state, qf, qn, nbr)
         nd = jnp.where(nbr_ok, nd, MASKED)
 
-        # -- fold eligible neighbors into the result set --
-        ok_res = jnp.take(res_mask, jnp.maximum(nbr, 0)) & nbr_ok
-        # a node can be re-discovered after falling out of the beam and
-        # the ring; without this mask it re-enters res as a duplicate
-        # and silently eats top-k slots (cost ~10% recall at 100k+)
-        dup_res = jnp.any(nbr[:, :, None] == res_i[:, None, :], axis=2)
-        # the same id can also appear twice within ONE gather (two
-        # expanded nodes sharing a neighbor): keep first occurrence
-        w = nbr.shape[1]
-        eqn = nbr[:, :, None] == nbr[:, None, :]
-        earlier = jnp.tril(jnp.ones((w, w), bool), k=-1)
-        dup_in = jnp.any(eqn & earlier[None], axis=2) & nbr_ok
-        cd = jnp.where(ok_res & ~dup_res & ~dup_in, nd, MASKED)
-        all_d = jnp.concatenate([res_d, cd], axis=1)
-        all_i = jnp.concatenate([res_i, nbr], axis=1)
-        neg, pos = jax.lax.top_k(-all_d, k)
-        res_d = -neg
-        res_i = jnp.where(
-            res_d < MASKED, jnp.take_along_axis(all_i, pos, axis=1), -1
-        )
+        if track_results:
+            # -- fold eligible neighbors into the result set --
+            ok_res = jnp.take(res_mask, jnp.maximum(nbr, 0)) & nbr_ok
+            # a node can be re-discovered after falling out of the beam
+            # and the ring; without this mask it re-enters res as a
+            # duplicate and silently eats top-k slots (~10% recall at
+            # 100k+)
+            dup_res = jnp.any(
+                nbr[:, :, None] == res_i[:, None, :], axis=2
+            )
+            # the same id can also appear twice within ONE gather (two
+            # expanded nodes sharing a neighbor): keep first occurrence
+            w = nbr.shape[1]
+            eqn = nbr[:, :, None] == nbr[:, None, :]
+            earlier = jnp.tril(jnp.ones((w, w), bool), k=-1)
+            dup_in = jnp.any(eqn & earlier[None], axis=2) & nbr_ok
+            cd = jnp.where(ok_res & ~dup_res & ~dup_in, nd, MASKED)
+            all_d = jnp.concatenate([res_d, cd], axis=1)
+            all_i = jnp.concatenate([res_i, nbr], axis=1)
+            neg, pos = jax.lax.top_k(-all_d, k)
+            res_d = -neg
+            res_i = jnp.where(
+                res_d < MASKED,
+                jnp.take_along_axis(all_i, pos, axis=1),
+                -1,
+            )
 
         # -- merge neighbors into the beam (keep best e) --
         md = jnp.concatenate([beam_d, nd], axis=1)
@@ -337,7 +366,12 @@ def beam_search(
         mx = jnp.concatenate(
             [expanded, jnp.zeros((b, ex * m2), bool)], axis=1
         )
-        neg, pos = jax.lax.top_k(-md, e)
+        if approx_merge:
+            # TPU-native partial-reduction top-k: avoids the full
+            # bitonic sort of e+ex*M2 columns each iteration
+            neg, pos = jax.lax.approx_max_k(-md, e, recall_target=0.95)
+        else:
+            neg, pos = jax.lax.top_k(-md, e)
         beam_d = -neg
         beam_i = jnp.take_along_axis(mi, pos, axis=1)
         expanded = jnp.take_along_axis(mx, pos, axis=1)
@@ -345,8 +379,31 @@ def beam_search(
         # (a shift register) guards the recently expanded
         visited = jnp.concatenate([visited[:, ex:], exp_row], axis=1)
 
-        return beam_d, beam_i, expanded, res_d, res_i, visited, it + 1
+        if track_results:
+            return beam_d, beam_i, expanded, res_d, res_i, visited, it + 1
+        return beam_d, beam_i, expanded, visited, it + 1
 
-    carry = (beam_d, beam_i, expanded, res_d, res_i, visited, jnp.int32(0))
-    _, _, _, res_d, res_i, _, _ = jax.lax.while_loop(cond, body, carry)
+    if track_results:
+        carry = (
+            beam_d, beam_i, expanded, res_d, res_i, visited, jnp.int32(0)
+        )
+        _, _, _, res_d, res_i, _, _ = jax.lax.while_loop(cond, body, carry)
+        return res_d, res_i
+
+    carry = (beam_d, beam_i, expanded, visited, jnp.int32(0))
+    beam_d, beam_i, _, _, _ = jax.lax.while_loop(cond, body, carry)
+    # deferred extraction: top-k of the validity-filtered final beam.
+    # In-gather duplicates can survive in the beam (the loop dedups
+    # neighbors vs beam/ring but not within one gather) — drop all but
+    # the first occurrence, else duplicates eat top-k slots.
+    ok = jnp.take(res_mask, jnp.maximum(beam_i, 0)) & (beam_i >= 0)
+    eq = beam_i[:, :, None] == beam_i[:, None, :]
+    earlier = jnp.tril(jnp.ones((e, e), bool), k=-1)
+    dup = jnp.any(eq & earlier[None], axis=2)
+    fd = jnp.where(ok & ~dup, beam_d, MASKED)
+    neg, pos = jax.lax.top_k(-fd, k)
+    res_d = -neg
+    res_i = jnp.where(
+        res_d < MASKED, jnp.take_along_axis(beam_i, pos, axis=1), -1
+    )
     return res_d, res_i

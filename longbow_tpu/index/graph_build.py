@@ -76,6 +76,9 @@ def select_neighbors_heuristic(
     cand_dist: jax.Array,   # [Bi, C] f32 dist(candidate, q)
     cand_vecs: jax.Array,   # [Bi, C, D] f32
     m: int,
+    *,
+    protected=None,         # [Bi, C] bool: picked first, never pruned
+    fill: bool = False,     # keepPrunedConnections: top up to m slots
 ) -> tuple[jax.Array, jax.Array]:
     """Vectorized keep-pruned-connections heuristic
     (reference: arrow_hnsw_insert.go:20 selectNeighbors).
@@ -83,17 +86,29 @@ def select_neighbors_heuristic(
     Greedily picks the closest remaining candidate; after each pick,
     candidates closer to the picked node than to the query are pruned.
     Returns (rows [Bi, m], dists [Bi, m]) padded with -1 / MASKED.
+
+    protected: candidates that must survive (picked ahead of everything
+    else and exempt from pruning) — carries the symmetrizer's rank-0
+    reverse-edge reachability guarantee through the diversity prune.
+    fill: after the greedy pass, remaining slots are topped up with the
+    closest PRUNED candidates (the reference's keepPrunedConnections
+    arm) so nodes keep full degree.
     """
     bi, c, d = cand_vecs.shape
     pair = _pairwise_l2(cand_vecs, cand_vecs)  # [Bi, C, C]
     avail = (cand_rows >= 0) & (cand_dist < MASKED)
+    avail0 = avail
+    if protected is None:
+        protected = jnp.zeros_like(avail)
+    # pick ordering: protected first, then by true distance
+    order_d = jnp.where(protected, cand_dist - 1.0e9, cand_dist)
 
     def body(j, carry):
         avail, sel_rows, sel_dists = carry
-        dd = jnp.where(avail, cand_dist, _BIG)
+        dd = jnp.where(avail, order_d, _BIG)
         pick = jnp.argmin(dd, axis=1)  # [Bi]
-        pick_d = jnp.take_along_axis(dd, pick[:, None], axis=1)  # [Bi,1]
-        has = pick_d[:, 0] < _BIG
+        has = jnp.take_along_axis(dd, pick[:, None], axis=1)[:, 0] < _BIG
+        pick_d = jnp.take_along_axis(cand_dist, pick[:, None], axis=1)
         pick_row = jnp.where(
             has, jnp.take_along_axis(cand_rows, pick[:, None], axis=1)[:, 0], -1
         )
@@ -108,7 +123,7 @@ def select_neighbors_heuristic(
         d_to_pick = jnp.take_along_axis(
             pair, pick[:, None, None], axis=2
         )[:, :, 0]  # [Bi, C]
-        prune = d_to_pick < cand_dist
+        prune = (d_to_pick < cand_dist) & ~protected
         ccols = jax.lax.broadcasted_iota(jnp.int32, avail.shape, 1)
         avail = avail & ~prune & (ccols != pick[:, None]) & has[:, None]
         return avail, sel_rows, sel_dists
@@ -118,6 +133,33 @@ def select_neighbors_heuristic(
     _, sel_rows, sel_dists = jax.lax.fori_loop(
         0, m, body, (avail, sel_rows, sel_dists)
     )
+    if fill:
+        # top up trailing empty slots with the closest candidates the
+        # diversity rule pruned (selected entries rank first via the
+        # -1e9 bias; duplicates impossible — a candidate is either
+        # selected or not)
+        in_sel = jnp.any(
+            (cand_rows[:, :, None] == sel_rows[:, None, :])
+            & (sel_rows[:, None, :] >= 0),
+            axis=2,
+        )
+        fill_d = jnp.where(avail0 & ~in_sel, cand_dist, MASKED)
+        md = jnp.concatenate(
+            [jnp.where(sel_dists < MASKED, sel_dists - 1.0e9, MASKED),
+             fill_d],
+            axis=1,
+        )
+        mr = jnp.concatenate([sel_rows, cand_rows], axis=1)
+        mt = jnp.concatenate([sel_dists, cand_dist], axis=1)  # true d
+        neg, pos = jax.lax.top_k(-md, m)
+        sel_rows = jnp.where(
+            -neg < MASKED, jnp.take_along_axis(mr, pos, axis=1), -1
+        )
+        sel_dists = jnp.where(
+            -neg < MASKED,
+            jnp.take_along_axis(mt, pos, axis=1),
+            MASKED,
+        )
     return sel_rows, sel_dists
 
 
@@ -460,7 +502,10 @@ def bulk_build_edges(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m_max"), donate_argnums=(0,))
+@functools.partial(
+    jax.jit, static_argnames=("n", "m_max", "diversify"),
+    donate_argnums=(0,),
+)
 def _symmetrize_and_store(
     state: GraphState,
     fwd_rows: jax.Array,   # [n, m]
@@ -468,6 +513,7 @@ def _symmetrize_and_store(
     n: int,
     *,
     m_max: int,
+    diversify: bool = False,
 ) -> GraphState:
     m = fwd_rows.shape[1]
     e = n * m
@@ -525,12 +571,51 @@ def _symmetrize_and_store(
     all_d = jnp.where(all_i >= 0, all_d, MASKED)
     all_de = jnp.where(all_i >= 0, all_de, MASKED)
 
-    neg, ppos = jax.lax.top_k(-all_de, m_max)
-    sel_d = jnp.take_along_axis(all_d, ppos, axis=1)
-    sel_d = jnp.where(-neg < MASKED, sel_d, MASKED)
-    sel_i = jnp.where(
-        sel_d < MASKED, jnp.take_along_axis(all_i, ppos, axis=1), -1
-    )
+    if diversify:
+        # HNSW applies selectNeighbors on overflow, not plain
+        # closest-m_max (reference: arrow_hnsw_insert.go:20 on the
+        # bidirectional-link path): diversity-prune the merged
+        # forward+incoming list with keepPruned fill so degree stays
+        # m_max; protected reverse edges survive via the heuristic's
+        # protected lane. Chunked — the candidate-vector gather is
+        # [chunk, m+R, D].
+        c_w = all_i.shape[1]
+        chunk = 1024
+        n_pad2 = -(-n // chunk) * chunk
+        ai = jnp.pad(
+            all_i, ((0, n_pad2 - n), (0, 0)), constant_values=-1
+        )
+        ad = jnp.pad(
+            all_d, ((0, n_pad2 - n), (0, 0)),
+            constant_values=float(MASKED),
+        )
+        ade = jnp.pad(
+            all_de, ((0, n_pad2 - n), (0, 0)),
+            constant_values=float(MASKED),
+        )
+
+        def one(bi):
+            ci = jax.lax.dynamic_slice_in_dim(ai, bi * chunk, chunk)
+            cd = jax.lax.dynamic_slice_in_dim(ad, bi * chunk, chunk)
+            cde = jax.lax.dynamic_slice_in_dim(ade, bi * chunk, chunk)
+            cv = gather_vectors_f32(state, jnp.maximum(ci, 0))
+            prot = cde < cd - 1.0e8
+            return select_neighbors_heuristic(
+                ci, cd, cv, m_max, protected=prot, fill=True
+            )
+
+        sr, sd = jax.lax.map(
+            one, jnp.arange(n_pad2 // chunk, dtype=jnp.int32)
+        )
+        sel_i = sr.reshape(n_pad2, m_max)[:n]
+        sel_d = sd.reshape(n_pad2, m_max)[:n]
+    else:
+        neg, ppos = jax.lax.top_k(-all_de, m_max)
+        sel_d = jnp.take_along_axis(all_d, ppos, axis=1)
+        sel_d = jnp.where(-neg < MASKED, sel_d, MASKED)
+        sel_i = jnp.where(
+            sel_d < MASKED, jnp.take_along_axis(all_i, ppos, axis=1), -1
+        )
     cnt = jnp.sum(sel_i >= 0, axis=1).astype(jnp.int32)
     # pad to the adjacency width actually allocated in the state (a
     # builder may use a smaller m_max than the index was created with)
@@ -1032,6 +1117,7 @@ def bulk_build_rp(
     nn_rounds: int = 2,
     prune_chunk: int = 1024,
     seed: int = 0,
+    diversify: bool = False,
 ) -> GraphState:
     """Random-projection blocked kNN-graph build (the large-n default
     on TPU). O(N * block * D) flops per round vs the exact builder's
@@ -1080,7 +1166,8 @@ def bulk_build_rp(
     fwd_rows, fwd_dists = _prune_forward_all(state, kd, ki, m, prune_chunk)
     _stage("prune", fwd_rows)
     out = _symmetrize_and_store(
-        state, fwd_rows[:n], fwd_dists[:n], n, m_max=m_max
+        state, fwd_rows[:n], fwd_dists[:n], n, m_max=m_max,
+        diversify=diversify,
     )
     _stage("symmetrize", out.nbrs)
     return out

@@ -158,6 +158,7 @@ class HNSWIndex:
         self.pq_rerank = bool(pq_rerank) and storage == "pq"
         self._rerank_host: Optional[np.ndarray] = None  # [cap, dim] f16
         self.count = 0
+        self._dead = 0  # tombstoned rows (gates deferred extraction)
         cap = pad_to(capacity, MIN_CAPACITY)
         store_dim = dim + 1 if self._mips else dim
         if storage == "pq":
@@ -471,6 +472,7 @@ class HNSWIndex:
         hnsw_repair_agent.go:31; repair/compaction comes separately)."""
         if len(rows) == 0:
             return
+        self._dead += len(rows)
         self.state = self.state._replace(
             valid=self.state.valid.at[jnp.asarray(rows)].set(False)
         )
@@ -506,9 +508,17 @@ class HNSWIndex:
         pool_k = min(max(4 * k, 32), ef) if rerank else k
 
         eligible = filter_mask
+        # deferred result extraction (top-k of the final beam) removes
+        # one res_mask row-gather + one wide top_k + the O(w^2) dedup
+        # per loop iteration; exact whenever the beam holds >= k valid
+        # rows, so gate on light tombstoning (beam=ef wide)
+        track = eligible is not None or (
+            self._dead * 10 > 3 * max(self.count, 1)
+        )
         d, r = beam_search(
             self.state, queries, self._sample_rows, pool_k, ef,
             eligible=eligible, normalize=normalize,
+            track_results=track,
         )
         # adaptive-ef retry needs a device fetch to see fill-ness —
         # skip it when under-fill is implausible (no filters and the
@@ -528,6 +538,7 @@ class HNSWIndex:
                 d, r = beam_search(
                     self.state, queries, self._sample_rows, pool_k, ef,
                     eligible=eligible, normalize=normalize,
+                    track_results=track,
                 )
         if rerank:
             d, r = self._pq_host_rerank(q_np, d, r, k, normalize)

@@ -31,7 +31,10 @@ from longbow_tpu.parallel.mesh import SHARD_AXIS
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef", "mesh", "shard_rows", "sample_len", "normalize"),
+    static_argnames=(
+        "k", "ef", "mesh", "shard_rows", "sample_len", "normalize",
+        "track_results",
+    ),
 )
 def _sharded_graph_search(
     vectors, norms, valid, nbrs, nbr_dists, nbr_count,  # sharded on rows
@@ -43,11 +46,13 @@ def _sharded_graph_search(
     shard_rows: int,
     sample_len: int,
     normalize: bool,
+    track_results: bool = True,
 ):
     def local(v, nrm, vld, nb, nd, nc, smp, q):
         st = GraphState(v, nrm, vld, nb, nd, nc)
         d, i = beam_search(
-            st, q, smp[0], k, ef, normalize=normalize
+            st, q, smp[0], k, ef, normalize=normalize,
+            track_results=track_results,
         )
         off = jax.lax.axis_index(SHARD_AXIS) * shard_rows
         gi = jnp.where(d < MASKED, i + off, -1)
@@ -258,12 +263,20 @@ class ShardedGraphIndex:
             )
         normalize = self.metric == Metric.COSINE
         ef = max(ef_search or self.config.ef_search, k)
+        # deferred per-shard result extraction unless tombstone-heavy
+        # (same gate as HNSWIndex.search; exact while beams stay >= k
+        # valid rows)
+        track = (
+            len(getattr(self, "_deleted", ())) * 10
+            > 3 * max(self.count, 1)
+        )
         d, r = _sharded_graph_search(
             self.vectors, self.norms_sq, self.valid, self.nbrs,
             self.nbr_dists, self.nbr_count, self.samples,
             jnp.asarray(q), k, ef,
             mesh=self.mesh, shard_rows=self.shard_rows,
             sample_len=self.samples.shape[1], normalize=normalize,
+            track_results=track,
         )
         d = np.asarray(d)
         if self.metric == Metric.DOT:

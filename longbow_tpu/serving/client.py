@@ -105,6 +105,7 @@ class LongbowClient:
         *,
         timestamp: Optional[float] = None,
         replicated: bool = False,
+        clock: Optional[dict] = None,
     ) -> None:
         """DoPut a batch (reference: client.py write :113).
 
@@ -123,6 +124,10 @@ class LongbowClient:
             meta["longbow.ts"] = repr(float(timestamp))
         if replicated:
             meta["longbow.replication"] = "1"
+        if clock:
+            # origin vector clock: receivers merge + flag concurrent
+            # (conflicting) writes (reference: vector_clock.go:23)
+            meta["longbow.vclock"] = json.dumps(clock)
         if self._ring is not None and not replicated:
             # smart routing: one direct put per owner (reference:
             # SmartClient routes by key, saving the server-side

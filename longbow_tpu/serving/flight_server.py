@@ -156,6 +156,20 @@ class LongbowFlightServer(flight.FlightServerBase):
         origin_ts = None
         if b"longbow.ts" in schema_meta:
             origin_ts = float(schema_meta[b"longbow.ts"].decode())
+        if (
+            is_replication
+            and self.cluster is not None
+            and b"longbow.vclock" in schema_meta
+        ):
+            # merge the origin's causality clock; concurrent writes are
+            # counted as LWW-resolved conflicts (vector_clock.go:23)
+            try:
+                self.cluster.observe_remote_clock(
+                    dataset,
+                    json.loads(schema_meta[b"longbow.vclock"].decode()),
+                )
+            except Exception:
+                pass
         if self.middleware:
             self.middleware.admit("DoPut")
         try:

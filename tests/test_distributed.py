@@ -144,3 +144,66 @@ def test_anti_entropy_sync(two_nodes):
     ids, _, _ = s2.search("ae", v[25], 1, use_cache=False)
     assert ids[0, 0] == 25  # previously missing row pulled over
     assert 2 not in s2.get("ae")._id_to_row  # deletion propagated
+
+
+def test_vector_clock_wired_into_replication(two_nodes):
+    """A replicated put carries the origin's vector clock; the receiver
+    merges it and counts concurrent (LWW-resolved) writes
+    (reference: vector_clock.go:23 wired through the write path)."""
+    from longbow_tpu.distributed.cluster import ClusterCoordinator
+
+    (s1, h1), (s2, h2) = two_nodes
+    c1 = ClusterCoordinator(
+        s1, "n1", [f"127.0.0.1:{h2.data_server.port}:{h2.meta_server.port}"],
+        replication_mode="async",
+    )
+    c2 = ClusterCoordinator(s2, "n2", [], replication_mode="off")
+    h2.data_server.cluster = c2
+    try:
+        v = _vecs(5, 8)
+        s1.put("vc", np.arange(5), v)
+        c1.on_put("vc", np.arange(5), v, None, None, time.time())
+        assert c1.clocks["vc"].to_dict() == {"n1": 1}
+        assert _wait_for(
+            lambda: "vc" in s2.list_datasets()
+            and c2.clocks.get("vc") is not None
+        )
+        # in-order replica apply: merged, not a conflict
+        assert c2.clocks["vc"].to_dict().get("n1") == 1
+        assert c2.conflicts == 0
+        # a concurrent clock (disjoint component) = conflict, counted
+        c2.observe_remote_clock("vc", {"n3": 1})
+        assert c2.conflicts == 1
+        assert c2.clocks["vc"].to_dict() == {"n1": 1, "n3": 1}
+        assert c2.status()["write_conflicts_lww_resolved"] == 1
+    finally:
+        c1.stop()
+        c2.stop()
+        h2.data_server.cluster = None
+
+
+def test_split_brain_check_over_wire(two_nodes):
+    """check_split_brain pulls peers' membership views over the real
+    cluster-status action (reference: split_brain_detector.go:25)."""
+    from longbow_tpu.distributed.cluster import ClusterCoordinator
+
+    (s1, h1), (s2, h2) = two_nodes
+    p2 = f"127.0.0.1:{h2.data_server.port}:{h2.meta_server.port}"
+    c1 = ClusterCoordinator(s1, "n1", [p2], replication_mode="off")
+    c2 = ClusterCoordinator(s2, p2.rsplit(":", 1)[0] and p2, [],
+                            replication_mode="off")
+    h2.data_server.cluster = c2
+    h2.meta_server.cluster = c2
+    try:
+        # mark the peer alive so check_split_brain queries it
+        for m in c1.membership.members.values():
+            m.status = "alive"
+        verdict = c1.check_split_brain()
+        assert set(verdict) >= {"split_brain", "suspects", "have_quorum"}
+        assert verdict["have_quorum"] is True
+        assert verdict["split_brain"] is False
+    finally:
+        c1.stop()
+        c2.stop()
+        h2.data_server.cluster = None
+        h2.meta_server.cluster = None
