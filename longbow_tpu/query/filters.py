@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from longbow_tpu.query.parser import Filter
+from longbow_tpu.query.prefilter import ColumnPrefilter
 
 
 class ColumnStore:
@@ -42,6 +43,11 @@ class ColumnStore:
         # snowflake-style ids filter exactly (reference keeps true
         # int64 columns, filter_evaluator.go)
         self._host_numeric: dict[str, np.ndarray] = {}
+        # O(1) equality pre-filters: bloom + inverted row index per
+        # string/int column (reference: column_inverted_index.go:47,
+        # bloom_filter.go:23) — answers eq/in predicates host-side
+        # with one mask upload instead of a device compare per value
+        self._prefilters: dict[str, ColumnPrefilter] = {}
 
     def _grow(self, new_cap: int) -> None:
         if new_cap <= self.capacity:
@@ -91,11 +97,20 @@ class ColumnStore:
                 raise ValueError(
                     f"column {name!r} has {len(arr)} rows, expected {n}"
                 )
+            pos = (
+                rows_np
+                if rows_np is not None
+                else np.arange(start, start + n, dtype=np.int64)
+            )
             if arr.dtype.kind in "OUS":  # strings
                 d = self._str_dicts.setdefault(name, {})
+                keys = np.array([str(v) for v in arr], dtype=object)
                 codes = np.array(
-                    [d.setdefault(str(v), len(d)) for v in arr], np.int32
+                    [d.setdefault(k, len(d)) for k in keys], np.int32
                 )
+                self._prefilters.setdefault(
+                    name, ColumnPrefilter()
+                ).add_batch(keys, pos)
                 col = self._str_codes.get(name)
                 if col is None:
                     col = jnp.full((self.capacity,), -1, jnp.int32)
@@ -111,6 +126,12 @@ class ColumnStore:
                     np.int64 if arr.dtype.kind in "iu" else np.float32
                 )
                 dt = jnp.int64 if vals_f.dtype == np.int64 else jnp.float32
+                if vals_f.dtype == np.int64:
+                    # integer columns get the eq/in pre-filter (floats
+                    # don't: equality on floats is scan-path territory)
+                    self._prefilters.setdefault(
+                        name, ColumnPrefilter()
+                    ).add_batch(vals_f.astype("U"), pos)
                 if dt == jnp.int64:
                     if (
                         name not in self._host_numeric
@@ -196,14 +217,86 @@ class ColumnStore:
             cs._str_codes[k] = jnp.asarray(np.concatenate([arr, pad]))
         for k, d in st["str_dicts"].items():
             cs._str_dicts[k] = {str(v): int(c) for v, c in d.items()}
+        cs._rebuild_prefilters(st)
         return cs
+
+    def _rebuild_prefilters(self, st: dict) -> None:
+        """Snapshots carry only the columns; the bloom/inverted
+        structures are derived state, rebuilt on import (the reference
+        re-indexes on recovery the same way, column_inverted_index.go
+        IndexRecord called from the load path)."""
+        from longbow_tpu.query.prefilter import ColumnPrefilter
+
+        n = st["count"]
+        rows = np.arange(n, dtype=np.int64)
+        for k, arr in st["numeric"].items():
+            arr = np.asarray(arr)[:n]
+            if arr.dtype.kind in "iu":
+                self._prefilters.setdefault(
+                    k, ColumnPrefilter()
+                ).add_batch(arr.astype(np.int64).astype("U"), rows)
+        for k, codes in st["str_codes"].items():
+            d = self._str_dicts.get(k, {})
+            if not d:
+                continue
+            inv = np.empty(max(d.values()) + 1, dtype=object)
+            for v, c in d.items():
+                inv[c] = v
+            codes = np.asarray(codes, np.int64)[:n]
+            ok = codes >= 0
+            self._prefilters.setdefault(k, ColumnPrefilter()).add_batch(
+                inv[codes[ok]], rows[ok]
+            )
 
     # ------------------------------------------------------------------
 
+    def _prefilter_mask(self, f: Filter) -> Optional[jax.Array]:
+        """eq/in via the host inverted index: O(values) dict lookups +
+        one bool-mask upload. None = not answerable here (no index,
+        bloom-only column, or non-integer value) -> scan path."""
+        if f.operator not in ("eq", "in"):
+            return None
+        pf = self._prefilters.get(f.field)
+        if pf is None:
+            return None
+        vals = (
+            f.value
+            if isinstance(f.value, (list, tuple))
+            else [f.value]
+        )
+        is_str = f.field in self._str_dicts
+        mask = np.zeros((self.capacity,), bool)
+        for v in vals:
+            if is_str:
+                key = str(v)
+            else:
+                try:
+                    key = str(int(v))
+                except (TypeError, ValueError):
+                    return None  # scan path raises the canonical error
+            r = pf.rows_for(key)
+            if r is None:
+                return None  # cardinality-capped column: bloom only
+            if len(r):
+                mask[r[r < self.capacity]] = True
+        return jnp.asarray(mask)
+
     def _eval_one(self, f: Filter) -> jax.Array:
         op = f.operator
+        pm = self._prefilter_mask(f)
+        if pm is not None:
+            return pm
+        in_vals = (
+            list(f.value)
+            if op == "in" and isinstance(f.value, (list, tuple))
+            else [f.value] if op == "in" else None
+        )
         if f.field in self._host_numeric:
             col = self._host_numeric[f.field]
+            if op == "in":
+                return jnp.asarray(
+                    np.isin(col, np.array([int(v) for v in in_vals]))
+                )
             val = int(f.value)
             m = {
                 "eq": col == val,
@@ -215,23 +308,29 @@ class ColumnStore:
             }[op]
             return jnp.asarray(m)
         if f.field in self._str_codes:
-            if op not in ("eq", "neq"):
+            if op not in ("eq", "neq", "in"):
                 raise ValueError(
                     f"operator {op!r} unsupported for string column "
-                    f"{f.field!r} (eq/neq only)"
+                    f"{f.field!r} (eq/neq/in only)"
                 )
-            code = self._str_dicts[f.field].get(f.value, -2)  # -2: no match
+            d = self._str_dicts[f.field]
             col = self._str_codes[f.field]
+            if op == "in":
+                codes = [d.get(str(v), -2) for v in in_vals]
+                return jnp.isin(col, jnp.asarray(codes, jnp.int32))
+            code = d.get(f.value, -2)  # -2: no match
             m = col == code
             return m if op == "eq" else (col >= 0) & ~m
         if f.field in self._numeric:
             col = self._numeric[f.field]
-            try:
-                val = (
-                    int(f.value)
-                    if col.dtype in (jnp.int32, jnp.int64)
-                    else float(f.value)
+            is_int = col.dtype in (jnp.int32, jnp.int64)
+            if op == "in":
+                vv = [int(v) if is_int else float(v) for v in in_vals]
+                return jnp.isin(
+                    col, jnp.asarray(vv, dtype=col.dtype)
                 )
+            try:
+                val = int(f.value) if is_int else float(f.value)
             except ValueError as e:
                 raise ValueError(
                     f"filter value {f.value!r} not numeric for column "

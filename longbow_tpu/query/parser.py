@@ -30,6 +30,9 @@ _OP_ALIASES = {
     "<": "lt", "lt": "lt",
     ">=": "ge", "ge": "ge", "gte": "ge",
     "<=": "le", "le": "le", "lte": "le",
+    # extension beyond the reference's six ops: value is a JSON list;
+    # served O(1) by the column inverted index (query/prefilter.py)
+    "in": "in",
 }
 
 
@@ -90,11 +93,15 @@ def _parse_filters(raw) -> list:
     for f in raw or []:
         if not isinstance(f, dict):
             raise ValueError("filter must be an object")
+        val = f.get("value", "")
+        # scalar values stringify (the reference's parser reads them as
+        # strings, zero_alloc_parser.go:243); `in` lists stay lists so
+        # the inverted index can take them element-wise
         out.append(
             Filter(
                 field=f.get("field", ""),
                 operator=f.get("operator", f.get("op", "eq")),
-                value=str(f.get("value", "")),
+                value=val if isinstance(val, list) else str(val),
                 logic=f.get("logic", ""),
             )
         )
