@@ -22,6 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from longbow_tpu.index.flat import FlatIndex
+from longbow_tpu.index.hardness import (
+    DEFAULT_MIN_CONTRAST,
+    relative_contrast,
+)
 from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
 from longbow_tpu.ops.distance import Metric
 
@@ -41,6 +45,7 @@ class AdaptiveIndex:
         hnsw_config: Optional[HNSWConfig] = None,
         storage: str = "dense",
         pq_m: Optional[int] = None,
+        min_contrast: float = DEFAULT_MIN_CONTRAST,
     ):
         self.dim = dim
         self.metric = Metric.validate(metric)
@@ -63,6 +68,13 @@ class AdaptiveIndex:
         self.background_migration = True
         self._mlock = threading.RLock()
         self._builder: Optional[threading.Thread] = None
+        # hardness-aware routing (index/hardness.py): distance-
+        # concentrated corpora never migrate — the exact fused scan
+        # beats any graph config on them in both recall AND QPS.
+        # 0 disables the probe (always migrate at threshold).
+        self.min_contrast = min_contrast
+        self.last_contrast: Optional[float] = None
+        self._contrast_checked_at = 0
 
     # ------------------------------------------------------------------
 
@@ -145,6 +157,28 @@ class AdaptiveIndex:
             return
         if len(self._flat) < self.migration_threshold:
             return
+        if self.min_contrast > 0 and self.migration_threshold > 0:
+            # probe once per count-doubling: low-contrast data stays on
+            # the exact scan (see index/hardness.py for the measured
+            # rationale); a distribution that gains structure as it
+            # grows still migrates at the next doubling
+            count = len(self._flat)
+            if count < 2 * self._contrast_checked_at:
+                return
+            with self._mlock:
+                self._flat.flush()
+                rc = relative_contrast(self._flat.vectors, count)
+            self.last_contrast = rc
+            self._contrast_checked_at = count
+            if rc < self.min_contrast:
+                log.warning(
+                    "corpus relative contrast %.2f < %.2f at n=%d: "
+                    "distance-concentrated data — staying on the exact "
+                    "scan (graph search cannot beat it here; "
+                    "index/hardness.py)",
+                    rc, self.min_contrast, count,
+                )
+                return
         # threshold 0 = the explicit "hnsw" kind: the graph IS the
         # index, so the first batch builds synchronously; background
         # applies only to genuine flat->graph crossings mid-serve

@@ -9,6 +9,7 @@ no ef_search/exact notions) behind the same surface the Dataset uses.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -191,6 +192,12 @@ def make_index(
     kind = (kind or "adaptive").lower()
     storage = str(params.get("storage", "dense")).lower()
     graph_pq_m = int(params.get("pq_m", 0)) or None
+    min_contrast = float(
+        params.get(
+            "min_contrast",
+            os.environ.get("LONGBOW_ADAPTIVE_MIN_CONTRAST", 2.0),
+        )
+    )
     if kind in ("mesh_flat", "mesh_graph"):
         # intra-slice mesh tier: LONGBOW index param mesh_shards picks
         # how many devices; default all (v5e-8 = 8-way row sharding)
@@ -212,6 +219,7 @@ def make_index(
             dim, metric, dtype=dtype,
             migration_threshold=migration_threshold,
             hnsw_config=hnsw_config, storage=storage, pq_m=graph_pq_m,
+            min_contrast=min_contrast,
         )
     if kind == "flat":
         return AdaptiveIndex(

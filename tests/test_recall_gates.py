@@ -49,3 +49,40 @@ def test_gate_10k_384d():
 def test_gate_50k_384d():
     # reference: >= 0.920 (M=64, efC=600)
     _gate(50_000, 384, m=64, m_max=96, efs=200, threshold=0.92)
+
+
+def test_gate_1m_uniform_served_recall():
+    """1M x 128 uniform Gaussian, held-out queries — the adversarial
+    distance-concentrated distribution. Graph beam search plateaus at
+    ~0.34 recall here regardless of build quality (round-3 sweep:
+    nn-descent rounds x diversified pruning x efS up to 300), so the
+    serving answer is hardness-aware routing (index/hardness.py): the
+    adaptive index detects low relative contrast and keeps the exact
+    fused scan, which serves this corpus at recall 0.9895 and ~12x the
+    graph's QPS on TPU. The gate asserts the ROUTED result: >= 0.95
+    end-to-end recall on uniform 1M at default settings."""
+    from longbow_tpu.index.adaptive import AdaptiveIndex
+
+    rng = np.random.default_rng(7)
+    n, d = 1_000_000, 128
+    vecs = rng.standard_normal((n, d), dtype=np.float32)
+    q = rng.standard_normal((100, d), dtype=np.float32)
+    idx = AdaptiveIndex(d, migration_threshold=500_000)
+    for a in range(0, n, 250_000):
+        idx.add(vecs[a : a + 250_000])
+    idx.wait_migration(timeout_s=600)
+    assert idx.kind == "flat", (
+        f"contrast probe failed: rc={idx.last_contrast}"
+    )
+    assert idx.last_contrast is not None and idx.last_contrast < 2.0
+    _, er = exact_search(
+        jnp.asarray(q), jnp.asarray(vecs), 10, exact_precision=True,
+        chunk_rows=131_072,
+    )
+    want = np.asarray(er)
+    _, r = idx.search(jnp.asarray(q), 10)
+    got = np.asarray(r)
+    rec = np.mean(
+        [len(set(got[i]) & set(want[i])) / 10 for i in range(100)]
+    )
+    assert rec >= 0.95, f"served uniform-1M recall {rec} < 0.95"
