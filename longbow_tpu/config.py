@@ -64,6 +64,16 @@ class Config:
     hnsw_ef_construction: int = field(
         default_factory=lambda: _env("HNSW_EF_CONSTRUCTION", 100, int)
     )
+    # search-time QPS levers (0 = off): traverse only the best
+    # search_m_max distance-sorted edges per node; expand search_expand
+    # beam nodes per iteration. On-chip 1M frontier in
+    # docs/ARCHITECTURE.md (fast profile 32/8: +67% QPS, -0.7% recall)
+    hnsw_search_m_max: int = field(
+        default_factory=lambda: _env("HNSW_SEARCH_M_MAX", 0, int)
+    )
+    hnsw_search_expand: int = field(
+        default_factory=lambda: _env("HNSW_SEARCH_EXPAND", 4, int)
+    )
     hnsw_ef_search: int = field(
         default_factory=lambda: _env("HNSW_EF_SEARCH", 50, int)
     )

@@ -200,7 +200,7 @@ def entry_candidates(
     jax.jit,
     static_argnames=(
         "k", "ef", "max_iters", "ring_size", "normalize",
-        "expand_per_iter", "track_results", "approx_merge",
+        "expand_per_iter", "track_results", "approx_merge", "m_used",
     ),
 )
 def beam_search(
@@ -219,6 +219,7 @@ def beam_search(
                                # loop is gathered-row-bound either way)
     track_results: bool = True,
     approx_merge: bool = False,
+    m_used: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched best-first graph search.
 
@@ -241,6 +242,21 @@ def beam_search(
     one top_k over k+ex*M2 columns, and the O(w^2) in-gather dedup.
     """
     b, d = queries.shape
+    if 0 < m_used < state.nbrs.shape[1]:
+        # traverse only each node's best m_used edges. Bulk-built
+        # adjacency rows are distance-sorted (symmetrizer top_k);
+        # insert-path reverse updates can leave rows partially
+        # unsorted, so the fast profile is meant for bulk-built
+        # serving corpora. WARNING: XLA does NOT fuse this slice into
+        # the row gather — it re-materializes the sliced adjacency on
+        # every call (measured 6.5x QPS loss at 1M). Serving callers
+        # must pre-slice and cache instead (HNSWIndex._speed_state);
+        # this arg exists for one-off/experiment use.
+        state = state._replace(
+            nbrs=state.nbrs[:, :m_used],
+            nbr_dists=state.nbr_dists[:, :m_used],
+            nbr_count=jnp.minimum(state.nbr_count, m_used),
+        )
     m2 = state.nbrs.shape[1]
     ex = max(1, expand_per_iter)
     if k > ef:  # deferred extraction needs the beam to cover k

@@ -72,6 +72,8 @@ class HNSWConfig:
         adaptive_ef_retries: int = 2,
         insert_expand: int = 4,
         reverse_passes: int = 4,
+        search_m_max: int = 0,
+        search_expand: int = 4,
     ):
         self.m = m
         self.m_max = m_max
@@ -89,6 +91,16 @@ class HNSWConfig:
         # reference retries with ef*5 up to 3 attempts when under-full
         # (arrow_hnsw.go:920-947); we keep the same escape hatch
         self.adaptive_ef_retries = adaptive_ef_retries
+        # search-time QPS levers (on-chip 1M sweep, round 3): the loop
+        # is gathered-row-bound, so traversing only the best
+        # `search_m_max` edges per node (adjacency rows are distance-
+        # sorted) and expanding `search_expand` beam nodes per
+        # iteration trades recall for throughput WITHOUT a rebuild:
+        # m=32/ex=8 at efS=100 ran 6.4k QPS @ 0.9695 vs the default
+        # 5.0k @ 0.9742 (recall headline at efS=150 stays 0.984 with
+        # the defaults). 0 = use every stored edge.
+        self.search_m_max = search_m_max
+        self.search_expand = search_expand
 
 
 class HNSWIndex:
@@ -159,6 +171,14 @@ class HNSWIndex:
         self._rerank_host: Optional[np.ndarray] = None  # [cap, dim] f16
         self.count = 0
         self._dead = 0  # tombstoned rows (gates deferred extraction)
+        # fast-profile adjacency cache: a search_m_max-wide slice of
+        # the (distance-sorted) adjacency, rebuilt lazily whenever the
+        # state object changes (functional updates make identity a
+        # correct dirty bit). XLA does NOT fuse a slice into the row
+        # gather — passing m_used into the jit re-materialized 192MB
+        # per call at 1M (measured 989 vs 6432 QPS) — so slice once.
+        self._speed_src = None
+        self._speed_cached = None
         cap = pad_to(capacity, MIN_CAPACITY)
         store_dim = dim + 1 if self._mips else dim
         if storage == "pq":
@@ -509,16 +529,21 @@ class HNSWIndex:
 
         eligible = filter_mask
         # deferred result extraction (top-k of the final beam) removes
+        # (see _speed_state for the fast-profile adjacency slice)
         # one res_mask row-gather + one wide top_k + the O(w^2) dedup
         # per loop iteration; exact whenever the beam holds >= k valid
         # rows, so gate on light tombstoning (beam=ef wide)
         track = eligible is not None or (
             self._dead * 10 > 3 * max(self.count, 1)
         )
-        d, r = beam_search(
-            self.state, queries, self._sample_rows, pool_k, ef,
-            eligible=eligible, normalize=normalize,
+        speed = dict(
             track_results=track,
+            expand_per_iter=self.config.search_expand,
+        )
+        st = self._speed_state()
+        d, r = beam_search(
+            st, queries, self._sample_rows, pool_k, ef,
+            eligible=eligible, normalize=normalize, **speed,
         )
         # adaptive-ef retry needs a device fetch to see fill-ness —
         # skip it when under-fill is implausible (no filters and the
@@ -536,9 +561,8 @@ class HNSWIndex:
                     break
                 ef = ef * 5
                 d, r = beam_search(
-                    self.state, queries, self._sample_rows, pool_k, ef,
-                    eligible=eligible, normalize=normalize,
-                    track_results=track,
+                    st, queries, self._sample_rows, pool_k, ef,
+                    eligible=eligible, normalize=normalize, **speed,
                 )
         if rerank:
             d, r = self._pq_host_rerank(q_np, d, r, k, normalize)
@@ -552,6 +576,24 @@ class HNSWIndex:
             # report as distance = -ip (smaller better) like FlatIndex
             d = np.where(masked, d_np, -ip).astype(np.float32)
         return d, r
+
+    def _speed_state(self) -> "GraphState":
+        """State to traverse: the full graph, or — fast profile — a
+        cached search_m_max-wide slice of the distance-sorted adjacency
+        (see __init__ comment; rebuilt when the state object changes,
+        which also re-captures valid/vector updates)."""
+        mu = self.config.search_m_max
+        st = self.state
+        if not (0 < mu < st.nbrs.shape[1]):
+            return st
+        if self._speed_src is not st:
+            self._speed_cached = st._replace(
+                nbrs=st.nbrs[:, :mu],
+                nbr_dists=st.nbr_dists[:, :mu],
+                nbr_count=jnp.minimum(st.nbr_count, mu),
+            )
+            self._speed_src = st
+        return self._speed_cached
 
     # ------------------------------------------------------------------
 
@@ -617,6 +659,8 @@ class HNSWIndex:
             "m_max": self.config.m_max,
             "ef_construction": self.config.ef_construction,
             "ef_search": self.config.ef_search,
+            "search_m_max": self.config.search_m_max,
+            "search_expand": self.config.search_expand,
             "mips_msq": self._mips_msq,
             "pq_m": self.pq_m,
             "vectors": (
@@ -648,6 +692,8 @@ class HNSWIndex:
             m=st["m"], m_max=st["m_max"],
             ef_construction=st["ef_construction"],
             ef_search=st["ef_search"],
+            search_m_max=int(st.get("search_m_max", 0)),
+            search_expand=int(st.get("search_expand", 4)),
         )
         storage = st.get("storage", "dense")
         edge_dtype = jnp.dtype(str(st.get("edge_dtype", "float32")))

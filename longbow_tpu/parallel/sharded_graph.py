@@ -33,7 +33,7 @@ from longbow_tpu.parallel.mesh import SHARD_AXIS
     jax.jit,
     static_argnames=(
         "k", "ef", "mesh", "shard_rows", "sample_len", "normalize",
-        "track_results",
+        "track_results", "expand_per_iter",
     ),
 )
 def _sharded_graph_search(
@@ -47,12 +47,14 @@ def _sharded_graph_search(
     sample_len: int,
     normalize: bool,
     track_results: bool = True,
+    expand_per_iter: int = 4,
 ):
     def local(v, nrm, vld, nb, nd, nc, smp, q):
         st = GraphState(v, nrm, vld, nb, nd, nc)
         d, i = beam_search(
             st, q, smp[0], k, ef, normalize=normalize,
             track_results=track_results,
+            expand_per_iter=expand_per_iter,
         )
         off = jax.lax.axis_index(SHARD_AXIS) * shard_rows
         gi = jnp.where(d < MASKED, i + off, -1)
@@ -250,6 +252,24 @@ class ShardedGraphIndex:
             if len(in_interim) and self._interim is not None:
                 self._interim.delete_rows(in_interim - self.built_count)
 
+    def _speed_adjacency(self):
+        """Sharded analogue of HNSWIndex._speed_state: a cached
+        search_m_max-wide slice of the adjacency (slicing inside the
+        jit re-materializes the copy every call — measured 6.5x QPS
+        loss at 1M — so slice once per write-epoch, keyed on array
+        identity)."""
+        mu = self.config.search_m_max
+        if not (0 < mu < self.nbrs.shape[-1]):
+            return self.nbrs, self.nbr_dists, self.nbr_count
+        if getattr(self, "_speed_src", None) is not self.nbrs:
+            self._speed_cached = (
+                self.nbrs[..., :mu],
+                self.nbr_dists[..., :mu],
+                jnp.minimum(self.nbr_count, mu),
+            )
+            self._speed_src = self.nbrs
+        return self._speed_cached
+
     def search(self, queries, k: int, *, ef_search: Optional[int] = None):
         if not self._built:
             self.build()
@@ -270,13 +290,15 @@ class ShardedGraphIndex:
             len(getattr(self, "_deleted", ())) * 10
             > 3 * max(self.count, 1)
         )
+        nbrs, nbr_dists, nbr_count = self._speed_adjacency()
         d, r = _sharded_graph_search(
-            self.vectors, self.norms_sq, self.valid, self.nbrs,
-            self.nbr_dists, self.nbr_count, self.samples,
+            self.vectors, self.norms_sq, self.valid, nbrs,
+            nbr_dists, nbr_count, self.samples,
             jnp.asarray(q), k, ef,
             mesh=self.mesh, shard_rows=self.shard_rows,
             sample_len=self.samples.shape[1], normalize=normalize,
             track_results=track,
+            expand_per_iter=self.config.search_expand,
         )
         d = np.asarray(d)
         if self.metric == Metric.DOT:

@@ -57,6 +57,8 @@ def main(argv=None) -> int:
             m_max=cfg.hnsw_m_max,
             ef_construction=cfg.hnsw_ef_construction,
             ef_search=cfg.hnsw_ef_search,
+            search_m_max=cfg.hnsw_search_m_max,
+            search_expand=cfg.hnsw_search_expand,
         ),
         query_cache_size=cfg.query_cache_size,
         query_cache_ttl=cfg.query_cache_ttl_s,

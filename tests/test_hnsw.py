@@ -32,6 +32,26 @@ def test_small_graph_recall():
     assert rec >= 0.95, rec
 
 
+def test_search_speed_profile():
+    """search_m_max/search_expand trade a little recall for QPS by
+    traversing only the best edges per node and expanding wider per
+    iteration (round-3 on-chip frontier: 32/8 at 1M = +67% QPS at
+    -0.7% recall). Correctness gate: recall stays high at small n."""
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((2000, 64), dtype=np.float32)
+    idx = HNSWIndex(
+        64,
+        config=HNSWConfig(
+            m=16, m_max=24, ef_construction=80, ef_search=64,
+            search_m_max=16, search_expand=8,
+        ),
+    )
+    idx.add(vecs)
+    q = rng.standard_normal((32, 64), dtype=np.float32)
+    rec = _recall(idx, vecs, q, k=10)
+    assert rec >= 0.92, rec
+
+
 def test_incremental_adds():
     rng = np.random.default_rng(1)
     vecs = rng.standard_normal((3000, 32), dtype=np.float32)
