@@ -187,28 +187,48 @@ def main() -> None:
                 for i in range(g_iters)
             ]
             g_qps = {}
-            for g_ef in (100, 150):
-                gd0 = _beam(
-                    gidx.state, gqs[0], gidx._sample_rows, K, g_ef,
-                    expand_per_iter=4,
-                )[0]
+            # serving default (deferred extraction, every edge) at two
+            # ef points, plus the fast profile (cached 32-edge slice +
+            # 8-wide expansion — HNSWConfig search_m_max/search_expand)
+            gidx.config.search_m_max = 32
+            gidx.config.search_expand = 8
+            st_fast = gidx._speed_state()
+            variants = {
+                100: (gidx.state, dict(expand_per_iter=4)),
+                150: (gidx.state, dict(expand_per_iter=4)),
+                "fast100": (st_fast, dict(expand_per_iter=8)),
+            }
+            fast_recall = 0.0
+            for tag, (g_st, g_kw) in variants.items():
+                g_ef = 100 if tag == "fast100" else tag
+                g_kw = dict(track_results=False, **g_kw)
+                gd0, gr0 = _beam(
+                    g_st, gqs[0], gidx._sample_rows, K, g_ef, **g_kw
+                )
+                if tag == "fast100":
+                    g_got = np.asarray(gr0)
+                    fast_recall = float(np.mean([
+                        len(set(g_got[i]) & set(g_want[i])) / K
+                        for i in range(128)
+                    ]))
                 float(np.asarray(_force_all(*([gd0] * g_iters))))
                 t0 = time.perf_counter()
                 gouts = [
                     _beam(
-                        gidx.state, x, gidx._sample_rows, K, g_ef,
-                        expand_per_iter=4,
+                        g_st, x, gidx._sample_rows, K, g_ef, **g_kw
                     )[0]
                     for x in gqs
                 ]
                 float(np.asarray(_force_all(*gouts)))
-                g_qps[g_ef] = 128 * g_iters / (time.perf_counter() - t0)
+                g_qps[tag] = 128 * g_iters / (time.perf_counter() - t0)
             graph_fields = {
                 "graph_build_vps_1M": round(ng / build_times[-1], 1),
                 "graph_build_vps_1M_cold": round(ng / build_times[0], 1),
                 "graph_recall_at_10_efs150": round(grecall, 4),
                 "graph_qps_efs100": round(g_qps[100], 1),
                 "graph_qps_efs150": round(g_qps[150], 1),
+                "graph_qps_fast_efs100": round(g_qps["fast100"], 1),
+                "graph_recall_fast_efs100": round(fast_recall, 4),
                 "graph_hbm_bytes": int(hbm),
                 "graph_hbm_vs_reference_768MB": round(
                     hbm / (768 * 1024 * 1024), 3

@@ -200,6 +200,13 @@ def main(argv=None) -> int:
         from longbow_tpu.serving.ingest import IngestQueue
 
         ingest_queue = IngestQueue(store, max_depth=cfg.ingest_queue_depth)
+    coalescer = None
+    if cfg.search_coalesce:
+        from longbow_tpu.serving.coalescer import SearchCoalescer
+
+        coalescer = SearchCoalescer(
+            store, max_batch=cfg.search_coalesce_max_batch
+        )
     sec = dict(
         auth_token=cfg.auth_token or None,
         tls_cert_file=cfg.tls_cert_file or None,
@@ -211,6 +218,7 @@ def main(argv=None) -> int:
         middleware_chain=middleware,
         cluster=cluster,
         ingest_queue=ingest_queue,
+        coalescer=coalescer,
         **sec,
     )
     meta = LongbowFlightServer(
@@ -219,6 +227,7 @@ def main(argv=None) -> int:
         middleware_chain=middleware,
         cluster=cluster,
         ingest_queue=ingest_queue,
+        coalescer=coalescer,
         **sec,
     )
 
@@ -249,6 +258,8 @@ def main(argv=None) -> int:
     if degradation is not None:
         degradation.stop()
     compactor.stop()
+    if coalescer is not None:
+        coalescer.stop()
     if ingest_queue is not None:
         ingest_queue.close()  # drain before the final snapshot
     if cluster is not None:

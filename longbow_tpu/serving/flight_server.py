@@ -89,6 +89,7 @@ class LongbowFlightServer(flight.FlightServerBase):
         audit_logger=None,
         cluster=None,
         ingest_queue=None,
+        coalescer=None,
         auth_token=None,
         tls_cert_file=None,
         tls_key_file=None,
@@ -121,6 +122,9 @@ class LongbowFlightServer(flight.FlightServerBase):
         # search); None = single-node (reference wires the mesh into
         # the servers the same way, cmd/longbow/main.go:370-458)
         self.cluster = cluster
+        # natural request batching (serving/coalescer.py):
+        # concurrent plain searches share one kernel dispatch
+        self.coalescer = coalescer
         # async ingest queue: DoPut acks on enqueue, index linking
         # happens off the gRPC thread; check_readiness reports BUSY
         # while it drains (reference: store_actions.go:57-101,426-708)
@@ -268,6 +272,15 @@ class LongbowFlightServer(flight.FlightServerBase):
 
     # -- queries (reference: servers.go:28 DoGet -> store_query.go:126) --
 
+    def _search(self, dataset, qv, k, *, filters=None):
+        """Plain vector search, through the coalescer when enabled —
+        concurrent requests ride one fused-kernel dispatch (the scan
+        is ~4x cheaper per query at B=512 than B=128; see
+        serving/coalescer.py)."""
+        if self.coalescer is not None:
+            return self.coalescer.search(dataset, qv, k, filters=filters)
+        return self.store.search(dataset, qv, k, filters=filters)
+
     def do_get(self, context, ticket):
         if self.middleware:
             self.middleware.admit("DoGet")
@@ -351,7 +364,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                 fusion=req.fusion,
             )
         else:
-            ids, scores, ok = self.store.search(
+            ids, scores, ok = self._search(
                 ds.name, qv, req.k, filters=req.filters
             )
             if req.graph_alpha > 0.0 and allow_graph:
@@ -620,7 +633,7 @@ class LongbowFlightServer(flight.FlightServerBase):
             tbl = pa.Table.from_batches([batch])
             qv = _vector_column_to_numpy(tbl.column("vector"))
             try:
-                ids, scores, ok = self.store.search(
+                ids, scores, ok = self._search(
                     dataset, qv, k, filters=filters
                 )
                 okm = np.asarray(ok)
@@ -756,7 +769,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                 and self.cluster.has_peers()
             )
             try:
-                ids, scores, okm = self.store.search(
+                ids, scores, okm = self._search(
                     req.dataset, qv, req.k, filters=req.filters
                 )
             except KeyError:
