@@ -198,7 +198,7 @@ class Config:
         default_factory=lambda: _env("SEARCH_COALESCE", True, bool)
     )
     search_coalesce_max_batch: int = field(
-        default_factory=lambda: _env("SEARCH_COALESCE_MAX_BATCH", 512, int)
+        default_factory=lambda: _env("SEARCH_COALESCE_MAX_BATCH", 2048, int)
     )
 
     # cache (reference: query cache in DoGet, store_query.go:625)

@@ -313,20 +313,29 @@ class FlatIndex:
         # k caps at 64: the kernel's scoped VMEM grows with its k and
         # k=128 exceeds the 16MB limit (k>64 uses the XLA scan).
         if _on_tpu() and k <= 64 and self.dtype == jnp.bfloat16:
-            # Fixed kernel shapes: B padded to 128, k bucketed to
-            # {16, 64}. Small/odd batch shapes trigger pathological
-            # Mosaic compile times (minutes); one canonical shape per
-            # (corpus, metric) compiles once and serves every request.
+            # Fixed kernel shapes: k bucketed to {16, 64} and B to
+            # {128, 512, 2048} (small/odd shapes trigger pathological
+            # Mosaic compiles — minutes). Large batches matter: the
+            # scan's corpus read amortizes across the batch, so one
+            # B=2048 dispatch runs ~6.6x the QPS of 16 B=128 ones
+            # (round-3 honest timing: 3.8ms/128q vs 5.9ms/2048q at
+            # 1M x 128). The search coalescer feeds this path batches.
             b = q.shape[0]
             k_pad = 16 if k <= 16 else 64
-            b_pad = -(-b // 128) * 128
+            for cb in (128, 512, 2048):
+                if b <= cb:
+                    b_pad = cb
+                    break
+            else:
+                b_pad = -(-b // 2048) * 2048
             if b_pad != b:
                 q = np.pad(q, ((0, b_pad - b), (0, 0)))
+            chunk = min(b_pad, 2048)
             with self._mu:  # dispatch under the lock, fetch outside
                 self._flush_locked()
                 packs = [
                     _fused_packed(
-                        jnp.asarray(q[off : off + 128]),
+                        jnp.asarray(q[off : off + chunk]),
                         self.vectors,
                         self.norms_sq,
                         self.valid,
@@ -335,7 +344,7 @@ class FlatIndex:
                         filter_mask,
                         normalize,
                     )
-                    for off in range(0, b_pad, 128)
+                    for off in range(0, b_pad, chunk)
                 ]
             flat = np.concatenate([np.asarray(p) for p in packs])
             dd = np.ascontiguousarray(flat[:, :k_pad]).view(np.float32)

@@ -14,23 +14,33 @@ tile costs ~2us, a single argmin insert round ~6.4us, and a
 data-dependent while-loop iteration adds ~1us of scalar sync — so any
 per-tile work beyond ~1 pass dominates the matmul). Instead:
 
-  - scores are bitcast to order-preserving int32 ("sortable" trick:
-    negative floats XOR 0x7FFFFFFF), packed with their 4-bit
-    column-group id in the low bits;
-  - one vertical min-reduce over the tile's 16 column groups yields,
-    per (query, lane), the best candidate among the tile rows congruent
-    to that lane mod 128 — one fused VPU pass, no scalar core;
-  - a depth-4 bubble merge keeps the best 4 candidates per (query,
-    lane) across all tiles in [B, 512] registers (pure vreg min/max).
+  - l2 scores are biased strictly positive (a data-derived bias folded
+    into the corpus-norm row) so a raw bitcast to int32 is
+    order-preserving; ip scores keep the full "sortable" transform
+    (negative floats XOR 0x7FFFFFFF). Either way the group id packs
+    into the value's low bits;
+  - vertical min-reduces run over 128-lane column SLICES of the native
+    [B, T] layout (a [B, g, 128] reshape + 3D iota forces a tiled
+    relayout that cost ~25% at large B), split into two tile halves;
+  - a depth-deep bubble merge keeps the best `depth` candidates per
+    (query, lane) across all tiles in [B, depth*128] registers (pure
+    vreg min/max). depth auto-selects 2 for k<=128 (256 candidates),
+    4 beyond (512).
 
-The kernel therefore emits 512 candidates per query (best-4 per
-row-residue class). That is top-k-EXACT unless >4 of a query's true
-top-k rows collide in the same residue class mod 128, which for k<=64
-over 1M rows is vanishingly rare even on clustered data (consecutive
-similar rows land in *different* lanes); the recall gates in bench.py
-hold the wrapper's pool->exact-rerank pipeline to the same bar as the
-old exact kernel. The wrapper selects the requested pool/k from the
-candidates with one jax.lax.top_k.
+Candidates are top-k-EXACT unless >depth of a query's true top-k rows
+collide in the same residue class mod 128 within a half-tile, which
+for k<=64 over 1M rows is vanishingly rare even on clustered data
+(consecutive similar rows land in *different* lanes); the recall gates
+in bench.py hold the wrapper's pool->exact-rerank pipeline to the same
+bar as the old exact kernel. The wrapper selects the requested pool/k
+from the candidates with one jax.lax.top_k.
+
+Batch scaling is the headline lever: the corpus read amortizes across
+the query batch, so honest per-batch times at 1M x 128 bf16 are
+B=128 -> 3.1 ms, B=512 -> 3.8 ms, B=2048 -> 5.9 ms (347k QPS/chip,
+~45% of v5e bf16 MXU peak). Serving feeds big batches via the search
+coalescer (serving/coalescer.py) and FlatIndex's {128, 512, 2048}
+canonical dispatch shapes.
 
 Supported metric modes:
   - "l2":  needs per-row corpus norms; dist = |q|^2 - 2 q.v + |v|^2
@@ -107,19 +117,19 @@ def _scan_kernel(
     q_ref,        # [B, D] VMEM
     qn_ref,       # [B, 1] VMEM (|q|^2; zeros for ip mode)
     tile_ref,     # [TILE_N, D] VMEM corpus tile
-    vn_ref,       # [1, TILE_N] VMEM (corpus |v|^2, pre-masked w/ MASKED)
-    out_vals_ref,  # [B, DEPTH*LANES] i32 (sortable-packed values)
-    out_ids_ref,   # [B, DEPTH*LANES] i32 (global column-group ids)
-    rv_ref,       # scratch [B, DEPTH*LANES] i32
-    ri_ref,       # scratch [B, DEPTH*LANES] i32
+    vn_ref,       # [1, TILE_N] VMEM (corpus |v|^2 + bias, MASKED-folded)
+    out_vals_ref,  # [B, depth*LANES] i32 (sortable-packed values)
+    out_ids_ref,   # [B, depth*LANES] i32 (global column-group ids)
+    rv_ref,       # scratch [B, depth*LANES] i32
+    ri_ref,       # scratch [B, depth*LANES] i32
     *,
     tile_n: int,
     mode: str,
+    depth: int,
 ):
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
-    b = q_ref.shape[0]
-    g = tile_n // LANES  # column groups per tile (<= 16: 4 id bits)
+    g = tile_n // LANES  # column groups per tile
 
     @pl.when(step == 0)
     def _init():
@@ -127,22 +137,25 @@ def _scan_kernel(
         ri_ref[:] = jnp.full_like(ri_ref, -1)
 
     scores = _tile_scores(q_ref[:], qn_ref[:], tile_ref[:], vn_ref[:], mode)
-    u = _sortable_i32(scores).reshape(b, g, LANES)
-    gi = jax.lax.broadcasted_iota(jnp.int32, (b, g, LANES), 1)
+    if mode == "l2":
+        # the wrapper biased vn so every l2 score is strictly positive:
+        # the raw bitcast is then order-preserving — no negative-branch
+        # select on the [B, T] pass (ablation: ~10% kernel time at
+        # B=2048)
+        u = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    else:  # ip scores can be negative: full sortable transform
+        u = _sortable_i32(scores)
     # pack the group id into the value's low bits (field width follows
-    # g: 4 bits at tile 2048, 5 at 4096): the vertical min then carries
-    # its own argmin (tie-break/truncation noise is <= 2^-18 relative —
-    # the serving pipeline re-ranks exactly anyway)
+    # g: 5 bits at tile 4096): the vertical min then carries its own
+    # argmin (tie-break/truncation noise is <= 2^-18 relative — the
+    # serving pipeline re-ranks exactly anyway)
     id_bits = max((g - 1).bit_length(), 1)
     id_mask = (1 << id_bits) - 1
-    packed = jnp.bitwise_and(u, ~id_mask) | gi
 
-    def merge(pm):
-        """Bubble one [B, LANES] candidate column into the depth-DEPTH
-        per-lane registers — pure vreg min/max selects."""
-        m_i = jnp.bitwise_and(pm, id_mask) + step * g  # global group id
-        m_v = jnp.bitwise_and(pm, ~id_mask)
-        for d in range(DEPTH):
+    def merge(m_v, m_i):
+        """Bubble one [B, LANES] candidate column into the per-lane
+        depth registers — pure vreg min/max selects."""
+        for d in range(depth):
             rv = rv_ref[:, d * LANES:(d + 1) * LANES]
             ri = ri_ref[:, d * LANES:(d + 1) * LANES]
             swap = m_v < rv
@@ -153,15 +166,25 @@ def _scan_kernel(
             rv_ref[:, d * LANES:(d + 1) * LANES] = nv
             ri_ref[:, d * LANES:(d + 1) * LANES] = ni
 
-    # half-split vertical reduce: two candidates per (query, lane) per
-    # tile for the SAME total reduce work as one full min — halves the
-    # same-residue collision window (adjacent similar rows land in
-    # different lanes; only rows 128*j apart within a half-tile compete)
-    if g >= 2:
-        merge(jnp.min(packed[:, : g // 2], axis=1))
-        merge(jnp.min(packed[:, g // 2 :], axis=1))
-    else:
-        merge(jnp.min(packed, axis=1))
+    # half-split vertical reduce over 128-lane column SLICES of the
+    # native [B, T] layout (a [B, g, 128] reshape + 3D iota forces a
+    # tiled relayout — switching to slices bought ~25% at B>=512):
+    # two candidates per (query, lane) per tile for the same total
+    # reduce work as one full min, halving the same-residue collision
+    # window (only rows 128*j apart within a half-tile compete)
+    def half_min(j0, j1):
+        m = None
+        for j in range(j0, j1):
+            pj = jnp.bitwise_and(
+                u[:, j * LANES:(j + 1) * LANES], ~id_mask
+            ) | j
+            m = pj if m is None else jnp.minimum(m, pj)
+        return m
+
+    for (j0, j1) in ((0, g // 2), (g // 2, g)) if g >= 2 else ((0, g),):
+        pm = half_min(j0, j1)
+        merge(jnp.bitwise_and(pm, ~id_mask),
+              jnp.bitwise_and(pm, id_mask) + step * g)
 
     @pl.when(step == nsteps - 1)
     def _emit():
@@ -171,7 +194,9 @@ def _scan_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "tile_n", "interpret", "normalize"),
+    static_argnames=(
+        "k", "metric", "tile_n", "interpret", "normalize", "depth"
+    ),
 )
 def fused_flat_search(
     queries: jax.Array,
@@ -184,6 +209,7 @@ def fused_flat_search(
     extra_mask=None,
     normalize: bool = False,
     tile_n: int = 0,  # 0 = dimension-aware default (tile_for_dim)
+    depth: int = 0,   # candidates/lane; 0 = auto (2 if k<=128 else 4)
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Flat k-NN with fused streaming candidate scan.
@@ -222,7 +248,13 @@ def fused_flat_search(
 
     b, d = queries.shape
     n = corpus.shape[0]
-    ncand = DEPTH * LANES
+    if depth <= 0:
+        # depth 2 (256 candidates/query) halves the per-tile bubble
+        # merge; collisions need >2 of the true top-k in one residue
+        # class per half-tile — measured recall identical to depth 4
+        # at k<=64 on 1M (0.9906 vs 0.9914, inside rerank headroom)
+        depth = 2 if k <= LANES else DEPTH
+    ncand = depth * LANES
     if k > ncand:
         raise ValueError(f"fused_flat_search supports k <= {ncand}")
 
@@ -259,10 +291,27 @@ def fused_flat_search(
         if mode == "l2"
         else jnp.zeros((n_pad,), jnp.float32)
     )
-    vn = jnp.where(valid.astype(bool), vn_base, MASKED)[None, :]
+    if mode == "l2":
+        # positivity bias: lets the kernel bitcast scores directly
+        # (no negative-branch select on the [B,T] pass). Must dominate
+        # bf16 matmul cancellation, which scales with the operand
+        # norms, so derive it from the data per call — a fixed 1.0
+        # would silently mis-order near-zero distances on large-norm
+        # corpora. Subtracted on decode; resolution loss is
+        # ~bias * 2^-18, orders below bf16 storage noise.
+        bias = 1.0 + 0.25 * (
+            jnp.max(qn)
+            + jnp.max(jnp.where(valid.astype(bool), vn_base, 0.0))
+        )
+        vn = jnp.where(valid.astype(bool), vn_base + bias, MASKED)[None, :]
+    else:
+        bias = jnp.float32(0.0)
+        vn = jnp.where(valid.astype(bool), vn_base, MASKED)[None, :]
 
     grid = (n_pad // tile_n,)
-    kernel = functools.partial(_scan_kernel, tile_n=tile_n, mode=mode)
+    kernel = functools.partial(
+        _scan_kernel, tile_n=tile_n, mode=mode, depth=depth
+    )
     out_vals, out_ids = pl.pallas_call(
         kernel,
         grid=grid,
@@ -303,9 +352,10 @@ def fused_flat_search(
 
     out_vals = out_vals[:b, :k]
     if mode == "l2":
-        # clamp bf16 cancellation (self-distance must not go negative);
-        # MASKED entries survive max() unscathed
-        out_vals = jnp.maximum(out_vals, 0.0)
+        # remove the positivity bias (MASKED entries are unaffected:
+        # bias is far below one ulp at 3e38) and clamp bf16
+        # cancellation — self-distance must not go negative
+        out_vals = jnp.maximum(out_vals - bias, 0.0)
     return out_vals, out_idx[:b, :k]
 
 

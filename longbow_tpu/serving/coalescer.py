@@ -3,8 +3,8 @@ dispatch.
 
 The fused scan's cost is strongly sub-linear in the query batch (one
 v5e chip, 1M x 128 bf16, honest reduction-forced timing: B=128 ->
-3.8 ms, B=512 -> 6.0 ms — 4x the queries for 1.6x the time, 85k vs
-33k QPS), because the corpus read is amortized across every query in
+3.8 ms, B=2048 -> 5.9 ms — 16x the queries for 1.6x the time, 350k
+vs 33k QPS), because the corpus read is amortized across every query in
 the batch. Per-request dispatch therefore wastes most of the chip's
 bandwidth under concurrency.
 
@@ -74,7 +74,7 @@ class SearchCoalescer:
         self,
         store,
         *,
-        max_batch: int = 512,
+        max_batch: int = 2048,
         max_group: int = 64,
         autostart: bool = True,
     ):
