@@ -34,8 +34,12 @@ import jax.numpy as jnp
 
 from longbow_tpu.ops.distance import MASKED, Metric
 
-INVALID = jnp.int32(-1)
-_BIG = jnp.int32(2**30)
+# Python ints, NOT jnp scalars: a module-level jnp constant initializes
+# the jax backend at import time, which pins the process to the default
+# platform before serve.py's LONGBOW_FORCE_CPU can switch it (and wedges
+# multi-process tests on the single-TPU relay).
+INVALID = -1
+_BIG = 2**30
 
 
 class GraphState(NamedTuple):

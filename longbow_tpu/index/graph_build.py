@@ -35,7 +35,10 @@ from longbow_tpu.index.graph import (
 )
 from longbow_tpu.ops.distance import MASKED
 
-_BIG = jnp.float32(3.0e38)
+# Python float, NOT jnp.float32: a module-level jnp constant initializes
+# the jax backend at import, pinning the platform before serve.py can
+# force CPU (see index/graph.py).
+_BIG = 3.0e38
 
 
 def build_stage_timer(n: int, tag: str = "build"):

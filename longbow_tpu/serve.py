@@ -12,6 +12,17 @@ import os
 import sys
 import threading
 
+if os.environ.get("LONGBOW_FORCE_CPU") == "1":
+    # test/CI escape hatch, applied BEFORE any longbow import: this
+    # environment's sitecustomize pins JAX to the axon TPU platform
+    # (the env var alone is ignored), and any module-level jnp constant
+    # in the import graph would initialize that backend — after which
+    # jax_platforms updates are silently ignored and multi-process
+    # tests wedge the single-TPU relay.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from longbow_tpu.config import load_config
@@ -24,12 +35,12 @@ from longbow_tpu.utils.logging import setup_logging
 
 
 def main(argv=None) -> int:
-    if os.environ.get("LONGBOW_FORCE_CPU") == "1":
-        # test/CI escape hatch: this environment's sitecustomize pins
-        # JAX to the axon TPU platform; the env var alone is ignored
-        import jax
+    # ops escape hatch: SIGUSR1 dumps every thread's Python stack to
+    # stderr (diagnose stuck workers without killing the server)
+    import faulthandler
+    import signal
 
-        jax.config.update("jax_platforms", "cpu")
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
     cfg = load_config()
     log = setup_logging()
     log.info("starting longbow-tpu", extra={"fields": {"config": vars(cfg)}})

@@ -152,3 +152,23 @@ def test_disk_graph_store(tmp_path):
     st = vs.graph_stats("dg")
     assert st["edges"] == 3 and "disk" in st
     vs.close()
+
+
+def test_import_graph_initializes_no_backend():
+    """Importing the package must NOT initialize a jax backend: a
+    module-level jnp constant pins the process platform before
+    serve.py's LONGBOW_FORCE_CPU can switch it, wedging multi-process
+    tests on the single-TPU relay (round-3 coalescer-hang root cause)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import longbow_tpu.serve, longbow_tpu.index.graph_build,"
+        " longbow_tpu.index.ivf, longbow_tpu.index.factory,"
+        " longbow_tpu.hybrid.bm25, longbow_tpu.distributed.cluster;"
+        "import jax;"
+        "import sys;"
+        "sys.exit(1 if jax._src.xla_bridge._backends else 0)"
+    )
+    r = subprocess.run([sys.executable, "-c", code], timeout=240)
+    assert r.returncode == 0, "package import initialized a jax backend"
