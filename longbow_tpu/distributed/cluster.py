@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 import threading
+import time
 from typing import Optional
 
 import numpy as np
@@ -219,9 +220,9 @@ class ClusterCoordinator:
                 try:
                     from longbow_tpu.metrics import get_registry
 
-                    get_registry().counter(
-                        "longbow_replication_conflicts_total"
-                    ).inc()
+                    reg = get_registry()
+                    reg.inc("longbow_replication_conflicts_total")
+                    reg.inc("longbow_vector_clock_conflicts_total")
                 except Exception:
                     pass
                 log.warning(
@@ -229,6 +230,12 @@ class ClusterCoordinator:
                     dataset, local.to_dict(), remote,
                 )
             local.merge(rc)
+            try:
+                from longbow_tpu.metrics import get_registry
+
+                get_registry().inc("longbow_vector_clock_merges_total")
+            except Exception:
+                pass
 
     def _split_brain_loop(self) -> None:
         while not self._sb_stop.wait(15.0):
@@ -259,9 +266,19 @@ class ClusterCoordinator:
         try:
             from longbow_tpu.metrics import get_registry
 
-            get_registry().gauge("longbow_cluster_split_brain").set(
-                1.0 if verdict["split_brain"] else 0.0
+            reg = get_registry()
+            split = bool(verdict["split_brain"])
+            reg.set("longbow_cluster_split_brain", 1.0 if split else 0.0)
+            # fenced_state mirrors the verdict 1:1 — this node treats a
+            # detected partition as fenced for operator alerts
+            reg.set("longbow_split_brain_fenced_state", int(split))
+            reg.inc("longbow_split_brain_heartbeats_total", len(peer_views))
+            reg.set(
+                "longbow_split_brain_healthy_peers",
+                sum(1 for v in mine.values() if v),
             )
+            if split:
+                reg.inc("longbow_split_brain_partitions_total")
         except Exception:
             pass
         return verdict
@@ -291,6 +308,12 @@ class ClusterCoordinator:
         boolean mask of rows THIS node keeps. Rows whose owner is
         unreachable stay local — availability over placement purity
         (the reference's forwarder falls back the same way)."""
+        try:
+            from longbow_tpu.metrics import get_registry
+
+            _reg = get_registry()
+        except Exception:
+            _reg = None
         ids = np.asarray(ids)
         owners = np.asarray(
             [self.ring.lookup(str(i)) for i in ids.tolist()]
@@ -304,12 +327,34 @@ class ClusterCoordinator:
                 if columns
                 else None
             )
+            t0 = time.perf_counter()
             ok = peer is not None and peer.replicate_put(
                 dataset, ids[sl], np.asarray(vectors)[sl], cols,
                 metric, timestamp,
             )
+            if _reg is not None:
+                _reg.inc(
+                    "longbow_load_balancer_selections_total",
+                    strategy="ring",
+                )
+                _reg.inc(
+                    "longbow_proxy_requests_forwarded_total",
+                    method="DoPut", status="ok" if ok else "error",
+                )
+                _reg.observe(
+                    "longbow_proxy_request_latency_seconds",
+                    time.perf_counter() - t0,
+                    method="DoPut",
+                )
             if not ok:
                 keep = keep | sl  # owner down: keep rows serving here
+        if _reg is not None:
+            alive = {m.id for m in self.membership.alive()}
+            _reg.set("longbow_load_balancer_replicas_total", len(alive))
+            _reg.set(
+                "longbow_load_balancer_unhealthy_total",
+                max(len(self._peers) - len(alive), 0),
+            )
         return keep
 
     # -- read path ------------------------------------------------------
@@ -341,6 +386,13 @@ class ClusterCoordinator:
         the level requires (reference: quorum.go:93-126).
         Returns merged (ids [B,k] object, scores [B,k] f32, ok [B,k]).
         """
+        try:
+            from longbow_tpu.metrics import get_registry
+
+            _reg = get_registry()
+        except Exception:
+            _reg = None
+        _t0 = time.perf_counter()
         qv = np.atleast_2d(np.asarray(query_vectors, np.float32))
         b = qv.shape[0]
         # per-query candidate pools {id: best_score}; direction is
@@ -399,6 +451,18 @@ class ClusterCoordinator:
         for t in threads:
             t.join(timeout=self.global_search_timeout_s)
 
+        if _reg is not None:
+            _reg.observe("longbow_global_search_fanout_size", len(alive))
+            misses = sum(1 for r in results if not r)
+            if misses:
+                _reg.inc(
+                    "longbow_global_search_partial_failures_total", misses
+                )
+            _reg.observe(
+                "longbow_global_search_duration_seconds",
+                time.perf_counter() - _t0,
+            )
+
         # consistency accounting: total member view = alive peers +
         # self; answered = peers that responded + self (when it holds
         # the dataset). The level is judged against the CURRENT member
@@ -413,7 +477,25 @@ class ClusterCoordinator:
                 "QUORUM": total // 2 + 1,
                 "ALL": total,
             }[consistency]
-            if answered < required:
+            met = answered >= required
+            if _reg is not None:
+                _reg.observe(
+                    "longbow_quorum_operation_duration_seconds",
+                    time.perf_counter() - _t0,
+                    operation="search", consistency=consistency,
+                )
+                if met:
+                    _reg.inc(
+                        "longbow_quorum_success_total",
+                        operation="search", consistency=consistency,
+                    )
+                else:
+                    _reg.inc(
+                        "longbow_quorum_failure_total",
+                        operation="search", consistency=consistency,
+                        reason="insufficient_nodes",
+                    )
+            if not met:
                 raise ConsistencyError(
                     f"consistency {consistency} not met: "
                     f"{answered}/{total} nodes answered, "

@@ -302,8 +302,16 @@ class MembershipManager:
         self._discover_dns()
         self._discover_k8s()
         self._discover_lan()
+        try:
+            from longbow_tpu.metrics import get_registry
+
+            _reg = get_registry()
+        except Exception:
+            _reg = None
         for m in list(self.members.values()):
             ok = self._probe_one(m)
+            if _reg is not None:
+                _reg.inc("longbow_gossip_pings_total", direction="out")
             with self._lock:
                 old = m.status
                 if ok:
@@ -325,6 +333,13 @@ class MembershipManager:
                         cb(m)
                     except Exception:
                         pass
+        if _reg is not None:
+            _reg.set(
+                "longbow_gossip_active_members",
+                sum(
+                    1 for m in self.members.values() if m.status == ALIVE
+                ),
+            )
 
     def subscribe(self, cb: Callable[[Member], None]) -> None:
         self._subs.append(cb)

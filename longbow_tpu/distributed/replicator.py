@@ -41,12 +41,22 @@ class Peer:
             host, data_port, meta_port,
             api_key=api_key, tls_root_certs=tls_root_certs,
         )
-        self.breaker = CircuitBreaker(threshold=5, cooldown_s=10.0)
+        self.breaker = CircuitBreaker(
+            threshold=5, cooldown_s=10.0, name=f"peer:{self.addr}"
+        )
 
     def replicate_put(
         self, dataset, ids, vectors, columns, metric=None, timestamp=None,
         clock=None,
     ) -> bool:
+        if self.breaker.state == "half-open":
+            # a half-open probe IS the retry after earlier failures
+            try:
+                from longbow_tpu.metrics import get_registry
+
+                get_registry().inc("longbow_replication_retries_total")
+            except Exception:
+                pass
         if not self.breaker.allow():
             return False
         try:
@@ -111,9 +121,15 @@ class PeerReplicator:
             reg.gauge("longbow_replication_queue_depth").set(
                 self._q.qsize()
             )
-            reg.gauge("longbow_replication_lag_seconds").set(
-                max(time.time() - enq_ts, 0.0)
-            )
+            # the async queue is shared, so lag is per-fanout not
+            # per-peer; label with the slowest peer's address (reference
+            # labels peer, docs/metrics.md Replication & Quorum)
+            lag = max(time.time() - enq_ts, 0.0)
+            for p in self.peers:
+                reg.set(
+                    "longbow_replication_lag_seconds", lag, peer=p.addr
+                )
+            reg.set("longbow_replication_peers_total", len(self.peers))
         except Exception:
             pass  # metrics must never fail replication
 
@@ -142,6 +158,19 @@ class PeerReplicator:
             acks += int(ok)
         self.replicated += acks
         self.failed += len(self.peers) - acks
+        try:
+            from longbow_tpu.metrics import get_registry
+
+            reg = get_registry()
+            if acks:
+                reg.inc("longbow_replication_success_total", acks)
+            if len(self.peers) - acks:
+                reg.inc(
+                    "longbow_replication_failures_total",
+                    len(self.peers) - acks,
+                )
+        except Exception:
+            pass
         return acks
 
     def on_put(
@@ -156,14 +185,23 @@ class PeerReplicator:
                     ("put", dataset, ids, vectors, columns, metric,
                      timestamp, clock),
                 ))
+                try:
+                    from longbow_tpu.metrics import get_registry
+
+                    get_registry().inc("longbow_replication_queued_total")
+                except Exception:
+                    pass
                 return True
             except queue.Full:
                 return False
+        t0 = time.perf_counter()
         acks = self._fanout(
             "put", dataset, ids, vectors, columns, metric, timestamp,
             clock,
         )
-        return acks >= required_acks(self.level, len(self.peers))
+        met = acks >= required_acks(self.level, len(self.peers))
+        self._observe_quorum("put", met, time.perf_counter() - t0)
+        return met
 
     def on_delete(self, dataset, ids) -> bool:
         if self.mode == "async":
@@ -176,8 +214,34 @@ class PeerReplicator:
                 return True
             except queue.Full:
                 return False
+        t0 = time.perf_counter()
         acks = self._fanout("delete", dataset, ids, None, None)
-        return acks >= required_acks(self.level, len(self.peers))
+        met = acks >= required_acks(self.level, len(self.peers))
+        self._observe_quorum("delete", met, time.perf_counter() - t0)
+        return met
+
+    def _observe_quorum(self, op: str, met: bool, dt: float) -> None:
+        try:
+            from longbow_tpu.metrics import get_registry
+
+            reg = get_registry()
+            reg.observe(
+                "longbow_quorum_operation_duration_seconds", dt,
+                operation=op, consistency=self.level,
+            )
+            if met:
+                reg.inc(
+                    "longbow_quorum_success_total",
+                    operation=op, consistency=self.level,
+                )
+            else:
+                reg.inc(
+                    "longbow_quorum_failure_total",
+                    operation=op, consistency=self.level,
+                    reason="insufficient_acks",
+                )
+        except Exception:
+            pass
 
     def drain(self, timeout_s: float = 10.0) -> None:
         t0 = time.time()
@@ -213,6 +277,9 @@ class SyncWorker:
         rows applied locally."""
         from longbow_tpu.distributed.merkle import MerkleTree
 
+        from longbow_tpu.metrics import get_registry
+
+        reg = get_registry()
         applied = 0
         ds = self.store.get(name)
         mine = MerkleTree.from_dataset(ds)
@@ -224,13 +291,30 @@ class SyncWorker:
             except Exception:
                 continue
             if remote.get("root") == mine.root_hex:
+                reg.inc("longbow_mesh_merkle_match_total", result="match")
                 continue
+            reg.inc("longbow_mesh_merkle_match_total", result="mismatch")
             theirs = [bytes.fromhex(x) for x in remote["leaves"]]
             for b in mine.diff_buckets(theirs):
-                delta = p.client._action(
-                    "export-delta", {"dataset": name, "bucket": b}
+                try:
+                    delta = p.client._action(
+                        "export-delta", {"dataset": name, "bucket": b}
+                    )
+                except Exception:
+                    reg.inc(
+                        "longbow_mesh_sync_deltas_total", status="error"
+                    )
+                    continue
+                got = self._apply_delta(name, delta)
+                applied += got
+                reg.inc("longbow_mesh_sync_deltas_total", status="ok")
+                reg.inc(
+                    "longbow_mesh_sync_bytes_total",
+                    sum(
+                        len(r.get("vector", [])) * 4
+                        for r in delta.get("rows", [])
+                    ),
                 )
-                applied += self._apply_delta(name, delta)
         self.synced_rows += applied
         return applied
 

@@ -48,6 +48,12 @@ class BM25Index:
             self._total_len += len(toks)
             for t in toks:
                 self._postings[t][doc_id] = self._postings[t].get(doc_id, 0) + 1
+        try:
+            from longbow_tpu.metrics import get_registry
+
+            get_registry().inc("longbow_bm25_documents_indexed_total")
+        except Exception:
+            pass  # metrics must never fail an index write
 
     def remove(self, doc_id) -> None:
         with self._lock:

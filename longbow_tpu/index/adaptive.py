@@ -142,6 +142,14 @@ class AdaptiveIndex:
                         self._flat = FlatIndex(
                             self.dim, self.metric, self.dtype, capacity=1
                         )
+                        try:
+                            from longbow_tpu.metrics import get_registry
+
+                            get_registry().inc(
+                                "longbow_adaptive_index_migrations_total"
+                            )
+                        except Exception:
+                            pass
                         return
                 # large backlog: catch up outside the lock (adds only
                 # append past `count`, so [built, count) is stable)
@@ -170,6 +178,27 @@ class AdaptiveIndex:
                 rc = relative_contrast(self._flat.vectors, count)
             self.last_contrast = rc
             self._contrast_checked_at = count
+            try:
+                from longbow_tpu.metrics import get_registry
+
+                reg = get_registry()
+                # relative contrast IS the intrinsic-hardness signal
+                # this index adapts on (reference gauges adaptive m /
+                # intrinsic dimensionality per index, hnsw_adaptive.go)
+                reg.set(
+                    "longbow_hnsw_intrinsic_dimensionality", rc,
+                    index_name="adaptive",
+                )
+                reg.set(
+                    "longbow_hnsw_adaptive_m_value",
+                    self.hnsw_config.m, index_name="adaptive",
+                )
+                reg.inc(
+                    "longbow_hnsw_adaptive_adjustments_total",
+                    index_name="adaptive",
+                )
+            except Exception:
+                pass
             if rc < self.min_contrast:
                 log.warning(
                     "corpus relative contrast %.2f < %.2f at n=%d: "

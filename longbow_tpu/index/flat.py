@@ -31,6 +31,20 @@ from longbow_tpu.ops.pallas_scan import flat_search_rerank, fused_flat_search
 MIN_CAPACITY = 4096
 
 
+def _count_dispatch(implementation: str) -> None:
+    """Which scan backend served the query (reference:
+    longbow_simd_dispatch_total{implementation} — the trace-time jit
+    analogue of the reference's SIMD dispatch registry)."""
+    try:
+        from longbow_tpu.metrics import get_registry
+
+        get_registry().inc(
+            "longbow_simd_dispatch_total", implementation=implementation
+        )
+    except Exception:
+        pass
+
+
 def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
@@ -349,7 +363,9 @@ class FlatIndex:
             flat = np.concatenate([np.asarray(p) for p in packs])
             dd = np.ascontiguousarray(flat[:, :k_pad]).view(np.float32)
             ii = flat[:, k_pad:]
+            _count_dispatch("pallas_fused")
             return dd[:b, :k], ii[:b, :k]
+        _count_dispatch("xla")
         with self._mu:  # dispatch under the lock, fetch outside
             self._flush_locked()
             d, i = exact_search(

@@ -360,13 +360,27 @@ class HNSWIndex:
                 # codebooks train on a sample of the first batch
                 # (reference trains PQ on data arriving before the
                 # threshold, pq_training.go; k-means on the MXU)
+                import time as _time
+
                 from longbow_tpu.ops.kmeans import kmeans_init, lloyd
 
+                _t0 = _time.perf_counter()
                 tr = jv[:PQ_TRAIN_SAMPLE]
                 dsub = self.dim // self.pq_m
                 sub = tr.reshape(-1, self.pq_m, dsub).transpose(1, 0, 2)
                 books, _ = lloyd(sub, kmeans_init(sub, 256, 0), 12)
+                books.block_until_ready()
                 self.state = self.state._replace(pq_books=books)
+                try:
+                    from longbow_tpu.metrics import get_registry
+
+                    get_registry().observe(
+                        "longbow_hnsw_pq_training_duration_seconds",
+                        _time.perf_counter() - _t0,
+                        dataset="",  # index layer has no dataset name
+                    )
+                except Exception:
+                    pass
             store = _pq_encode_chunked(jv, self.state.pq_books)
             # |v_hat|^2 of the decoded vectors: ADC distances from the
             # LUT must see consistent norms
@@ -410,6 +424,14 @@ class HNSWIndex:
         was_empty = self.count == 0
         self.count += n
         self._sample_dirty = True
+        try:
+            from longbow_tpu.metrics import get_registry
+
+            # each functional state swap is one "epoch" in the
+            # reference's RCU sense (hnsw epoch tracker)
+            get_registry().inc("longbow_hnsw_epoch_transitions_total")
+        except Exception:
+            pass
         from longbow_tpu.index.graph_build import build_stage_timer
 
         build_stage_timer(n, tag="add")(

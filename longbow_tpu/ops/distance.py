@@ -63,6 +63,34 @@ class Metric:
 MASKED = 3.0e38
 
 
+def complex_as_real(v: jax.Array) -> jax.Array:
+    """Complex [.., D] -> real [.., 2D] by concatenating (real, imag).
+
+    For z, w in C^D:  Re(z . conj(w)) = zr.wr + zi.wi  — exactly the
+    real dot product of the concatenated views — and |z|^2 = |view|^2.
+    So complex L2 / cosine / (real-part) dot distances collapse onto
+    the same MXU kernels as real data, with zero extra kernel code
+    (reference ships separate complex64/complex128 SIMD kernels,
+    internal/simd/distance_functions.go — on TPU they are the same
+    matmul on a widened view).
+    """
+    return jnp.concatenate([jnp.real(v), jnp.imag(v)], axis=-1)
+
+
+def _canon_dtype(v: jax.Array) -> jax.Array:
+    """Map any supported input dtype onto the MXU compute form:
+    complex -> widened real view; f64 -> kept when x64 is enabled
+    (CPU / emulated-TPU exactness), else f32 (reference: f64 SIMD
+    kernels, simd/batch_operations.go — TPU has no native f64 MXU;
+    PRECISION_EXACT recovers full f32 accuracy and x64 mode serves
+    the genuinely-f64 case)."""
+    if jnp.iscomplexobj(v):
+        v = complex_as_real(v)
+    if v.dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        v = v.astype(jnp.float32)
+    return v
+
+
 def pad_to(n: int, multiple: int) -> int:
     """Round n up to a multiple (for MXU/VPU lane alignment)."""
     if n <= 0:
@@ -90,19 +118,22 @@ PRECISION_EXACT = jax.lax.Precision.HIGHEST
 
 
 def _dot_f32(q: jax.Array, v: jax.Array, precision=PRECISION_FAST) -> jax.Array:
-    """q [B, D] @ v.T [D, N] -> [B, N] accumulated in f32 on the MXU."""
+    """q [B, D] @ v.T [D, N] -> [B, N] accumulated in f32 on the MXU
+    (f64 inputs keep f64 accumulation — the x64/CPU exact path)."""
+    acc = jnp.float64 if q.dtype == jnp.float64 else jnp.float32
     return jax.lax.dot_general(
         q,
         v,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
         precision=precision,
     )
 
 
 def squared_norms(v: jax.Array) -> jax.Array:
-    """Row-wise |v|^2 in f32. Precomputed once at ingest per corpus block."""
-    vf = v.astype(jnp.float32)
+    """Row-wise |v|^2 in f32. Precomputed once at ingest per corpus block.
+    Complex rows use |z|^2 = |(re, im)|^2 via the widened real view."""
+    vf = _canon_dtype(v).astype(jnp.float32)
     return jnp.sum(vf * vf, axis=-1)
 
 
@@ -126,6 +157,10 @@ def distance_matrix(
     precision: MXU precision; PRECISION_EXACT for ground-truth paths.
     """
     metric = Metric.validate(metric)
+    # complex corpora ride the real kernels on a widened view; f64
+    # follows the x64 switch (see _canon_dtype)
+    queries = _canon_dtype(queries)
+    corpus = _canon_dtype(corpus)
     ip = _dot_f32(queries, corpus, precision)  # [B, N] f32, the MXU part
 
     if metric == Metric.L2:
@@ -164,8 +199,8 @@ def pairwise_distance(
     small verification paths — batched matmul form is always preferred.
     """
     metric = Metric.validate(metric)
-    af = a.astype(jnp.float32)
-    bf = b.astype(jnp.float32)
+    af = _canon_dtype(a).astype(jnp.float32)
+    bf = _canon_dtype(b).astype(jnp.float32)
     ip = jnp.sum(af * bf, axis=-1)
     if metric == Metric.L2:
         return jnp.maximum(jnp.sum(af * af, -1) - 2 * ip + jnp.sum(bf * bf, -1), 0.0)
@@ -215,8 +250,15 @@ def exact_search(
     precision = PRECISION_EXACT if exact_precision else PRECISION_FAST
     # serving-path fusion: cast, normalization and mask-combines run
     # inside this jit so the host never pays eager-dispatch round trips
-    corpus = corpus.astype(jnp.float32)
-    queries = queries.astype(jnp.float32)
+    corpus = _canon_dtype(corpus)
+    queries = _canon_dtype(queries)
+    compute = (
+        jnp.float64
+        if jnp.float64 in (corpus.dtype, queries.dtype)
+        else jnp.float32
+    )
+    corpus = corpus.astype(compute)
+    queries = queries.astype(compute)
     if normalize:
         queries = queries / jnp.maximum(
             jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-30

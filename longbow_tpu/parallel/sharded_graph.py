@@ -150,6 +150,14 @@ class ShardedGraphIndex:
 
     def build(self) -> None:
         """Build per-shard sub-graphs and assemble sharded arrays."""
+        try:
+            from longbow_tpu.metrics import get_registry
+
+            # every (re)build redistributes rows over the shard mesh
+            # (reference: hnsw_sharding migration counter)
+            get_registry().inc("longbow_hnsw_sharding_migrations_total")
+        except Exception:
+            pass
         allv = np.concatenate(self._vectors_host)
         s = self.n_shards
         subs = [allv[j::s] for j in range(s)]

@@ -90,6 +90,45 @@ def main(argv=None) -> int:
     except OSError as e:
         log.warning("metrics port unavailable: %s", e)
 
+    # static transport gauges (reference sets the same at boot,
+    # docs/metrics.md System & Configuration) — pyarrow Flight gRPC
+    # defaults: unlimited recv (-1 -> 2GiB wire cap), 64KB window
+    registry.set("longbow_grpc_max_recv_msg_size_bytes", 2**31 - 1)
+    registry.set("longbow_grpc_max_send_msg_size_bytes", 2**31 - 1)
+    registry.set("longbow_grpc_initial_window_size_bytes", 65535)
+
+    def _memory_gauges() -> None:
+        import pyarrow as _pa
+
+        registry.set(
+            "longbow_arrow_memory_used_bytes",
+            _pa.total_allocated_bytes(),
+            allocator="default",
+        )
+        try:
+            with open("/proc/self/statm") as f:
+                rss_pages = int(f.read().split()[1])
+            registry.set(
+                "longbow_memory_heap_in_use_bytes",
+                rss_pages * os.sysconf("SC_PAGE_SIZE"),
+            )
+        except (OSError, ValueError, IndexError):
+            pass
+
+    _memory_gauges()
+
+    def _memory_loop() -> None:
+        import time as _t
+
+        while True:
+            _t.sleep(10.0)
+            try:
+                _memory_gauges()
+            except Exception:
+                pass
+
+    threading.Thread(target=_memory_loop, daemon=True).start()
+
     # background compaction + optional eviction (reference:
     # CompactionWorker compaction.go:59, RecordEvictionManager
     # record_eviction.go:79 — access stats fed from the read path)

@@ -180,6 +180,14 @@ class SearchCoalescer:
         if len(items) > 1:
             self.coalesced += len(items)
         try:
+            from longbow_tpu.metrics import get_registry
+
+            get_registry().observe(
+                "longbow_search_coalesce_batch_size", qs.shape[0]
+            )
+        except Exception:
+            pass
+        try:
             ids, scores, ok = self.store.search(
                 dataset, qs, k, filters=filters, ef_search=ef,
                 exact=exact, use_cache=use_cache,

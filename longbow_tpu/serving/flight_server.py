@@ -266,9 +266,14 @@ class LongbowFlightServer(flight.FlightServerBase):
             # count rows APPLIED LOCALLY (post-partition slice):
             # forwarded rows are counted by their owners, so the
             # cluster-wide sum equals rows ingested exactly once
-            self.metrics.counter(
-                "longbow_flight_rows_processed_total"
-            ).inc(len(ids))
+            self.metrics.inc(
+                "longbow_flight_rows_processed_total", len(ids),
+                method="DoPut", status="ok",
+            )
+            self.metrics.inc(
+                "longbow_flight_bytes_processed_total", batch.nbytes,
+                method="DoPut",
+            )
 
     # -- queries (reference: servers.go:28 DoGet -> store_query.go:126) --
 
@@ -286,17 +291,33 @@ class LongbowFlightServer(flight.FlightServerBase):
             self.middleware.admit("DoGet")
         try:
             with self.metrics.time_op("DoGet"):
-                tq = parse_ticket(ticket.ticket)
+                with self.metrics.timer(
+                    "longbow_flight_ticket_parse_duration_seconds"
+                ):
+                    tq = parse_ticket(ticket.ticket)
+                # single host-edge parser = the primary parse path
+                # (reference splits zero-alloc vs encoding/json
+                # fallback, query/zero_alloc_parser.go; the fallback
+                # counter stays 0 here by construction)
+                self.metrics.inc(
+                    "longbow_zero_alloc_vector_search_parse_total"
+                )
+                self.metrics.inc(
+                    "longbow_doget_pipeline_steps_total",
+                    method="parse",
+                )
                 if tq.search is not None:
                     return self._do_search(tq)
                 return self._do_scan(tq)
         except KeyError as e:
             if self.middleware:
                 self.middleware.record_failure("DoGet")
+            self.metrics.inc("longbow_vector_search_action_errors_total")
             raise flight.FlightServerError(f"not found: {e}") from e
         except (ValueError, SanitizationError) as e:
             if self.middleware:
                 self.middleware.record_failure("DoGet")
+            self.metrics.inc("longbow_vector_search_action_errors_total")
             raise flight.FlightServerError(f"bad request: {e}") from e
         finally:
             if self.middleware:
@@ -386,12 +407,18 @@ class LongbowFlightServer(flight.FlightServerBase):
                 )
             except ConsistencyError as e:
                 raise flight.FlightUnavailableError(str(e)) from e
-        self.metrics.histogram(
-            "longbow_vector_search_latency_seconds"
-        ).observe(time.perf_counter() - t_search)
-        self.metrics.counter(
-            "longbow_flight_operations_total", ("op",)
-        ).labels(op="VectorSearch").inc()
+        # action-level metrics (reference: vector_search_action_* in
+        # docs/metrics.md Vector Search; per-dataset latency is observed
+        # inside VectorStore.search with the dataset label)
+        self.metrics.inc("longbow_vector_search_action_requests_total")
+        self.metrics.observe(
+            "longbow_vector_search_action_duration_seconds",
+            time.perf_counter() - t_search,
+        )
+        self.metrics.inc(
+            "longbow_flight_operations_total",
+            method="VectorSearch", status="ok",
+        )
 
         # vectorized response assembly (the per-row python loop here
         # showed up in serving profiles)
@@ -458,6 +485,14 @@ class LongbowFlightServer(flight.FlightServerBase):
                     )
                 )
         tbl = pa.table(dict(fields))
+        self.metrics.inc(
+            "longbow_flight_rows_processed_total", len(out_ids),
+            method="DoGet", status="ok",
+        )
+        self.metrics.inc(
+            "longbow_flight_bytes_processed_total", tbl.nbytes,
+            method="DoGet",
+        )
         if fb is not None and fb_key is not None:
             fb.put(fb_key, tbl)  # last-good answer for degraded serving
         return flight.RecordBatchStream(tbl)
@@ -494,6 +529,15 @@ class LongbowFlightServer(flight.FlightServerBase):
                 rows = np.asarray([r for _, r in part])
                 vecs = ds.get_vectors_by_rows(rows)
                 ids = [u for u, _ in part]
+                self.metrics.inc(
+                    "longbow_doget_pipeline_steps_total", method="scan"
+                )
+                # pa.array over the contiguous numpy view wraps the
+                # buffer without copying (reference counts the same,
+                # doget_zero_copy_total, doget_pipeline.go)
+                self.metrics.inc(
+                    "longbow_doget_zero_copy_total", type="vector"
+                )
                 yield pa.record_batch(
                     [
                         _ids_arrow_array(ids)
@@ -526,6 +570,8 @@ class LongbowFlightServer(flight.FlightServerBase):
     def do_exchange(self, context, descriptor, reader, writer):
         if self.middleware:
             self.middleware.admit("DoExchange")
+        self.metrics.inc("longbow_do_exchange_calls_total")
+        _t0 = time.perf_counter()
         try:
             cmd = {}
             if descriptor.descriptor_type == flight.DescriptorType.CMD:
@@ -544,6 +590,10 @@ class LongbowFlightServer(flight.FlightServerBase):
                 f"unknown exchange protocol {proto!r}"
             )
         finally:
+            self.metrics.observe(
+                "longbow_do_exchange_duration_seconds",
+                time.perf_counter() - _t0,
+            )
             if self.middleware:
                 self.middleware.release("DoExchange")
 

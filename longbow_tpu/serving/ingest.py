@@ -31,8 +31,8 @@ class IngestQueue:
         self._lock = threading.Lock()
         self.errors: list[str] = []
         self._threads = [
-            threading.Thread(target=self._loop, daemon=True)
-            for _ in range(workers)
+            threading.Thread(target=self._loop, args=(i,), daemon=True)
+            for i in range(workers)
         ]
         for t in self._threads:
             t.start()
@@ -72,7 +72,7 @@ class IngestQueue:
     # store_actions.go:530-618)
     MAX_COALESCE_ROWS = 65536
 
-    def _loop(self):
+    def _loop(self, worker_id: int = 0):
         import numpy as np
 
         while not self._stop.is_set():
@@ -95,6 +95,18 @@ class IngestQueue:
                 rows += len(j[1])
             with self._lock:
                 self._active += len(batch)
+            try:
+                from longbow_tpu.metrics import get_registry
+
+                # fraction of the coalescing window this worker filled
+                # (reference: pipeline_worker_utilization per worker)
+                get_registry().set(
+                    "longbow_pipeline_worker_utilization",
+                    min(rows / self.MAX_COALESCE_ROWS, 1.0),
+                    worker_id=str(worker_id),
+                )
+            except Exception:
+                pass
             groups: dict = {}
             order = []
             for j in batch:

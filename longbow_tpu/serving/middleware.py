@@ -50,34 +50,66 @@ class CircuitBreaker:
     retry after `cooldown_s` (reference: middleware/circuit_breaker.go:15
     — 10 failures, 30s cooldown)."""
 
-    def __init__(self, threshold: int = 10, cooldown_s: float = 30.0):
+    def __init__(
+        self, threshold: int = 10, cooldown_s: float = 30.0,
+        name: str = "default",
+    ):
         self.threshold = threshold
         self.cooldown_s = cooldown_s
+        self.name = name
         self._failures = 0
         self._opened_at = 0.0
+        self._last_state = "closed"
         self._lock = threading.Lock()
+
+    def _metric(self, which: str, **labels) -> None:
+        try:
+            from longbow_tpu.metrics import get_registry
+
+            get_registry().inc(which, **labels)
+        except Exception:
+            pass
+
+    def _observe_state(self, new: str) -> None:
+        # called under self._lock
+        if new != self._last_state:
+            self._metric(
+                "longbow_store_circuit_breaker_state_changes_total",
+                **{"name": self.name, "from": self._last_state, "to": new},
+            )
+            self._last_state = new
 
     @property
     def state(self) -> str:
         with self._lock:
             if self._failures < self.threshold:
-                return "closed"
-            if time.monotonic() - self._opened_at >= self.cooldown_s:
-                return "half-open"
-            return "open"
+                s = "closed"
+            elif time.monotonic() - self._opened_at >= self.cooldown_s:
+                s = "half-open"
+            else:
+                s = "open"
+            self._observe_state(s)
+            return s
 
     def allow(self) -> bool:
-        return self.state != "open"
+        if self.state != "open":
+            return True
+        self._metric("longbow_store_circuit_breaker_rejections_total")
+        return False
 
     def record_success(self) -> None:
         with self._lock:
             self._failures = 0
+            self._observe_state("closed")
+        self._metric("longbow_store_circuit_breaker_successes_total")
 
     def record_failure(self) -> None:
         with self._lock:
             self._failures += 1
             if self._failures == self.threshold:
                 self._opened_at = time.monotonic()
+                self._observe_state("open")
+        self._metric("longbow_store_circuit_breaker_failures_total")
 
 
 class Bulkhead:
@@ -283,7 +315,9 @@ class MiddlewareChain:
         bulkhead_max_wait_s: float = 0.2,
     ):
         self.limiter = RateLimiter(rate_limit_rps, rate_limit_burst)
-        self.breaker = CircuitBreaker(breaker_threshold, breaker_cooldown_s)
+        self.breaker = CircuitBreaker(
+            breaker_threshold, breaker_cooldown_s, name="flight"
+        )
         self.bulkhead = Bulkhead(bulkhead_max_concurrent, bulkhead_max_wait_s)
         self.degradation: Optional[GracefulDegradation] = None
         self.fallback: Optional[FallbackCache] = None

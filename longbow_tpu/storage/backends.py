@@ -46,6 +46,50 @@ class LocalBackend:
         return sorted(p.name for p in self.root.iterdir() if p.is_dir())
 
 
+def _s3_op(operation: str, retries: int = 2):
+    """Decorator timing + counting an S3 call (reference metric names
+    longbow_s3_*, docs/metrics.md WAL & Persistence) with bounded
+    retries (reference: s3_backend.go retry loop)."""
+    import functools
+    import time as _time
+
+    def wrap(fn):
+        @functools.wraps(fn)
+        def run(*a, **kw):
+            from longbow_tpu.metrics import get_registry
+
+            reg = get_registry()
+            last = None
+            for attempt in range(retries + 1):
+                if attempt:
+                    reg.inc("longbow_s3_retries_total", operation=operation)
+                t0 = _time.perf_counter()
+                try:
+                    out = fn(*a, **kw)
+                except Exception as e:  # noqa: BLE001 — boto errs vary
+                    last = e
+                    reg.inc(
+                        "longbow_s3_operations_total",
+                        operation=operation, status="error",
+                    )
+                    continue
+                reg.inc(
+                    "longbow_s3_operations_total",
+                    operation=operation, status="ok",
+                )
+                reg.observe(
+                    "longbow_s3_request_duration_seconds",
+                    _time.perf_counter() - t0,
+                    operation=operation,
+                )
+                return out
+            raise last
+
+        return run
+
+    return wrap
+
+
 class S3Backend:
     """S3/MinIO/R2 snapshot storage (reference: s3_backend.go:33)."""
 
@@ -67,12 +111,14 @@ class S3Backend:
         self.prefix = prefix
         self.client = boto3.client("s3", endpoint_url=endpoint_url)
 
+    @_s3_op("upload")
     def upload(self, local_dir: Path, remote_prefix: str) -> None:
         for p in Path(local_dir).rglob("*"):
             if p.is_file():
                 key = f"{self.prefix}/{remote_prefix}/{p.relative_to(local_dir)}"
                 self.client.upload_file(str(p), self.bucket, key)
 
+    @_s3_op("download")
     def download(self, remote_prefix: str, local_dir: Path) -> bool:
         pre = f"{self.prefix}/{remote_prefix}/"
         pages = self.client.get_paginator("list_objects_v2").paginate(
@@ -88,6 +134,7 @@ class S3Backend:
                 self.client.download_file(self.bucket, obj["Key"], str(dst))
         return found
 
+    @_s3_op("list")
     def list_snapshots(self) -> list[str]:
         out = set()
         pages = self.client.get_paginator("list_objects_v2").paginate(

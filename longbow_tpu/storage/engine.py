@@ -178,9 +178,14 @@ class StorageEngine:
 
     def recover(self, store) -> int:
         """Snapshot first, then the WAL tail. Returns ops applied."""
+        import time as _time
+
         from longbow_tpu.hybrid.bm25 import BM25Index
         from longbow_tpu.hybrid.graph_store import GraphStore
+        from longbow_tpu.metrics import get_registry
 
+        reg = get_registry()
+        reg.set("longbow_warmup_progress_percent", 0)
         n = 0
         snap = read_snapshot(self.dir)
         if snap is None and self.backend is not None:
@@ -220,6 +225,8 @@ class StorageEngine:
                 if blob["graph"]:
                     ds.graph = GraphStore.import_state(blob["graph"])
                 n += 1
+        reg.set("longbow_warmup_progress_percent", 50)
+        t_wal = _time.perf_counter()
         for seq, ts, name, kind, payload in WAL.replay(self.dir / "wal.log"):
             if kind == KIND_BATCH:
                 table = WAL.decode_batch(payload)
@@ -243,6 +250,11 @@ class StorageEngine:
                         op["weight"], _log=False,
                     )
             n += 1
+        reg.observe(
+            "longbow_wal_replay_duration_seconds",
+            _time.perf_counter() - t_wal,
+        )
+        reg.set("longbow_warmup_progress_percent", 100)
         return n
 
     def close(self) -> None:

@@ -202,18 +202,42 @@ class WAL:
             with self._lock:
                 if self._dirty:
                     t0 = time.perf_counter()
-                    self._backend.sync()
-                    self._dirty = False
+                    status = "ok"
                     try:
-                        from longbow_tpu.metrics import get_registry
-
-                        get_registry().histogram(
-                            "longbow_wal_fsync_seconds"
-                        ).observe(time.perf_counter() - t0)
+                        self._backend.sync()
                     except Exception:
-                        pass
+                        status = "error"
+                        raise
+                    finally:
+                        self._dirty = status == "error"
+                        try:
+                            from longbow_tpu.metrics import get_registry
+
+                            get_registry().observe(
+                                "longbow_wal_fsync_duration_seconds",
+                                time.perf_counter() - t0,
+                                status=status,
+                            )
+                        except Exception:
+                            pass
                 batch = self._bytes_since_sync
                 self._bytes_since_sync = 0
+            try:
+                from longbow_tpu.metrics import get_registry
+
+                reg = get_registry()
+                if batch:
+                    reg.observe("longbow_wal_batch_size", batch)
+                reg.set(
+                    "longbow_wal_write_rate_per_second",
+                    batch / max(self._sync_interval, 1e-9),
+                )
+                reg.set(
+                    "longbow_wal_adaptive_interval_ms",
+                    self._sync_interval * 1000.0,
+                )
+            except Exception:
+                pass
             if self.sync == "adaptive":
                 # stretch when saturated, shrink when idle
                 if batch > self._ADAPT_TARGET_BYTES:
@@ -244,16 +268,32 @@ class WAL:
         with self._lock:
             self._seq += 1
             frame = _encode_frame(self._seq, time.time(), name, kind, payload)
-            self._backend.write(frame)
-            self._bytes_since_sync += len(frame)
+            status = "ok"
             try:
-                from longbow_tpu.metrics import get_registry
-
-                get_registry().counter(
-                    "longbow_wal_bytes_written_total"
-                ).inc(len(frame))
+                self._backend.write(frame)
             except Exception:
-                pass  # metrics must never fail a write
+                status = "error"
+                raise
+            finally:
+                try:
+                    from longbow_tpu.metrics import get_registry
+
+                    reg = get_registry()
+                    reg.inc("longbow_wal_writes_total", status=status)
+                    if status == "ok":
+                        reg.inc(
+                            "longbow_wal_bytes_written_total", len(frame)
+                        )
+                        # "pending" = bytes written but not yet fsynced
+                        # (group-commit window), the closest analogue of
+                        # the reference's buffered-entry gauge
+                        reg.set(
+                            "longbow_wal_pending_entries",
+                            self._bytes_since_sync + len(frame),
+                        )
+                except Exception:
+                    pass  # metrics must never fail a write
+            self._bytes_since_sync += len(frame)
             if self.sync == "always":
                 self._backend.sync()
             else:

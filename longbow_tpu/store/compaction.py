@@ -47,8 +47,32 @@ def compact_dataset(dataset) -> dict:
 
     Returns stats {reclaimed_rows, live_rows, seconds}.
     """
-    with dataset._lock:
-        return _compact_locked(dataset)
+    from longbow_tpu.metrics import get_registry
+
+    reg = get_registry()
+    ds_label = getattr(dataset, "name", "") or "default"
+    try:
+        with dataset._lock:
+            out = _compact_locked(dataset)
+    except Exception:
+        reg.inc(
+            "longbow_compaction_operations_total",
+            dataset=ds_label, status="error",
+        )
+        raise
+    reg.inc(
+        "longbow_compaction_operations_total",
+        dataset=ds_label, status="ok",
+    )
+    reg.observe(
+        "longbow_compaction_duration_seconds",
+        out["seconds"], dataset=ds_label,
+    )
+    reg.inc(
+        "longbow_compaction_records_removed_total",
+        out["reclaimed_rows"], dataset=ds_label,
+    )
+    return out
 
 
 def _compact_locked(dataset) -> dict:
@@ -185,8 +209,9 @@ class EvictionManager:
             self.evicted_total += len(victims)
             from longbow_tpu.metrics import get_registry
 
-            get_registry().counter("longbow_evictions_total").inc(
-                len(victims)
+            reason = "ttl" if self.ttl_s is not None else self.policy
+            get_registry().inc(
+                "longbow_evictions_total", len(victims), reason=reason
             )
         return len(victims)
 
@@ -225,6 +250,7 @@ class CompactionWorker:
             evicted = self.eviction.sweep(ds) if self.eviction else 0
             compacted = None
             if self.tracker.needs_compaction(ds):
+                reg.inc("longbow_compaction_auto_triggers_total")
                 compacted = compact_dataset(ds)
                 self.store.query_cache.clear()
             frag = self.tracker.ratio(ds)
@@ -303,12 +329,27 @@ class MemoryBackpressureController:
     def check_admit(self, store) -> None:
         if self.hard_bytes is None:
             return
+        from longbow_tpu.metrics import get_registry
+
+        reg = get_registry()
         used = self.total_bytes(store)
+        reg.set("longbow_memory_pressure_level", self._level(used))
         if used > self.hard_bytes:
             self.rejected_total += 1
+            reg.inc("longbow_memory_backpressure_rejects_total")
             raise MemoryPressureError(
                 f"HBM hard limit: {used} > {self.hard_bytes} bytes"
             )
+        reg.inc("longbow_memory_backpressure_acquires_total")
+
+    def _level(self, used: int) -> int:
+        """0 = under soft, 1 = soft..hard, 2 = over hard (reference:
+        longbow_memory_pressure_level, docs/metrics.md)."""
+        if self.hard_bytes is not None and used > self.hard_bytes:
+            return 2
+        if self.soft_bytes is not None and used > self.soft_bytes:
+            return 1
+        return 0
 
     def _coldest_rows(self, ds, k: int) -> list:
         if self.eviction is not None and self.eviction._last_access:
@@ -371,5 +412,7 @@ class MemoryBackpressureController:
             store.query_cache.clear()
             from longbow_tpu.metrics import get_registry
 
-            get_registry().counter("longbow_evictions_total").inc(evicted)
+            get_registry().inc(
+                "longbow_evictions_total", evicted, reason="backpressure"
+            )
         return evicted

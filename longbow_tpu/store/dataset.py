@@ -345,10 +345,19 @@ class Dataset:
 
     def search_by_id(self, uid, k: int, **kw):
         """reference: VectorSearchByID action (store_actions.go:341)."""
+        import time as _time
+
+        from longbow_tpu.metrics import get_registry
+
+        t0 = _time.perf_counter()
         row = self._id_to_row.get(self._key(np.asarray(uid)))
         if row is None:
             raise KeyError(f"id {uid!r} not found in {self.name!r}")
         vec = self.index.get_vectors(np.asarray([row]))
+        get_registry().observe(
+            "longbow_id_resolution_duration_seconds",
+            _time.perf_counter() - t0,
+        )
         return self.search(vec, k, **kw)
 
     def get_vectors_by_rows(self, rows: np.ndarray) -> np.ndarray:

@@ -133,6 +133,11 @@ class VectorStore:
                 self._datasets[name] = ds
                 ns = name.split("/", 1)[0] if "/" in name else "default"
                 self._namespaces.setdefault(ns, set()).add(name)
+                from longbow_tpu.metrics import get_registry
+
+                get_registry().set(
+                    "longbow_store_active_datasets", len(self._datasets)
+                )
             elif ds.dim != dim:
                 raise ValueError(
                     f"dataset {name!r} has dim {ds.dim}, put has {dim}"
@@ -212,6 +217,14 @@ class VectorStore:
             for members in self._namespaces.values():
                 members.discard(name)
             self.query_cache.clear()
+            if ds is not None:
+                from longbow_tpu.metrics import get_registry
+
+                reg = get_registry()
+                reg.inc("longbow_store_dropped_datasets_total")
+                reg.set(
+                    "longbow_store_active_datasets", len(self._datasets)
+                )
             return ds is not None
 
     def list_datasets(self) -> list[str]:
@@ -243,6 +256,14 @@ class VectorStore:
         if self.engine is not None and _log:
             self.engine.log_put(dataset, ids, vectors, columns, metric)
         ds.put(np.asarray(ids), vectors, columns, timestamp=timestamp)
+        if self.backpressure is not None:
+            # the admission slot is held only for the apply (reference
+            # pairs acquires/releases around each reservation)
+            from longbow_tpu.metrics import get_registry
+
+            get_registry().inc(
+                "longbow_memory_backpressure_releases_total"
+            )
         self.query_cache.clear()
         self._observe_dataset(ds)
         if self.engine is not None and _log:
@@ -263,6 +284,50 @@ class VectorStore:
         reg.gauge("longbow_tpu_hbm_bytes_in_use", ("dataset",)).labels(
             dataset=ds.name
         ).set(ds.hbm_bytes())
+        # graph-index internals (reference: docs/metrics.md HNSW Index;
+        # graph_height is 1 when the single-layer TPU graph is active —
+        # beam search from entry samples replaces the HNSW hierarchy)
+        idx = ds.index
+        graph = getattr(idx, "_graph", None)
+        if graph is None and hasattr(idx, "state"):
+            graph = idx
+        if graph is not None and getattr(graph, "state", None) is not None:
+            reg.set(
+                "longbow_hnsw_node_count",
+                getattr(graph, "count", len(idx)),
+                dataset=ds.name,
+            )
+            reg.set("longbow_hnsw_graph_height", 1, dataset=ds.name)
+            pq_on = getattr(graph, "storage", "") == "pq"
+            reg.set(
+                "longbow_hnsw_pq_enabled", int(pq_on), dataset=ds.name
+            )
+            codes = getattr(getattr(graph, "state", None), "codes", None)
+            if pq_on and codes is not None and hasattr(codes, "size"):
+                reg.set(
+                    "longbow_hnsw_pq_compressed_bytes_total",
+                    codes.size * codes.dtype.itemsize,
+                    dataset=ds.name,
+                )
+        n_shards = getattr(idx, "n_shards", 0)
+        if n_shards:
+            counts = getattr(idx, "_shard_counts", None)
+            per_cap = max(idx.capacity // n_shards, 1)
+            for s in range(n_shards):
+                c = (
+                    int(counts[s])
+                    if counts is not None
+                    # striped placement: rows round-robin over shards
+                    else len(idx) // n_shards
+                )
+                reg.set(
+                    "longbow_sharded_hnsw_shard_size", c,
+                    dataset=ds.name, shard=str(s),
+                )
+                reg.set(
+                    "longbow_sharded_hnsw_load_factor", c / per_cap,
+                    dataset=ds.name, shard=str(s),
+                )
 
     def search(
         self,
@@ -279,6 +344,9 @@ class VectorStore:
 
         Query cache keyed by dataset + query bytes + params
         (reference: cache/query_cache.go:17, store_query.go:625)."""
+        from longbow_tpu.metrics import get_registry
+
+        reg = get_registry()
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         key = None
         if use_cache:
@@ -292,8 +360,61 @@ class VectorStore:
                     if found:
                         self.eviction.record_access(found)
                 return hit
-        out = self.get(dataset).search(
-            queries, k, filters=filters, ef_search=ef_search, exact=exact
+        ds = self.get(dataset)
+        # engine counters (reference: longbow_bruteforce_searches_total,
+        # longbow_hnsw_searches_total — docs/metrics.md Vector Search)
+        kind = getattr(ds.index, "kind", None) or ds.index_kind
+        graph_search = not exact and kind not in ("flat", "mesh_flat")
+        n_shards = getattr(ds.index, "n_shards", 0)
+        if n_shards > 1:
+            # one logical search fans out over every mesh shard in one
+            # jitted dispatch (reference counts per-shard splits,
+            # hnsw_parallel.go)
+            reg.inc(
+                "longbow_hnsw_parallel_search_splits_total", n_shards,
+                dataset=dataset,
+            )
+        if graph_search:
+            reg.inc("longbow_hnsw_searches_total")
+            reg.gauge(
+                "longbow_hnsw_active_readers", ("dataset",)
+            ).labels(dataset=dataset).inc()
+        else:
+            reg.inc("longbow_bruteforce_searches_total")
+        reg.gauge("longbow_active_search_contexts").inc()
+        t0 = time.perf_counter()
+        try:
+            out = ds.search(
+                queries, k, filters=filters, ef_search=ef_search,
+                exact=exact,
+            )
+        finally:
+            reg.gauge("longbow_active_search_contexts").dec()
+            if graph_search:
+                reg.gauge(
+                    "longbow_hnsw_active_readers", ("dataset",)
+                ).labels(dataset=dataset).dec()
+        if graph_search:
+            # traversal work estimate per query: the beam gathers up to
+            # ~2*ef*m_max candidate rows (the repo's measured gather
+            # ceiling analysis, docs/ARCHITECTURE.md); distance calcs
+            # count every gathered row once per query
+            g = getattr(ds.index, "_graph", None) or ds.index
+            cfg_g = getattr(g, "config", None)
+            if cfg_g is not None:
+                ef = ef_search or cfg_g.ef_search
+                visited = 2 * ef * (cfg_g.search_m_max or cfg_g.m_max)
+                reg.observe(
+                    "longbow_hnsw_nodes_visited", visited, dataset=dataset
+                )
+                reg.inc(
+                    "longbow_hnsw_distance_calculations_total",
+                    visited * queries.shape[0],
+                )
+        reg.observe(
+            "longbow_vector_search_latency_seconds",
+            time.perf_counter() - t0,
+            dataset=dataset,
         )
         if key is not None:
             self.query_cache.put(key, out)
@@ -363,6 +484,9 @@ class VectorStore:
         )
         from longbow_tpu.ops.distance import Metric as _M
 
+        from longbow_tpu.metrics import get_registry
+
+        reg = get_registry()
         ds = self.get(dataset)
         if alpha <= 0.0 and text_query:
             alpha = estimate_alpha(text_query)
@@ -370,6 +494,7 @@ class VectorStore:
         kk = max(k * oversample, k)
         have_dense = queries is not None and np.asarray(queries).size > 0
         if have_dense and alpha > 0.0:
+            reg.inc("longbow_hybrid_search_vector_total")
             d_ids, d_scores, d_ok = self.search(
                 dataset, queries, kk, filters=filters, use_cache=False
             )
@@ -377,6 +502,8 @@ class VectorStore:
         else:
             d_ids = d_scores = d_ok = None
             b = 1
+        if text_query and alpha < 1.0:
+            reg.inc("longbow_hybrid_search_keyword_total")
 
         sparse: list = []
         if text_query and alpha < 1.0:

@@ -29,16 +29,20 @@ def device_trace(out_dir: str | Path):
 
 @contextlib.contextmanager
 def span(name: str, registry=None):
-    """Host-side span: times the block into the flight-duration
-    histogram when a metrics registry is provided."""
+    """Host-side span: counts into longbow_trace_spans_total{name}
+    (reference: docs/metrics.md Observability) and times the block
+    into a span-duration histogram when a registry is provided."""
     t0 = time.perf_counter()
     try:
         yield
     finally:
         if registry is not None:
-            registry.histogram(
-                "longbow_flight_duration_seconds", ("op",)
-            ).labels(op=name).observe(time.perf_counter() - t0)
+            registry.inc("longbow_trace_spans_total", name=name)
+            registry.observe(
+                "longbow_tpu_span_duration_seconds",
+                time.perf_counter() - t0,
+                name=name,
+            )
 
 
 def annotate(name: str):

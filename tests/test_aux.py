@@ -88,7 +88,11 @@ def test_tracing_span_records_metric():
         pass
     from prometheus_client import generate_latest
 
-    assert b'op="TestOp"' in generate_latest(reg.registry)
+    text = generate_latest(reg.registry)
+    # spans count into the reference's trace counter and a duration
+    # histogram, labeled by span name (docs/metrics.md Observability)
+    assert b'longbow_trace_spans_total{name="TestOp"} 1.0' in text
+    assert b'longbow_tpu_span_duration_seconds_count{name="TestOp"}' in text
 
 
 def test_cascade_fusion():

@@ -113,3 +113,49 @@ def test_pairwise_distance():
     got = np.asarray(pairwise_distance(jnp.asarray(a), jnp.asarray(b), Metric.L2))
     want = ((a - b) ** 2).sum(-1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_complex_l2_search_matches_numpy():
+    """Complex corpora ride the real MXU kernels on a widened (re, im)
+    view (reference ships dedicated complex64/128 SIMD kernels,
+    internal/simd/distance_functions.go)."""
+    rng = np.random.default_rng(7)
+    v = (
+        rng.standard_normal((500, 16)) + 1j * rng.standard_normal((500, 16))
+    ).astype(np.complex64)
+    q = v[:3] + (0.01 + 0.01j)
+    d, idx = exact_search(jnp.asarray(q), jnp.asarray(v), 5, Metric.L2)
+    idx = np.asarray(idx)
+    # numpy oracle: |q - v|^2 over complex entries
+    for row in range(3):
+        want = np.argsort(np.sum(np.abs(q[row][None] - v) ** 2, axis=-1))[:5]
+        assert idx[row, 0] == want[0] == row
+        assert set(idx[row].tolist()) == set(want.tolist())
+    # distances are the true complex squared distances
+    want_d = np.sum(np.abs(q[0][None] - v[idx[0]]) ** 2, axis=-1)
+    np.testing.assert_allclose(np.asarray(d)[0], want_d, rtol=1e-3, atol=1e-3)
+
+
+def test_complex_dot_uses_real_part():
+    rng = np.random.default_rng(8)
+    v = (
+        rng.standard_normal((200, 8)) + 1j * rng.standard_normal((200, 8))
+    ).astype(np.complex64)
+    q = v[:1]
+    d, idx = exact_search(jnp.asarray(q), jnp.asarray(v), 3, Metric.DOT)
+    want = np.argsort(-np.real(np.sum(q[0][None] * np.conj(v), axis=-1)))[:3]
+    assert list(np.asarray(idx)[0]) == list(want)
+
+
+def test_float64_inputs_search_correctly():
+    """f64 inputs are accepted everywhere; without jax_enable_x64 they
+    compute at PRECISION_EXACT f32 (TPU has no native f64 MXU,
+    reference: f64 SIMD kernels simd/batch_operations.go)."""
+    rng = np.random.default_rng(9)
+    v = rng.standard_normal((300, 12))  # float64 by default
+    q = v[:2]
+    d, idx = exact_search(jnp.asarray(q), jnp.asarray(v), 4, Metric.L2)
+    assert np.asarray(idx)[0, 0] == 0 and np.asarray(idx)[1, 0] == 1
+    got = np.asarray(pairwise_distance(jnp.asarray(v[:4]), jnp.asarray(v[4:8])))
+    want = ((v[:4] - v[4:8]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -15,7 +15,10 @@ from longbow_tpu.serving.middleware import (
 
 def test_metrics_registry_reference_names():
     reg = MetricsRegistry()
-    reg.counter("longbow_flight_rows_processed_total").inc(5)
+    reg.inc(
+        "longbow_flight_rows_processed_total", 5,
+        method="DoPut", status="ok",
+    )
     reg.gauge("longbow_vector_index_size", ("dataset",)).labels(
         dataset="d"
     ).set(42)
@@ -24,10 +27,38 @@ def test_metrics_registry_reference_names():
     from prometheus_client import generate_latest
 
     text = generate_latest(reg.registry).decode()
-    assert "longbow_flight_rows_processed_total 5.0" in text
+    assert (
+        'longbow_flight_rows_processed_total{method="DoPut",status="ok"}'
+        " 5.0" in text
+    )
     assert 'longbow_vector_index_size{dataset="d"} 42.0' in text
-    assert 'longbow_flight_operations_total{op="DoGet"} 1.0' in text
+    # reference label scheme: method + status (docs/metrics.md)
+    assert (
+        'longbow_flight_operations_total{method="DoGet",status="ok"} 1.0'
+        in text
+    )
     assert "longbow_flight_duration_seconds_bucket" in text
+
+
+def test_metrics_catalog_matches_reference_types():
+    """Every documented reference metric we implement is pre-declared
+    with the reference's type and label set (docs/metrics.md)."""
+    from longbow_tpu.metrics.registry import _CATALOG
+
+    # spot-check names + label sets straight from the reference doc
+    assert _CATALOG["longbow_quorum_failure_total"][1] == (
+        "operation", "consistency", "reason",
+    )
+    assert _CATALOG["longbow_evictions_total"][1] == ("reason",)
+    assert _CATALOG["longbow_wal_fsync_duration_seconds"][1] == ("status",)
+    assert _CATALOG["longbow_s3_operations_total"][1] == (
+        "operation", "status",
+    )
+    assert _CATALOG["longbow_hnsw_nodes_visited"][0] == "size_histogram"
+    # breadth: the catalog covers the overwhelming majority of the 117
+    # documented reference metrics (the declared-out list is justified
+    # in the registry docstring)
+    assert len(_CATALOG) >= 100
 
 
 def test_rate_limiter():
