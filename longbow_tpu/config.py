@@ -58,6 +58,20 @@ class Config:
         default_factory=lambda: _env("SNAPSHOT_MIRROR_DIR", "")
     )
 
+    # persistent jit-compile cache: XLA executables survive process
+    # restarts, cutting serving cold-start from minutes of kernel
+    # compiles to cache reads (no reference analog — Go compiles
+    # nothing at runtime; this is the TPU-native equivalent of
+    # shipping prebuilt binaries). Empty = off.
+    compile_cache_dir: str = field(
+        default_factory=lambda: _env(
+            "COMPILE_CACHE_DIR",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "longbow_tpu", "xla"
+            ),
+        )
+    )
+
     # index (reference: HNSW M/efC/efS defaults arrow_hnsw.go:77-99)
     hnsw_m: int = field(default_factory=lambda: _env("HNSW_M", 32, int))
     hnsw_m_max: int = field(default_factory=lambda: _env("HNSW_M_MAX", 64, int))

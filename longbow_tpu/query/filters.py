@@ -181,6 +181,27 @@ class ColumnStore:
             | set(self._host_numeric)
         )
 
+    def host_view(self) -> dict[str, np.ndarray]:
+        """name -> capacity-length host array for streaming scans: one
+        device fetch per column per scan, sliced per chunk by the
+        caller. String columns come back decoded via a vocab-indexed
+        object array (O(vocab) setup, vectorized decode)."""
+        out: dict[str, np.ndarray] = {}
+        for k, v in self._numeric.items():
+            out[k] = np.asarray(v)
+        for k, v in self._host_numeric.items():
+            out[k] = v
+        for k, codes in self._str_codes.items():
+            vocab = self._str_dicts[k]
+            inv = np.empty(
+                max(vocab.values(), default=-1) + 2, dtype=object
+            )
+            inv[:] = ""
+            for s, c in vocab.items():
+                inv[c] = s
+            out[k] = inv[np.asarray(codes)]
+        return out
+
     # -- persistence hooks (reference snapshots full RecordBatches
     #    including metadata columns; these carry the column state so
     #    snapshots do too) ----------------------------------------------

@@ -86,6 +86,10 @@ class TicketQuery:
     name: str = ""
     limit: int = 0
     search: Optional[VectorSearchRequest] = None
+    # filtered table scan (reference SDK download_arrow/download_stream
+    # send {"name": ..., "filters": [...]} as a DoGet ticket,
+    # longbowclientsdk client.py:259-291)
+    filters: list = field(default_factory=list)
 
 
 def _parse_filters(raw) -> list:
@@ -155,6 +159,7 @@ def parse_ticket(data: bytes | str) -> TicketQuery:
         # "dataset" is an alias for "name" (zero_alloc_parser.go:121)
         name=obj.get("name") or obj.get("dataset") or "",
         limit=int(obj.get("limit", 0) or 0),
+        filters=_parse_filters(obj.get("filters")),
     )
     if "search" in obj and obj["search"] is not None:
         tq.search = parse_search_request(obj["search"])

@@ -42,6 +42,22 @@ def main(argv=None) -> int:
 
     faulthandler.register(signal.SIGUSR1, all_threads=True)
     cfg = load_config()
+    if cfg.compile_cache_dir:
+        # persistent XLA executable cache: restart cold-start goes from
+        # minutes of kernel compiles to cache reads. Best-effort — a
+        # backend that can't serialize executables just recompiles.
+        try:
+            import jax
+
+            os.makedirs(cfg.compile_cache_dir, exist_ok=True)
+            jax.config.update(
+                "jax_compilation_cache_dir", cfg.compile_cache_dir
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5
+            )
+        except Exception:
+            pass
     log = setup_logging()
     log.info("starting longbow-tpu", extra={"fields": {"config": vars(cfg)}})
 

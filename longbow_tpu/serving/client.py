@@ -206,11 +206,41 @@ class LongbowClient:
         ticket = flight.Ticket(json.dumps({"search": req}).encode())
         return self._dc().do_get(ticket, options=self._opts).read_all()
 
-    def scan(self, dataset: str, limit: int = 0) -> pa.Table:
-        ticket = flight.Ticket(
-            json.dumps({"name": dataset, "limit": limit}).encode()
-        )
+    def scan(
+        self, dataset: str, limit: int = 0, filters: list | None = None
+    ) -> pa.Table:
+        req: dict = {"name": dataset, "limit": limit}
+        if filters:
+            req["filters"] = filters
+        ticket = flight.Ticket(json.dumps(req).encode())
         return self._dc().do_get(ticket, options=self._opts).read_all()
+
+    def scan_stream(self, dataset: str, filters: list | None = None):
+        """Stream record batches (reference SDK download_stream,
+        client.py:259-291) — bounded client memory at any size."""
+        req: dict = {"name": dataset}
+        if filters:
+            req["filters"] = filters
+        ticket = flight.Ticket(json.dumps(req).encode())
+        for chunk in self._dc().do_get(ticket, options=self._opts):
+            yield chunk.data
+
+    def snapshot(self) -> dict:
+        """Force an immediate local snapshot (reference SDK snapshot(),
+        ForceSnapshot action)."""
+        return self._action("ForceSnapshot", {})
+
+    def get_info(self, dataset: str) -> dict:
+        """Dataset schema + row count (reference SDK get_info,
+        client.py:357-369: GetFlightInfo on the meta port)."""
+        info = self._mc().get_flight_info(
+            flight.FlightDescriptor.for_path(dataset), options=self._opts
+        )
+        return {
+            "schema": str(info.schema),
+            "total_records": info.total_records,
+            "total_bytes": info.total_bytes,
+        }
 
     # -- actions -------------------------------------------------------
 

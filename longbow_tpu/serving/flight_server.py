@@ -505,11 +505,29 @@ class LongbowFlightServer(flight.FlightServerBase):
         """Streaming table scan: the dataset is materialized in ~2MB
         record batches, never as one host-side table — bounded host
         memory at any corpus size (reference: DoGetPipeline
-        doget_pipeline.go:33)."""
+        doget_pipeline.go:33). Supports the reference SDK's filtered
+        download (client.py:259-291 sends {"name", "filters"}) and
+        streams metadata columns alongside id+vector."""
         ds = self.store.get(tq.name)
         n = ds.live_count
         limit = tq.limit if tq.limit > 0 else n
-        pairs = list(ds._id_to_row.items())[:limit]
+        pairs = list(ds._id_to_row.items())
+        if tq.filters:
+            mask = ds.filter_mask(tq.filters)
+            if mask is not None:
+                m = np.asarray(mask)
+                pairs = [(u, r) for u, r in pairs if m[r]]
+        pairs = pairs[:limit]
+        # metadata columns: one host materialization per scan (device
+        # fetch per column), then numpy slices per chunk
+        cols = ds.columns.host_view() if ds.columns.fields() else {}
+        col_names = sorted(cols)
+
+        def _col_type(a: np.ndarray):
+            if a.dtype == object:
+                return pa.string()
+            return pa.from_numpy_dtype(a.dtype)
+
         schema = pa.schema(
             [
                 (
@@ -520,6 +538,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                 ),
                 ("vector", pa.list_(pa.float32(), ds.dim)),
             ]
+            + [(c, _col_type(cols[c])) for c in col_names]
         )
         rows_per = max(1, self.SCAN_CHUNK_BYTES // max(ds.dim * 4, 1))
 
@@ -538,30 +557,26 @@ class LongbowFlightServer(flight.FlightServerBase):
                 self.metrics.inc(
                     "longbow_doget_zero_copy_total", type="vector"
                 )
-                yield pa.record_batch(
-                    [
-                        _ids_arrow_array(ids)
-                        if ids
-                        else pa.array([], schema.field("id").type),
-                        pa.FixedSizeListArray.from_arrays(
-                            pa.array(vecs.reshape(-1), pa.float32()),
-                            ds.dim,
-                        ),
-                    ],
-                    schema=schema,
-                )
+                arrays = [
+                    _ids_arrow_array(ids)
+                    if ids
+                    else pa.array([], schema.field("id").type),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(vecs.reshape(-1), pa.float32()),
+                        ds.dim,
+                    ),
+                ]
+                for c in col_names:
+                    vals = cols[c][rows]
+                    arrays.append(
+                        pa.array(vals.tolist(), pa.string())
+                        if vals.dtype == object
+                        else pa.array(vals)
+                    )
+                yield pa.record_batch(arrays, schema=schema)
 
         if not pairs:
-            return flight.RecordBatchStream(
-                pa.table(
-                    {
-                        "id": pa.array([], schema.field("id").type),
-                        "vector": pa.FixedSizeListArray.from_arrays(
-                            pa.array([], pa.float32()), ds.dim
-                        ),
-                    }
-                )
-            )
+            return flight.RecordBatchStream(schema.empty_table())
         return flight.GeneratorStream(schema, gen())
 
     # -- bidirectional streaming (reference: do_exchange.go:47-284 —
@@ -910,6 +925,15 @@ class LongbowFlightServer(flight.FlightServerBase):
                 return ok({"committed": False, "error": "no persist_dir"})
             self.store.snapshot()
             return ok({"committed": True, "epoch": req.get("epoch")})
+        if name == "ForceSnapshot":
+            # reference SDK snapshot(): immediate local snapshot, no
+            # cluster barrier (longbowclientsdk client.py:349-355)
+            if self.ingest is not None:
+                self.ingest.drain(timeout_s=30.0)
+            if self.store.engine is None:
+                return ok({"ok": False, "error": "no persist_dir"})
+            self.store.snapshot()
+            return ok({"ok": True})
         if name == "checkpoint":
             # coordinator entry point: barrier alive peers on an epoch,
             # then commit everywhere (single-node: local snapshot)
@@ -957,6 +981,7 @@ class LongbowFlightServer(flight.FlightServerBase):
             ("traverse-graph", "GraphRAG: BFS traverse"),
             ("GetGraphStats", "GraphRAG: edge-store stats"),
             ("graph-analytics", "GraphRAG: degree/component analytics"),
+            ("ForceSnapshot", "immediate local snapshot"),
             ("merkle-state", "anti-entropy: merkle root + leaves"),
             ("export-delta", "anti-entropy: rows of one merkle bucket"),
             ("checkpoint", "coordinated cluster snapshot (epoch barrier)"),

@@ -228,6 +228,85 @@ def test_scan_streams_in_chunks(client):
     assert got == set(range(3000))
 
 
+def test_filtered_scan_with_metadata_columns(client):
+    """Reference SDK download_arrow(dataset, filter=[...]) sends
+    {"name", "filters"} as a DoGet ticket and expects metadata columns
+    in the stream (longbowclientsdk client.py:228-291)."""
+    v = _vecs(30, 8, seed=21)
+    client.write(
+        "e2e_dl", np.arange(30), v,
+        columns={
+            "price": np.arange(30.0),
+            "category": np.asarray(
+                ["a" if i % 2 == 0 else "b" for i in range(30)]
+            ),
+        },
+    )
+    t = client.scan("e2e_dl")
+    assert set(t.column_names) >= {"id", "vector", "price", "category"}
+    assert t.num_rows == 30
+    got = dict(zip(t.column("id").to_pylist(), t.column("price").to_pylist()))
+    assert got[7] == 7.0
+    cats = dict(
+        zip(t.column("id").to_pylist(), t.column("category").to_pylist())
+    )
+    assert cats[4] == "a" and cats[5] == "b"
+    # filtered download: numeric predicate
+    t = client.scan(
+        "e2e_dl",
+        filters=[{"field": "price", "op": "<", "value": "10"}],
+    )
+    assert t.num_rows == 10
+    assert all(p < 10 for p in t.column("price").to_pylist())
+    # filtered download: string equality
+    t = client.scan(
+        "e2e_dl",
+        filters=[{"field": "category", "op": "=", "value": "a"}],
+    )
+    assert t.num_rows == 15
+    # streaming variant yields record batches
+    batches = list(
+        client.scan_stream(
+            "e2e_dl",
+            filters=[{"field": "price", "op": ">=", "value": "20"}],
+        )
+    )
+    assert sum(b.num_rows for b in batches) == 10
+
+
+def test_force_snapshot_and_get_info(client, tmp_path_factory):
+    """ForceSnapshot action + GetFlightInfo parity with the reference
+    SDK (client.py:349-369)."""
+    v = _vecs(12, 8, seed=22)
+    client.write("e2e_info", np.arange(12), v)
+    info = client.get_info("e2e_info")
+    assert info["total_records"] == 12
+    assert "vector" in info["schema"]
+    # no persist_dir on this store: ForceSnapshot reports, not crashes
+    out = client.snapshot()
+    assert out["ok"] is False and "persist" in out["error"]
+
+
+def test_force_snapshot_persists(tmp_path):
+    from longbow_tpu.serving.flight_server import serve
+
+    store = VectorStore(persist_dir=str(tmp_path))
+    handle = serve(store, data_port=0, meta_port=0, host="127.0.0.1")
+    try:
+        c = LongbowClient("127.0.0.1")
+        c.data_location = f"grpc://127.0.0.1:{handle.data_server.port}"
+        c.meta_location = f"grpc://127.0.0.1:{handle.meta_server.port}"
+        c.connect()
+        c.write("snapme", np.arange(8), _vecs(8, 8, seed=23))
+        assert c.snapshot()["ok"] is True
+        c.close()
+    finally:
+        handle.shutdown()
+    # a fresh store recovers the snapshotted rows
+    store2 = VectorStore(persist_dir=str(tmp_path))
+    assert store2.get("snapme").live_count == 8
+
+
 def test_async_ingest_busy_then_ready():
     """Async ingest: DoPut acks on enqueue; check_readiness flips
     BUSY -> READY as the queue drains (reference:

@@ -49,6 +49,11 @@ def run_worker(args, worker_id, stats, stop):
                 q = rng.standard_normal((args.dim,), dtype=np.float32)
                 t = c.search(args.dataset, q, k=args.k)
                 rows += t.num_rows
+            elif args.mode == "scan":
+                # full-dataset DoGet streaming (reference DoGet scan
+                # throughput axis, docs/performance.md:20-25)
+                t = c.scan(args.dataset, limit=args.scan_limit)
+                rows += t.num_rows
             else:  # hybrid
                 q = rng.standard_normal((args.dim,), dtype=np.float32)
                 r = c.hybrid_search(
@@ -149,8 +154,11 @@ def run_micro(out_path: str | None) -> int:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["ingest", "search", "hybrid", "micro"],
+    ap.add_argument("--mode",
+                    choices=["ingest", "search", "hybrid", "scan", "micro"],
                     default="search")
+    ap.add_argument("--scan-limit", type=int, default=0,
+                    help="scan mode: rows per DoGet (0 = full dataset)")
     ap.add_argument("--out", default=None,
                     help="micro mode: write the JSON here too")
     ap.add_argument("--host", default="localhost")
@@ -211,7 +219,7 @@ def main() -> int:
         "ops_per_s": round(ops / wall, 1),
         "rows_per_s": round(rows / wall, 1),
         "mb_per_s": round(rows * args.dim * 4 / wall / 1e6, 1)
-        if args.mode == "ingest" else None,
+        if args.mode in ("ingest", "scan") else None,
         "errors": errors,
         "p50_ms": round(pct(0.5), 2),
         "p95_ms": round(pct(0.95), 2),
