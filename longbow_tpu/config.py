@@ -57,6 +57,11 @@ class Config:
     snapshot_mirror_dir: str = field(
         default_factory=lambda: _env("SNAPSHOT_MIRROR_DIR", "")
     )
+    # periodic snapshots in addition to the WAL-size trigger
+    # (reference: SNAPSHOT_INTERVAL default 1h, main.go:57); 0 = off
+    snapshot_interval_s: float = field(
+        default_factory=lambda: _env("SNAPSHOT_INTERVAL_S", 0.0, float)
+    )
 
     # persistent jit-compile cache: XLA executables survive process
     # restarts, cutting serving cold-start from minutes of kernel
@@ -245,5 +250,114 @@ class Config:
         return self
 
 
+def _go_duration_s(raw: str) -> float:
+    """Go time.Duration string ("300ms", "1h30m", "20s") -> seconds."""
+    import re
+
+    units = {
+        "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3,
+        "s": 1.0, "m": 60.0, "h": 3600.0,
+    }
+    total, matched = 0.0, False
+    for num, unit in re.findall(r"([0-9]*\.?[0-9]+)(ns|us|µs|ms|s|m|h)", raw):
+        total += float(num) * units[unit]
+        matched = True
+    if not matched:
+        return float(raw)  # plain seconds
+    return total
+
+
+def _byte_size(raw: str) -> int:
+    """"104857600" | "100MB" | "4GiB" -> bytes."""
+    import re
+
+    m = re.fullmatch(
+        r"\s*([0-9]*\.?[0-9]+)\s*([KMGT]?i?B?)\s*", raw, re.IGNORECASE
+    )
+    if not m:
+        return int(raw)
+    mult = {
+        "": 1, "B": 1,
+        "KB": 1000, "KIB": 1024, "K": 1000,
+        "MB": 1000**2, "MIB": 1024**2, "M": 1000**2,
+        "GB": 1000**3, "GIB": 1024**3, "G": 1000**3,
+        "TB": 1000**4, "TIB": 1024**4, "T": 1000**4,
+    }[m.group(2).upper()]
+    return int(float(m.group(1)) * mult)
+
+
+# The reference's own env names (cmd/longbow/main.go:43-126) accepted
+# as aliases so a deployment switches without rewriting its env. Each
+# entry: reference suffix -> (our suffix, converter). Applied only when
+# our name is unset; our names win on conflict.
+_REF_ALIASES: dict = {
+    "DATA_PATH": ("DATA_DIR", None),
+    "STORAGE_USE_IOURING": ("WAL_IOURING", None),
+    "GOSSIP_STATIC_PEERS": ("PEERS", None),
+    "GOSSIP_DNS_RECORD": ("PEERS_DNS", None),
+    "GOSSIP_ADVERTISE_ADDR": ("NODE_ID", None),
+    "AUTO_SHARDING_THRESHOLD": ("AUTOSHARD_THRESHOLD", None),
+    "MEMORY_EVICTION_POLICY": ("EVICTION_POLICY", None),
+    "MAX_WAL_SIZE": (
+        "MAX_WAL_MB", lambda v: str(max(1, _byte_size(v) // (1024 * 1024)))
+    ),
+    "MAX_MEMORY": (
+        "HBM_HARD_LIMIT_MB",
+        lambda v: str(max(1, _byte_size(v) // (1024 * 1024))),
+    ),
+    "TTL": ("EVICTION_TTL_S", lambda v: str(_go_duration_s(v))),
+    "SNAPSHOT_INTERVAL": (
+        "SNAPSHOT_INTERVAL_S", lambda v: str(_go_duration_s(v))
+    ),
+    "COMPACTION_INTERVAL": (
+        "COMPACTION_INTERVAL_S", lambda v: str(_go_duration_s(v))
+    ),
+    "GOSSIP_INTERVAL": (
+        "PROBE_INTERVAL_S", lambda v: str(_go_duration_s(v))
+    ),
+    "STORAGE_ASYNC_FSYNC": (
+        "WAL_SYNC",
+        lambda v: "batch" if v.lower() in ("1", "true", "yes") else "always",
+    ),
+}
+# addr-style aliases need splitting into host/port pairs
+_REF_ADDR_ALIASES = {
+    "LISTEN_ADDR": ("HOST", "DATA_PORT"),
+    "META_ADDR": (None, "META_PORT"),
+    "METRICS_ADDR": (None, "METRICS_PORT"),
+}
+
+
+def _apply_reference_aliases(env=os.environ) -> list[str]:
+    """Translate reference-named vars into ours; returns the keys
+    added so the caller can restore the environment."""
+    added: list[str] = []
+
+    def _set(key: str, val: str) -> None:
+        if key not in env:
+            env[key] = val
+            added.append(key)
+
+    for ref, (ours, conv) in _REF_ALIASES.items():
+        raw = env.get(f"LONGBOW_{ref}")
+        if raw is not None:
+            _set(f"LONGBOW_{ours}", conv(raw) if conv else raw)
+    for ref, (host_key, port_key) in _REF_ADDR_ALIASES.items():
+        raw = env.get(f"LONGBOW_{ref}")
+        if raw is None:
+            continue
+        host, _, port = raw.rpartition(":")
+        if host and host_key:
+            _set(f"LONGBOW_{host_key}", host)
+        if port and port_key:
+            _set(f"LONGBOW_{port_key}", port)
+    return added
+
+
 def load_config() -> Config:
-    return Config().validate()
+    added = _apply_reference_aliases()
+    try:
+        return Config().validate()
+    finally:
+        for k in added:
+            os.environ.pop(k, None)

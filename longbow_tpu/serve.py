@@ -145,6 +145,23 @@ def main(argv=None) -> int:
 
     threading.Thread(target=_memory_loop, daemon=True).start()
 
+    # periodic snapshots in addition to the WAL-size trigger
+    # (reference: SNAPSHOT_INTERVAL, cmd/longbow/main.go:57)
+    if cfg.snapshot_interval_s > 0 and store.engine is not None:
+
+        def _snapshot_loop() -> None:
+            import time as _t
+
+            while True:
+                _t.sleep(cfg.snapshot_interval_s)
+                try:
+                    store.snapshot()
+                    log.info("periodic snapshot complete")
+                except Exception:
+                    log.exception("periodic snapshot failed")
+
+        threading.Thread(target=_snapshot_loop, daemon=True).start()
+
     # background compaction + optional eviction (reference:
     # CompactionWorker compaction.go:59, RecordEvictionManager
     # record_eviction.go:79 — access stats fed from the read path)

@@ -103,6 +103,50 @@ def test_config_env_vars(monkeypatch):
     assert cfg.wal_sync == "always"
 
 
+def test_config_reference_env_aliases(monkeypatch):
+    """The reference's own env names (cmd/longbow/main.go:43-126) work
+    unchanged: LISTEN_ADDR/META_ADDR split into host+port, byte sizes
+    and Go durations convert, and our names win on conflict."""
+    monkeypatch.setenv("LONGBOW_LISTEN_ADDR", "10.0.0.5:3100")
+    monkeypatch.setenv("LONGBOW_META_ADDR", "0.0.0.0:3101")
+    monkeypatch.setenv("LONGBOW_METRICS_ADDR", "0.0.0.0:9191")
+    monkeypatch.setenv("LONGBOW_DATA_PATH", "/tmp/lbdata")
+    monkeypatch.setenv("LONGBOW_MAX_WAL_SIZE", "104857600")
+    monkeypatch.setenv("LONGBOW_MAX_MEMORY", "4GiB")
+    monkeypatch.setenv("LONGBOW_TTL", "1h30m")
+    monkeypatch.setenv("LONGBOW_SNAPSHOT_INTERVAL", "15m")
+    monkeypatch.setenv("LONGBOW_STORAGE_ASYNC_FSYNC", "false")
+    monkeypatch.setenv("LONGBOW_GOSSIP_STATIC_PEERS", "a:3000,b:3000")
+    monkeypatch.setenv("LONGBOW_AUTO_SHARDING_THRESHOLD", "50000")
+    # conflict: our name is set too -> ours wins
+    monkeypatch.setenv("LONGBOW_EVICTION_POLICY", "lfu")
+    monkeypatch.setenv("LONGBOW_MEMORY_EVICTION_POLICY", "lru")
+    cfg = load_config()
+    assert cfg.host == "10.0.0.5" and cfg.data_port == 3100
+    assert cfg.meta_port == 3101 and cfg.metrics_port == 9191
+    assert cfg.data_dir == "/tmp/lbdata"
+    assert cfg.max_wal_mb == 100
+    assert cfg.hbm_hard_limit_mb == 4096
+    assert cfg.eviction_ttl_s == 5400.0
+    assert cfg.snapshot_interval_s == 900.0
+    assert cfg.wal_sync == "always"
+    assert cfg.peers == "a:3000,b:3000"
+    assert cfg.migration_threshold == 50000
+    assert cfg.eviction_policy == "lfu"
+
+
+def test_go_duration_and_byte_size_parsers():
+    from longbow_tpu.config import _byte_size, _go_duration_s
+
+    assert _go_duration_s("300ms") == 0.3
+    assert _go_duration_s("2h") == 7200.0
+    assert _go_duration_s("1h30m") == 5400.0
+    assert _go_duration_s("45") == 45.0  # plain seconds
+    assert _byte_size("104857600") == 104857600
+    assert _byte_size("100MB") == 100_000_000
+    assert _byte_size("1GiB") == 1024**3
+
+
 def test_config_validation(monkeypatch):
     monkeypatch.setenv("LONGBOW_META_PORT", "3000")  # clashes with data
     with pytest.raises(ValueError):

@@ -395,3 +395,83 @@ def test_store_with_io_uring_wal(tmp_path):
     assert vs2.get("d").live_count == 20
     vs.close()
     vs2.close()
+
+
+def test_periodic_snapshot_with_reference_env(tmp_path):
+    """Serve with the REFERENCE's env names (LISTEN_ADDR, DATA_PATH,
+    SNAPSHOT_INTERVAL as a Go duration): the alias layer translates,
+    the periodic snapshot loop fires, and a kill -9 later a fresh
+    store recovers from the snapshot (reference: SNAPSHOT_INTERVAL,
+    cmd/longbow/main.go:57)."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    from longbow_tpu.serving.client import LongbowClient
+
+    def free_port():
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    dp, mp = free_port(), free_port()
+    env = dict(os.environ)
+    env.update(
+        LONGBOW_LISTEN_ADDR=f"127.0.0.1:{dp}",
+        LONGBOW_META_ADDR=f"0.0.0.0:{mp}",
+        LONGBOW_METRICS_PORT="0",
+        LONGBOW_DATA_PATH=str(tmp_path / "data"),
+        LONGBOW_SNAPSHOT_INTERVAL="2s",
+        LONGBOW_FORCE_CPU="1",
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "longbow_tpu.serve"],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.STDOUT,
+    )
+    try:
+        c = LongbowClient("127.0.0.1", dp, mp)
+        t0 = time.time()
+        while time.time() - t0 < 60:
+            try:
+                c.check_readiness()
+                break
+            except Exception:
+                time.sleep(0.5)
+        c.write("snapdocs", np.arange(25), _vecs(25, 8, seed=9))
+        # wait until the async ingest applied the write...
+        t0 = time.time()
+        while time.time() - t0 < 30:
+            try:
+                if c.scan("snapdocs").num_rows == 25:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+        t_vis = time.time()
+        # ...then for an interval snapshot NEWER than the applied write
+        # (an earlier empty snapshot may already have truncated the WAL)
+        snapdir = tmp_path / "data" / "snapshot"
+        t0 = time.time()
+        fired = False
+        while time.time() - t0 < 30:
+            if snapdir.exists() and any(
+                f.stat().st_mtime >= t_vis for f in snapdir.rglob("*")
+            ):
+                fired = True
+                break
+            time.sleep(0.5)
+        assert fired, "periodic snapshot never fired"
+        c.close()
+    finally:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=10)
+    vs = VectorStore(persist_dir=str(tmp_path / "data"))
+    assert vs.get("snapdocs").live_count == 25
+    vs.close()
