@@ -160,62 +160,91 @@ class AdaptiveIndex:
         finally:
             self._builder = None
 
+    def _probe_contrast(self, count: int) -> bool:
+        """Hardness probe: True = hard-enough structure to migrate.
+        Runs an exact 64k-sample self-search — seconds of device work,
+        so callers must NOT hold a put on it (see _maybe_migrate)."""
+        with self._mlock:
+            self._flat.flush()
+            # XLA arrays are immutable — appends swap in new buffers —
+            # so the expensive self-search runs on this snapshot
+            # OUTSIDE the lock (holding it stalls every put for the
+            # probe's multi-second device program)
+            vecs = self._flat.vectors
+        rc = relative_contrast(vecs, count)
+        self.last_contrast = rc
+        try:
+            from longbow_tpu.metrics import get_registry
+
+            reg = get_registry()
+            # relative contrast IS the intrinsic-hardness signal
+            # this index adapts on (reference gauges adaptive m /
+            # intrinsic dimensionality per index, hnsw_adaptive.go)
+            reg.set(
+                "longbow_hnsw_intrinsic_dimensionality", rc,
+                index_name="adaptive",
+            )
+            reg.set(
+                "longbow_hnsw_adaptive_m_value",
+                self.hnsw_config.m, index_name="adaptive",
+            )
+            reg.inc(
+                "longbow_hnsw_adaptive_adjustments_total",
+                index_name="adaptive",
+            )
+        except Exception:
+            pass
+        if rc < self.min_contrast:
+            log.warning(
+                "corpus relative contrast %.2f < %.2f at n=%d: "
+                "distance-concentrated data — staying on the exact "
+                "scan (graph search cannot beat it here; "
+                "index/hardness.py)",
+                rc, self.min_contrast, count,
+            )
+            return False
+        return True
+
     def _maybe_migrate(self) -> None:
         if self._graph is not None or self._builder is not None:
             return
         if len(self._flat) < self.migration_threshold:
             return
-        if self.min_contrast > 0 and self.migration_threshold > 0:
+        probe = self.min_contrast > 0 and self.migration_threshold > 0
+        count = len(self._flat)
+        if probe:
             # probe once per count-doubling: low-contrast data stays on
             # the exact scan (see index/hardness.py for the measured
             # rationale); a distribution that gains structure as it
             # grows still migrates at the next doubling
-            count = len(self._flat)
             if count < 2 * self._contrast_checked_at:
                 return
-            with self._mlock:
-                self._flat.flush()
-                rc = relative_contrast(self._flat.vectors, count)
-            self.last_contrast = rc
             self._contrast_checked_at = count
-            try:
-                from longbow_tpu.metrics import get_registry
-
-                reg = get_registry()
-                # relative contrast IS the intrinsic-hardness signal
-                # this index adapts on (reference gauges adaptive m /
-                # intrinsic dimensionality per index, hnsw_adaptive.go)
-                reg.set(
-                    "longbow_hnsw_intrinsic_dimensionality", rc,
-                    index_name="adaptive",
-                )
-                reg.set(
-                    "longbow_hnsw_adaptive_m_value",
-                    self.hnsw_config.m, index_name="adaptive",
-                )
-                reg.inc(
-                    "longbow_hnsw_adaptive_adjustments_total",
-                    index_name="adaptive",
-                )
-            except Exception:
-                pass
-            if rc < self.min_contrast:
-                log.warning(
-                    "corpus relative contrast %.2f < %.2f at n=%d: "
-                    "distance-concentrated data — staying on the exact "
-                    "scan (graph search cannot beat it here; "
-                    "index/hardness.py)",
-                    rc, self.min_contrast, count,
-                )
-                return
         # threshold 0 = the explicit "hnsw" kind: the graph IS the
         # index, so the first batch builds synchronously; background
         # applies only to genuine flat->graph crossings mid-serve
         if not self.background_migration or self.migration_threshold <= 0:
+            if probe and not self._probe_contrast(count):
+                return
             self._build_graph()
             return
+
+        def _probe_then_build() -> None:
+            # the probe's exact self-search costs seconds — it must not
+            # stall the put that crossed the threshold (the round-2
+            # review flagged exactly this class of synchronous work)
+            try:
+                if probe and not self._probe_contrast(count):
+                    self._builder = None  # free the slot for next try
+                    return
+            except Exception:
+                log.exception("hardness probe failed; staying flat")
+                self._builder = None
+                return
+            self._build_graph()  # its finally clears _builder
+
         t = threading.Thread(
-            target=self._build_graph, daemon=True,
+            target=_probe_then_build, daemon=True,
             name="longbow-migrate",
         )
         self._builder = t
