@@ -49,8 +49,37 @@ def make_corpus(n: int, d: int, seed: int = 0) -> np.ndarray:
 
 
 def main() -> None:
+    import os as _os
+    import threading
+
     import jax
     import jax.numpy as jnp
+
+    # watchdog: a wedged device relay hangs backend init forever,
+    # inside PJRT C code where SIGALRM's Python handler can never run
+    # (validated against a live wedge) — probe init on a daemon thread
+    # and emit the one JSON line + exit if it never comes up
+    _backend_up = threading.Event()
+
+    def _probe_backend():
+        jax.devices()
+        _backend_up.set()
+
+    threading.Thread(target=_probe_backend, daemon=True).start()
+    if not _backend_up.wait(300):
+        print(
+            json.dumps(
+                {
+                    "metric": "flat_exact_qps_1M_128d_at_recall10>=0.95",
+                    "value": 0,
+                    "unit": "QPS/chip",
+                    "vs_baseline": 0,
+                    "error": "backend init timed out (device relay unreachable)",
+                }
+            ),
+            flush=True,
+        )
+        _os._exit(3)
 
     # persistent XLA executable cache: repeat bench runs (and the
     # driver's round-end run after any same-shape compile) skip the

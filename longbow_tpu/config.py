@@ -278,10 +278,10 @@ def _byte_size(raw: str) -> int:
         return int(raw)
     mult = {
         "": 1, "B": 1,
-        "KB": 1000, "KIB": 1024, "K": 1000,
-        "MB": 1000**2, "MIB": 1024**2, "M": 1000**2,
-        "GB": 1000**3, "GIB": 1024**3, "G": 1000**3,
-        "TB": 1000**4, "TIB": 1024**4, "T": 1000**4,
+        "KB": 1000, "KIB": 1024, "KI": 1024, "K": 1000,
+        "MB": 1000**2, "MIB": 1024**2, "MI": 1024**2, "M": 1000**2,
+        "GB": 1000**3, "GIB": 1024**3, "GI": 1024**3, "G": 1000**3,
+        "TB": 1000**4, "TIB": 1024**4, "TI": 1024**4, "T": 1000**4,
     }[m.group(2).upper()]
     return int(float(m.group(1)) * mult)
 
@@ -328,10 +328,12 @@ _REF_ADDR_ALIASES = {
 }
 
 
-def _apply_reference_aliases(env=os.environ) -> list[str]:
-    """Translate reference-named vars into ours; returns the keys
-    added so the caller can restore the environment."""
-    added: list[str] = []
+def _apply_reference_aliases(env=os.environ, added=None) -> list[str]:
+    """Translate reference-named vars into ours; appends each key it
+    adds to `added` AS IT GOES so the caller can restore the
+    environment even when a converter raises mid-way."""
+    if added is None:
+        added = []
 
     def _set(key: str, val: str) -> None:
         if key not in env:
@@ -341,12 +343,21 @@ def _apply_reference_aliases(env=os.environ) -> list[str]:
     for ref, (ours, conv) in _REF_ALIASES.items():
         raw = env.get(f"LONGBOW_{ref}")
         if raw is not None:
-            _set(f"LONGBOW_{ours}", conv(raw) if conv else raw)
+            try:
+                val = conv(raw) if conv else raw
+            except Exception as e:
+                raise ValueError(
+                    f"LONGBOW_{ref}={raw!r}: cannot parse ({e})"
+                ) from e
+            _set(f"LONGBOW_{ours}", val)
     for ref, (host_key, port_key) in _REF_ADDR_ALIASES.items():
         raw = env.get(f"LONGBOW_{ref}")
         if raw is None:
             continue
-        host, _, port = raw.rpartition(":")
+        if ":" in raw:
+            host, _, port = raw.rpartition(":")
+        else:
+            host, port = raw, ""  # bare hostname, keep the default port
         if host and host_key:
             _set(f"LONGBOW_{host_key}", host)
         if port and port_key:
@@ -355,8 +366,9 @@ def _apply_reference_aliases(env=os.environ) -> list[str]:
 
 
 def load_config() -> Config:
-    added = _apply_reference_aliases()
+    added: list[str] = []
     try:
+        _apply_reference_aliases(added=added)
         return Config().validate()
     finally:
         for k in added:

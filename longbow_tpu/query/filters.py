@@ -181,16 +181,28 @@ class ColumnStore:
             | set(self._host_numeric)
         )
 
-    def host_view(self) -> dict[str, np.ndarray]:
-        """name -> capacity-length host array for streaming scans: one
-        device fetch per column per scan, sliced per chunk by the
-        caller. String columns come back decoded via a vocab-indexed
-        object array (O(vocab) setup, vectorized decode)."""
+    def host_view(self, rows: np.ndarray | None = None) -> dict:
+        """name -> host array for streaming scans (one device fetch per
+        column per scan). With `rows`, arrays come back gathered to
+        those rows — a small limited scan does a device-side take and
+        fetches len(rows) values instead of the whole column. String
+        columns decode via a vocab-indexed object array (O(vocab)
+        setup, vectorized decode)."""
+        if rows is not None:
+            rows = np.asarray(rows, np.int64)
+
+        def _dev(col) -> np.ndarray:
+            if rows is None:
+                return np.asarray(col)
+            if len(rows) * 4 >= int(col.shape[0]):
+                return np.asarray(col)[rows]  # full fetch, host gather
+            return np.asarray(jnp.take(col, jnp.asarray(rows), axis=0))
+
         out: dict[str, np.ndarray] = {}
         for k, v in self._numeric.items():
-            out[k] = np.asarray(v)
+            out[k] = _dev(v)
         for k, v in self._host_numeric.items():
-            out[k] = v
+            out[k] = v if rows is None else v[rows]
         for k, codes in self._str_codes.items():
             vocab = self._str_dicts[k]
             inv = np.empty(
@@ -199,7 +211,7 @@ class ColumnStore:
             inv[:] = ""
             for s, c in vocab.items():
                 inv[c] = s
-            out[k] = inv[np.asarray(codes)]
+            out[k] = inv[_dev(codes)]
         return out
 
     # -- persistence hooks (reference snapshots full RecordBatches

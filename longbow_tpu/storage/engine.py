@@ -20,6 +20,44 @@ from longbow_tpu.storage.wal import KIND_BATCH, KIND_OP, WAL
 MAX_WAL_BYTES = 100 * 1024 * 1024  # reference default MAX_WAL_SIZE
 
 
+class _RWLock:
+    """Many committers / one snapshotter. Writer-preferring so a
+    pending snapshot isn't starved by a steady put stream."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    def acquire_read(self) -> None:
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+
+    def release_read(self) -> None:
+        with self._cond:
+            self._readers -= 1
+            if self._readers == 0:
+                self._cond.notify_all()
+
+    def acquire_write(self) -> None:
+        with self._cond:
+            self._writers_waiting += 1
+            while self._writer or self._readers:
+                self._cond.wait()
+            self._writers_waiting -= 1
+            self._writer = True
+
+    def release_write(self) -> None:
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()
+
+
 def _dtype_name(dt) -> str:
     import jax.numpy as jnp
 
@@ -74,9 +112,34 @@ class StorageEngine:
         latest remote snapshot when the local slot is empty."""
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
+        import threading
+
         self.max_wal_bytes = max_wal_bytes
         self.wal = WAL(self.dir / "wal.log", sync=sync, io_uring=io_uring)
         self.backend = snapshot_backend
+        # commit/snapshot coordination: a WAL append + its apply must
+        # not interleave with snapshot's export+truncate, or an acked
+        # write can land in neither (post-export apply, pre-truncate
+        # WAL frame). Puts hold the read side; snapshot the write side.
+        self._commit_rw = _RWLock()
+        # one snapshot at a time: the timer loop, ForceSnapshot, and
+        # the WAL-size trigger may all fire together; write_snapshot's
+        # directory rename-swap is not concurrency-safe
+        self._snap_lock = threading.Lock()
+
+    def commit_guard(self):
+        """Context manager for the WAL-append+apply critical section."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _guard():
+            self._commit_rw.acquire_read()
+            try:
+                yield
+            finally:
+                self._commit_rw.release_read()
+
+        return _guard()
 
     # -- logging --------------------------------------------------------
 
@@ -111,13 +174,18 @@ class StorageEngine:
         import time as _time
 
         t0 = _time.perf_counter()
-        blobs = {}
-        for name in store.list_datasets():
-            ds = store.get(name)
-            with ds._lock:
-                blobs[name] = self._export_dataset(ds)
-        final = write_snapshot(self.dir, blobs)
-        self.wal.truncate()
+        with self._snap_lock:
+            self._commit_rw.acquire_write()
+            try:
+                blobs = {}
+                for name in store.list_datasets():
+                    ds = store.get(name)
+                    with ds._lock:
+                        blobs[name] = self._export_dataset(ds)
+                final = write_snapshot(self.dir, blobs)
+                self.wal.truncate()
+            finally:
+                self._commit_rw.release_write()
         if self.backend is not None:
             try:
                 self.backend.upload(final, "snapshot")
@@ -171,10 +239,16 @@ class StorageEngine:
         }
 
     def maybe_snapshot(self, store) -> bool:
-        if self.wal.size_bytes > self.max_wal_bytes:
-            self.snapshot(store)
-            return True
-        return False
+        # skip (don't queue) when a snapshot is already running: this
+        # sits on the put path, and the running snapshot will shrink
+        # the WAL anyway
+        if (
+            self.wal.size_bytes <= self.max_wal_bytes
+            or self._snap_lock.locked()
+        ):
+            return False
+        self.snapshot(store)
+        return True
 
     def recover(self, store) -> int:
         """Snapshot first, then the WAL tail. Returns ops applied."""

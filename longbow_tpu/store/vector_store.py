@@ -210,22 +210,31 @@ class VectorStore:
 
     def drop(self, name: str, *, _log: bool = True) -> bool:
         """reference: 'delete-dataset' action (store_actions.go:245)."""
-        if self.engine is not None and _log:
-            self.engine.log_drop(name)
-        with self._lock:
-            ds = self._datasets.pop(name, None)
-            for members in self._namespaces.values():
-                members.discard(name)
-            self.query_cache.clear()
-            if ds is not None:
-                from longbow_tpu.metrics import get_registry
+        from contextlib import nullcontext
 
-                reg = get_registry()
-                reg.inc("longbow_store_dropped_datasets_total")
-                reg.set(
-                    "longbow_store_active_datasets", len(self._datasets)
-                )
-            return ds is not None
+        guard = (
+            self.engine.commit_guard()
+            if self.engine is not None and _log
+            else nullcontext()
+        )
+        with guard:
+            if self.engine is not None and _log:
+                self.engine.log_drop(name)
+            with self._lock:
+                ds = self._datasets.pop(name, None)
+                for members in self._namespaces.values():
+                    members.discard(name)
+                self.query_cache.clear()
+                if ds is not None:
+                    from longbow_tpu.metrics import get_registry
+
+                    reg = get_registry()
+                    reg.inc("longbow_store_dropped_datasets_total")
+                    reg.set(
+                        "longbow_store_active_datasets",
+                        len(self._datasets),
+                    )
+                return ds is not None
 
     def list_datasets(self) -> list[str]:
         return sorted(self._datasets)
@@ -254,8 +263,14 @@ class VectorStore:
             self.backpressure.check_admit(self)
         ds = self.get_or_create(dataset, vectors.shape[1], metric)
         if self.engine is not None and _log:
-            self.engine.log_put(dataset, ids, vectors, columns, metric)
-        ds.put(np.asarray(ids), vectors, columns, timestamp=timestamp)
+            # WAL append + apply are one atomic unit vs snapshot's
+            # export+truncate — otherwise a concurrent snapshot can
+            # truncate a frame whose apply it didn't export
+            with self.engine.commit_guard():
+                self.engine.log_put(dataset, ids, vectors, columns, metric)
+                ds.put(np.asarray(ids), vectors, columns, timestamp=timestamp)
+        else:
+            ds.put(np.asarray(ids), vectors, columns, timestamp=timestamp)
         if self.backpressure is not None:
             # the admission slot is held only for the apply (reference
             # pairs acquires/releases around each reservation)
@@ -425,10 +440,13 @@ class VectorStore:
         return out
 
     def delete(self, dataset: str, ids, *, _log: bool = True) -> int:
-        if self.engine is not None and _log:
-            self.engine.log_delete(dataset, ids)
         ds = self.get(dataset)
-        n = ds.delete(ids)
+        if self.engine is not None and _log:
+            with self.engine.commit_guard():
+                self.engine.log_delete(dataset, ids)
+                n = ds.delete(ids)
+        else:
+            n = ds.delete(ids)
         self.query_cache.clear()
         self._observe_dataset(ds)
         return n
@@ -593,8 +611,13 @@ class VectorStore:
         self, dataset, src, dst, edge_type="", weight=1.0, *, _log=True
     ):
         if self.engine is not None and _log:
-            self.engine.log_edge(dataset, src, dst, edge_type, weight)
-        self.get(dataset).graph.add_edge(src, dst, edge_type, weight)
+            with self.engine.commit_guard():
+                self.engine.log_edge(dataset, src, dst, edge_type, weight)
+                self.get(dataset).graph.add_edge(
+                    src, dst, edge_type, weight
+                )
+        else:
+            self.get(dataset).graph.add_edge(src, dst, edge_type, weight)
 
     def traverse_graph(
         self, dataset, src, dst=None, max_hops=3, strategy="bfs"

@@ -475,3 +475,49 @@ def test_periodic_snapshot_with_reference_env(tmp_path):
     vs = VectorStore(persist_dir=str(tmp_path / "data"))
     assert vs.get("snapdocs").live_count == 25
     vs.close()
+
+
+def test_snapshot_concurrent_with_puts_loses_nothing(tmp_path):
+    """Snapshot's export+truncate is exclusive against the WAL-append
+    + apply commit unit: an acked write always survives crash recovery
+    no matter how snapshots interleave (review finding: a frame
+    WAL-appended before truncate but applied after export vanished
+    from both)."""
+    import threading
+
+    vs = VectorStore(persist_dir=str(tmp_path), wal_sync="always")
+    errors = []
+
+    def put_loop():
+        try:
+            for i in range(40):
+                vs.put(
+                    "race",
+                    np.arange(i * 50, (i + 1) * 50),
+                    _vecs(50, 8, seed=i),
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def snap_loop():
+        try:
+            for _ in range(15):
+                vs.snapshot()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=put_loop),
+        threading.Thread(target=snap_loop),
+        threading.Thread(target=snap_loop),  # concurrent snapshots too
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    vs.close()
+    # crash-style recovery: every acked row must be present
+    vs2 = VectorStore(persist_dir=str(tmp_path))
+    assert vs2.get("race").live_count == 2000
+    vs2.close()
