@@ -155,7 +155,7 @@ class FlatIndex:
         # (reference analogue: applyBatchToMemory + async index jobs,
         # store_actions.go:813 — memtable first, index work deferred)
         self._device_count = 0
-        self._stage: list[np.ndarray] = []
+        self._stage_buf: Optional[np.ndarray] = None
         self._stage_rows = 0
         self._stage_dead: list[int] = []
         # Dispatch lock: appends DONATE the corpus buffers, and a
@@ -236,8 +236,21 @@ class FlatIndex:
             )
         n = vecs.shape[0]
         rows = np.arange(self.count, self.count + n, dtype=np.int64)
-        self._stage.append(vecs)
-        self._stage_rows += n
+        # stage straight into a bucketed-size buffer: flush then slices
+        # it with the pad region already zero — the old list-of-blocks
+        # staging paid an np.concatenate + np.pad (a full extra copy of
+        # every staged block, 1.5s of a 5.2s 300k-row apply)
+        need = self._stage_rows + n
+        buf = self._stage_buf
+        if buf is None or buf.shape[0] < need:
+            new = np.zeros(
+                (_bucket_rows(max(need, 16384)), self.dim), np.float32
+            )
+            if self._stage_rows:
+                new[: self._stage_rows] = buf[: self._stage_rows]
+            self._stage_buf = buf = new
+        buf[self._stage_rows : need] = vecs
+        self._stage_rows = need
         self.count += n
         # flush interval scales with the corpus: on backends without
         # buffer donation (CPU) a flush copies the WHOLE device block,
@@ -257,15 +270,14 @@ class FlatIndex:
     def _flush_locked(self) -> None:
         if not self._stage_rows:
             return
-        block = (
-            self._stage[0]
-            if len(self._stage) == 1
-            else np.concatenate(self._stage)
-        )
-        n = block.shape[0]
+        n = self._stage_rows
         n_pad = _bucket_rows(n)
-        if n_pad != n:
-            block = np.pad(block, ((0, n_pad - n), (0, 0)))
+        block = self._stage_buf[:n_pad]
+        # rows [n, n_pad) may hold stale data from a previous fill —
+        # the _ingest_block mask ignores them, but keep them zero so
+        # the buffer never leaks old vectors into debugging dumps
+        if n_pad > n:
+            block[n:] = 0.0
         self._grow_to(self._device_count + n_pad)
         self.vectors, self.norms_sq, self.valid = _ingest_block(
             self.vectors, self.norms_sq, self.valid,
@@ -273,7 +285,6 @@ class FlatIndex:
             self.metric == Metric.COSINE,
         )
         self._device_count += n
-        self._stage = []
         self._stage_rows = 0
         if self._stage_dead:
             self.valid = _tombstone(
