@@ -43,6 +43,8 @@ class LongbowClient:
         # smart routing (reference: Go SmartClient client/client.go:15
         # — per-addr connection cache + ring-aware request placement)
         self._ring = None
+        # last DoPut ack metadata (None, or {"status": "slow_down", ...})
+        self.last_put_status: Optional[dict] = None
         self._route_conns: dict = {}
 
     def _new_conn(self, location: str) -> flight.FlightClient:
@@ -170,8 +172,21 @@ class LongbowClient:
         if meta:
             table = table.replace_schema_metadata(meta)
         descriptor = flight.FlightDescriptor.for_path(dataset)
-        writer, _ = conn.do_put(descriptor, table.schema, options=self._opts)
+        writer, meta_reader = conn.do_put(
+            descriptor, table.schema, options=self._opts
+        )
         writer.write_table(table)
+        writer.done_writing()
+        # server backpressure signal (reference: admin_api.md — DoPut
+        # acks {"status": "slow_down"} at 80% queue pressure); callers
+        # poll last_put_status and back off
+        try:
+            buf = meta_reader.read()
+            self.last_put_status = (
+                json.loads(buf.to_pybytes()) if buf is not None else None
+            )
+        except Exception:
+            self.last_put_status = None
         writer.close()
 
     def search(

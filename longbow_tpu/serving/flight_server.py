@@ -181,6 +181,28 @@ class LongbowFlightServer(flight.FlightServerBase):
                 self._do_put_stream(
                     reader, dataset, metric, is_replication, origin_ts
                 )
+            if (
+                self.ingest is not None
+                and self.ingest.pressure > 0.8
+                and writer is not None
+            ):
+                # reference backpressure contract (docs/admin_api.md):
+                # ack metadata tells writers to back off before hard
+                # BUSY rejections kick in
+                self.metrics.inc("longbow_wal_pressure_signals_total")
+                try:
+                    writer.write(
+                        pa.py_buffer(
+                            json.dumps(
+                                {
+                                    "status": "slow_down",
+                                    "reason": "wal_pressure",
+                                }
+                            ).encode()
+                        )
+                    )
+                except Exception:
+                    pass
         finally:
             if self.middleware:
                 self.middleware.release("DoPut")
@@ -837,6 +859,18 @@ class LongbowFlightServer(flight.FlightServerBase):
             if self.cluster is not None:
                 st.update(self.cluster.status())
             return ok(st)
+        if name == "MeshStatus":
+            # reference: admin_api.md MeshStatus — membership view as
+            # a member list (ID, Addr, Status)
+            if self.cluster is not None:
+                st = self.cluster.status()
+                return ok(
+                    {
+                        "self": st.get("self"),
+                        "members": st.get("members", []),
+                    }
+                )
+            return ok({"self": None, "members": []})
         if name in ("list-datasets", "ListDatasets"):
             return ok(self.store.list_datasets())
         if name in ("CreateNamespace",):
@@ -1028,6 +1062,7 @@ class LongbowFlightServer(flight.FlightServerBase):
             ("CreateNamespace", "create a namespace"),
             ("check_readiness", "readiness probe"),
             ("cluster-status", "cluster membership + dataset stats"),
+            ("MeshStatus", "membership member list"),
             ("list-datasets", "list dataset names"),
             ("add-edge", "GraphRAG: add an edge"),
             ("traverse-graph", "GraphRAG: BFS traverse"),

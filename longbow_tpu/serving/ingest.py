@@ -38,6 +38,12 @@ class IngestQueue:
             t.start()
 
     @property
+    def pressure(self) -> float:
+        """Queue fullness 0..1 (reference: DoPut signals slow_down at
+        80% WAL-queue capacity, docs/admin_api.md)."""
+        return self.depth / max(self._q.maxsize, 1)
+
+    @property
     def depth(self) -> int:
         with self._lock:
             return self._q.qsize() + self._active

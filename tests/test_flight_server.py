@@ -396,3 +396,52 @@ def test_degraded_serving_fallback_cache():
         c.close()
     finally:
         handle.shutdown()
+
+
+def test_doput_slow_down_metadata_and_mesh_status():
+    """Backpressure parity (reference docs/admin_api.md): DoPut acks
+    {"status": "slow_down", "reason": "wal_pressure"} metadata when
+    the ingest queue is >80% full; MeshStatus answers on every node."""
+    import time
+
+    from longbow_tpu.serving.flight_server import serve
+    from longbow_tpu.serving.ingest import IngestQueue
+
+    store = VectorStore()
+    q = IngestQueue(store, max_depth=4)
+    handle = serve(store, data_port=0, meta_port=0, host="127.0.0.1")
+    handle.data_server.ingest = q
+    handle.meta_server.ingest = q
+    # stall the worker so the queue backs up deterministically
+    orig_apply = q._apply
+    release = time.time() + 4.0
+
+    def slow_apply(*a, **kw):
+        while time.time() < release:
+            time.sleep(0.05)
+        return orig_apply(*a, **kw)
+
+    q._apply = slow_apply
+    c = LongbowClient("127.0.0.1")
+    c.data_location = f"grpc://127.0.0.1:{handle.data_server.port}"
+    c.meta_location = f"grpc://127.0.0.1:{handle.meta_server.port}"
+    c.connect()
+    try:
+        v = _vecs(10, 8, seed=30)
+        saw_slow_down = False
+        for i in range(4):
+            c.write(f"press", np.arange(i * 10, i * 10 + 10), v)
+            st = c.last_put_status
+            if st and st.get("status") == "slow_down":
+                assert st["reason"] == "wal_pressure"
+                saw_slow_down = True
+                break
+        assert saw_slow_down, "no slow_down ack at >80% queue pressure"
+        # MeshStatus: no cluster configured -> empty member list, not
+        # an unknown-action error
+        ms = c._action("MeshStatus", {})
+        assert ms["members"] == []
+    finally:
+        c.close()
+        q.close()
+        handle.shutdown()
