@@ -363,6 +363,13 @@ class LongbowFlightServer(flight.FlightServerBase):
         qv = np.asarray(req.query_vectors(), dtype=np.float32)
         if qv.size == 0:
             raise flight.FlightServerError("search needs vector or vectors")
+        if ds is not None and qv.ndim == 2 and qv.shape[1] != ds.dim:
+            # clear bad-request instead of an opaque dot_general shape
+            # error from inside the kernel
+            raise flight.FlightServerError(
+                f"bad request: query dimension {qv.shape[1]} != dataset "
+                f"'{ds.name}' dimension {ds.dim}"
+            )
 
         # graceful degradation: under health pressure shed optional
         # work, then fall back to stale cached answers (reference:
