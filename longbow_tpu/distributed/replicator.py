@@ -295,10 +295,17 @@ class SyncWorker:
                 continue
             reg.inc("longbow_mesh_merkle_match_total", result="mismatch")
             theirs = [bytes.fromhex(x) for x in remote["leaves"]]
+            bucket_ids = ds._bucket_map()
             for b in mine.diff_buckets(theirs):
+                # tell the donor what we already hold so a bucket that
+                # differs by one row transfers one row, not ~250
+                have = [
+                    [u, ds._lww[u]] for u in bucket_ids.get(b, ())
+                ]
                 try:
                     delta = p.client._action(
-                        "export-delta", {"dataset": name, "bucket": b}
+                        "export-delta",
+                        {"dataset": name, "bucket": b, "have": have},
                     )
                 except Exception:
                     reg.inc(
@@ -319,8 +326,16 @@ class SyncWorker:
         return applied
 
     def _apply_delta(self, name: str, delta: dict) -> int:
-        n = 0
+        """Apply one bucket's divergent rows in BATCHES: the per-row
+        store.put version healed at ~1k rows/s, so a node restarted
+        under write load could not catch up within sync rounds
+        (chaos-soak regression after the 12x ingest rewrite)."""
         ds = self.store.get(name)
+        put_ids: list = []
+        put_vecs: list = []
+        put_ts: list = []
+        del_ids: list = []
+        del_ts: list = []
         for rec in delta.get("rows", []):
             uid = rec["id"]
             ts = rec["ts"]
@@ -328,18 +343,25 @@ class SyncWorker:
             if local_ts is not None and local_ts >= ts:
                 continue  # LWW: ours is newer
             if rec.get("deleted"):
-                ds.delete([uid])
-                ds._lww[uid] = ts
+                del_ids.append(uid)
+                del_ts.append(ts)
             else:
-                self.store.put(
-                    name,
-                    np.asarray([uid]),
-                    np.asarray([rec["vector"]], dtype=np.float32),
-                    timestamp=ts,
-                    _log=False,
-                )
-            n += 1
-        return n
+                put_ids.append(uid)
+                put_vecs.append(rec["vector"])
+                put_ts.append(ts)
+        if del_ids:
+            ds.delete(del_ids)
+            for uid, ts in zip(del_ids, del_ts):
+                ds._lww[uid] = ts
+        if put_ids:
+            self.store.put(
+                name,
+                np.asarray(put_ids),
+                np.asarray(put_vecs, dtype=np.float32),
+                timestamp=np.asarray(put_ts, dtype=np.float64),
+                _log=False,
+            )
+        return len(del_ids) + len(put_ids)
 
     def run_once(self) -> int:
         total = 0
@@ -349,11 +371,16 @@ class SyncWorker:
 
     def start(self):
         def loop():
-            while not self._stop.wait(self.interval_s):
+            wait = self.interval_s
+            while not self._stop.wait(wait):
                 try:
-                    self.run_once()
+                    applied = self.run_once()
+                    # converge fast after a restart: keep pulling
+                    # back-to-back while rounds still find divergence,
+                    # drop to the idle interval once caught up
+                    wait = 0.2 if applied > 0 else self.interval_s
                 except Exception:
-                    pass
+                    wait = self.interval_s
 
         self._thread = threading.Thread(target=loop, daemon=True)
         self._thread.start()

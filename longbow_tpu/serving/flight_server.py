@@ -1054,7 +1054,7 @@ class LongbowFlightServer(flight.FlightServerBase):
             req = json.loads(body)
             return ok(
                 self.store.get(req["dataset"]).export_delta(
-                    int(req["bucket"])
+                    int(req["bucket"]), have=req.get("have")
                 )
             )
         raise flight.FlightServerError(f"unknown action {name!r}")

@@ -207,3 +207,34 @@ def test_split_brain_check_over_wire(two_nodes):
         c2.stop()
         h2.data_server.cluster = None
         h2.meta_server.cluster = None
+
+
+def test_export_delta_have_filter_sends_only_divergence(two_nodes):
+    """export-delta with a 'have' list returns only strictly-newer or
+    missing rows — a bucket that differs by one row transfers one row,
+    not the whole bucket (restart catch-up is uniformly spread over
+    hash buckets, so whole-bucket transfer re-sent the full dataset
+    every sync round)."""
+    (s1, h1), (s2, h2) = two_nodes
+    v = _vecs(40, 8, seed=3)
+    s1.put("hf", np.arange(40), v)
+    ds = s1.get("hf")
+    # a puller that already holds everything: every bucket exports empty
+    for b, uids in ds._bucket_map().items():
+        have = [[u, ds._lww[u]] for u in uids]
+        assert ds.export_delta(b, have=have)["rows"] == []
+    # a puller missing one row gets exactly that row
+    target = 17
+    from longbow_tpu.distributed.merkle import bucket_of
+
+    b = bucket_of(target)
+    have = [
+        [u, ds._lww[u]] for u in ds._bucket_map()[b] if u != target
+    ]
+    rows = ds.export_delta(b, have=have)["rows"]
+    assert [r["id"] for r in rows] == [target]
+    # a stale ts still pulls the newer copy
+    have = [[u, ds._lww[u] - (10.0 if u == target else 0.0)]
+            for u in ds._bucket_map()[b]]
+    rows = ds.export_delta(b, have=have)["rows"]
+    assert [r["id"] for r in rows] == [target]
