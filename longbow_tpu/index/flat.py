@@ -273,11 +273,13 @@ class FlatIndex:
         n = self._stage_rows
         n_pad = _bucket_rows(n)
         block = self._stage_buf[:n_pad]
-        # rows [n, n_pad) may hold stale data from a previous fill —
-        # the _ingest_block mask ignores them, but keep them zero so
-        # the buffer never leaks old vectors into debugging dumps
-        if n_pad > n:
-            block[n:] = 0.0
+        # HAND THE BUFFER OFF: jax zero-copy-aliases host f32 arrays on
+        # CPU and executes asynchronously, so reusing this buffer for
+        # the next fill overwrites data an in-flight ingest still
+        # reads (measured: every chunk stored the NEXT chunk's
+        # vectors at 1M x 128). A fresh zeros() per cycle is lazy
+        # kernel pages — far cheaper than the old concat+pad copies.
+        self._stage_buf = None
         self._grow_to(self._device_count + n_pad)
         self.vectors, self.norms_sq, self.valid = _ingest_block(
             self.vectors, self.norms_sq, self.valid,

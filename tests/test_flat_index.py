@@ -87,3 +87,23 @@ def test_dim_mismatch_raises():
     idx = FlatIndex(dim=8)
     with pytest.raises(ValueError):
         idx.add(_vecs(10, 9))
+
+
+def test_staged_chunks_store_their_own_data():
+    """Consecutive large np adds must store each chunk's OWN vectors.
+
+    Regression: the staging buffer was reused across flushes, but jax
+    zero-copy-aliases host f32 arrays on CPU and executes ingest
+    asynchronously — every chunk ended up holding the NEXT chunk's
+    data at 1M x 128 (recall collapsed to 0.28). The buffer is now
+    handed off at flush and reallocated per cycle."""
+    rng = np.random.default_rng(7)
+    n, d, chunk = 600_000, 128, 150_000
+    vecs = rng.standard_normal((n, d), dtype=np.float32)
+    fl = FlatIndex(d)
+    for a in range(0, n, chunk):
+        fl.add(vecs[a : a + chunk])
+    fl.flush()
+    for a in (0, chunk, chunk + 1, 2 * chunk, 3 * chunk, n - 1):
+        got = np.asarray(fl.vectors[a : a + 1]).astype(np.float32)
+        assert np.abs(got - vecs[a : a + 1]).max() < 0.05, f"row {a}"
