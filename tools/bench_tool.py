@@ -113,10 +113,12 @@ def run_micro(out_path: str | None) -> int:
             [f"doc {i} alpha beta" for i in range(2_000)]
         )},
     )
+    store.hybrid_search("h", q[:1], 10, text_query="alpha doc", alpha=0.5)
     t0 = time.time()
-    for _ in range(10):
+    iters = 50  # warm path: ~2ms/call — 10 cold-skewed calls measured
+    for _ in range(iters):  # compile time, not serving throughput
         store.hybrid_search("h", q[:1], 10, text_query="alpha doc", alpha=0.5)
-    out["hybrid_qps"] = round(10 / (time.time() - t0), 1)
+    out["hybrid_qps"] = round(iters / (time.time() - t0), 1)
 
     # WAL append+fsync latency per backend (reference:
     # wal_benchmark_test.go; io_uring vs buffered FS)

@@ -18,6 +18,8 @@ import sys
 
 
 def lower_is_better(name: str) -> bool:
+    if name.endswith("_per_s"):  # rates are higher-is-better
+        return False
     return name.endswith(("_ms", "_s", "_seconds", "_latency"))
 
 
