@@ -174,6 +174,24 @@ class ColumnStore:
         elif len(rows_np):
             self.count = max(start, int(rows_np.max()) + 1)
 
+    def check_types(self, columns: dict) -> None:
+        """Reject type flips BEFORE any mutation so a bad write never
+        half-applies (vectors landed, columns rejected)."""
+        for name, vals in (columns or {}).items():
+            is_str = np.asarray(vals).dtype.kind in "OUS"
+            if is_str and (
+                name in self._numeric or name in self._host_numeric
+            ):
+                raise ValueError(
+                    f"schema mismatch: column {name!r} is numeric, "
+                    "got string values"
+                )
+            if not is_str and name in self._str_codes:
+                raise ValueError(
+                    f"schema mismatch: column {name!r} is string, "
+                    "got numeric values"
+                )
+
     def fields(self) -> list[str]:
         return sorted(
             set(self._numeric)

@@ -178,6 +178,11 @@ class Dataset:
             if n == 0:
                 return
 
+            # schema evolution is additive-only: reject type flips
+            # BEFORE any mutation (reference: docs/schema_evolution.md
+            # "existing columns must match exactly (name and type)")
+            self.columns.check_types(columns or {})
+
             # tombstone overwritten rows
             stale_rows = [idr[k] for k in keys if k in idr]
             if stale_rows:

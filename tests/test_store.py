@@ -256,3 +256,29 @@ def test_async_ingest_hard_limit_rejects_before_ack():
     finally:
         vs.backpressure = None
         q.close()
+
+
+def test_schema_type_flip_rejected_atomically():
+    """Schema evolution is additive-only: a write that changes an
+    existing column's type is rejected BEFORE any mutation — no
+    vectors land, no dual-typed column appears (reference:
+    docs/schema_evolution.md)."""
+    store = VectorStore()
+    v = _vecs(5, 8)
+    store.put("se", np.arange(5), v, columns={"price": np.arange(5.0)})
+    with pytest.raises(ValueError, match="schema mismatch"):
+        store.put(
+            "se", np.arange(5, 10), v,
+            columns={"price": np.asarray(["a"] * 5)},
+        )
+    ds = store.get("se")
+    assert ds.live_count == 5  # rejected write applied nothing
+    assert "price" in ds.columns._numeric
+    assert "price" not in ds.columns._str_codes
+    store.put(
+        "se", np.arange(5, 10), v, columns={"cat": np.asarray(["a"] * 5)}
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        store.put(
+            "se", np.arange(10, 15), v, columns={"cat": np.arange(5.0)}
+        )
