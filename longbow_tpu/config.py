@@ -192,6 +192,12 @@ class Config:
     eviction_ttl_s: float = field(
         default_factory=lambda: _env("EVICTION_TTL_S", 0.0, float)
     )
+    # dataset-level TTL: drop whole datasets not read/written for this
+    # long (reference: LONGBOW_TTL, docs/eviction.md; row TTL above is
+    # the record-level extension)
+    dataset_ttl_s: float = field(
+        default_factory=lambda: _env("DATASET_TTL_S", 0.0, float)
+    )
     eviction_max_rows: int = field(
         default_factory=lambda: _env("EVICTION_MAX_ROWS", 0, int)
     )
@@ -305,7 +311,9 @@ _REF_ALIASES: dict = {
         "HBM_HARD_LIMIT_MB",
         lambda v: str(max(1, _byte_size(v) // (1024 * 1024))),
     ),
-    "TTL": ("EVICTION_TTL_S", lambda v: str(_go_duration_s(v))),
+    # reference TTL is DATASET-level (docs/eviction.md): drops whole
+    # idle datasets, not rows
+    "TTL": ("DATASET_TTL_S", lambda v: str(_go_duration_s(v))),
     "SNAPSHOT_INTERVAL": (
         "SNAPSHOT_INTERVAL_S", lambda v: str(_go_duration_s(v))
     ),

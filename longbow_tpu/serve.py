@@ -193,6 +193,7 @@ def main(argv=None) -> int:
         frag_threshold=cfg.compaction_frag_threshold,
         eviction=eviction,
         backpressure=backpressure,
+        dataset_ttl_s=cfg.dataset_ttl_s,
     )
     compactor.start()
 

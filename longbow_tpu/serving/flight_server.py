@@ -538,6 +538,7 @@ class LongbowFlightServer(flight.FlightServerBase):
         download (client.py:259-291 sends {"name", "filters"}) and
         streams metadata columns alongside id+vector."""
         ds = self.store.get(tq.name)
+        ds.touch()  # scans count as access for dataset TTL
         n = ds.live_count
         limit = tq.limit if tq.limit > 0 else n
         items = ds._id_to_row

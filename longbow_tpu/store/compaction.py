@@ -228,21 +228,35 @@ class CompactionWorker:
         frag_threshold: float = 0.3,
         eviction: Optional[EvictionManager] = None,
         backpressure: Optional["MemoryBackpressureController"] = None,
+        dataset_ttl_s: float = 0.0,
     ):
         self.store = store
         self.interval_s = interval_s
         self.tracker = FragmentationTracker(frag_threshold)
         self.eviction = eviction
         self.backpressure = backpressure
+        # dataset-level TTL (reference: docs/eviction.md LONGBOW_TTL —
+        # drop whole datasets not read/written for the duration; row
+        # TTL/LRU above is the record_eviction.go analogue)
+        self.dataset_ttl_s = dataset_ttl_s
         self._stop = None
         self._thread = None
 
     def run_once(self) -> dict:
+        import time as _time
+
         from longbow_tpu.metrics import get_registry
 
         reg = get_registry()
         if self.backpressure is not None:
             self.backpressure.enforce(self.store)
+        if self.dataset_ttl_s > 0:
+            now = _time.time()
+            for name in self.store.list_datasets():
+                ds = self.store.get(name)
+                if now - ds.last_access > self.dataset_ttl_s:
+                    self.store.drop(name)
+                    reg.inc("longbow_evictions_total", reason="ttl")
         stats = {}
         worst_frag = 0.0
         for name in self.store.list_datasets():

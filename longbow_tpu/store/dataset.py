@@ -94,6 +94,13 @@ class Dataset:
             self.graph = GraphStore()
         self._lock = threading.Lock()
         self.created_at = time.time()
+        # dataset-level TTL eviction input (reference: docs/eviction.md
+        # — LONGBOW_TTL drops datasets not read or written for the
+        # duration); touched by put/search/scan
+        self.last_access = time.time()
+
+    def touch(self) -> None:
+        self.last_access = time.time()
 
     # ------------------------------------------------------------------
 
@@ -126,6 +133,7 @@ class Dataset:
         # device-input fast path: a jax array (e.g. a pre-staged bf16
         # block) goes straight to the index — np conversion here would
         # fetch it back to host (~13s at 1M rows through the relay)
+        self.touch()
         device_input = isinstance(vectors, jax.Array)
         if not device_input:
             vectors = np.ascontiguousarray(vectors, dtype=np.float32)
@@ -270,6 +278,7 @@ class Dataset:
         """Batched search -> (ids [B,k] object, scores [B,k] f32,
         valid_mask [B,k] bool). Scores follow reference semantics:
         distance for l2/cosine, raw inner product for dot."""
+        self.touch()
         mask = self.filter_mask(filters or [])
         t0 = time.perf_counter()
         d, r = self.index.search(

@@ -184,3 +184,22 @@ def test_compaction_mesh_strided_rows():
     ids, sc, ok = vs.search("cm", v[2], 4, filters=[Filter("g", "=", "2")])
     got = [ids[0, j] for j in range(4) if ok[0, j]]
     assert got and all(int(i) % 4 == 2 for i in got)
+
+
+def test_dataset_ttl_drops_idle_datasets():
+    """Reference LONGBOW_TTL semantics (docs/eviction.md): whole
+    datasets not read/written for the duration are dropped by the
+    background sweep; accessed datasets survive."""
+    import time
+
+    from longbow_tpu.store.compaction import CompactionWorker
+
+    store = VectorStore()
+    v = _vecs(10, 8)
+    store.put("stale", np.arange(10), v)
+    store.put("fresh", np.arange(10), v)
+    w = CompactionWorker(store, dataset_ttl_s=0.5)
+    time.sleep(0.7)
+    store.search("fresh", v[0], 1, use_cache=False)  # touches fresh
+    w.run_once()
+    assert store.list_datasets() == ["fresh"]

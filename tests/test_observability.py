@@ -127,7 +127,7 @@ def test_config_reference_env_aliases(monkeypatch):
     assert cfg.data_dir == "/tmp/lbdata"
     assert cfg.max_wal_mb == 100
     assert cfg.hbm_hard_limit_mb == 4096
-    assert cfg.eviction_ttl_s == 5400.0
+    assert cfg.dataset_ttl_s == 5400.0  # reference TTL = dataset-level
     assert cfg.snapshot_interval_s == 900.0
     assert cfg.wal_sync == "always"
     assert cfg.peers == "a:3000,b:3000"
