@@ -376,9 +376,11 @@ class SyncWorker:
                 try:
                     applied = self.run_once()
                     # converge fast after a restart: keep pulling
-                    # back-to-back while rounds still find divergence,
-                    # drop to the idle interval once caught up
-                    wait = 0.2 if applied > 0 else self.interval_s
+                    # back-to-back while rounds find BULK divergence.
+                    # The threshold keeps steady replication lag (a few
+                    # rows per round under live writes) from turning
+                    # this into a permanent 200ms full-merkle hot loop.
+                    wait = 0.2 if applied >= 64 else self.interval_s
                 except Exception:
                     wait = self.interval_s
 

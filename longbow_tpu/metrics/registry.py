@@ -117,6 +117,7 @@ _CATALOG: dict[str, tuple[str, tuple[str, ...]]] = {
     "longbow_wal_write_rate_per_second": (_G, ()),
     "longbow_wal_adaptive_interval_ms": (_G, ()),
     "longbow_wal_replay_duration_seconds": (_H, ()),
+    "longbow_wal_replay_skipped_frames_total": (_C, ()),
     "longbow_snapshot_duration_seconds": (_H, ()),
     "longbow_s3_operations_total": (_C, ("operation", "status")),
     "longbow_s3_request_duration_seconds": (_H, ("operation",)),

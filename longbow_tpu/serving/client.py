@@ -275,12 +275,14 @@ class LongbowClient:
 
     def hybrid_search(
         self, dataset: str, vector=None, text_query: str = "",
-        k: int = 10, alpha: float = 0.5,
+        k: int = 10, alpha: float = 0.5, filters: list | None = None,
     ) -> dict:
         body = {"dataset": dataset, "k": k, "alpha": alpha,
                 "text_query": text_query}
         if vector is not None:
             body["vector"] = np.asarray(vector, np.float32).ravel().tolist()
+        if filters:
+            body["filters"] = filters
         return self._action("HybridSearch", body)
 
     def delete(self, dataset: str, ids: list) -> int:

@@ -363,13 +363,7 @@ class LongbowFlightServer(flight.FlightServerBase):
         qv = np.asarray(req.query_vectors(), dtype=np.float32)
         if qv.size == 0:
             raise flight.FlightServerError("search needs vector or vectors")
-        if ds is not None and qv.ndim == 2 and qv.shape[1] != ds.dim:
-            # clear bad-request instead of an opaque dot_general shape
-            # error from inside the kernel
-            raise flight.FlightServerError(
-                f"bad request: query dimension {qv.shape[1]} != dataset "
-                f"'{ds.name}' dimension {ds.dim}"
-            )
+        _check_query_dim(ds, qv)
 
         # graceful degradation: under health pressure shed optional
         # work, then fall back to stale cached answers (reference:
@@ -915,6 +909,7 @@ class LongbowFlightServer(flight.FlightServerBase):
         if name == "VectorSearch":
             req = parse_search_request(json.loads(body))
             qv = np.asarray(req.query_vectors(), dtype=np.float32)
+            _check_query_dim(self.store._datasets.get(req.dataset), qv)
             fan_out = (
                 self.cluster is not None
                 and not req.local_only
@@ -966,6 +961,10 @@ class LongbowFlightServer(flight.FlightServerBase):
         if name == "HybridSearch":
             req = parse_search_request(json.loads(body))
             qv = np.asarray(req.query_vectors(), dtype=np.float32)
+            if qv.size:
+                _check_query_dim(
+                    self.store._datasets.get(req.dataset), qv
+                )
             ids, scores, okm = self.store.hybrid_search(
                 req.dataset, qv if qv.size else None, req.k,
                 text_query=req.text_query, alpha=req.alpha,
@@ -1120,6 +1119,20 @@ class LongbowFlightServer(flight.FlightServerBase):
 
 def Dataset_key(uid):
     return uid.item() if hasattr(uid, "item") else uid
+
+
+def _check_query_dim(ds, qv: np.ndarray) -> None:
+    """Clear bad-request on mismatched query dimensionality instead of
+    an opaque dot_general shape error from inside the kernel.
+    ValueError so the do_get/do_action wrappers count the error and
+    record the middleware failure like every other bad request."""
+    if ds is None:
+        return
+    if qv.ndim == 2 and qv.shape[1] != ds.dim:
+        raise ValueError(
+            f"query dimension {qv.shape[1]} != dataset "
+            f"{ds.name!r} dimension {ds.dim}"
+        )
 
 
 def _ids_arrow_array(ids: list) -> pa.Array:

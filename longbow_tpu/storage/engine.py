@@ -302,27 +302,40 @@ class StorageEngine:
         reg.set("longbow_warmup_progress_percent", 50)
         t_wal = _time.perf_counter()
         for seq, ts, name, kind, payload in WAL.replay(self.dir / "wal.log"):
-            if kind == KIND_BATCH:
-                table = WAL.decode_batch(payload)
-                ids, vecs, cols = _table_to_put(table)
-                meta = table.schema.metadata or {}
-                metric = meta.get(b"longbow.metric")
-                store.put(
-                    name, ids, vecs, cols,
-                    metric=metric.decode() if metric else None,
-                    _log=False, timestamp=ts,
-                )
-            else:
-                op = json.loads(payload)
-                if op["op"] == "delete":
-                    store.delete(name, op["ids"], _log=False)
-                elif op["op"] == "drop":
-                    store.drop(name, _log=False)
-                elif op["op"] == "add_edge":
-                    store.add_edge(
-                        name, op["from"], op["to"], op["type"],
-                        op["weight"], _log=False,
+            try:
+                if kind == KIND_BATCH:
+                    table = WAL.decode_batch(payload)
+                    ids, vecs, cols = _table_to_put(table)
+                    meta = table.schema.metadata or {}
+                    metric = meta.get(b"longbow.metric")
+                    store.put(
+                        name, ids, vecs, cols,
+                        metric=metric.decode() if metric else None,
+                        _log=False, timestamp=ts,
                     )
+                else:
+                    op = json.loads(payload)
+                    if op["op"] == "delete":
+                        store.delete(name, op["ids"], _log=False)
+                    elif op["op"] == "drop":
+                        store.drop(name, _log=False)
+                    elif op["op"] == "add_edge":
+                        store.add_edge(
+                            name, op["from"], op["to"], op["type"],
+                            op["weight"], _log=False,
+                        )
+            except (ValueError, KeyError) as e:
+                # a semantically-rejected frame (e.g. one logged before
+                # its validation bug was fixed) must not brick startup
+                # forever — skip it LOUDLY; CRC corruption still
+                # fail-fasts inside WAL.replay itself
+                import logging
+
+                logging.getLogger("longbow.storage").error(
+                    "skipping unreplayable WAL frame seq=%s ds=%s: %s",
+                    seq, name, e,
+                )
+                reg.inc("longbow_wal_replay_skipped_frames_total")
             n += 1
         reg.observe(
             "longbow_wal_replay_duration_seconds",

@@ -243,15 +243,13 @@ class CompactionWorker:
         self._thread = None
 
     def run_once(self) -> dict:
-        import time as _time
-
         from longbow_tpu.metrics import get_registry
 
         reg = get_registry()
         if self.backpressure is not None:
             self.backpressure.enforce(self.store)
         if self.dataset_ttl_s > 0:
-            now = _time.time()
+            now = time.time()
             for name in self.store.list_datasets():
                 ds = self.store.get(name)
                 if now - ds.last_access > self.dataset_ttl_s:

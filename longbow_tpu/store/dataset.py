@@ -409,27 +409,39 @@ class Dataset:
         bucket (restart catch-up divergence is spread uniformly over
         hash buckets, the worst case for whole-bucket transfer)."""
         have_ts = {u: t for u, t in (have or [])}
-        rows = []
         dead: list = []
+        dead_ts: list = []
         live_uids: list = []
+        live_ts: list = []
         live_rows: list = []
-        for uid in self._bucket_map().get(bucket, ()):
-            hts = have_ts.get(uid)
-            if hts is not None and self._lww.get(uid, 0.0) <= hts:
-                continue  # puller is already current for this row
-            row = self._id_to_row.get(uid)
-            if row is None:
-                dead.append(uid)
-            else:
-                live_uids.append(uid)
-                live_rows.append(row)
-        lww = self._lww
-        rows = [{"id": u, "ts": lww[u], "deleted": True} for u in dead]
+        # capture (row, ts) pairs atomically under the mutation lock:
+        # reading ts after the gather can pair an OLD row's vector with
+        # a NEWER concurrent put's ts — both sides then hash identical
+        # merkle leaves and the stale vector never re-syncs
+        with self._lock:
+            lww = self._lww
+            for uid in self._bucket_map().get(bucket, ()):
+                ts = lww.get(uid, 0.0)
+                hts = have_ts.get(uid)
+                if hts is not None and ts <= hts:
+                    continue  # puller is already current for this row
+                row = self._id_to_row.get(uid)
+                if row is None:
+                    dead.append(uid)
+                    dead_ts.append(ts)
+                else:
+                    live_uids.append(uid)
+                    live_ts.append(ts)
+                    live_rows.append(row)
+        rows = [
+            {"id": u, "ts": t, "deleted": True}
+            for u, t in zip(dead, dead_ts)
+        ]
         if live_rows:
             vecs = self.index.get_vectors(np.asarray(live_rows))
             rows.extend(
-                {"id": u, "ts": lww[u], "vector": vec.tolist()}
-                for u, vec in zip(live_uids, vecs)
+                {"id": u, "ts": t, "vector": vec.tolist()}
+                for u, t, vec in zip(live_uids, live_ts, vecs)
             )
         return {"dataset": self.name, "bucket": bucket, "rows": rows}
 

@@ -262,6 +262,9 @@ class VectorStore:
         if self.backpressure is not None:
             self.backpressure.check_admit(self)
         ds = self.get_or_create(dataset, vectors.shape[1], metric)
+        # validate BEFORE the WAL append: a rejected frame in the log
+        # would re-raise on every restart and brick recovery
+        ds.columns.check_types(columns or {})
         if self.engine is not None and _log:
             # WAL append + apply are one atomic unit vs snapshot's
             # export+truncate — otherwise a concurrent snapshot can
@@ -506,6 +509,9 @@ class VectorStore:
 
         reg = get_registry()
         ds = self.get(dataset)
+        # sparse-only hybrids never reach ds.search — count them as
+        # access or dataset TTL drops a live BM25-served dataset
+        ds.touch()
         if alpha <= 0.0 and text_query:
             alpha = estimate_alpha(text_query)
 

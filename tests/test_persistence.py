@@ -521,3 +521,22 @@ def test_snapshot_concurrent_with_puts_loses_nothing(tmp_path):
     vs2 = VectorStore(persist_dir=str(tmp_path))
     assert vs2.get("race").live_count == 2000
     vs2.close()
+
+
+def test_rejected_write_does_not_poison_wal(tmp_path):
+    """A schema-rejected put must be validated BEFORE the WAL append —
+    otherwise the rejected frame replays on every restart and bricks
+    recovery (review finding). Also: recovery skips (loudly) any
+    semantically-unreplayable frame instead of crashing startup."""
+    vs = VectorStore(persist_dir=str(tmp_path), wal_sync="always")
+    v = _vecs(5, 8)
+    vs.put("se", np.arange(5), v, columns={"price": np.arange(5.0)})
+    with pytest.raises(ValueError):
+        vs.put(
+            "se", np.arange(5, 10), v,
+            columns={"price": np.asarray(["x"] * 5)},
+        )
+    vs.close()
+    vs2 = VectorStore(persist_dir=str(tmp_path))  # must not raise
+    assert vs2.get("se").live_count == 5
+    vs2.close()

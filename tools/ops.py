@@ -99,7 +99,7 @@ def main() -> int:
                 q = rng.standard_normal((dim,), dtype=np.float32)
                 return out(c.hybrid_search(
                     args.dataset, vector=q, text_query=args.text,
-                    k=args.k, alpha=args.alpha,
+                    k=args.k, alpha=args.alpha, filters=filters,
                 ))
             q = rng.standard_normal((dim,), dtype=np.float32)
             t = c.search(args.dataset, q, k=args.k, filters=filters)
