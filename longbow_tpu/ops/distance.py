@@ -46,7 +46,7 @@ class Metric:
         m = (metric or Metric.L2).lower()
         if m in ("euclidean", "l2sq", "squared_l2"):
             m = Metric.L2
-        if m in ("ip", "inner_product", "dotproduct"):
+        if m in ("ip", "inner_product", "dotproduct", "dot_product"):
             m = Metric.DOT
         if m not in Metric.ALL:
             raise ValueError(f"unknown metric {metric!r}; want one of {Metric.ALL}")

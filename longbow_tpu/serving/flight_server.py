@@ -875,6 +875,10 @@ class LongbowFlightServer(flight.FlightServerBase):
             return ok({"self": None, "members": []})
         if name in ("list-datasets", "ListDatasets"):
             return ok(self.store.list_datasets())
+        if name == "ListNamespaces":
+            # reference response shape (docs/namespaces.md:29-38)
+            ns = self.store.list_namespaces()
+            return ok({"namespaces": ns, "count": len(ns)})
         if name in ("CreateNamespace",):
             req = json.loads(body or b"{}")
             dsname = sanitize_dataset_name(req.get("name", ""))

@@ -445,3 +445,22 @@ def test_doput_slow_down_metadata_and_mesh_status():
         c.close()
         q.close()
         handle.shutdown()
+
+
+def test_list_namespaces_action_and_metric_aliases(client):
+    """ListNamespaces returns the reference's response shape
+    (docs/namespaces.md), and the reference's exact wire metric names
+    ('euclidean', 'dot_product') are accepted."""
+    import json
+
+    import pyarrow.flight as flight
+
+    out = client._action("ListNamespaces", {})
+    assert "namespaces" in out and out["count"] == len(out["namespaces"])
+    v = _vecs(10, 8, seed=31)
+    client.write("e2e_dp", np.arange(10), v, metric="dot_product")
+    t = client.search("e2e_dp", v[4], k=1)
+    assert t.num_rows == 1
+    client.write("e2e_eu", np.arange(10), v, metric="euclidean")
+    t = client.search("e2e_eu", v[4], k=1)
+    assert t.column("id")[0].as_py() == 4
