@@ -65,6 +65,9 @@ class VectorSearchRequest:
     text_query: str = ""
     alpha: float = 0.0
     graph_alpha: float = 0.0
+    # spreading-activation hop budget (reference: graph_depth search
+    # param, docs/graph_rag.md:74-90)
+    graph_depth: int = 2
     fusion: str = "linear"  # linear | rrf | cascade
     include_vectors: bool = False
     vector_format: str = ""
@@ -125,6 +128,7 @@ def parse_search_request(obj: dict) -> VectorSearchRequest:
         text_query=obj.get("text_query", "") or "",
         alpha=float(obj.get("alpha", 0.0) or 0.0),
         graph_alpha=float(obj.get("graph_alpha", 0.0) or 0.0),
+        graph_depth=int(obj.get("graph_depth", 2) or 2),
         fusion=str(obj.get("fusion", "linear") or "linear"),
         include_vectors=bool(obj.get("include_vectors", False)),
         vector_format=obj.get("vector_format", "") or "",

@@ -405,6 +405,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                 text_query=req.text_query, alpha=req.alpha,
                 filters=req.filters,
                 graph_alpha=req.graph_alpha if allow_graph else 0.0,
+                graph_depth=req.graph_depth,
                 fusion=req.fusion,
             )
         else:
@@ -413,7 +414,8 @@ class LongbowFlightServer(flight.FlightServerBase):
             )
             if req.graph_alpha > 0.0 and allow_graph:
                 ids, scores, ok = self.store.graph_rerank(
-                    ds.name, ids, scores, ok, req.graph_alpha
+                    ds.name, ids, scores, ok, req.graph_alpha,
+                    graph_depth=req.graph_depth,
                 )
         if fan_out:
             # cross-process global search: merge alive peers' local
@@ -973,7 +975,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                 req.dataset, qv if qv.size else None, req.k,
                 text_query=req.text_query, alpha=req.alpha,
                 filters=req.filters, graph_alpha=req.graph_alpha,
-                fusion=req.fusion,
+                graph_depth=req.graph_depth, fusion=req.fusion,
             )
             return ok(_response_ids_scores(ids, scores, okm))
         if name == "add-edge":

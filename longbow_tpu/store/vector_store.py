@@ -490,6 +490,7 @@ class VectorStore:
         alpha: float = 0.0,
         filters: Optional[list] = None,
         graph_alpha: float = 0.0,
+        graph_depth: int = 2,
         fusion: str = "linear",
         oversample: int = 3,
     ):
@@ -561,7 +562,9 @@ class VectorStore:
             else:
                 fused = fuse_linear(dense_pairs, sparse, alpha, k)
             if graph_alpha > 0.0:
-                fused = ds.graph.rank_with_graph(fused, graph_alpha)[:k]
+                fused = ds.graph.rank_with_graph(
+                    fused, graph_alpha, hops=graph_depth
+                )[:k]
             if self.reranker is not None:
                 # final-stage pluggable re-ranker (reference: Reranker
                 # interface with CrossEncoder slot in the hybrid
@@ -583,7 +586,10 @@ class VectorStore:
                 out_ok[row, j] = True
         return out_ids, out_scores, out_ok
 
-    def graph_rerank(self, dataset: str, ids, scores, ok, graph_alpha: float):
+    def graph_rerank(
+        self, dataset: str, ids, scores, ok, graph_alpha: float,
+        graph_depth: int = 2,
+    ):
         """Spreading-activation re-rank of dense results
         (reference: RankWithGraph wired in DoGet, store_query.go:679)."""
         from longbow_tpu.ops.distance import Metric as _M
@@ -604,7 +610,9 @@ class VectorStore:
                 for j in range(k)
                 if ok[row, j]
             ]
-            fused = ds.graph.rank_with_graph(pairs, graph_alpha)[:k]
+            fused = ds.graph.rank_with_graph(
+                pairs, graph_alpha, hops=graph_depth
+            )[:k]
             for j, (doc, score) in enumerate(fused):
                 out_ids[row, j] = doc
                 out_scores[row, j] = score
