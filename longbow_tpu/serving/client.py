@@ -200,6 +200,7 @@ class LongbowClient:
         text_query: str = "",
         alpha: float = 0.0,
         graph_alpha: float = 0.0,
+        graph_depth: int = 0,
         include_vectors: bool = False,
     ) -> pa.Table:
         """DoGet search -> arrow table {id, score, query_index[, vector]}
@@ -216,6 +217,8 @@ class LongbowClient:
             req["alpha"] = alpha
         if graph_alpha:
             req["graph_alpha"] = graph_alpha
+        if graph_depth:
+            req["graph_depth"] = graph_depth
         if include_vectors:
             req["include_vectors"] = True
         ticket = flight.Ticket(json.dumps({"search": req}).encode())

@@ -619,11 +619,16 @@ class LongbowFlightServer(flight.FlightServerBase):
             for c in col_names
         ]
         superchunk = rows_per * 32
+        # snapshot the index OBJECT: a concurrent compaction swaps
+        # ds.index to a rebuilt one with remapped row numbers, and our
+        # captured rows would silently gather the wrong vectors; the
+        # old object's functional arrays stay valid for the stream
+        idx = ds.index
 
         def gen():
             for soff in range(0, npairs, superchunk):
                 block_rows = rows_all[soff : soff + superchunk]
-                vec_block = ds.get_vectors_by_rows(block_rows)
+                vec_block = idx.get_vectors(block_rows)
                 for off in range(0, len(block_rows), rows_per):
                     m = min(rows_per, len(block_rows) - off)
                     self.metrics.inc(

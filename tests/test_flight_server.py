@@ -464,3 +464,49 @@ def test_list_namespaces_action_and_metric_aliases(client):
     client.write("e2e_eu", np.arange(10), v, metric="euclidean")
     t = client.search("e2e_eu", v[4], k=1)
     assert t.column("id")[0].as_py() == 4
+
+
+def test_scan_consistent_across_concurrent_compaction():
+    """A streaming scan must keep returning the vectors its captured
+    row list referred to even when compaction swaps the index (with
+    remapped row numbers) mid-stream."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.flight as flight
+
+    from longbow_tpu.serving import flight_server as fs
+    from longbow_tpu.serving.flight_server import serve
+    from longbow_tpu.store.compaction import compact_dataset
+
+    store = VectorStore()
+    handle = serve(store, data_port=0, meta_port=0, host="127.0.0.1")
+    c = LongbowClient("127.0.0.1")
+    c.data_location = f"grpc://127.0.0.1:{handle.data_server.port}"
+    c.meta_location = f"grpc://127.0.0.1:{handle.meta_server.port}"
+    c.connect()
+    old = fs.LongbowFlightServer.SCAN_CHUNK_BYTES
+    fs.LongbowFlightServer.SCAN_CHUNK_BYTES = 16 * 1024
+    try:
+        v = _vecs(2000, 32, seed=40)
+        c.write("sc", np.arange(2000), v)
+        c.delete("sc", list(range(0, 2000, 2)))  # fragment half
+        reader = c._dc().do_get(
+            flight.Ticket(json.dumps({"name": "sc"}).encode())
+        )
+        batches = [next(reader).data]  # stream is live...
+        compact_dataset(store.get("sc"))  # ...now rows remap
+        for chunk in reader:
+            batches.append(chunk.data)
+        tbl = pa.Table.from_batches(batches)
+    finally:
+        fs.LongbowFlightServer.SCAN_CHUNK_BYTES = old
+        c.close()
+        handle.shutdown()
+    ids = tbl.column("id").to_pylist()
+    assert sorted(ids) == sorted(range(1, 2000, 2))
+    got = np.asarray(
+        tbl.column("vector").combine_chunks().values, np.float32
+    ).reshape(-1, 32)
+    want = v[np.asarray(ids)]
+    assert np.abs(got - want).max() < 0.05  # bf16 rounding only
