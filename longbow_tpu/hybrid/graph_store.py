@@ -10,9 +10,12 @@ graph analytics (graph_analytics.go), disk-backed edges
 from __future__ import annotations
 
 import heapq
+import logging
 import threading
 from collections import OrderedDict, defaultdict, deque
 from typing import Callable, Optional
+
+log = logging.getLogger("longbow.graph")
 
 PATH_CACHE_SIZE = 1024
 
@@ -36,6 +39,51 @@ class GraphStore:
 
     def neighbors(self, node) -> list:
         return list(self._adj.get(node, ()))
+
+    def traverse_paths(
+        self,
+        start,
+        max_hops: int = 2,
+        incoming: bool = False,
+        weighted: bool = True,
+        decay: float = 0.0,
+        max_paths: int = 10_000,
+    ) -> list[dict]:
+        """All simple paths from `start` up to max_hops, in the
+        reference's wire shape [{Nodes, Edges, Score}] (reference:
+        GraphStore.Traverse graph_store.go:193-380 — BFS layer
+        expansion, per-path cycle check, weight/decay scoring).
+        max_paths bounds fan-out explosion (logged, not silent)."""
+        adj = self._radj if incoming else self._adj
+        results: list[dict] = []
+        queue: deque = deque([([start], [], 1.0)])
+        while queue and len(results) < max_paths:
+            nodes, edges, score = queue.popleft()
+            if len(nodes) > 1:
+                results.append(
+                    {"Nodes": nodes, "Edges": edges, "Score": score}
+                )
+            if len(nodes) - 1 >= max_hops:
+                continue
+            last = nodes[-1]
+            for nbr, etype, w in adj.get(last, ()):
+                if nbr in nodes:  # per-path cycle check
+                    continue
+                s = score * (w if weighted else 1.0)
+                if decay:
+                    s *= 1.0 - decay
+                edge = {
+                    "Subject": nbr if incoming else last,
+                    "Predicate": etype,
+                    "Object": last if incoming else nbr,
+                    "Weight": w,
+                }
+                queue.append((nodes + [nbr], edges + [edge], s))
+        if queue:
+            log.warning(
+                "traverse from %r truncated at %d paths", start, max_paths
+            )
+        return results
 
     def stats(self) -> dict:
         return {

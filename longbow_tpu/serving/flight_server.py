@@ -909,13 +909,34 @@ class LongbowFlightServer(flight.FlightServerBase):
             return ok({"created": dsname})
         if name in ("delete-dataset", "DeleteNamespace"):
             req = json.loads(body or b"{}")
-            return ok({"dropped": self.store.drop(req.get("name", ""))})
+            # reference SDK sends {"dataset": ...} (client.py:314-347);
+            # "name" is this repo's original key — accept both
+            target = req.get("name") or req.get("dataset") or ""
+            return ok({"dropped": self.store.drop(target)})
         if name in ("delete", "Delete", "delete-vector"):
             req = json.loads(body or b"{}")
-            n = self.store.delete(req["dataset"], req.get("ids", []))
+            ids = req.get("ids")
+            if ids is None and "id" in req:
+                # reference SDK shape: one stringified id per call
+                # (client.py:314-338). Try as-sent first (string-id
+                # datasets), then coerced to int (the common case the
+                # SDK stringified)
+                raw = req["id"]
+                ids = [raw]
+                n = self.store.delete(req["dataset"], ids)
+                if (
+                    n == 0
+                    and isinstance(raw, str)
+                    and raw.lstrip("-").isdigit()
+                ):
+                    ids = [int(raw)]
+                    n = self.store.delete(req["dataset"], ids)
+            else:
+                ids = ids or []
+                n = self.store.delete(req["dataset"], ids)
             self.audit.record("delete", req["dataset"], {"n": n})
             if self.cluster is not None and not req.get("replicated"):
-                self.cluster.on_delete(req["dataset"], req.get("ids", []))
+                self.cluster.on_delete(req["dataset"], ids)
             return ok({"deleted": n})
         if name == "VectorSearch":
             req = parse_search_request(json.loads(body))
@@ -985,13 +1006,32 @@ class LongbowFlightServer(flight.FlightServerBase):
             return ok(_response_ids_scores(ids, scores, okm))
         if name == "add-edge":
             req = json.loads(body)
+            # reference SDK sends subject/predicate/object
+            # (client.py:370-386); from/to/type is this repo's original
+            # shape — accept both
+            src = req["from"] if "from" in req else req["subject"]
+            dst = req["to"] if "to" in req else req["object"]
+            etype = req.get("type", req.get("predicate", ""))
             self.store.add_edge(
-                req["dataset"], req["from"], req["to"],
-                req.get("type", ""), float(req.get("weight", 1.0)),
+                req["dataset"], src, dst, etype,
+                float(req.get("weight", 1.0)),
             )
             return ok({"added": True})
         if name == "traverse-graph":
             req = json.loads(body)
+            if "start" in req and "from" not in req:
+                # reference wire shape (SDK client.py:388-409 /
+                # graph_api.go:60): enumerate simple paths from a
+                # start node; response = JSON list of Path objects
+                ds = self.store.get(req["dataset"])
+                paths = ds.graph.traverse_paths(
+                    req["start"],
+                    max_hops=int(req.get("max_hops", 2) or 2),
+                    incoming=bool(req.get("incoming", False)),
+                    weighted=bool(req.get("weighted", True)),
+                    decay=float(req.get("decay", 0.0) or 0.0),
+                )
+                return ok(paths)
             path = self.store.traverse_graph(
                 req["dataset"], req["from"], req.get("to"),
                 int(req.get("max_hops", 3)),
