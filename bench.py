@@ -92,6 +92,9 @@ def main() -> None:
             ),
         )
         if cache_dir:
+            from longbow_tpu.config import machine_cache_tag
+
+            cache_dir = os.path.join(cache_dir, machine_cache_tag())
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update(

@@ -256,6 +256,30 @@ class Config:
         return self
 
 
+def machine_cache_tag() -> str:
+    """Host-feature fingerprint for the XLA compile cache: XLA:CPU AOT
+    results embed CPU features and fail to load (loudly, per jit) on a
+    machine with different flags — per-feature-set subdirs keep each
+    machine's cache warm without cross-poisoning. TPU executables key
+    by chip type via XLA's own cache key, unaffected."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (
+                    ln
+                    for ln in f.read().splitlines()
+                    if ln.startswith("flags")
+                ),
+                platform.machine(),
+            )
+    except OSError:
+        flags = platform.machine()
+    return hashlib.md5(flags.encode()).hexdigest()[:10]
+
+
 def _go_duration_s(raw: str) -> float:
     """Go time.Duration string ("300ms", "1h30m", "20s") -> seconds."""
     import re

@@ -155,12 +155,32 @@ class ClusterCoordinator:
         return p
 
     def _on_member_change(self, m: Member) -> None:
-        from longbow_tpu.distributed.membership import ALIVE
+        from longbow_tpu.distributed.membership import ALIVE, DEAD
 
         if m.status == ALIVE:
             self._peer_for(m)
             if self.ring is not None:
                 self.ring.add(m.id)  # discovered nodes take ownership
+        elif m.status == DEAD:
+            # prune everywhere, or dead peers poison quorum math
+            # (required_acks counts them) and every round pays their
+            # connect timeouts; in k8s a rolling restart gives every
+            # pod a fresh IP that would otherwise accumulate forever
+            p = self._peers.pop(m.id, None)
+            if p is not None:
+                if self.replicator is not None and p in self.replicator.peers:
+                    self.replicator.peers.remove(p)
+                if (
+                    self.sync_worker is not None
+                    and p in self.sync_worker.peers
+                ):
+                    self.sync_worker.peers.remove(p)
+                try:
+                    p.client.close()
+                except Exception:
+                    pass
+            if self.ring is not None:
+                self.ring.remove(m.id)
 
     # -- lifecycle ------------------------------------------------------
 
@@ -251,6 +271,10 @@ class ClusterCoordinator:
             m.id: m.status == "alive"
             for m in self.membership.members.values()
         }
+        # count self: a 3-node cluster losing one peer still holds a
+        # 2/3 majority — excluding self flagged split_brain=True on
+        # every routine single-node failure
+        mine[self.self_id] = True
         peer_views: dict[str, dict] = {}
         for m in self.membership.alive():
             try:
@@ -448,8 +472,11 @@ class ClusterCoordinator:
         ]
         for t in threads:
             t.start()
+        # ONE shared deadline across all joins: per-thread timeouts
+        # compound to n_peers x timeout worst-case wall clock
+        deadline = time.monotonic() + self.global_search_timeout_s
         for t in threads:
-            t.join(timeout=self.global_search_timeout_s)
+            t.join(timeout=max(0.0, deadline - time.monotonic()))
 
         if _reg is not None:
             _reg.observe("longbow_global_search_fanout_size", len(alive))

@@ -134,9 +134,29 @@ class MembershipManager:
         self._thread: Optional[threading.Thread] = None
         self._lock = threading.Lock()
 
+    def _is_self(self, host: str, dp: int) -> bool:
+        """True when a discovered address is THIS node. self_id alone
+        is not enough: it may be the bind form ('0.0.0.0:3000') or a
+        hostname while discovery returns the pod IP — registering self
+        as a peer makes every write re-put to itself (tombstone churn)
+        and inflates quorum counts."""
+        if f"{host}:{dp}" == self.self_id:
+            return True
+        self_port = self.self_id.rsplit(":", 1)[-1]
+        if not self_port.isdigit() or int(self_port) != dp:
+            return False
+        try:
+            local = {"127.0.0.1", "::1", "localhost"}
+            hostname = socket.gethostname()
+            local.add(hostname)
+            local.update(socket.gethostbyname_ex(hostname)[2])
+            return host in local
+        except OSError:
+            return False
+
     def _add_discovered(self, host: str, dp: int, mp: int, region="") -> None:
         mid = f"{host}:{dp}"
-        if mid != self.self_id and mid not in self.members:
+        if not self._is_self(host, dp) and mid not in self.members:
             with self._lock:
                 # start SUSPECT: the first successful probe fires
                 # the subscriber callbacks (join notification)

@@ -47,9 +47,16 @@ class MerkleTree:
     @classmethod
     def from_dataset(cls, dataset) -> "MerkleTree":
         buckets: list[list] = [[] for _ in range(N_BUCKETS)]
-        live = dataset._id_to_row
-        for uid, ts in dataset._lww.items():
-            deleted = uid not in live
+        # snapshot under the dataset lock: iterating the live _lww
+        # dict races concurrent ingest ("dict changed size during
+        # iteration" aborted whole sync rounds)
+        with dataset._lock:
+            live = dataset._id_to_row
+            entries = [
+                (uid, ts, uid not in live)
+                for uid, ts in dataset._lww.items()
+            ]
+        for uid, ts, deleted in entries:
             buckets[bucket_of(uid)].append((str(uid), ts, deleted))
         leaves = []
         for items in buckets:

@@ -24,11 +24,17 @@ ALL = "ALL"
 
 
 def required_acks(level: str, n_peers: int) -> int:
+    """Peer acks needed to satisfy `level`. QUORUM counts the LOCAL
+    replica toward the majority (the local apply always succeeded by
+    the time replication runs), matching the read path: a 3-node
+    cluster with one peer down still satisfies QUORUM with 1 peer ack
+    (2/3 nodes hold the write)."""
     if level == ONE:
         return min(1, n_peers)
     if level == ALL:
         return n_peers
-    return n_peers // 2 + 1 if n_peers else 0
+    # majority of (peers + self), minus self's own implicit ack
+    return max(0, (n_peers + 1) // 2 + 1 - 1) if n_peers else 0
 
 
 class Peer:
@@ -101,9 +107,17 @@ class PeerReplicator:
         level: str = QUORUM,
         queue_size: int = 4096,
     ):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.peers = peers
         self.mode = mode
         self.level = level
+        # parallel fan-out: one hung peer must not add its full
+        # timeout to every other peer's replication (sequential
+        # fan-out lag compounds across the shared async queue)
+        self._pool = ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="longbow-repl"
+        )
         self._q: queue.Queue = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
         self._worker: Optional[threading.Thread] = None
@@ -146,28 +160,34 @@ class PeerReplicator:
         self, kind, dataset, ids, vectors, columns, metric=None, ts=None,
         clock=None,
     ) -> int:
-        acks = 0
-        for p in self.peers:
-            ok = (
+        peers = list(self.peers)  # DEAD pruning mutates the live list
+
+        def _one(p: Peer) -> bool:
+            return (
                 p.replicate_put(
                     dataset, ids, vectors, columns, metric, ts, clock
                 )
                 if kind == "put"
                 else p.replicate_delete(dataset, ids)
             )
-            acks += int(ok)
+
+        if len(peers) <= 1:
+            results = [_one(p) for p in peers]
+        else:
+            results = list(self._pool.map(_one, peers))
+        acks = sum(map(int, results))
         self.replicated += acks
-        self.failed += len(self.peers) - acks
+        self.failed += len(peers) - acks
         try:
             from longbow_tpu.metrics import get_registry
 
             reg = get_registry()
             if acks:
                 reg.inc("longbow_replication_success_total", acks)
-            if len(self.peers) - acks:
+            if len(peers) - acks:
                 reg.inc(
                     "longbow_replication_failures_total",
-                    len(self.peers) - acks,
+                    len(peers) - acks,
                 )
         except Exception:
             pass
@@ -252,6 +272,7 @@ class PeerReplicator:
         self._stop.set()
         if self._worker:
             self._worker.join(timeout=2)
+        self._pool.shutdown(wait=False)
         for p in self.peers:
             try:
                 p.client.close()
@@ -281,8 +302,14 @@ class SyncWorker:
 
         reg = get_registry()
         applied = 0
-        ds = self.store.get(name)
-        mine = MerkleTree.from_dataset(ds)
+        try:
+            ds = self.store.get(name)
+            mine = MerkleTree.from_dataset(ds)
+        except KeyError:
+            # dataset only exists on peers (e.g. this node restarted
+            # with a lost disk): pull every bucket; rows re-create it
+            ds = None
+            mine = None
         for p in self.peers:
             try:
                 remote = p.client._action(
@@ -290,22 +317,45 @@ class SyncWorker:
                 )
             except Exception:
                 continue
-            if remote.get("root") == mine.root_hex:
+            if mine is not None and remote.get("root") == mine.root_hex:
                 reg.inc("longbow_mesh_merkle_match_total", result="match")
                 continue
             reg.inc("longbow_mesh_merkle_match_total", result="mismatch")
             theirs = [bytes.fromhex(x) for x in remote["leaves"]]
-            bucket_ids = ds._bucket_map()
-            for b in mine.diff_buckets(theirs):
-                # tell the donor what we already hold so a bucket that
-                # differs by one row transfers one row, not ~250
-                have = [
-                    [u, ds._lww[u]] for u in bucket_ids.get(b, ())
+            if mine is not None:
+                diff = mine.diff_buckets(theirs)
+                with ds._lock:  # consistent (bucket, ts) snapshot
+                    bucket_ids = ds._bucket_map()
+                    haves = {
+                        b: [[u, ds._lww[u]] for u in bucket_ids.get(b, ())]
+                        for b in diff
+                    }
+            else:
+                import hashlib as _hashlib
+
+                empty_leaf = _hashlib.blake2b(digest_size=16).digest()
+                diff = [
+                    i for i, leaf in enumerate(theirs)
+                    if leaf != empty_leaf  # non-empty remote bucket
                 ]
+                haves = {b: [] for b in diff}
+            # batched pulls: one RPC per ~64 buckets (per-bucket round
+            # trips against a write-busy donor measured ~75ms each —
+            # the whole 256-bucket sweep cost ~19s/round), have-lists
+            # keep each bucket's transfer delta-only
+            GROUP = 64
+            for goff in range(0, len(diff), GROUP):
+                group = diff[goff : goff + GROUP]
                 try:
                     delta = p.client._action(
                         "export-delta",
-                        {"dataset": name, "bucket": b, "have": have},
+                        {
+                            "dataset": name,
+                            "buckets": group,
+                            "haves": {
+                                str(b): haves[b] for b in group
+                            },
+                        },
                     )
                 except Exception:
                     reg.inc(
@@ -330,18 +380,23 @@ class SyncWorker:
         store.put version healed at ~1k rows/s, so a node restarted
         under write load could not catch up within sync rounds
         (chaos-soak regression after the 12x ingest rewrite)."""
-        ds = self.store.get(name)
+        try:
+            ds = self.store.get(name)
+        except KeyError:
+            ds = None  # first pulled rows create it via store.put
         put_ids: list = []
         put_vecs: list = []
         put_ts: list = []
+        put_cols: list = []
         del_ids: list = []
         del_ts: list = []
         for rec in delta.get("rows", []):
             uid = rec["id"]
             ts = rec["ts"]
-            local_ts = ds._lww.get(ds._key(np.asarray(uid)))
-            if local_ts is not None and local_ts >= ts:
-                continue  # LWW: ours is newer
+            if ds is not None:
+                local_ts = ds._lww.get(ds._key(np.asarray(uid)))
+                if local_ts is not None and local_ts >= ts:
+                    continue  # LWW: ours is newer (put re-checks)
             if rec.get("deleted"):
                 del_ids.append(uid)
                 del_ts.append(ts)
@@ -349,15 +404,24 @@ class SyncWorker:
                 put_ids.append(uid)
                 put_vecs.append(rec["vector"])
                 put_ts.append(ts)
-        if del_ids:
-            ds.delete(del_ids)
-            for uid, ts in zip(del_ids, del_ts):
-                ds._lww[uid] = ts
+                put_cols.append(rec.get("columns"))
+        if del_ids and ds is not None:
+            # atomic LWW-checked tombstones: a newer concurrent local
+            # put must survive and its ts must not roll back
+            ds.apply_remote_tombstones(del_ids, del_ts)
         if put_ids:
+            columns = None
+            if put_cols and all(c is not None for c in put_cols):
+                keys = sorted(set().union(*put_cols))
+                columns = {
+                    k: np.asarray([c.get(k) for c in put_cols])
+                    for k in keys
+                }
             self.store.put(
                 name,
                 np.asarray(put_ids),
                 np.asarray(put_vecs, dtype=np.float32),
+                columns,
                 timestamp=np.asarray(put_ts, dtype=np.float64),
                 _log=False,
             )
@@ -365,8 +429,27 @@ class SyncWorker:
 
     def run_once(self) -> int:
         total = 0
-        for name in self.store.list_datasets():
-            total += self.sync_dataset_once(name)
+        # union with peers' dataset lists: a node restarted with a
+        # lost disk has nothing locally and would otherwise never pull
+        names = set(self.store.list_datasets())
+        for p in self.peers:
+            try:
+                remote = p.client._action("list-datasets", {})
+                if isinstance(remote, list):
+                    names.update(remote)
+            except Exception:
+                pass
+        for name in sorted(names):
+            try:
+                total += self.sync_dataset_once(name)
+            except Exception:
+                # one bad dataset (e.g. dropped mid-round) must not
+                # abort the rest of the sweep
+                import logging
+
+                logging.getLogger("longbow.sync").exception(
+                    "anti-entropy failed for dataset %r", name
+                )
         return total
 
     def start(self):

@@ -46,13 +46,21 @@ def main(argv=None) -> int:
         # persistent XLA executable cache: restart cold-start goes from
         # minutes of kernel compiles to cache reads. Best-effort — a
         # backend that can't serialize executables just recompiles.
+        # Keyed by host CPU features: XLA:CPU AOT results fail to load
+        # across machines (and the failed loads flood logs + slow every
+        # jit); a per-feature-set subdir keeps restarts warm anyway —
+        # measured: a chaos-soak node restarted with a cold cache
+        # healed 3x slower (compiles ate the catch-up window).
         try:
             import jax
 
-            os.makedirs(cfg.compile_cache_dir, exist_ok=True)
-            jax.config.update(
-                "jax_compilation_cache_dir", cfg.compile_cache_dir
+            from longbow_tpu.config import machine_cache_tag
+
+            cache_dir = os.path.join(
+                cfg.compile_cache_dir, machine_cache_tag()
             )
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 0.5
             )

@@ -106,7 +106,11 @@ class CircuitBreaker:
     def record_failure(self) -> None:
         with self._lock:
             self._failures += 1
-            if self._failures == self.threshold:
+            if self._failures >= self.threshold:
+                # >= not ==: a failed half-open probe (failures past
+                # the threshold) must RE-open for a fresh cooldown, or
+                # the breaker sticks half-open forever and every call
+                # pays the full timeout against a dead peer
                 self._opened_at = time.monotonic()
                 self._observe_state("open")
         self._metric("longbow_store_circuit_breaker_failures_total")

@@ -92,7 +92,9 @@ class Dataset:
             self.graph = DiskGraphStore(graph_disk_path)
         else:
             self.graph = GraphStore()
-        self._lock = threading.Lock()
+        # RLock: export_delta/_bucket_map nest under it, and merkle
+        # snapshots must hold it to iterate _lww safely vs ingest
+        self._lock = threading.RLock()
         self.created_at = time.time()
         # dataset-level TTL eviction input (reference: docs/eviction.md
         # — LONGBOW_TTL drops datasets not read or written for the
@@ -230,6 +232,32 @@ class Dataset:
     @staticmethod
     def _key(uid):
         return uid.item() if hasattr(uid, "item") else uid
+
+    def apply_remote_tombstones(self, ids, tss) -> int:
+        """Anti-entropy tombstones, LWW-checked atomically under the
+        dataset lock: a concurrent newer local put survives and its
+        timestamp never rolls back to the remote tombstone's."""
+        with self._lock:
+            rows = []
+            n = 0
+            for uid, ts in zip(ids, tss):
+                key = self._key(np.asarray(uid))
+                local = self._lww.get(key)
+                if local is not None and local >= ts:
+                    continue
+                row = self._id_to_row.pop(key, None)
+                self._lww[key] = ts
+                n += 1
+                if row is not None:
+                    rows.append(row)
+                    self.bm25.remove(key)
+                    if row < len(self._row_to_id):
+                        self._row_to_id[row] = None
+            if rows:
+                self.index.delete_rows(np.asarray(rows))
+                self._row_ids_np = None
+                self.filter_cache.invalidate()
+            return n
 
     def delete(self, ids) -> int:
         """Delete by user id; returns number removed
@@ -388,15 +416,16 @@ class Dataset:
         hashes per sync round (the chaos-soak heal regression)."""
         from longbow_tpu.distributed.merkle import bucket_of
 
-        ver = len(self._lww)
-        cached = getattr(self, "_bucket_cache", None)
-        if cached is not None and cached[0] == ver:
-            return cached[1]
-        m: dict[int, list] = {}
-        for uid in self._lww:
-            m.setdefault(bucket_of(uid), []).append(uid)
-        self._bucket_cache = (ver, m)
-        return m
+        with self._lock:  # RLock: callers may already hold it
+            ver = len(self._lww)
+            cached = getattr(self, "_bucket_cache", None)
+            if cached is not None and cached[0] == ver:
+                return cached[1]
+            m: dict[int, list] = {}
+            for uid in self._lww:
+                m.setdefault(bucket_of(uid), []).append(uid)
+            self._bucket_cache = (ver, m)
+            return m
 
     def export_delta(self, bucket: int, have=None) -> dict:
         """Rows + deletion markers in one Merkle bucket. Vectors come
@@ -438,11 +467,31 @@ class Dataset:
             for u, t in zip(dead, dead_ts)
         ]
         if live_rows:
-            vecs = self.index.get_vectors(np.asarray(live_rows))
-            rows.extend(
-                {"id": u, "ts": t, "vector": vec.tolist()}
-                for u, t, vec in zip(live_uids, live_ts, vecs)
+            rowarr = np.asarray(live_rows)
+            vecs = self.index.get_vectors(rowarr)
+            # metadata columns ride the delta too — rows healed by
+            # anti-entropy without them would silently fail filters and
+            # drop out of BM25, and identical merkle leaves would hide
+            # the loss forever
+            cols = (
+                self.columns.host_view(rowarr)
+                if self.columns.fields()
+                else {}
             )
+            for j, (u, t, vec) in enumerate(
+                zip(live_uids, live_ts, vecs)
+            ):
+                rec = {"id": u, "ts": t, "vector": vec.tolist()}
+                if cols:
+                    rec["columns"] = {
+                        k: (
+                            v[j].item()
+                            if hasattr(v[j], "item")
+                            else v[j]
+                        )
+                        for k, v in cols.items()
+                    }
+                rows.append(rec)
         return {"dataset": self.name, "bucket": bucket, "rows": rows}
 
     def merkle_state(self) -> dict:

@@ -62,8 +62,13 @@ def test_split_brain_detector():
 
 def test_required_acks():
     assert required_acks(ONE, 3) == 1
-    assert required_acks(QUORUM, 3) == 2
     assert required_acks(ALL, 3) == 3
+    # QUORUM counts the local replica toward the majority: a 3-node
+    # cluster (2 peers) satisfies quorum with 1 peer ack + self
+    assert required_acks(QUORUM, 2) == 1
+    assert required_acks(QUORUM, 3) == 2  # majority of 4 = 3, -self
+    assert required_acks(QUORUM, 4) == 2  # majority of 5 = 3, -self
+    assert required_acks(QUORUM, 0) == 0
 
 
 def test_merkle_diff_localizes_changes():
@@ -238,3 +243,77 @@ def test_export_delta_have_filter_sends_only_divergence(two_nodes):
             for u in ds._bucket_map()[b]]
     rows = ds.export_delta(b, have=have)["rows"]
     assert [r["id"] for r in rows] == [target]
+
+
+def test_breaker_reopens_after_failed_half_open_probe():
+    """A failed half-open probe must RE-open the breaker for a fresh
+    cooldown — sticking half-open forever makes every call pay the
+    full timeout against a dead peer (review finding)."""
+    import time as _t
+
+    from longbow_tpu.serving.middleware import CircuitBreaker
+
+    br = CircuitBreaker(threshold=2, cooldown_s=0.2, name="t")
+    br.record_failure()
+    br.record_failure()
+    assert br.state == "open"
+    _t.sleep(0.25)
+    assert br.state == "half-open"
+    br.record_failure()  # probe failed
+    assert br.state == "open"  # re-armed, not stuck half-open
+    _t.sleep(0.25)
+    assert br.state == "half-open"
+    br.record_success()
+    assert br.state == "closed"
+
+
+def test_anti_entropy_carries_columns_and_bm25(two_nodes):
+    """Healed rows must arrive with their metadata columns and text
+    (filters and hybrid search on a healed replica were silently
+    broken, and identical merkle leaves hid the loss forever)."""
+    (s1, h1), (s2, h2) = two_nodes
+    v = _vecs(20, 8, seed=9)
+    s1.put(
+        "cols", np.arange(20), v,
+        columns={
+            "price": np.arange(20.0),
+            "text": np.asarray([f"doc {i} alpha" for i in range(20)]),
+        },
+    )
+    for uid in list(s1.get("cols")._lww):
+        s1.get("cols")._lww[uid] = time.time() + 5
+    peer1 = Peer("127.0.0.1", h1.data_server.port, h1.meta_server.port)
+    sw = SyncWorker(s2, [peer1])
+    assert sw.run_once() > 0
+    ds2 = s2.get("cols")
+    assert ds2.live_count == 20
+    from longbow_tpu.query.parser import Filter
+
+    ids, _, _ = s2.search(
+        "cols", v[3], 3, filters=[Filter("price", "<", "5")],
+        use_cache=False,
+    )
+    got = [i for i in ids[0] if i is not None]
+    assert got and all(i < 5 for i in got)
+    assert len(ds2.bm25) == 20  # text columns re-indexed
+
+
+def test_apply_remote_tombstones_lww_guard():
+    """A remote tombstone older than the local write neither deletes
+    the row nor rolls the timestamp back."""
+    import jax
+
+    from longbow_tpu.store.vector_store import VectorStore
+
+    s = VectorStore()
+    v = _vecs(5, 8)
+    s.put("t", np.arange(5), v, timestamp=100.0)
+    ds = s.get("t")
+    n = ds.apply_remote_tombstones([2], [50.0])  # stale tombstone
+    assert n == 0
+    assert ds.live_count == 5
+    assert ds._lww[2] == 100.0
+    n = ds.apply_remote_tombstones([2], [200.0])  # newer tombstone
+    assert n == 1
+    assert ds.live_count == 4
+    assert ds._lww[2] == 200.0
