@@ -134,7 +134,23 @@ def main() -> int:
                 break
             except Exception:
                 time.sleep(1.0)
-        time.sleep(12)
+        # poll until the victim converges (bounded): a fixed 12s
+        # window was marginal for ~60k rows of catch-up divergence —
+        # pass/fail should measure CONVERGENCE, not a lucky box
+        t0 = time.time()
+        while time.time() - t0 < 60:
+            try:
+                a = clients[victim].cluster_status()["datasets"]["soak"][
+                    "live_rows"
+                ]
+                b = clients[0].cluster_status()["datasets"]["soak"][
+                    "live_rows"
+                ]
+                if a >= 0.98 * b:
+                    break
+            except Exception:
+                pass
+            time.sleep(2.0)
         counts = {}
         for i in (0, 2, victim):
             try:
