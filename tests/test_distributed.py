@@ -317,3 +317,48 @@ def test_apply_remote_tombstones_lww_guard():
     assert n == 1
     assert ds.live_count == 4
     assert ds._lww[2] == 200.0
+
+
+def test_sync_pulls_dataset_missing_locally(two_nodes):
+    """A node restarted with a lost disk (no local datasets) must
+    still pull peers' datasets — run_once unions peer dataset lists
+    and a missing local dataset pulls every non-empty bucket."""
+    (s1, h1), (s2, h2) = two_nodes
+    v = _vecs(40, 8, seed=11)
+    s1.put("lost", np.arange(40), v)
+    assert "lost" not in s2.list_datasets()
+    peer1 = Peer("127.0.0.1", h1.data_server.port, h1.meta_server.port)
+    sw = SyncWorker(s2, [peer1])
+    applied = sw.run_once()
+    assert applied == 40
+    assert s2.get("lost").live_count == 40
+    ids, _, _ = s2.search("lost", v[7], 1, use_cache=False)
+    assert ids[0, 0] == 7
+
+
+def test_dead_member_pruned_from_replication_and_ring():
+    """A DEAD member leaves replicator/sync/ring so quorum math and
+    write fan-out stop counting a gone peer (k8s rolling restarts
+    would otherwise accumulate dead IPs forever)."""
+    from longbow_tpu.distributed.cluster import ClusterCoordinator
+    from longbow_tpu.distributed.membership import ALIVE, DEAD, Member
+    from longbow_tpu.store.vector_store import VectorStore
+
+    store = VectorStore()
+    cc = ClusterCoordinator(
+        store, self_id="127.0.0.1:3000",
+        peers=["127.0.0.1:4000:4001"],
+        placement="partitioned",
+    )
+    m = Member("127.0.0.1:4000", "127.0.0.1", 4000, 4001, status=ALIVE)
+    cc._on_member_change(m)
+    assert "127.0.0.1:4000" in cc._peers
+    assert cc.ring is not None and "127.0.0.1:4000" in cc.ring.nodes
+    m.status = DEAD
+    cc._on_member_change(m)
+    assert "127.0.0.1:4000" not in cc._peers
+    assert "127.0.0.1:4000" not in cc.ring.nodes
+    if cc.replicator is not None:
+        assert all(
+            p.addr != "127.0.0.1:4000" for p in cc.replicator.peers
+        )
