@@ -152,7 +152,13 @@ class SearchCoalescer:
         groups: dict = {}
         for it in batch:
             dataset, q, k, filters, ef, exact, use_cache, fut = it
-            sig = (dataset, k, _filters_key(filters), ef, exact)
+            # dimensionality is part of the signature: a wrong-dim
+            # query must not poison a group's np.concatenate and
+            # orphan innocent coalesced futures
+            sig = (
+                dataset, k, _filters_key(filters), ef, exact,
+                q.shape[-1],
+            )
             groups.setdefault(sig, []).append(it)
         for sig, items in groups.items():
             # respect the row ceiling: split oversized groups
@@ -170,11 +176,16 @@ class SearchCoalescer:
 
     def _run(self, items: list) -> None:
         dataset, _, k, filters, ef, exact, _, _ = items[0]
-        qs = (
-            items[0][1]
-            if len(items) == 1
-            else np.concatenate([it[1] for it in items], axis=0)
-        )
+        try:
+            qs = (
+                items[0][1]
+                if len(items) == 1
+                else np.concatenate([it[1] for it in items], axis=0)
+            )
+        except Exception as e:  # malformed member: fail THIS group only
+            for it in items:
+                it[7].set_err(e)
+            return
         use_cache = items[0][6] if len(items) == 1 else False
         self.dispatches += 1
         if len(items) > 1:

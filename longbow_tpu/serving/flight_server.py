@@ -329,18 +329,30 @@ class LongbowFlightServer(flight.FlightServerBase):
                     method="parse",
                 )
                 if tq.search is not None:
-                    return self._do_search(tq)
-                return self._do_scan(tq)
+                    out = self._do_search(tq)
+                else:
+                    out = self._do_scan(tq)
+                # breaker accounting: successes reset the consecutive-
+                # failure count (without this, 10 client typos EVER
+                # opened the breaker permanently — record_success had
+                # no serving-edge callers)
+                if self.middleware:
+                    self.middleware.record_success("DoGet")
+                return out
         except KeyError as e:
-            if self.middleware:
-                self.middleware.record_failure("DoGet")
+            # client error (unknown dataset/filter field): counted in
+            # error metrics but NOT in the breaker — breakers protect
+            # against server failure, and a client polling a missing
+            # dataset must not take the node down for everyone
             self.metrics.inc("longbow_vector_search_action_errors_total")
             raise flight.FlightServerError(f"not found: {e}") from e
         except (ValueError, SanitizationError) as e:
-            if self.middleware:
-                self.middleware.record_failure("DoGet")
             self.metrics.inc("longbow_vector_search_action_errors_total")
             raise flight.FlightServerError(f"bad request: {e}") from e
+        except Exception:
+            if self.middleware:
+                self.middleware.record_failure("DoGet")
+            raise
         finally:
             if self.middleware:
                 self.middleware.release("DoGet")
@@ -456,10 +468,27 @@ class LongbowFlightServer(flight.FlightServerBase):
             ("query_index", pa.array(bi.astype(np.int32), pa.int32())),
         ]
         if req.include_vectors and out_ids:
-            vrows = np.asarray(
-                [ds._id_to_row[Dataset_key(i)] for i in out_ids]
-            )
-            vecs = ds.get_vectors_by_rows(vrows)
+            # fan-out results can contain ids that live only on peers
+            # (or the whole dataset may be peer-only): include local
+            # vectors where we have them, zeros elsewhere — never a
+            # None-deref or KeyError mislabeled as 'not found'
+            local_rows = []
+            have_local = []
+            for i in out_ids:
+                row = (
+                    ds._id_to_row.get(Dataset_key(i))
+                    if ds is not None
+                    else None
+                )
+                have_local.append(row is not None)
+                local_rows.append(row if row is not None else 0)
+            if ds is not None and any(have_local):
+                vecs = ds.get_vectors_by_rows(np.asarray(local_rows))
+                mask = np.asarray(have_local)[:, None]
+                vecs = np.where(mask, vecs, 0.0).astype(np.float32)
+            else:
+                dim = ds.dim if ds is not None else qv.shape[-1]
+                vecs = np.zeros((len(out_ids), dim), np.float32)
             # vector_format: result payload encoding (reference:
             # requests.go:19,34 — "f32" | "f16" | "quantized")
             if req.vector_format == "f16":
@@ -471,7 +500,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                                 vecs.astype(np.float16).reshape(-1),
                                 pa.float16(),
                             ),
-                            ds.dim,
+                            vecs.shape[1],
                         ),
                     )
                 )
@@ -489,7 +518,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                         "vector",
                         pa.FixedSizeListArray.from_arrays(
                             pa.array(codes.reshape(-1), pa.int8()),
-                            ds.dim,
+                            vecs.shape[1],
                         ),
                     )
                 )
@@ -505,7 +534,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                         "vector",
                         pa.FixedSizeListArray.from_arrays(
                             pa.array(vecs.reshape(-1), pa.float32()),
-                            ds.dim,
+                            vecs.shape[1],
                         ),
                     )
                 )
@@ -541,15 +570,33 @@ class LongbowFlightServer(flight.FlightServerBase):
         str_ids = bool(items) and isinstance(next(iter(items)), str)
         # one vectorized pass builds the (ids, rows) arrays — never a
         # per-row python loop over the corpus (a 430k-row list pass
-        # measured 0.42s of a 1.1s scan)
+        # measured 0.42s of a 1.1s scan). Built under the dataset lock:
+        # concurrent ingest mutates the dict mid-fromiter otherwise
+        # ("dictionary changed size during iteration")
+        with ds._lock:
+            if tq.filters or limit >= n:
+                nitems = len(items)
+                rows_all = np.fromiter(items.values(), np.int64, nitems)
+                id_all_np = np.fromiter(
+                    items.keys(),
+                    object if str_ids else np.int64,
+                    nitems,
+                )
+            else:
+                # don't materialize the full id map for a limited scan
+                import itertools
+
+                take = min(limit, len(items))
+                rows_all = np.fromiter(
+                    itertools.islice(items.values(), take),
+                    np.int64, take,
+                )
+                id_all_np = np.fromiter(
+                    itertools.islice(items.keys(), take),
+                    object if str_ids else np.int64,
+                    take,
+                )
         if tq.filters:
-            nitems = len(items)
-            rows_all = np.fromiter(items.values(), np.int64, nitems)
-            id_all_np = (
-                np.fromiter(items.keys(), object, nitems)
-                if str_ids
-                else np.fromiter(items.keys(), np.int64, nitems)
-            )
             mask = ds.filter_mask(tq.filters)
             if mask is not None:
                 keep = np.asarray(mask)[rows_all]
@@ -557,26 +604,6 @@ class LongbowFlightServer(flight.FlightServerBase):
                 id_all_np = id_all_np[keep]
             rows_all = rows_all[:limit]
             id_all_np = id_all_np[:limit]
-        elif limit < n:
-            # don't materialize the full id map for a limited scan
-            import itertools
-
-            take = min(limit, len(items))
-            rows_all = np.fromiter(
-                itertools.islice(items.values(), take), np.int64, take
-            )
-            id_all_np = np.fromiter(
-                itertools.islice(items.keys(), take),
-                object if str_ids else np.int64,
-                take,
-            )
-        else:
-            rows_all = np.fromiter(items.values(), np.int64, len(items))
-            id_all_np = np.fromiter(
-                items.keys(),
-                object if str_ids else np.int64,
-                len(items),
-            )
         npairs = len(rows_all)
         # metadata columns: gathered to the scanned rows in one pass
         # (small limited scans fetch len(rows), not the whole column)
@@ -690,29 +717,40 @@ class LongbowFlightServer(flight.FlightServerBase):
 
     def _exchange_ingest(self, cmd, reader, writer):
         """Client streams put-batches; server acks each with the count
-        (reference: ingest exchange, do_exchange.go)."""
-        dataset = cmd["dataset"]
+        (reference: ingest exchange, do_exchange.go). Same invariants
+        as DoPut: sanitized name, LWW timestamps, auto-ids based at
+        the dataset's current length, cluster replication."""
+        dataset = sanitize_dataset_name(cmd["dataset"])
         ack_schema = pa.schema([("rows_ingested", pa.int64())])
         writer.begin(ack_schema)
         total = 0
+        auto_base = None
         for chunk in reader:
             batch = chunk.data
             if batch is None or batch.num_rows == 0:
                 continue
             tbl = pa.Table.from_batches([batch])
             vecs = _vector_column_to_numpy(tbl.column("vector"))
-            ids = (
-                _ids_column_to_numpy(tbl.column("id"))
-                if "id" in tbl.column_names
-                else np.arange(total, total + len(vecs))
-            )
+            if "id" in tbl.column_names:
+                ids = _ids_column_to_numpy(tbl.column("id"))
+            else:
+                if auto_base is None:
+                    # base at the CURRENT dataset length like DoPut —
+                    # starting at 0 LWW-overwrote existing rows
+                    auto_base = len(
+                        self.store.get_or_create(
+                            dataset, vecs.shape[1], None
+                        )
+                    )
+                ids = np.arange(auto_base, auto_base + len(vecs))
+                auto_base += len(vecs)
             columns = _meta_columns_to_numpy(tbl, tbl.column_names)
             n_in = batch.num_rows
+            ts = time.time() if self.cluster is not None else None
             if (
                 self.cluster is not None
                 and self.cluster.placement == "partitioned"
             ):
-                ts = time.time()
                 keep = self.cluster.partition_put(
                     dataset, ids, vecs, columns or None, None, ts
                 )
@@ -721,7 +759,18 @@ class LongbowFlightServer(flight.FlightServerBase):
                     k: np.asarray(v)[keep] for k, v in columns.items()
                 }
             if len(ids):
-                self.store.put(dataset, ids, vecs, columns or None)
+                self.store.put(
+                    dataset, ids, vecs, columns or None, timestamp=ts
+                )
+                if (
+                    self.cluster is not None
+                    and self.cluster.placement != "partitioned"
+                ):
+                    # replicated placement: exchange-ingested rows get
+                    # the same durability as DoPut rows
+                    self.cluster.on_put(
+                        dataset, ids, vecs, columns or None, None, ts
+                    )
             total += n_in
             writer.write_batch(
                 pa.record_batch({"rows_ingested": pa.array([total], pa.int64())})
@@ -940,6 +989,7 @@ class LongbowFlightServer(flight.FlightServerBase):
             return ok({"deleted": n})
         if name == "VectorSearch":
             req = parse_search_request(json.loads(body))
+            sanitize_search_request(req)  # same k/batch/filter caps as DoGet
             qv = np.asarray(req.query_vectors(), dtype=np.float32)
             _check_query_dim(self.store._datasets.get(req.dataset), qv)
             fan_out = (
@@ -992,6 +1042,7 @@ class LongbowFlightServer(flight.FlightServerBase):
             return ok(_response_ids_scores(ids, scores, okm))
         if name == "HybridSearch":
             req = parse_search_request(json.loads(body))
+            sanitize_search_request(req)  # same k/batch/filter caps as DoGet
             qv = np.asarray(req.query_vectors(), dtype=np.float32)
             if qv.size:
                 _check_query_dim(

@@ -90,6 +90,12 @@ class IngestQueue:
             # (dataset, metric, column-key) group as ONE store.put —
             # one WAL write, one device append, one metrics pass.
             # Per-row origin timestamps preserve LWW across the merge.
+            # account each job the moment it leaves the queue: a gap
+            # between get() and the _active bump makes depth==0 lie to
+            # drain(), and a checkpoint could truncate the WAL with
+            # acked rows still unapplied
+            with self._lock:
+                self._active += 1
             batch = [first]
             rows = len(first[1])
             while rows < self.MAX_COALESCE_ROWS:
@@ -97,10 +103,10 @@ class IngestQueue:
                     j = self._q.get_nowait()
                 except queue.Empty:
                     break
+                with self._lock:
+                    self._active += 1
                 batch.append(j)
                 rows += len(j[1])
-            with self._lock:
-                self._active += len(batch)
             try:
                 from longbow_tpu.metrics import get_registry
 
@@ -124,37 +130,46 @@ class IngestQueue:
             try:
                 for key in order:
                     gs = groups[key]
-                    if len(gs) == 1:
-                        dataset, ids, vectors, columns, metric, ts = gs[0]
-                    else:
-                        dataset, metric, colkeys = key
-                        ids = np.concatenate(
-                            [np.asarray(g[1]) for g in gs]
+                    # per-group isolation: one bad group (e.g. dim
+                    # mismatch) must not silently drop the OTHER
+                    # groups' already-acked batches
+                    try:
+                        if len(gs) == 1:
+                            (
+                                dataset, ids, vectors, columns, metric,
+                                ts,
+                            ) = gs[0]
+                        else:
+                            dataset, metric, colkeys = key
+                            ids = np.concatenate(
+                                [np.asarray(g[1]) for g in gs]
+                            )
+                            vectors = np.concatenate([g[2] for g in gs])
+                            columns = (
+                                {
+                                    c: np.concatenate(
+                                        [np.asarray(g[3][c]) for g in gs]
+                                    )
+                                    for c in colkeys
+                                }
+                                or None
+                            )
+                            now = time.time()
+                            ts = np.concatenate(
+                                [
+                                    np.full(
+                                        len(g[1]),
+                                        g[5] if g[5] is not None else now,
+                                    )
+                                    for g in gs
+                                ]
+                            )
+                        self._apply(
+                            dataset, ids, vectors, columns, metric, ts
                         )
-                        vectors = np.concatenate([g[2] for g in gs])
-                        columns = (
-                            {
-                                c: np.concatenate(
-                                    [np.asarray(g[3][c]) for g in gs]
-                                )
-                                for c in colkeys
-                            }
-                            or None
-                        )
-                        now = time.time()
-                        ts = np.concatenate(
-                            [
-                                np.full(
-                                    len(g[1]),
-                                    g[5] if g[5] is not None else now,
-                                )
-                                for g in gs
-                            ]
-                        )
-                    self._apply(dataset, ids, vectors, columns, metric, ts)
-            except Exception as e:  # keep draining; surface via errors
-                self.errors.append(f"{time.time():.0f} {e!r}")
-                del self.errors[:-20]
+                    except Exception as e:  # surface via errors
+                        self.errors.append(f"{time.time():.0f} {e!r}")
+                        del self.errors[:-20]
             finally:
                 with self._lock:
                     self._active -= len(batch)

@@ -510,3 +510,69 @@ def test_scan_consistent_across_concurrent_compaction():
     ).reshape(-1, 32)
     want = v[np.asarray(ids)]
     assert np.abs(got - want).max() < 0.05  # bf16 rounding only
+
+
+def test_client_errors_do_not_open_the_breaker():
+    """A client polling a missing dataset (or sending bad requests)
+    must never open the serving circuit breaker — breakers protect
+    against server failure; successes reset the count (review finding:
+    record_success had no serving-edge callers, so 10 client typos
+    EVER produced a rolling total outage)."""
+    import pyarrow.flight as flight
+
+    from longbow_tpu.serving.flight_server import serve
+    from longbow_tpu.serving.middleware import MiddlewareChain
+
+    store = VectorStore()
+    mw = MiddlewareChain(breaker_threshold=3)
+    handle = serve(
+        store, data_port=0, meta_port=0, host="127.0.0.1",
+        middleware_chain=mw,
+    )
+    c = LongbowClient("127.0.0.1")
+    c.data_location = f"grpc://127.0.0.1:{handle.data_server.port}"
+    c.meta_location = f"grpc://127.0.0.1:{handle.meta_server.port}"
+    c.connect()
+    try:
+        v = _vecs(10, 8, seed=50)
+        c.write("ok", np.arange(10), v)
+        for _ in range(10):  # way past the threshold
+            with pytest.raises(flight.FlightError):
+                c.search("nope_missing", v[0], k=1)
+        # healthy requests still admitted: breaker stayed closed
+        t = c.search("ok", v[3], k=1)
+        assert t.column("id")[0].as_py() == 3
+    finally:
+        c.close()
+        handle.shutdown()
+
+
+def test_ingest_bad_group_does_not_drop_good_group():
+    """Group-commit isolation: a dim-mismatched batch in the same
+    coalescing window must not silently drop another dataset's acked
+    batch (review finding: one try wrapped all groups)."""
+    import time as _t
+
+    from longbow_tpu.serving.ingest import IngestQueue
+
+    store = VectorStore()
+    store.put("a", np.arange(5), _vecs(5, 8))  # dataset 'a' is 8-dim
+    q = IngestQueue(store, max_depth=16)
+    # stall the worker so both jobs coalesce into one window
+    orig_apply = q._apply
+    release = _t.time() + 1.0
+
+    def slow_apply(*args, **kw):
+        while _t.time() < release:
+            _t.sleep(0.02)
+        return orig_apply(*args, **kw)
+
+    q._apply = slow_apply
+    q.submit("a", np.arange(5, 10), _vecs(5, 16, seed=1), None, None,
+             _t.time())  # WRONG dim -> rejected at apply
+    q.submit("b", np.arange(10), _vecs(10, 8, seed=2), None, None,
+             _t.time())  # must still land
+    assert q.drain(timeout_s=30)
+    assert store.get("b").live_count == 10  # good group survived
+    assert q.errors  # bad group surfaced loudly
+    q.close()
