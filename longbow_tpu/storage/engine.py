@@ -296,7 +296,9 @@ class StorageEngine:
                 ds = store.get(name)
                 if blob["bm25"]:
                     ds.bm25 = BM25Index.import_state(blob["bm25"])
-                if blob["graph"]:
+                if blob["graph"] and getattr(ds.graph, "path", None) is None:
+                    # disk-backed stores replayed their own log on
+                    # open; importing the blob would double the edges
                     ds.graph = GraphStore.import_state(blob["graph"])
                 n += 1
         reg.set("longbow_warmup_progress_percent", 50)

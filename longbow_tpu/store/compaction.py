@@ -80,7 +80,37 @@ def _compact_locked(dataset) -> dict:
     pairs = list(dataset._id_to_row.items())
     dead = len(dataset.index) - len(pairs)
     if not pairs:
-        return {"reclaimed_rows": dead, "live_rows": 0, "seconds": 0.0}
+        if dead == 0:
+            return {"reclaimed_rows": 0, "live_rows": 0, "seconds": 0.0}
+        # fully-deleted dataset: swap in a minimal fresh index so the
+        # device bytes actually come back (the old early-return kept
+        # full capacity forever and re-triggered a no-op every sweep)
+        from longbow_tpu.index.factory import make_index
+        from longbow_tpu.query.filters import ColumnStore
+
+        dataset.index = make_index(
+            dataset.index_kind,
+            dataset.dim,
+            dataset.metric,
+            dtype=dataset.dtype,
+            migration_threshold=dataset.migration_threshold,
+            hnsw_config=dataset.hnsw_config,
+            **{
+                k: v
+                for k, v in dataset.index_params.items()
+                if k != "graph_disk"
+            },
+        )
+        dataset.columns = ColumnStore(dataset.index.capacity)
+        dataset._id_to_row = {}
+        dataset._row_to_id = []
+        dataset._row_ids_np = None
+        dataset.filter_cache.invalidate()
+        return {
+            "reclaimed_rows": dead,
+            "live_rows": 0,
+            "seconds": time.time() - t0,
+        }
 
     rows = np.asarray([r for _, r in pairs])
     ids = [u for u, _ in pairs]
@@ -109,19 +139,27 @@ def _compact_locked(dataset) -> dict:
     from longbow_tpu.query.filters import ColumnStore
 
     old_inner = getattr(dataset.index, "_inner", None)
-    dataset.index = make_index(
+    # BUILD EVERYTHING OFF TO THE SIDE, then swap: searches snapshot
+    # (index, row map, columns) under the dataset lock, so the old
+    # trio must stay internally consistent (no in-place clear()) and
+    # the new trio must be fully populated before any reference swaps
+    new_index = make_index(
         dataset.index_kind,
         dataset.dim,
         dataset.metric,
         dtype=dataset.dtype,
         migration_threshold=dataset.migration_threshold,
         hnsw_config=dataset.hnsw_config,
-        **dataset.index_params,
+        **{
+            k: v
+            for k, v in dataset.index_params.items()
+            if k != "graph_disk"  # dataset-level knob, not an index kwarg
+        },
     )
     # keep trained quantizer state so PQ/SQ8/BQ codes stay stable
     # across compactions (reference keeps codebooks on the Dataset,
     # quantization_integration.go)
-    new_inner = getattr(dataset.index, "_inner", None)
+    new_inner = getattr(new_index, "_inner", None)
     if (
         old_inner is not None
         and new_inner is not None
@@ -131,21 +169,23 @@ def _compact_locked(dataset) -> dict:
             val = getattr(old_inner, attr, None)
             if val is not None and hasattr(new_inner, attr):
                 setattr(new_inner, attr, val)
-    dataset.columns = ColumnStore(dataset.index.capacity)
-    dataset._id_to_row.clear()
-    dataset._row_to_id = []
-    new_rows = dataset.index.add(vecs)
+    new_rows = new_index.add(vecs)
+    new_columns = ColumnStore(new_index.capacity)
     # rows= and max(): mesh-sharded indexes return shard-strided
     # (non-ascending) row ids — same fix as Dataset.put
-    dataset.columns.append(
-        live_cols, len(ids), dataset.index.capacity, rows=new_rows
+    new_columns.append(
+        live_cols, len(ids), new_index.capacity, rows=new_rows
     )
-    for j, uid in enumerate(ids):
-        dataset._id_to_row[uid] = int(new_rows[j])
+    new_i2r = {uid: int(new_rows[j]) for j, uid in enumerate(ids)}
     top = int(np.max(new_rows)) if len(new_rows) else -1
-    dataset._row_to_id = [None] * (top + 1)
+    new_r2i: list = [None] * (top + 1)
     for j, uid in enumerate(ids):
-        dataset._row_to_id[int(new_rows[j])] = uid
+        new_r2i[int(new_rows[j])] = uid
+    dataset.index = new_index
+    dataset.columns = new_columns
+    dataset._id_to_row = new_i2r
+    dataset._row_to_id = new_r2i
+    dataset._row_ids_np = None
     dataset.filter_cache.invalidate()
     return {
         "reclaimed_rows": dead,
@@ -185,27 +225,39 @@ class EvictionManager:
             self._last_access[uid] = now
             self._freq[uid] = self._freq.get(uid, 0) + 1
 
-    def sweep(self, dataset) -> int:
-        """Apply TTL + size policy; returns rows evicted."""
+    def sweep(self, dataset, store=None) -> int:
+        """Apply TTL + size policy; returns rows evicted. With a
+        store, evictions go through the WAL-logged delete path so
+        evicted rows don't resurrect on restart (a direct ds.delete
+        is invisible to replay)."""
         victims = []
         now = time.time()
-        if self.ttl_s is not None:
-            for uid, ts in list(dataset._lww.items()):
-                if uid in dataset._id_to_row and now - ts > self.ttl_s:
-                    victims.append(uid)
-        if self.max_rows is not None:
-            over = dataset.live_count - len(victims) - self.max_rows
-            if over > 0:
-                pool = [
-                    u for u in dataset._id_to_row if u not in set(victims)
-                ]
-                if self.policy == "lru":
-                    pool.sort(key=lambda u: self._last_access.get(u, 0.0))
-                else:
-                    pool.sort(key=lambda u: self._freq.get(u, 0))
-                victims.extend(pool[:over])
+        with dataset._lock:  # ingest mutates these dicts concurrently
+            if self.ttl_s is not None:
+                for uid, ts in dataset._lww.items():
+                    if (
+                        uid in dataset._id_to_row
+                        and now - ts > self.ttl_s
+                    ):
+                        victims.append(uid)
+            if self.max_rows is not None:
+                over = dataset.live_count - len(victims) - self.max_rows
+                if over > 0:
+                    vs = set(victims)
+                    pool = [u for u in dataset._id_to_row if u not in vs]
+                    if self.policy == "lru":
+                        pool.sort(
+                            key=lambda u: self._last_access.get(u, 0.0)
+                        )
+                    else:
+                        pool.sort(key=lambda u: self._freq.get(u, 0))
+                    victims.extend(pool[:over])
         if victims:
-            dataset.delete(np.asarray(victims, dtype=object))
+            ids = np.asarray(victims, dtype=object)
+            if store is not None:
+                store.delete(dataset.name, ids)
+            else:
+                dataset.delete(ids)
             self.evicted_total += len(victims)
             from longbow_tpu.metrics import get_registry
 
@@ -259,7 +311,11 @@ class CompactionWorker:
         worst_frag = 0.0
         for name in self.store.list_datasets():
             ds = self.store.get(name)
-            evicted = self.eviction.sweep(ds) if self.eviction else 0
+            evicted = (
+                self.eviction.sweep(ds, store=self.store)
+                if self.eviction
+                else 0
+            )
             compacted = None
             if self.tracker.needs_compaction(ds):
                 reg.inc("longbow_compaction_auto_triggers_total")
@@ -408,7 +464,9 @@ class MemoryBackpressureController:
             victims = self._coldest_rows(ds, min(want, live))
             if not victims:
                 break
-            ds.delete(np.asarray(victims, dtype=object))
+            # WAL-logged path: evicted rows must not resurrect on
+            # restart, and the query cache must drop them
+            store.delete(name, np.asarray(victims, dtype=object))
             evicted += len(victims)
             compact_dataset(ds)  # reclaim bytes now, not at next sweep
             if self.total_bytes(store) >= used:

@@ -65,6 +65,14 @@ class Dataset:
         self.migration_threshold = migration_threshold
         self.index_kind = (index_kind or "adaptive").lower()
         self.index_params = dict(index_params or {})
+        # graph_disk is consumed by the DATASET (disk edge store), not
+        # the index — but it stays in index_params so snapshots record
+        # it and a restart re-attaches the disk backing
+        _idx_params = {
+            k: v
+            for k, v in self.index_params.items()
+            if k != "graph_disk"
+        }
         self.index = make_index(
             index_kind,
             dim,
@@ -72,7 +80,7 @@ class Dataset:
             dtype=dtype,
             migration_threshold=migration_threshold,
             hnsw_config=hnsw_config,
-            **(index_params or {}),
+            **_idx_params,
         )
         self.columns = ColumnStore(self.index.capacity)
         self.filter_cache = FilterCache()
@@ -193,10 +201,16 @@ class Dataset:
             # "existing columns must match exactly (name and type)")
             self.columns.check_types(columns or {})
 
-            # tombstone overwritten rows
+            # tombstone overwritten rows — and clear their slot in the
+            # row->id map, or hybrid/sparse filtering keeps matching
+            # the id against its OLD column values via row_ids_array
             stale_rows = [idr[k] for k in keys if k in idr]
             if stale_rows:
                 self.index.delete_rows(np.asarray(stale_rows))
+                for r in stale_rows:
+                    if r < len(self._row_to_id):
+                        self._row_to_id[r] = None
+                self._row_ids_np = None
 
             rows = self.index.add(vectors)
             self.columns.append(
@@ -281,13 +295,20 @@ class Dataset:
 
     # ------------------------------------------------------------------
 
-    def filter_mask(self, filters: list[Filter]) -> Optional[jax.Array]:
+    def filter_mask(
+        self, filters: list[Filter], *, _columns=None, _index=None
+    ) -> Optional[jax.Array]:
         """Predicate filters -> device row mask, cached
-        (reference: GenerateFilterBitset dataset.go:226)."""
-        mask = self.filter_cache.get_or_eval(self.columns, filters)
+        (reference: GenerateFilterBitset dataset.go:226). _columns/
+        _index: consistency snapshots from search (compaction swaps
+        both; a mask built for the old row numbering must pair with
+        the old index)."""
+        cols = _columns if _columns is not None else self.columns
+        idx = _index if _index is not None else self.index
+        mask = self.filter_cache.get_or_eval(cols, filters)
         if mask is None:
             return None
-        cap = self.index.capacity
+        cap = idx.capacity
         if mask.shape[0] < cap:
             mask = jnp.pad(mask, (0, cap - mask.shape[0]))
         elif mask.shape[0] > cap:
@@ -307,9 +328,17 @@ class Dataset:
         valid_mask [B,k] bool). Scores follow reference semantics:
         distance for l2/cosine, raw inner product for dot."""
         self.touch()
-        mask = self.filter_mask(filters or [])
+        # snapshot the (index, row map, columns) TRIO under the lock:
+        # compaction swaps them for rebuilt ones with renumbered rows,
+        # and mixing a new index with an old row map (or vice versa)
+        # returns wrong ids; the old objects stay internally consistent
+        with self._lock:
+            idx = self.index
+            r2i = self._row_to_id
+            cols = self.columns
+        mask = self.filter_mask(filters or [], _columns=cols, _index=idx)
         t0 = time.perf_counter()
-        d, r = self.index.search(
+        d, r = idx.search(
             jnp.asarray(queries, dtype=jnp.float32),
             k,
             filter_mask=mask,
@@ -337,8 +366,8 @@ class Dataset:
         for b in range(r.shape[0]):
             for j in range(r.shape[1]):
                 ids[b, j] = (
-                    self._row_to_id[r[b, j]]
-                    if ok[b, j] and r[b, j] < len(self._row_to_id)
+                    r2i[r[b, j]]
+                    if ok[b, j] and r[b, j] < len(r2i)
                     else None
                 )
                 if ids[b, j] is None:

@@ -116,9 +116,6 @@ class VectorStore:
                         Path(base) / "graphs"
                         / f"{name.replace('/', '_')}.edges"
                     )
-                    params = {
-                        k: v for k, v in params.items() if k != "graph_disk"
-                    }
                 ds = Dataset(
                     name,
                     dim,
@@ -161,6 +158,16 @@ class VectorStore:
             dtype = _jnp.dtype(meta.get("dtype", "bfloat16"))
         except TypeError:
             dtype = self.dtype
+        restore_params = meta.get("index_params") or {}
+        graph_disk_path = None
+        if restore_params.get("graph_disk") and self.engine is not None:
+            # re-attach the disk edge store (its append-only log IS the
+            # durable edge state and replays itself on open) — without
+            # this a disk-backed graph restarted fully in-memory
+            graph_disk_path = (
+                Path(self.engine.dir) / "graphs"
+                / f"{name.replace('/', '_')}.edges"
+            )
         ds = Dataset(
             name,
             meta["dim"],
@@ -171,7 +178,8 @@ class VectorStore:
                 "migration_threshold", self.migration_threshold
             ),
             index_kind=meta.get("index_kind", "adaptive"),
-            index_params=meta.get("index_params"),
+            index_params=restore_params,
+            graph_disk_path=graph_disk_path,
         )
         ds.index = import_index(blob["index_state"])
         ds.columns = ColumnStore.import_state(
@@ -373,6 +381,13 @@ class VectorStore:
             )
             hit = self.query_cache.get(key)
             if hit is not None:
+                try:
+                    # cache hits are reads too: without this, dataset
+                    # TTL permanently drops a dataset actively served
+                    # from cache (TTL < cache TTL)
+                    self.get(dataset).touch()
+                except KeyError:
+                    pass
                 if self.eviction is not None:
                     found = [i for i in hit[0].ravel() if i is not None]
                     if found:

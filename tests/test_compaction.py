@@ -203,3 +203,51 @@ def test_dataset_ttl_drops_idle_datasets():
     store.search("fresh", v[0], 1, use_cache=False)  # touches fresh
     w.run_once()
     assert store.list_datasets() == ["fresh"]
+
+
+def test_upsert_clears_stale_row_slot_for_sparse_filters():
+    """An upsert must null the OLD row's slot in the row->id map —
+    hybrid/sparse filtering builds its allowed-set from
+    row_ids_array() and matched the id against its pre-upsert column
+    values otherwise (review finding)."""
+    store = VectorStore()
+    v = _vecs(10, 8)
+    store.put(
+        "up", np.arange(10), v,
+        columns={"color": np.asarray(["red"] * 10)},
+    )
+    ds = store.get("up")
+    old_row = ds._id_to_row[3]
+    store.put(
+        "up", np.asarray([3]), v[3:4],
+        columns={"color": np.asarray(["blue"])},
+    )
+    assert ds._row_to_id[old_row] is None  # stale slot cleared
+    from longbow_tpu.query.parser import Filter
+
+    ids, _, ok = store.search(
+        "up", v[3], 10, filters=[Filter("color", "=", "red")],
+        use_cache=False,
+    )
+    got = [i for i in ids[0] if i is not None]
+    assert 3 not in got  # id 3 is blue now
+
+
+def test_compaction_reclaims_fully_deleted_dataset():
+    """Deleting every row then compacting must actually release the
+    index capacity (the old early-return kept full capacity forever
+    and re-triggered a no-op compaction every sweep)."""
+    from longbow_tpu.store.compaction import compact_dataset
+
+    store = VectorStore()
+    store.put("gone", np.arange(40_000), _vecs(40_000, 16))
+    ds = store.get("gone")
+    before = ds.hbm_bytes()
+    store.delete("gone", list(range(40_000)))
+    out = compact_dataset(ds)
+    assert out["reclaimed_rows"] == 40_000
+    assert ds.hbm_bytes() < before
+    assert len(ds.index) == 0
+    # second compaction is a no-op, not a re-trigger
+    out = compact_dataset(ds)
+    assert out["reclaimed_rows"] == 0
