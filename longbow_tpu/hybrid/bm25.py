@@ -166,32 +166,44 @@ class BM25Index:
             ]
 
     def export_state(self) -> dict:
-        # wire format unchanged (doc-id keyed) for snapshot compat
+        # doc ids ride as [id, value] PAIRS: snapshots pass through
+        # json.dumps, which stringifies dict keys — a doc-id-keyed
+        # export came back with str ids after recovery, so hybrid
+        # fusion never merged sparse hits with dense int ids and
+        # re-puts of the original int id left ghost postings forever
+        # (the LWW export dodges this the same way, engine.py)
         with self._lock:
             return {
                 "k1": self.k1,
                 "b": self.b,
                 "postings": {
-                    t: {self._doc_ids[s]: tf for s, tf in d.items()}
+                    t: [
+                        [self._doc_ids[s], tf] for s, tf in d.items()
+                    ]
                     for t, d in self._postings.items()
                 },
-                "doc_len": {
-                    doc: float(self._doc_len[s])
+                "doc_len": [
+                    [doc, float(self._doc_len[s])]
                     for doc, s in self._slot_of.items()
-                },
+                ],
             }
 
     @classmethod
     def import_state(cls, st: dict) -> "BM25Index":
         idx = cls(st["k1"], st["b"])
-        for doc, ln in st["doc_len"].items():
+        raw_len = st["doc_len"]
+        pairs = (
+            raw_len if isinstance(raw_len, list) else raw_len.items()
+        )  # legacy dict form (keys already stringified) still loads
+        for doc, ln in pairs:
             slot = idx._take_slot(doc)
             idx._slot_of[doc] = slot
             idx._doc_len[slot] = ln
             idx._total_len += ln
         doc_terms: dict[int, list] = defaultdict(list)
         for t, d in st["postings"].items():
-            for doc, tf in d.items():
+            entries = d if isinstance(d, list) else d.items()
+            for doc, tf in entries:
                 slot = idx._slot_of[doc]
                 idx._postings[t][slot] = tf
                 doc_terms[slot].append(t)

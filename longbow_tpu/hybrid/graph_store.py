@@ -174,17 +174,22 @@ class GraphStore:
         """Dijkstra on 1/weight costs (the A* strategy's degenerate
         form without coordinates, navigator_strategy_astar.go:11)."""
         pq = [(0.0, src, [src])]
-        best = {src: 0.0}
+        # best is keyed on (node, hops): pruning on node alone lets a
+        # CHEAP path that exhausts the hop budget block a feasible
+        # within-budget path, wrongly returning None (and caching it)
+        best = {(src, 0): 0.0}
         while pq:
             cost, node, path = heapq.heappop(pq)
             if node == dst:
                 return path
-            if len(path) > max_hops:
+            hops = len(path) - 1
+            if hops >= max_hops:
                 continue
             for to, _, w in self._adj.get(node, ()):
                 c = cost + 1.0 / max(w, 1e-9)
-                if c < best.get(to, float("inf")):
-                    best[to] = c
+                key = (to, hops + 1)
+                if c < best.get(key, float("inf")):
+                    best[key] = c
                     heapq.heappush(pq, (c, to, path + [to]))
         return None
 
@@ -200,17 +205,19 @@ class GraphStore:
         if src == dst:
             return [src]
         pq = [(heuristic(src, dst), 0.0, src, [src])]
-        best = {src: 0.0}
+        best = {(src, 0): 0.0}  # (node, hops): see weighted_path
         while pq:
             _, g, node, path = heapq.heappop(pq)
             if node == dst:
                 return path
-            if len(path) > max_hops:
+            hops = len(path) - 1
+            if hops >= max_hops:
                 continue
             for to, _, w in self._adj.get(node, ()):
                 g2 = g + 1.0 / max(w, 1e-9)
-                if g2 < best.get(to, float("inf")):
-                    best[to] = g2
+                key = (to, hops + 1)
+                if g2 < best.get(key, float("inf")):
+                    best[key] = g2
                     heapq.heappush(
                         pq, (g2 + heuristic(to, dst), g2, to, path + [to])
                     )
@@ -341,13 +348,32 @@ class GraphStore:
         return g
 
 
+class _DiskAdjView:
+    """Mapping-shaped adjacency view over a DiskGraphStore's offset
+    index, so the base-class traversal algorithms work unchanged.
+    Persistent instance — no per-access class construction."""
+
+    def __init__(self, store, incoming: bool):
+        self._store = store
+        self._incoming = incoming
+
+    def get(self, node, default=()):
+        st = self._store
+        if self._incoming:
+            rows = st._read(st._roffsets.get(node, ()))
+            return [(src, ty, w) for src, _, ty, w in rows] or default
+        rows = st._read(st._offsets.get(node, ()))
+        return [(dst, ty, w) for _, dst, ty, w in rows] or default
+
+
 class DiskGraphStore(GraphStore):
     """Disk-backed edge store (reference: disk_graph.go:19): edge
     payloads live in an append-only log file; RAM holds only
     node -> [file offset] indexes. Adjacency reads seek the log, so
     RAM stays O(edges * 8B) instead of O(edges * payload).
-    Crash-safe: the log is replayed on open (partial tail lines are
-    dropped)."""
+    Crash-safe: a torn tail line is TRUNCATED on open (appending after
+    it would merge records and silently drop every later edge at the
+    next replay)."""
 
     def __init__(self, path):
         super().__init__()
@@ -359,13 +385,17 @@ class DiskGraphStore(GraphStore):
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self._offsets: dict = defaultdict(list)   # src -> [offset]
         self._roffsets: dict = defaultdict(list)  # dst -> [offset]
-        self._adj = None  # base-class adjacency unused
-        self._radj = None
+        # mapping-shaped views let GraphStore's BFS/Dijkstra/A*/
+        # spreading-activation run unchanged over the disk log
+        self._adj = _DiskAdjView(self, incoming=False)
+        self._radj = _DiskAdjView(self, incoming=True)
         if self.path.exists():
             self._replay()
         self._f = open(self.path, "ab")
+        self._rf = open(self.path, "rb") if self.path.exists() else None
 
     def _replay(self):
+        valid = 0
         with open(self.path, "rb") as f:
             off = 0
             for line in f:
@@ -379,13 +409,27 @@ class DiskGraphStore(GraphStore):
                 self._roffsets[dst].append(off)
                 self._edge_count += 1
                 off += len(line)
+            valid = off
+        size = self.path.stat().st_size
+        if valid < size:
+            log.warning(
+                "truncating %d torn bytes off edge log %s",
+                size - valid, self.path,
+            )
+            with open(self.path, "r+b") as f:
+                f.truncate(valid)
 
     def _read(self, offsets) -> list:
+        if not offsets:
+            return []
         out = []
-        with open(self.path, "rb") as f:
+        with self._lock:
+            self._f.flush()
+            if self._rf is None:
+                self._rf = open(self.path, "rb")
             for off in offsets:
-                f.seek(off)
-                src, dst, ty, w = self._json.loads(f.readline())
+                self._rf.seek(off)
+                src, dst, ty, w = self._json.loads(self._rf.readline())
                 out.append((src, dst, ty, w))
         return out
 
@@ -403,47 +447,21 @@ class DiskGraphStore(GraphStore):
             self._edge_count += 1
             self._path_cache.clear()
 
+    def has_edge(self, src, dst, edge_type: str = "", weight=None) -> bool:
+        """Idempotence check for WAL replay (an edge restored from
+        this log must not be re-appended by the WAL tail)."""
+        for d, ty, w in self._adj.get(src, ()):
+            if d == dst and ty == edge_type and (
+                weight is None or w == weight
+            ):
+                return True
+        return False
+
     def neighbors(self, node) -> list:
         return [
             (d, ty, w)
             for _, d, ty, w in self._read(self._offsets.get(node, ()))
         ]
-
-    # GraphStore algorithms read self._adj/self._radj mappings; present
-    # lazy views over the offset indexes with the same shape
-    @property
-    def _adj_view(self):
-        store = self
-
-        class _View:
-            def get(self, node, default=()):
-                return store.neighbors(node) or default
-
-        return _View()
-
-    def __getattribute__(self, name):
-        if name == "_adj":
-            v = object.__getattribute__(self, "__dict__").get("_adj")
-            if v is None:
-                return object.__getattribute__(self, "_adj_view")
-            return v
-        if name == "_radj":
-            v = object.__getattribute__(self, "__dict__").get("_radj")
-            if v is None:
-                store = self
-
-                class _RView:
-                    def get(self, node, default=()):
-                        rows = store._read(
-                            store._roffsets.get(node, ())
-                        )
-                        return [
-                            (s, ty, w) for s, _, ty, w in rows
-                        ] or default
-
-                return _RView()
-            return v
-        return object.__getattribute__(self, name)
 
     def stats(self) -> dict:
         return {
@@ -455,16 +473,44 @@ class DiskGraphStore(GraphStore):
         }
 
     def analytics(self, top_hubs: int = 10) -> dict:
-        # recompute over the offset indexes (degree = offset counts)
+        """Same response shape as the in-memory store (the
+        graph-analytics action must not have two schemas): degrees
+        from the offset indexes, components from ONE sequential pass
+        over the log."""
         nodes = set(self._offsets) | set(self._roffsets)
         out_deg = {n: len(self._offsets.get(n, ())) for n in nodes}
         in_deg = {n: len(self._roffsets.get(n, ())) for n in nodes}
         n = len(nodes)
+        # undirected union-find over one sequential log read
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        with open(self.path, "rb") as f:
+            for line in f:
+                if not line.endswith(b"\n"):
+                    break
+                try:
+                    src, dst, _, _ = self._json.loads(line)
+                except Exception:
+                    break
+                parent[find(src)] = find(dst)
+        comp_sizes: dict = defaultdict(int)
+        for node in nodes:
+            comp_sizes[find(node)] += 1
+        sizes = sorted(comp_sizes.values(), reverse=True)
         hubs = sorted(out_deg.items(), key=lambda kv: -kv[1])[:top_hubs]
         return {
             "nodes": n,
             "edges": self._edge_count,
-            "density": self._edge_count / (n * (n - 1)) if n > 1 else 0.0,
+            "components": len(sizes),
+            "largest_component": sizes[0] if sizes else 0,
             "max_out_degree": max(out_deg.values(), default=0),
             "max_in_degree": max(in_deg.values(), default=0),
             "avg_out_degree": sum(out_deg.values()) / n if n else 0.0,
@@ -486,3 +532,5 @@ class DiskGraphStore(GraphStore):
 
     def close(self):
         self._f.close()
+        if self._rf is not None:
+            self._rf.close()

@@ -322,10 +322,28 @@ class StorageEngine:
                     elif op["op"] == "drop":
                         store.drop(name, _log=False)
                     elif op["op"] == "add_edge":
-                        store.add_edge(
-                            name, op["from"], op["to"], op["type"],
-                            op["weight"], _log=False,
-                        )
+                        # disk-backed edge stores already restored this
+                        # edge from their OWN append-only log; re-adding
+                        # from the WAL tail would write a second durable
+                        # copy that compounds on every restart
+                        try:
+                            g = store.get(name).graph
+                        except KeyError:
+                            g = None
+                        if (
+                            g is not None
+                            and getattr(g, "path", None) is not None
+                            and g.has_edge(
+                                op["from"], op["to"], op["type"],
+                                op["weight"],
+                            )
+                        ):
+                            pass
+                        else:
+                            store.add_edge(
+                                name, op["from"], op["to"], op["type"],
+                                op["weight"], _log=False,
+                            )
             except (ValueError, KeyError) as e:
                 # a semantically-rejected frame (e.g. one logged before
                 # its validation bug was fixed) must not brick startup

@@ -74,11 +74,34 @@ def write_snapshot(root: str | Path, datasets: dict) -> Path:
 
 def read_snapshot(root: str | Path) -> Optional[dict]:
     """-> {name: {"table", "index_state", "bm25", "graph", "meta"}} or
-    None when no snapshot exists."""
-    final = Path(root) / "snapshot"
+    None when no snapshot exists. A crash between write_snapshot's two
+    renames leaves only snapshot.old.*/snapshot.tmp.* — recovery falls
+    back to the newest complete one (MANIFEST present) instead of
+    coming up empty and letting the next snapshot+truncate make the
+    loss permanent."""
+    root = Path(root)
+    final = root / "snapshot"
     mf = final / "MANIFEST.json"
     if not mf.exists():
-        return None
+        candidates = sorted(
+            (
+                d
+                for pat in ("snapshot.old.*", "snapshot.tmp.*")
+                for d in root.glob(pat)
+                if (d / "MANIFEST.json").exists()
+            ),
+            key=lambda d: d.name.rsplit(".", 1)[-1],
+            reverse=True,
+        )
+        if not candidates:
+            return None
+        import logging
+
+        logging.getLogger("longbow.storage").warning(
+            "snapshot dir missing; recovering from %s (crash mid-swap)",
+            candidates[0],
+        )
+        candidates[0].rename(final)
     manifest = json.loads(mf.read_text())
     out = {}
     for entry in manifest["datasets"]:

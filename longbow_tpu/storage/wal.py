@@ -166,9 +166,22 @@ class WAL:
         self._seq = 0
         if self.path.exists() and self.path.stat().st_size:
             buf = self.path.read_bytes()
-            offsets, _ = _scan_frames(buf)
+            offsets, valid = _scan_frames(buf)
             if offsets:
                 self._seq = _HDR.unpack_from(buf, offsets[-1])[1]
+            if valid < len(buf):
+                # TRUNCATE the torn tail from a mid-frame crash before
+                # reopening for append: frames appended after garbage
+                # are acked+fsynced but unreachable by fail-fast replay
+                # on the NEXT restart — silent permanent loss
+                import logging
+
+                logging.getLogger("longbow.storage").warning(
+                    "truncating %d torn bytes off WAL tail (%s)",
+                    len(buf) - valid, self.path,
+                )
+                with open(self.path, "r+b") as f:
+                    f.truncate(valid)
         self._backend = None
         if io_uring:
             try:
@@ -178,6 +191,11 @@ class WAL:
         if self._backend is None:
             self._backend = _FileBackend(self.path)
         self._lock = threading.Lock()
+        # running byte total: size_bytes on the put hot path must not
+        # pay a flush+stat syscall pair under the appenders' lock
+        self._total_bytes = (
+            self.path.stat().st_size if self.path.exists() else 0
+        )
         self.sync = sync
         self._dirty = False
         self._sync_interval = sync_interval_s
@@ -206,8 +224,16 @@ class WAL:
                     try:
                         self._backend.sync()
                     except Exception:
+                        # a transient fsync error (EIO/ENOSPC) must not
+                        # kill the group-commit thread — that silently
+                        # disabled durability for the process lifetime
+                        # while writes kept being acked
                         status = "error"
-                        raise
+                        import logging
+
+                        logging.getLogger("longbow.storage").exception(
+                            "WAL fsync failed; retrying next interval"
+                        )
                     finally:
                         self._dirty = status == "error"
                         try:
@@ -294,6 +320,7 @@ class WAL:
                 except Exception:
                     pass  # metrics must never fail a write
             self._bytes_since_sync += len(frame)
+            self._total_bytes += len(frame)
             if self.sync == "always":
                 self._backend.sync()
             else:
@@ -307,8 +334,7 @@ class WAL:
 
     @property
     def size_bytes(self) -> int:
-        with self._lock:
-            return self._backend.size()
+        return self._total_bytes  # monotonic counter, no syscalls
 
     @property
     def backend_name(self) -> str:
@@ -320,6 +346,7 @@ class WAL:
         with self._lock:
             self._backend.truncate()
             self._dirty = False
+            self._total_bytes = 0
 
     def close(self) -> None:
         self._stop.set()

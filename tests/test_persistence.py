@@ -540,3 +540,82 @@ def test_rejected_write_does_not_poison_wal(tmp_path):
     vs2 = VectorStore(persist_dir=str(tmp_path))  # must not raise
     assert vs2.get("se").live_count == 5
     vs2.close()
+
+
+def test_wal_torn_tail_truncated_on_reopen(tmp_path):
+    """A torn tail from a mid-frame crash must be TRUNCATED at reopen:
+    appending after the garbage makes every later acked+fsynced frame
+    unreachable by fail-fast replay on the NEXT restart (review
+    finding: silent permanent loss)."""
+    import pyarrow as pa
+
+    w = WAL(tmp_path / "w.log", sync="always")
+    t = pa.table({"id": pa.array([1], pa.int64())})
+    w.append_batch("d", t)
+    w.close()
+    with open(tmp_path / "w.log", "ab") as f:
+        f.write(b"\x01\x02half-a-frame")  # torn tail
+    w2 = WAL(tmp_path / "w.log", sync="always")  # truncates
+    w2.append_batch("d", t)  # post-crash write
+    w2.close()
+    entries = list(WAL.replay(tmp_path / "w.log"))
+    assert len(entries) == 2  # BOTH frames replay
+
+
+def test_bm25_int_ids_survive_snapshot_roundtrip(tmp_path):
+    """BM25 doc ids must come back as ints after a snapshot (JSON
+    stringified dict keys broke hybrid fusion and upserts after every
+    recovery — review finding)."""
+    store = VectorStore(persist_dir=str(tmp_path), wal_sync="always")
+    v = _vecs(10, 8)
+    store.put(
+        "h", np.arange(10), v,
+        columns={"text": np.asarray([f"doc {i} alpha" for i in range(10)])},
+    )
+    store.snapshot()
+    store.close()
+    store2 = VectorStore(persist_dir=str(tmp_path))
+    hits = store2.get("h").bm25.search("alpha", 5)
+    assert hits and all(isinstance(doc, int) for doc, _ in hits)
+    # hybrid fusion merges sparse hits with dense int ids again
+    ids, _, ok = store2.hybrid_search(
+        "h", v[:1], 3, text_query="alpha", alpha=0.5
+    )
+    assert ids[0, 0] is not None and isinstance(ids[0, 0], (int, np.integer))
+    store2.close()
+
+
+def test_snapshot_survives_crash_between_renames(tmp_path):
+    """A crash between write_snapshot's two renames leaves only
+    snapshot.old.* — recovery must fall back to it instead of coming
+    up empty (review finding: the next snapshot made the loss
+    permanent)."""
+    store = VectorStore(persist_dir=str(tmp_path), wal_sync="always")
+    store.put("s", np.arange(8), _vecs(8, 8))
+    store.snapshot()
+    store.close()
+    # simulate the mid-swap crash: snapshot -> snapshot.old.<ts>,
+    # tmp never renamed in
+    (tmp_path / "snapshot").rename(tmp_path / "snapshot.old.999999")
+    store2 = VectorStore(persist_dir=str(tmp_path))
+    assert store2.get("s").live_count == 8
+    store2.close()
+
+
+def test_weighted_path_hop_budget_not_blocked_by_cheap_long_path():
+    """Dijkstra's pruning is keyed on (node, hops): a cheap path that
+    exhausts the hop budget must not block a feasible within-budget
+    path (review finding: find_path wrongly returned None and cached
+    it)."""
+    from longbow_tpu.hybrid.graph_store import GraphStore
+
+    g = GraphStore()
+    # cheap 3-hop chain to X (exhausts budget), expensive 2-hop to X
+    g.add_edge("src", "a", weight=10.0)
+    g.add_edge("a", "b", weight=10.0)
+    g.add_edge("b", "X", weight=10.0)
+    g.add_edge("src", "Y", weight=0.5)
+    g.add_edge("Y", "X", weight=0.5)
+    g.add_edge("X", "dst", weight=1.0)
+    path = g.weighted_path("src", "dst", max_hops=3)
+    assert path == ["src", "Y", "X", "dst"]
