@@ -24,7 +24,9 @@ import numpy as np
 from longbow_tpu.index.flat import FlatIndex
 from longbow_tpu.index.hardness import (
     DEFAULT_MIN_CONTRAST,
-    relative_contrast,
+    relative_contrast,  # noqa: F401 (kept as a patchable module hook)
+    relative_contrast_from_sample,
+    sample_for_contrast,
 )
 from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
 from longbow_tpu.ops.distance import Metric
@@ -166,12 +168,20 @@ class AdaptiveIndex:
         so callers must NOT hold a put on it (see _maybe_migrate)."""
         with self._mlock:
             self._flat.flush()
-            # XLA arrays are immutable — appends swap in new buffers —
-            # so the expensive self-search runs on this snapshot
-            # OUTSIDE the lock (holding it stalls every put for the
-            # probe's multi-second device program)
-            vecs = self._flat.vectors
-        rc = relative_contrast(vecs, count)
+            fl = self._flat
+        # sample under the flat index's DISPATCH lock and sync it:
+        # flushes DONATE the corpus buffer, and a take dispatched after
+        # a donating execution dies with "buffer deleted or donated"
+        # (TPU-only — CPU tests can't see it). The sample arrays are
+        # fresh buffers, so the expensive self-search kernel then runs
+        # OUTSIDE every lock (holding one stalls puts for seconds).
+        with fl._mu:
+            sampled = sample_for_contrast(fl.vectors, count)
+            if sampled is not None:
+                sampled[0].block_until_ready()
+        if sampled is None:
+            return True  # too small to judge; graphs are fine small
+        rc = relative_contrast_from_sample(*sampled)
         self.last_contrast = rc
         try:
             from longbow_tpu.metrics import get_registry
@@ -206,49 +216,57 @@ class AdaptiveIndex:
         return True
 
     def _maybe_migrate(self) -> None:
-        if self._graph is not None or self._builder is not None:
-            return
-        if len(self._flat) < self.migration_threshold:
-            return
-        probe = self.min_contrast > 0 and self.migration_threshold > 0
-        count = len(self._flat)
-        if probe:
-            # probe once per count-doubling: low-contrast data stays on
-            # the exact scan (see index/hardness.py for the measured
-            # rationale); a distribution that gains structure as it
-            # grows still migrates at the next doubling
-            if count < 2 * self._contrast_checked_at:
+        # decision under _mlock: two concurrent adds at the threshold
+        # could both see _builder None and spawn two builders, whose
+        # second swap discards rows acked into the first graph
+        with self._mlock:
+            if self._graph is not None or self._builder is not None:
                 return
-            self._contrast_checked_at = count
-        # threshold 0 = the explicit "hnsw" kind: the graph IS the
-        # index, so the first batch builds synchronously; background
-        # applies only to genuine flat->graph crossings mid-serve
-        if not self.background_migration or self.migration_threshold <= 0:
-            if probe and not self._probe_contrast(count):
+            if len(self._flat) < self.migration_threshold:
                 return
-            self._build_graph()
-            return
-
-        def _probe_then_build() -> None:
-            # the probe's exact self-search costs seconds — it must not
-            # stall the put that crossed the threshold (the round-2
-            # review flagged exactly this class of synchronous work)
-            try:
-                if probe and not self._probe_contrast(count):
-                    self._builder = None  # free the slot for next try
+            probe = (
+                self.min_contrast > 0 and self.migration_threshold > 0
+            )
+            count = len(self._flat)
+            if probe:
+                # probe once per count-doubling: low-contrast data
+                # stays on the exact scan (see index/hardness.py for
+                # the measured rationale); a distribution that gains
+                # structure as it grows still migrates at the next
+                # doubling
+                if count < 2 * self._contrast_checked_at:
                     return
-            except Exception:
-                log.exception("hardness probe failed; staying flat")
-                self._builder = None
+                self._contrast_checked_at = count
+            if self.background_migration and self.migration_threshold > 0:
+                t = threading.Thread(
+                    target=self._probe_then_build_body,
+                    args=(probe, count),
+                    daemon=True,
+                    name="longbow-migrate",
+                )
+                self._builder = t
+                t.start()
                 return
-            self._build_graph()  # its finally clears _builder
+        # threshold 0 = the explicit "hnsw" kind: the graph IS the
+        # index, so the first batch builds synchronously (outside the
+        # lock — _build_graph re-acquires it)
+        if probe and not self._probe_contrast(count):
+            return
+        self._build_graph()
 
-        t = threading.Thread(
-            target=_probe_then_build, daemon=True,
-            name="longbow-migrate",
-        )
-        self._builder = t
-        t.start()
+    def _probe_then_build_body(self, probe: bool, count: int) -> None:
+        # the probe's exact self-search costs seconds — it must not
+        # stall the put that crossed the threshold (the round-2
+        # review flagged exactly this class of synchronous work)
+        try:
+            if probe and not self._probe_contrast(count):
+                self._builder = None  # free the slot for next try
+                return
+        except Exception:
+            log.exception("hardness probe failed; staying flat")
+            self._builder = None
+            return
+        self._build_graph()  # its finally clears _builder
 
     def wait_migration(self, timeout_s: Optional[float] = None) -> bool:
         """Block until any in-flight migration finishes (tests/ops)."""

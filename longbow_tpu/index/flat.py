@@ -243,9 +243,14 @@ class FlatIndex:
         need = self._stage_rows + n
         buf = self._stage_buf
         if buf is None or buf.shape[0] < need:
-            new = np.zeros(
-                (_bucket_rows(max(need, 16384)), self.dim), np.float32
+            # geometric growth (and always >= the flush-slice bucket):
+            # _bucket_rows alone grows linearly past 256k, re-copying
+            # the whole staged prefix on every boundary — quadratic
+            old_rows = buf.shape[0] if buf is not None else 0
+            new_rows = _bucket_rows(
+                max(need, 2 * old_rows, 16384)
             )
+            new = np.zeros((new_rows, self.dim), np.float32)
             if self._stage_rows:
                 new[: self._stage_rows] = buf[: self._stage_rows]
             self._stage_buf = buf = new
@@ -273,19 +278,22 @@ class FlatIndex:
         n = self._stage_rows
         n_pad = _bucket_rows(n)
         block = self._stage_buf[:n_pad]
-        # HAND THE BUFFER OFF: jax zero-copy-aliases host f32 arrays on
-        # CPU and executes asynchronously, so reusing this buffer for
-        # the next fill overwrites data an in-flight ingest still
-        # reads (measured: every chunk stored the NEXT chunk's
-        # vectors at 1M x 128). A fresh zeros() per cycle is lazy
-        # kernel pages — far cheaper than the old concat+pad copies.
-        self._stage_buf = None
         self._grow_to(self._device_count + n_pad)
         self.vectors, self.norms_sq, self.valid = _ingest_block(
             self.vectors, self.norms_sq, self.valid,
             block, self._device_count, n,
             self.metric == Metric.COSINE,
         )
+        # HAND THE BUFFER OFF only AFTER a successful dispatch: jax
+        # zero-copy-aliases host f32 arrays on CPU and executes
+        # asynchronously, so reusing this buffer for the next fill
+        # overwrites data an in-flight ingest still reads (measured:
+        # every chunk stored the NEXT chunk's vectors at 1M x 128).
+        # Nulling BEFORE the dispatch poisoned the index forever if
+        # _grow_to/_ingest_block raised (wedged relay, device OOM) —
+        # staged rows must stay retryable. Fresh zeros() per cycle is
+        # lazy kernel pages, far cheaper than the old concat+pad.
+        self._stage_buf = None
         self._device_count += n
         self._stage_rows = 0
         if self._stage_dead:

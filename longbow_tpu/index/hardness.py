@@ -62,9 +62,30 @@ def relative_contrast(
     device vector array. One jitted call, scalar fetch; db sample size
     is bucketed to powers of two so repeated probes reuse the compile.
     """
+    sampled = sample_for_contrast(
+        vectors, count, n_queries=n_queries, max_db=max_db
+    )
+    if sampled is None:
+        return float("inf")  # too small to judge; graphs are fine small
+    db, q = sampled
+    return relative_contrast_from_sample(db, q, k=k)
+
+
+def sample_for_contrast(
+    vectors,
+    count: int,
+    *,
+    n_queries: int = 256,
+    max_db: int = 65536,
+):
+    """Extract the (db, q) probe sample from the corpus buffer. This is
+    the only part that READS `vectors` — callers that race donating
+    flushes dispatch this under the index's dispatch lock and sync it
+    (the returned arrays are fresh buffers, safe after the source is
+    donated), then run the kernel outside any lock."""
     count = int(count)
     if count < 4 * n_queries:
-        return float("inf")  # too small to judge; graphs are fine small
+        return None
     db_n = min(max_db, count - n_queries)
     db_n = 1 << (db_n.bit_length() - 1)  # pow2 bucket: stable jit shape
     # strided samples decorrelate from insertion order; queries drawn
@@ -73,4 +94,8 @@ def relative_contrast(
     q_idx = np.linspace(1, count - 2, n_queries, dtype=np.int64)
     db = jnp.take(vectors, jnp.asarray(db_idx), axis=0).astype(jnp.float32)
     q = jnp.take(vectors, jnp.asarray(q_idx), axis=0).astype(jnp.float32)
+    return db, q
+
+
+def relative_contrast_from_sample(db, q, *, k: int = 10) -> float:
     return float(_rc_kernel(db, q, k))

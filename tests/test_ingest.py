@@ -152,28 +152,28 @@ def test_hardness_probe_does_not_block_puts():
     """The contrast probe's exact self-search runs on the migration
     worker, not in the put that crossed the threshold (and it computes
     on an immutable snapshot outside the mutation lock)."""
-    idx = AdaptiveIndex(8, migration_threshold=500, min_contrast=2.0)
+    idx = AdaptiveIndex(8, migration_threshold=1100, min_contrast=2.0)
     slow = {"calls": 0}
     import longbow_tpu.index.adaptive as adaptive_mod
 
-    orig = adaptive_mod.relative_contrast
+    orig = adaptive_mod.relative_contrast_from_sample
 
-    def slow_probe(vecs, count):
+    def slow_probe(db, q, **kw):
         slow["calls"] += 1
         time.sleep(1.5)  # simulate the multi-second device program
-        return orig(vecs, count)
+        return orig(db, q, **kw)
 
-    adaptive_mod.relative_contrast = slow_probe
+    adaptive_mod.relative_contrast_from_sample = slow_probe
     try:
-        v = _vecs(700, 8)
+        v = _vecs(1400, 8)
         t0 = time.perf_counter()
-        idx.add(v[:600])  # crosses threshold -> background probe
+        idx.add(v[:1300])  # crosses threshold -> background probe
         assert time.perf_counter() - t0 < 1.0, "put blocked on probe"
         t0 = time.perf_counter()
         for i in range(5):
-            idx.add(v[600 + i * 20 : 600 + (i + 1) * 20])
+            idx.add(v[1300 + i * 20 : 1300 + (i + 1) * 20])
         assert time.perf_counter() - t0 < 1.0, "puts blocked on probe"
         assert idx.wait_migration(timeout_s=60.0)
         assert slow["calls"] == 1
     finally:
-        adaptive_mod.relative_contrast = orig
+        adaptive_mod.relative_contrast_from_sample = orig
