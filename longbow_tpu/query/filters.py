@@ -86,11 +86,9 @@ class ColumnStore:
             None if rows_np is None
             else jnp.asarray(rows_np.astype(np.int32))
         )
-        known = set(self._numeric) | set(self._str_codes)
-        for name in known - set(columns):
-            # absent existing column: rows keep the zero/-1 fill that
-            # padding provides — nothing to write
-            pass
+        # columns absent from this batch keep the zero/-1 default fill
+        # that padding provides; the prefilter treats default values as
+        # scan-path territory (see _prefilter_mask)
         for name, vals in columns.items():
             arr = np.asarray(vals)
             if len(arr) != n:
@@ -157,11 +155,18 @@ class ColumnStore:
                         self._host_numeric[name] = col_h
                         continue
                 col = self._numeric.get(name)
-                if col is None or col.dtype != dt:
-                    base = jnp.zeros((self.capacity,), dt)
-                    if col is not None:
-                        base = col.astype(dt)
-                    col = base
+                if col is not None and col.dtype != dt:
+                    # keep the EXISTING column dtype: an int batch
+                    # upcasts losslessly to the float column (float
+                    # batches onto int columns are rejected by
+                    # check_types); retyping the column truncated it
+                    vals_f = vals_f.astype(np.float32)
+                    dt = jnp.float32
+                    # a mixed int/float column is scan territory — the
+                    # int prefilter no longer covers every row
+                    self._prefilters.pop(name, None)
+                if col is None:
+                    col = jnp.zeros((self.capacity,), dt)
                 if rows_j is None:
                     col = jax.lax.dynamic_update_slice(
                         col, jnp.asarray(vals_f), (start,)
@@ -191,6 +196,16 @@ class ColumnStore:
                     f"schema mismatch: column {name!r} is string, "
                     "got numeric values"
                 )
+            if not is_str and np.asarray(vals).dtype.kind == "f":
+                col = self._numeric.get(name)
+                if name in self._host_numeric or (
+                    col is not None
+                    and col.dtype in (jnp.int32, jnp.int64)
+                ):
+                    raise ValueError(
+                        f"schema mismatch: column {name!r} is integer, "
+                        "got float values (lossy cast rejected)"
+                    )
 
     def fields(self) -> list[str]:
         return sorted(
@@ -320,11 +335,18 @@ class ColumnStore:
         for v in vals:
             if is_str:
                 key = str(v)
+                if key == "":
+                    return None  # default fill is unindexed: scan
             else:
                 try:
                     key = str(int(v))
                 except (TypeError, ValueError):
                     return None  # scan path raises the canonical error
+                if key == "0":
+                    # rows default-filled by absent-column appends hold
+                    # 0 but were never indexed — the scan path is the
+                    # authority for the default value
+                    return None
             r = pf.rows_for(key)
             if r is None:
                 return None  # cardinality-capped column: bloom only
@@ -369,7 +391,7 @@ class ColumnStore:
             if op == "in":
                 codes = [d.get(str(v), -2) for v in in_vals]
                 return jnp.isin(col, jnp.asarray(codes, jnp.int32))
-            code = d.get(f.value, -2)  # -2: no match
+            code = d.get(str(f.value), -2)  # -2: no match
             m = col == code
             return m if op == "eq" else (col >= 0) & ~m
         if f.field in self._numeric:
@@ -420,28 +442,54 @@ class ColumnStore:
 
 class FilterCache:
     """LRU cache of evaluated filter masks keyed by the filters' hash
-    (reference: dataset.go filter cache, ~100-entry LRU)."""
+    AND the store version (reference: dataset.go filter cache,
+    ~100-entry LRU). The version in the key makes a mask computed from
+    a pre-invalidation column snapshot unstorable after invalidate()
+    ran — without it, a search racing a compaction could poison the
+    cache with a stale-row-numbering mask for every later query."""
 
     def __init__(self, max_entries: int = 100):
+        import json as _json
+        import threading as _threading
+
+        self._json = _json
         self.max_entries = max_entries
-        self._d: OrderedDict[str, jax.Array] = OrderedDict()
-        self._version = 0  # bumped on every append/delete
+        self._d: OrderedDict[tuple, jax.Array] = OrderedDict()
+        self._version = 0  # bumped on every append/delete/compaction
+        self._lock = _threading.Lock()  # vs concurrent invalidate()
 
     def invalidate(self) -> None:
-        self._version += 1
-        self._d.clear()
+        with self._lock:
+            self._version += 1
+            self._d.clear()
 
     def get_or_eval(
         self, store: ColumnStore, filters: list[Filter]
     ) -> Optional[jax.Array]:
         if not filters:
             return None
-        key = "|".join(f.cache_key() for f in filters)
-        if key in self._d:
-            self._d.move_to_end(key)
-            return self._d[key]
+        with self._lock:
+            ver = self._version
+            # structured key: joining raw field/value strings with
+            # unescaped separators let distinct filter lists collide
+            # and serve each other's masks
+            key = (
+                ver,
+                self._json.dumps(
+                    [
+                        [f.field, f.operator, f.value, f.logic]
+                        for f in filters
+                    ]
+                ),
+            )
+            hit = self._d.get(key)
+            if hit is not None:
+                self._d.move_to_end(key)
+                return hit
         mask = store.evaluate(filters)
-        self._d[key] = mask
-        if len(self._d) > self.max_entries:
-            self._d.popitem(last=False)
+        with self._lock:
+            if self._version == ver:  # don't store a stale snapshot
+                self._d[key] = mask
+                if len(self._d) > self.max_entries:
+                    self._d.popitem(last=False)
         return mask

@@ -122,13 +122,19 @@ def parse_search_request(obj: dict) -> VectorSearchRequest:
         dataset=obj.get("dataset", ""),
         vector=obj.get("vector"),
         vectors=obj.get("vectors"),
-        k=int(obj.get("k", 10) or 10),
+        # explicit None check: `or 10` silently turned an explicit
+        # k=0 into 10, making the positivity guard unreachable
+        k=(10 if obj.get("k") is None else int(obj["k"])),
         filters=_parse_filters(obj.get("filters")),
         local_only=bool(obj.get("local_only", False)),
         text_query=obj.get("text_query", "") or "",
         alpha=float(obj.get("alpha", 0.0) or 0.0),
         graph_alpha=float(obj.get("graph_alpha", 0.0) or 0.0),
-        graph_depth=int(obj.get("graph_depth", 2) or 2),
+        graph_depth=(
+            2
+            if obj.get("graph_depth") is None
+            else int(obj["graph_depth"])
+        ),
         fusion=str(obj.get("fusion", "linear") or "linear"),
         include_vectors=bool(obj.get("include_vectors", False)),
         vector_format=obj.get("vector_format", "") or "",

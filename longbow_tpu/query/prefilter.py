@@ -90,9 +90,16 @@ class ColumnPrefilter:
 
     def add_batch(self, keys: np.ndarray, row_ids: np.ndarray) -> None:
         """keys: [n] str-like; row_ids: [n] int64 positions."""
+        # grow by NOVEL-key count, not batch row count: a
+        # low-cardinality column appended in 1M-row batches otherwise
+        # quadruples the bloom every batch for zero accuracy gain
+        novel = 0
+        if self.rows is not None:
+            seen = self.rows
+            novel = sum(1 for k in set(keys.tolist()) if k not in seen)
         if (
             self.rows is not None
-            and self.bloom.count + len(keys) > self.bloom.capacity
+            and self.bloom.count + novel > self.bloom.capacity
         ):
             # rebuild a doubled filter from the backing dict; bloom-only
             # columns never grow (rehashing without the key set would

@@ -11,12 +11,20 @@ from collections import OrderedDict
 from typing import Any, Optional
 
 
+_COUNTERS: dict = {}
+
+
 def _count(name: str) -> None:
     """Tick a pre-declared Prometheus counter (registry.py:51-52 — the
-    declared hit/miss counters must actually move)."""
-    from longbow_tpu.metrics import get_registry
+    declared hit/miss counters must actually move). The counter object
+    is resolved ONCE: re-resolving through the global registry lock on
+    every cache get nested two locks inside the per-search hot path."""
+    c = _COUNTERS.get(name)
+    if c is None:
+        from longbow_tpu.metrics import get_registry
 
-    get_registry().counter(name).inc()
+        c = _COUNTERS[name] = get_registry().counter(name)
+    c.inc()
 
 
 class QueryCache:
