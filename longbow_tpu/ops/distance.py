@@ -61,6 +61,12 @@ class Metric:
 # compiler into a 200-400s pathological compile (verified empirically —
 # the same program with a Python-float constant compiles in ~2s).
 MASKED = 3.0e38
+# guard threshold for "is this a real result?" comparisons: the fused
+# kernel's group-id packing can perturb a MASKED score by a few ulps
+# (~1e31 at 3e38), so `d < MASKED` lets a tombstoned/filtered row
+# through on sparse-filter scans. Real distances are < 1e30 by many
+# orders of magnitude; compare against this instead.
+MASKED_GUARD = 1.0e37
 
 
 def complex_as_real(v: jax.Array) -> jax.Array:
@@ -131,9 +137,13 @@ def _dot_f32(q: jax.Array, v: jax.Array, precision=PRECISION_FAST) -> jax.Array:
 
 
 def squared_norms(v: jax.Array) -> jax.Array:
-    """Row-wise |v|^2 in f32. Precomputed once at ingest per corpus block.
-    Complex rows use |z|^2 = |(re, im)|^2 via the widened real view."""
-    vf = _canon_dtype(v).astype(jnp.float32)
+    """Row-wise |v|^2 (f32; f64 inputs keep f64 under x64 so the exact
+    oracle's norms match its f64 inner products). Precomputed once at
+    ingest per corpus block. Complex rows use |z|^2 = |(re, im)|^2 via
+    the widened real view."""
+    vf = _canon_dtype(v)
+    if vf.dtype != jnp.float64:
+        vf = vf.astype(jnp.float32)
     return jnp.sum(vf * vf, axis=-1)
 
 
@@ -157,6 +167,14 @@ def distance_matrix(
     precision: MXU precision; PRECISION_EXACT for ground-truth paths.
     """
     metric = Metric.validate(metric)
+    if metric == Metric.HAMMING:
+        # only the binary-quantized index implements hamming
+        # (index/bq.py); falling through to the dot branch silently
+        # served negated inner products
+        raise ValueError(
+            "hamming distance is served by the 'bq' index kind, not "
+            "the dense kernels"
+        )
     # complex corpora ride the real kernels on a widened view; f64
     # follows the x64 switch (see _canon_dtype)
     queries = _canon_dtype(queries)
@@ -166,7 +184,7 @@ def distance_matrix(
     if metric == Metric.L2:
         qn = squared_norms(queries)[:, None]  # [B, 1]
         vn = (
-            corpus_norms_sq.astype(jnp.float32)[None, :]
+            corpus_norms_sq.astype(ip.dtype)[None, :]
             if corpus_norms_sq is not None
             else squared_norms(corpus)[None, :]
         )
@@ -174,7 +192,7 @@ def distance_matrix(
     elif metric == Metric.COSINE:
         qn = jnp.sqrt(squared_norms(queries))[:, None]
         vn2 = (
-            corpus_norms_sq.astype(jnp.float32)[None, :]
+            corpus_norms_sq.astype(ip.dtype)[None, :]
             if corpus_norms_sq is not None
             else squared_norms(corpus)[None, :]
         )
@@ -199,8 +217,17 @@ def pairwise_distance(
     small verification paths — batched matmul form is always preferred.
     """
     metric = Metric.validate(metric)
-    af = _canon_dtype(a).astype(jnp.float32)
-    bf = _canon_dtype(b).astype(jnp.float32)
+    if metric == Metric.HAMMING:
+        raise ValueError(
+            "hamming distance is served by the 'bq' index kind, not "
+            "the dense kernels"
+        )
+    af = _canon_dtype(a)
+    bf = _canon_dtype(b)
+    if af.dtype != jnp.float64:
+        af = af.astype(jnp.float32)
+    if bf.dtype != jnp.float64:
+        bf = bf.astype(jnp.float32)
     ip = jnp.sum(af * bf, axis=-1)
     if metric == Metric.L2:
         return jnp.maximum(jnp.sum(af * af, -1) - 2 * ip + jnp.sum(bf * bf, -1), 0.0)

@@ -56,11 +56,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from longbow_tpu.ops.distance import MASKED, Metric, pad_to
+from longbow_tpu.ops.distance import MASKED, MASKED_GUARD, Metric, pad_to
 
 # Python scalars (not traced arrays) so the kernel body has no captured
 # constants — Pallas requires all array inputs to be explicit.
-_MASKED = 3.0e38
+_MASKED = float(MASKED)  # single source of truth with distance.MASKED
 # sortable-int image of _MASKED (init value of the candidate registers)
 _MASKED_I32 = int(np.float32(_MASKED).view(np.int32))
 
@@ -233,6 +233,22 @@ def fused_flat_search(
             "fused_flat_search: pre-normalize and use dot for cosine"
         )
     mode = "l2" if metric == Metric.L2 else "ip"
+    if corpus.dtype != jnp.bfloat16 and not interpret:
+        # platform rule (CLAUDE.md): f32 variants of this kernel hit
+        # pathological (minutes-long) Mosaic compiles on v5e and can
+        # wedge the remote compile helper — the XLA scan serves f32.
+        # Enforced here so every caller doesn't re-implement the guard.
+        raise ValueError(
+            "fused_flat_search requires a bfloat16 corpus on TPU "
+            "(f32 is served by the XLA exact_search path)"
+        )
+    if tile_n and tile_n % LANES != 0:
+        # g = tile_n // LANES truncates: tail columns would never be
+        # reduced and the step*g id rebase would misattribute every
+        # row after the first tile
+        raise ValueError(
+            f"tile_n must be a multiple of {LANES}, got {tile_n}"
+        )
     # serving-path fusion: query normalization and filter-mask combine
     # happen inside this jit — each would otherwise be a separate eager
     # dispatch costing a ~30ms host round trip on this platform
@@ -406,6 +422,9 @@ def flat_search_rerank(
         ed = jnp.maximum(qn - 2.0 * ip + cn, 0.0)
     else:  # ip/dot (cosine = normalized + dot)
         ed = -ip
-    ed = jnp.where(d < MASKED, ed, MASKED)
+    # MASKED_GUARD, not MASKED: a masked row's packed score can decode
+    # a few ulps BELOW MASKED (group-id bits), and re-scoring it here
+    # would rank a filtered-out row above real matches
+    ed = jnp.where(d < MASKED_GUARD, ed, MASKED)
     neg, pos = jax.lax.top_k(-ed, k)
     return -neg, jnp.take_along_axis(i, pos, axis=1)

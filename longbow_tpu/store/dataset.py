@@ -360,7 +360,9 @@ class Dataset:
                 pass
         d = np.asarray(d)
         r = np.asarray(r)
-        ok = (d < float(MASKED)) & (r >= 0)
+        from longbow_tpu.ops.distance import MASKED_GUARD
+
+        ok = (d < float(MASKED_GUARD)) & (r >= 0)
         scores = -d if self.metric == Metric.DOT else d
         ids = np.empty(r.shape, dtype=object)
         for b in range(r.shape[0]):
