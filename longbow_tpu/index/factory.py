@@ -47,6 +47,17 @@ class _MeshAdapter:
         return len(self._inner)
 
     @property
+    def n_shards(self) -> int:
+        # forwarded so the store's sharded metrics (shard_size,
+        # load_factor, parallel_search_splits) actually observe the
+        # mesh kinds — the only index family that HAS shards
+        return getattr(self._inner, "n_shards", 0)
+
+    @property
+    def _shard_counts(self):
+        return getattr(self._inner, "_shard_counts", None)
+
+    @property
     def capacity(self) -> int:
         cap = getattr(self._inner, "capacity", 0)
         if not cap and getattr(self._inner, "valid", None) is not None:
@@ -70,6 +81,38 @@ class _MeshAdapter:
                 elif mask.shape[0] < cap:
                     mask = jnp.pad(mask, (0, cap - mask.shape[0]))
             return self._inner.search(queries, k, filter_mask=mask)
+        # mesh_graph with exact=True: the oracle contract must not be
+        # silently served approximate results — fall back to an exact
+        # scan over the host vector copy (oracle/verification paths
+        # only; serving uses exact=False)
+        if exact:
+            from longbow_tpu.ops.distance import exact_search
+
+            allv = self._inner._host_all()
+            if len(allv) == 0:
+                b = np.atleast_2d(np.asarray(queries)).shape[0]
+                from longbow_tpu.ops.distance import MASKED as _MASK
+
+                return (
+                    np.full((b, k), np.float32(_MASK)),
+                    np.full((b, k), -1, np.int32),
+                )
+            valid = np.ones((len(allv),), bool)
+            deleted = getattr(self._inner, "_deleted", None)
+            if deleted:
+                valid[np.asarray(sorted(deleted), np.int64)] = False
+            if filter_mask is not None:
+                m = np.asarray(filter_mask)[: len(allv)]
+                valid[: len(m)] &= m
+            d, r = exact_search(
+                jnp.asarray(np.atleast_2d(queries), jnp.float32),
+                jnp.asarray(allv),
+                k,
+                self._inner.metric,
+                valid=jnp.asarray(valid),
+                exact_precision=True,
+            )
+            return np.asarray(d), np.asarray(r)
         # mesh_graph: traversal is unfiltered; oversample + host-side
         # mask filter (the reference's bitmap post-filter semantics)
         if filter_mask is None:

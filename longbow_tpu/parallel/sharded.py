@@ -4,18 +4,26 @@ The TPU-native ShardedHNSW / GlobalSearchCoordinator
 (reference: sharded_hnsw.go:378-470 errgroup fan-out + k*2 oversample
 merge; global_search.go:48 per-peer gRPC fan-out + top-k merge): one
 `shard_map` program does the per-shard search, converts local rows to
-global rows with the shard offset, `all_gather`s the per-shard top-k
-over ICI and merges — no RPC, no aggregator service, one compiled
-program.
+global rows, `all_gather`s the per-shard top-k over ICI and merges —
+no RPC, no aggregator service, one compiled program.
 
 Ingestion routing: striped placement (row i of an append goes to shard
 i % n_shards) replaces the consistent-hash ring — placement needs no
 key affinity because every search fans out to all shards anyway (the
 reference's global search does the same, scatter-gather.go:12).
+
+ROW-ID CONTRACT: the public row id of (shard j, slot s) is s*S + j —
+interleaved striping, independent of shard capacity. Growth pads each
+shard's slot space without relocating any PUBLIC id (the previous
+j*capacity+s encoding invalidated every id the Dataset had recorded
+when capacity doubled at ~16k rows). Internally arrays stay
+shard-major ([j*cap + s]); the public<->internal permutation is
+computed in-jit / in numpy at the edges.
 """
 from __future__ import annotations
 
 import functools
+import threading
 from typing import Optional
 
 import jax
@@ -37,25 +45,43 @@ MIN_SHARD_CAPACITY = 2048
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "mesh", "shard_rows")
+    jax.jit,
+    static_argnames=("k", "metric", "mesh", "shard_rows", "normalize"),
 )
 def _sharded_search(
     vectors: jax.Array,   # [S*shard_rows, D] sharded over rows
     norms: jax.Array,     # [S*shard_rows]
-    valid: jax.Array,     # [S*shard_rows]
+    valid: jax.Array,     # [S*shard_rows] internal layout
     queries: jax.Array,   # [B, D] replicated
+    public_mask,          # [S*shard_rows] bool public layout, or None
     k: int,
     metric: str,
     mesh: Mesh,
     shard_rows: int,
+    normalize: bool,
 ) -> tuple[jax.Array, jax.Array]:
+    n_shards = mesh.size
+    if normalize:
+        # in-jit (an eager normalize costs a ~30ms relay round trip)
+        queries = queries / jnp.maximum(
+            jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-30
+        )
+    if public_mask is not None:
+        # filter masks arrive in PUBLIC row order (column positions);
+        # permute to the internal shard-major layout in-jit:
+        # internal p = j*cap + s holds public r = s*S + j
+        p = jnp.arange(n_shards * shard_rows)
+        pub_of_int = (p % shard_rows) * n_shards + (p // shard_rows)
+        valid = jnp.logical_and(valid, public_mask[pub_of_int])
+
     def local(c, nrm, vld, q):
         d, i = exact_search(
             q, c.astype(jnp.float32), k, metric,
             corpus_norms_sq=nrm, valid=vld, exact_precision=False,
         )
-        off = jax.lax.axis_index(SHARD_AXIS) * shard_rows
-        gi = jnp.where(d < MASKED, i + off, -1)
+        j = jax.lax.axis_index(SHARD_AXIS)
+        # public id = slot * S + shard: capacity-independent
+        gi = jnp.where(d < MASKED, i * n_shards + j, -1)
         # collective merge over ICI: [S, B, k] -> [B, S*k] -> top-k
         ds = jax.lax.all_gather(d, SHARD_AXIS)
         gs = jax.lax.all_gather(gi, SHARD_AXIS)
@@ -128,6 +154,10 @@ class ShardedFlatIndex:
         self.dtype = dtype
         self.shard_capacity = pad_to(shard_capacity, MIN_SHARD_CAPACITY)
         self._shard_counts = np.zeros(self.n_shards, np.int64)
+        # dispatch lock: appends DONATE the sharded buffers; a search
+        # dispatched against the pre-donation array dies with "buffer
+        # deleted or donated" (FlatIndex carries the same guard)
+        self._mu = threading.Lock()
         self._alloc()
 
     def _alloc(self):
@@ -145,7 +175,15 @@ class ShardedFlatIndex:
 
     @property
     def capacity(self) -> int:
+        # PUBLIC row space: max public id = (cap-1)*S + (S-1) + 1
         return self.n_shards * self.shard_capacity
+
+    def _to_internal(self, rows: np.ndarray) -> np.ndarray:
+        """public r = slot*S + shard -> internal j*cap + slot."""
+        rows = np.asarray(rows, np.int64)
+        return (rows % self.n_shards) * self.shard_capacity + (
+            rows // self.n_shards
+        )
 
     def _grow(self, per_shard_need: int) -> None:
         new_cap = self.shard_capacity
@@ -153,6 +191,8 @@ class ShardedFlatIndex:
             new_cap *= 2
         if new_cap == self.shard_capacity:
             return
+        # public ids are capacity-independent (slot*S + shard), so
+        # growth only re-lays-out the INTERNAL shard-major arrays
         old_v = np.asarray(self.vectors).reshape(
             self.n_shards, self.shard_capacity, self.dim
         )
@@ -194,45 +234,48 @@ class ShardedFlatIndex:
         counts = np.array(
             [len(range(j, n, s)) for j in range(s)], np.int64
         )
-        need = int((self._shard_counts + counts).max())
-        self._grow(need)
+        with self._mu:
+            need = int((self._shard_counts + counts).max())
+            self._grow(need)
 
-        batch = np.zeros((s, per, self.dim), np.float32)
-        mask = np.zeros((s, per), bool)
-        rows = np.zeros(n, np.int64)
-        for j in range(s):
-            take = list(range(j, n, s))
-            batch[j, : len(take)] = vecs[take]
-            mask[j, : len(take)] = True
-            rows[take] = (
-                j * self.shard_capacity
-                + self._shard_counts[j]
-                + np.arange(len(take))
+            batch = np.zeros((s, per, self.dim), np.float32)
+            mask = np.zeros((s, per), bool)
+            rows = np.zeros(n, np.int64)
+            for j in range(s):
+                take = list(range(j, n, s))
+                batch[j, : len(take)] = vecs[take]
+                mask[j, : len(take)] = True
+                # public id = slot * S + shard (capacity-independent)
+                rows[take] = (
+                    self._shard_counts[j] + np.arange(len(take))
+                ) * s + j
+            # norms of the STORED (rounded) dtype: exact norms paired
+            # with rounded inner products bias distances (~5% recall@10
+            # at 1M)
+            br = batch.astype(self.dtype).astype(np.float64)
+            norms = (br ** 2).sum(-1).astype(np.float32)
+            starts = self._shard_counts.astype(np.int32).reshape(s, 1)
+
+            self.vectors, self.norms_sq, self.valid = _sharded_append(
+                self.vectors,
+                self.norms_sq,
+                self.valid,
+                jnp.asarray(batch),
+                jnp.asarray(norms),
+                jnp.asarray(mask),
+                jnp.asarray(starts),
+                mesh=self.mesh,
+                shard_rows=self.shard_capacity,
             )
-        # norms of the STORED (rounded) dtype: exact norms paired with
-        # rounded inner products bias distances (~5% recall@10 at 1M)
-        br = batch.astype(self.dtype).astype(np.float64)
-        norms = (br ** 2).sum(-1).astype(np.float32)
-        starts = self._shard_counts.astype(np.int32).reshape(s, 1)
-
-        self.vectors, self.norms_sq, self.valid = _sharded_append(
-            self.vectors,
-            self.norms_sq,
-            self.valid,
-            jnp.asarray(batch),
-            jnp.asarray(norms),
-            jnp.asarray(mask),
-            jnp.asarray(starts),
-            mesh=self.mesh,
-            shard_rows=self.shard_capacity,
-        )
-        self._shard_counts += counts
+            self._shard_counts += counts
         return rows
 
     def delete_rows(self, rows: np.ndarray) -> None:
         if len(rows) == 0:
             return
-        self.valid = self.valid.at[jnp.asarray(rows)].set(False)
+        internal = self._to_internal(rows)
+        with self._mu:
+            self.valid = self.valid.at[jnp.asarray(internal)].set(False)
 
     def search(
         self,
@@ -244,37 +287,45 @@ class ShardedFlatIndex:
         queries = jnp.asarray(queries, jnp.float32)
         if queries.ndim == 1:
             queries = queries[None, :]
-        if self.metric == Metric.COSINE:
-            queries = queries / jnp.maximum(
-                jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-30
-            )
-            metric = Metric.DOT
-        else:
-            metric = self.metric
-        valid = self.valid
+        normalize = self.metric == Metric.COSINE
+        metric = Metric.DOT if normalize else self.metric
         if filter_mask is not None:
-            valid = jnp.logical_and(valid, filter_mask)
-        return _sharded_search(
-            self.vectors,
-            self.norms_sq,
-            valid,
-            queries,
-            k,
-            metric,
-            mesh=self.mesh,
-            shard_rows=self.shard_capacity,
-        )
+            # pad the public-order mask to the public row space; the
+            # internal permutation happens in-jit (no eager dispatches
+            # on the serving path)
+            cap = self.capacity
+            if filter_mask.shape[0] < cap:
+                filter_mask = jnp.pad(
+                    filter_mask, (0, cap - filter_mask.shape[0])
+                )
+            elif filter_mask.shape[0] > cap:
+                filter_mask = filter_mask[:cap]
+        with self._mu:  # serialize dispatch vs donating appends
+            return _sharded_search(
+                self.vectors,
+                self.norms_sq,
+                self.valid,
+                queries,
+                filter_mask,
+                k,
+                metric,
+                mesh=self.mesh,
+                shard_rows=self.shard_capacity,
+                normalize=normalize,
+            )
 
     def get_vectors(self, rows: np.ndarray) -> np.ndarray:
+        internal = self._to_internal(rows)
         return np.asarray(
-            jnp.take(self.vectors, jnp.asarray(rows), axis=0).astype(
-                jnp.float32
-            )
+            jnp.take(
+                self.vectors, jnp.asarray(internal), axis=0
+            ).astype(jnp.float32)
         )
 
     def export_state(self) -> dict:
-        """Snapshot payload. Row ids are shard-strided, so the import
-        must reproduce the same mesh size + shard capacity."""
+        """Snapshot payload. Public row ids depend only on n_shards
+        (slot*S + shard), so the import must reproduce the same mesh
+        size; shard capacity may differ (it re-lays-out internally)."""
         return {
             "kind": "mesh_flat",
             "dim": self.dim,

@@ -158,7 +158,9 @@ class ShardedGraphIndex:
             get_registry().inc("longbow_hnsw_sharding_migrations_total")
         except Exception:
             pass
-        allv = np.concatenate(self._vectors_host)
+        allv = self._host_all()
+        if len(allv) == 0:
+            return  # nothing to build; search answers empty-masked
         s = self.n_shards
         subs = [allv[j::s] for j in range(s)]
         per = max(len(x) for x in subs)
@@ -179,8 +181,6 @@ class ShardedGraphIndex:
             shards.append(idx)
         cap = shards[0].capacity
         self.shard_rows = cap
-        m2 = self.config.m_max
-        sd = shards[0].state.vectors.shape[1]  # incl. MIPS augmentation
 
         def stack(get, fill, dt):
             out = np.full((s * cap,) + get(shards[0]).shape[1:], fill, dt)
@@ -191,32 +191,48 @@ class ShardedGraphIndex:
 
         sh2 = NamedSharding(self.mesh, P(SHARD_AXIS, None))
         sh1 = NamedSharding(self.mesh, P(SHARD_AXIS))
-        self.vectors = jax.device_put(
+        # build EVERY array first, then swap the attributes back-to-
+        # back: a search racing the rebuild must not assemble a
+        # mixed-epoch state (old vectors + re-striped neighbors) —
+        # interleaving assignments with multi-second device_puts left
+        # that window wide open
+        new_vectors = jax.device_put(
             jnp.asarray(stack(lambda x: x.state.vectors, 0,
                               np.asarray(shards[0].state.vectors).dtype)), sh2
         )
-        self.norms_sq = jax.device_put(
+        new_norms = jax.device_put(
             jnp.asarray(stack(lambda x: x.state.norms_sq, 0, np.float32)), sh1
         )
-        self.valid = jax.device_put(
+        new_valid = jax.device_put(
             jnp.asarray(stack(lambda x: x.state.valid, False, bool)), sh1
         )
-        self.nbrs = jax.device_put(
+        new_nbrs = jax.device_put(
             jnp.asarray(stack(lambda x: x.state.nbrs, -1, np.int32)), sh2
         )
-        self.nbr_dists = jax.device_put(
+        new_nbr_dists = jax.device_put(
             jnp.asarray(
                 stack(lambda x: x.state.nbr_dists, float(MASKED), np.float32)
             ),
             sh2,
         )
-        self.nbr_count = jax.device_put(
+        new_nbr_count = jax.device_put(
             jnp.asarray(stack(lambda x: x.state.nbr_count, 0, np.int32)), sh1
         )
+        self.vectors = new_vectors
+        self.norms_sq = new_norms
+        self.valid = new_valid
+        self.nbrs = new_nbrs
+        self.nbr_dists = new_nbr_dists
+        self.nbr_count = new_nbr_count
         # per-shard entry samples (local row space), equal length
         slen = min(
             max(self.config.entry_sample_size, per // 16, 1), 32768, per
         )
+        # bucket the sample length: an exact per//16 shape recompiles
+        # the sharded search on EVERY fold (CLAUDE.md shape rule; the
+        # single-device index buckets its entry sample the same way)
+        if slen > 2048:
+            slen = -(-slen // 2048) * 2048
         samples = np.zeros((s, slen), np.int32)
         for j, sh in enumerate(shards):
             samples[j] = np.linspace(
@@ -281,6 +297,14 @@ class ShardedGraphIndex:
     def search(self, queries, k: int, *, ef_search: Optional[int] = None):
         if not self._built:
             self.build()
+        if not self._built:  # still empty: masked results, not a crash
+            from longbow_tpu.ops.distance import MASKED as _MASK
+
+            b = np.atleast_2d(np.asarray(queries)).shape[0]
+            return (
+                np.full((b, k), np.float32(_MASK)),
+                np.full((b, k), -1, np.int32),
+            )
         q = np.atleast_2d(np.asarray(queries, np.float32))
         q_orig = q
         if self.metric == Metric.DOT:

@@ -289,3 +289,51 @@ def test_mesh_graph_through_store():
     vs.delete("mg", [9])
     ids, scores, ok = vs.search("mg", v[9], 3)
     assert 9 not in [ids[0, j] for j in range(3) if ok[0, j]]
+
+
+def test_row_ids_stable_across_capacity_growth():
+    """Public row ids must survive shard-capacity growth: the old
+    j*capacity+slot encoding invalidated every id the Dataset had
+    recorded when capacity doubled (review finding — searches returned
+    wrong ids and deletes tombstoned padding)."""
+    from longbow_tpu.parallel.mesh import make_mesh
+    from longbow_tpu.parallel.sharded import ShardedFlatIndex
+
+    mesh = make_mesh(4)
+    idx = ShardedFlatIndex(8, mesh, shard_capacity=2048)
+    rng = np.random.default_rng(0)
+    v1 = rng.standard_normal((1000, 8)).astype(np.float32)
+    rows1 = idx.add(v1)
+    got_before = idx.get_vectors(rows1[:5])
+    # force growth: exceed 4 shards x 2048 slots
+    v2 = rng.standard_normal((9000, 8)).astype(np.float32)
+    idx.add(v2)
+    assert idx.shard_capacity > 2048  # growth happened
+    got_after = idx.get_vectors(rows1[:5])
+    np.testing.assert_allclose(got_before, got_after, atol=1e-5)
+    # searches still return the ORIGINAL ids for the original vectors
+    d, r = idx.search(v1[3:4], 1)
+    assert int(np.asarray(r)[0, 0]) == int(rows1[3])
+    # deletes by original id hit the right row
+    idx.delete_rows(rows1[3:4])
+    d, r = idx.search(v1[3:4], 1)
+    assert int(np.asarray(r)[0, 0]) != int(rows1[3])
+
+
+def test_mesh_graph_empty_search_and_exact_fallback():
+    """Searching an empty mesh_graph dataset returns masked results
+    instead of crashing np.concatenate, and exact=True serves a real
+    exact scan instead of silently returning ANN results."""
+    from longbow_tpu.index.factory import make_index
+    from longbow_tpu.ops.distance import MASKED
+
+    idx = make_index("mesh_graph", 8, "l2", mesh_shards=2)
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((1, 8)).astype(np.float32)
+    d, r = idx.search(q, 3)  # empty: no crash
+    assert (np.asarray(r) < 0).all() or (np.asarray(d) >= 1e30).all()
+    v = rng.standard_normal((300, 8)).astype(np.float32)
+    rows = idx.add(v)
+    d, r = idx.search(v[5:6], 1, exact=True)
+    assert int(np.asarray(r)[0, 0]) == int(rows[5])
+    assert idx.n_shards == 2  # forwarded for the sharded metrics
