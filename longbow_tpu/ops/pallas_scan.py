@@ -413,8 +413,22 @@ def flat_search_rerank(
         qf = qf / jnp.maximum(
             jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-30
         )
+    # NOTE (review finding, unvalidated on-chip this round): at
+    # DEFAULT precision the TPU MXU rounds these f32 operands to bf16,
+    # partially reinstating the cancellation noise the rerank removes.
+    # LONGBOW_RERANK_EXACT=1 opts into HIGHEST precision (tiny matmul,
+    # negligible cost) — flip the default after an on-chip recall
+    # measurement confirms no pathological compile.
+    import os as _os
+
+    _prec = (
+        jax.lax.Precision.HIGHEST
+        if _os.environ.get("LONGBOW_RERANK_EXACT") == "1"
+        else jax.lax.Precision.DEFAULT
+    )
     ip = jnp.einsum(
-        "bd,bkd->bk", qf, cand, preferred_element_type=jnp.float32
+        "bd,bkd->bk", qf, cand,
+        preferred_element_type=jnp.float32, precision=_prec,
     )
     if metric == Metric.L2:
         qn = jnp.sum(qf * qf, axis=1, keepdims=True)
