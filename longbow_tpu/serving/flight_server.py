@@ -64,7 +64,14 @@ def _ids_column_to_numpy(col) -> np.ndarray:
     array built in C."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return np.asarray(col.to_numpy(zero_copy_only=False))
+    out = np.asarray(col.to_numpy(zero_copy_only=False))
+    # an int column with nulls comes back float64 (1 -> 1.0), silently
+    # changing id identity vs existing int keys; reject nulls up front
+    if col.null_count:
+        raise flight.FlightServerError(
+            "null values are not allowed in id/metadata columns"
+        )
+    return out
 
 
 def _meta_columns_to_numpy(tbl: pa.Table, names) -> dict:
@@ -108,9 +115,17 @@ class LongbowFlightServer(flight.FlightServerBase):
             mw = dict(kw.pop("middleware", None) or {})
             mw.update(bearer_middleware(tokens))
             kw["middleware"] = mw
-        if tls_cert_file:
+        if tls_cert_file or tls_key_file:
             from longbow_tpu.serving.security import load_tls_certificates
 
+            if not (tls_cert_file and tls_key_file):
+                missing = (
+                    "LONGBOW_TLS_KEY_FILE" if tls_cert_file
+                    else "LONGBOW_TLS_CERT_FILE"
+                )
+                raise ValueError(
+                    f"TLS needs both cert and key: {missing} is not set"
+                )
             kw["tls_certificates"] = load_tls_certificates(
                 tls_cert_file, tls_key_file
             )
@@ -596,8 +611,17 @@ class LongbowFlightServer(flight.FlightServerBase):
                     object if str_ids else np.int64,
                     take,
                 )
+            # snapshot index + columns in the SAME critical section as
+            # the (ids, rows) arrays: a compaction between them swaps in
+            # renumbered rows and the captured old row ids would gather
+            # the wrong vectors/metadata (same stale-trio race
+            # Dataset.search guards against)
+            idx = ds.index
+            columns_snap = ds.columns
         if tq.filters:
-            mask = ds.filter_mask(tq.filters)
+            mask = ds.filter_mask(
+                tq.filters, _columns=columns_snap, _index=idx
+            )
             if mask is not None:
                 keep = np.asarray(mask)[rows_all]
                 rows_all = rows_all[keep]
@@ -608,8 +632,8 @@ class LongbowFlightServer(flight.FlightServerBase):
         # metadata columns: gathered to the scanned rows in one pass
         # (small limited scans fetch len(rows), not the whole column)
         cols = (
-            ds.columns.host_view(rows_all)
-            if ds.columns.fields()
+            columns_snap.host_view(rows_all)
+            if columns_snap.fields()
             else {}
         )
         col_names = sorted(cols)
@@ -646,11 +670,9 @@ class LongbowFlightServer(flight.FlightServerBase):
             for c in col_names
         ]
         superchunk = rows_per * 32
-        # snapshot the index OBJECT: a concurrent compaction swaps
-        # ds.index to a rebuilt one with remapped row numbers, and our
-        # captured rows would silently gather the wrong vectors; the
-        # old object's functional arrays stay valid for the stream
-        idx = ds.index
+        # idx was snapshotted with the row ids above; the old object's
+        # functional arrays stay valid for the whole stream even if a
+        # compaction swaps ds.index mid-scan
 
         def gen():
             for soff in range(0, npairs, superchunk):

@@ -64,7 +64,14 @@ def _dtype_name(dt) -> str:
     return str(jnp.dtype(dt))
 
 
-def _put_table(ids, vectors: np.ndarray, columns: Optional[dict]) -> pa.Table:
+# reserved per-row column carrying each row's origin/LWW timestamp in
+# WAL frames; never surfaced as user metadata
+_TS_COL = "__longbow_ts"
+
+
+def _put_table(
+    ids, vectors: np.ndarray, columns: Optional[dict], timestamp=None
+) -> pa.Table:
     ids = np.asarray(ids)
     d = vectors.shape[1]
     id_arr = (
@@ -80,20 +87,35 @@ def _put_table(ids, vectors: np.ndarray, columns: Optional[dict]) -> pa.Table:
     }
     for name, vals in (columns or {}).items():
         cols[name] = pa.array(np.asarray(vals))
+    if timestamp is not None:
+        # persist the put's LWW timestamp(s): replay must resolve
+        # conflicts with origin time, not WAL append time — otherwise a
+        # stale replicated write that lost LWW in memory (but was
+        # logged before ds.put filtered it) resurrects on restart
+        ts_arr = np.broadcast_to(
+            np.asarray(timestamp, dtype=np.float64), (len(ids),)
+        )
+        cols[_TS_COL] = pa.array(np.ascontiguousarray(ts_arr), pa.float64())
     return pa.table(cols)
 
 
 def _table_to_put(table: pa.Table):
+    """Returns (ids, vectors, columns, timestamp) — timestamp is a
+    per-row float64 array when the frame carried one, else None (old
+    frames fall back to the WAL append time)."""
     ids = np.asarray(table.column("id").to_pylist())
     vec_col = table.column("vector").combine_chunks()
     d = vec_col.type.list_size
     vectors = np.asarray(vec_col.values, dtype=np.float32).reshape(-1, d)
+    ts = None
+    if _TS_COL in table.column_names:
+        ts = np.asarray(table.column(_TS_COL).to_pylist(), dtype=np.float64)
     columns = {
         n: np.asarray(table.column(n).to_pylist())
         for n in table.column_names
-        if n not in ("id", "vector")
+        if n not in ("id", "vector", _TS_COL)
     }
-    return ids, vectors, columns or None
+    return ids, vectors, columns or None, ts
 
 
 class StorageEngine:
@@ -143,8 +165,10 @@ class StorageEngine:
 
     # -- logging --------------------------------------------------------
 
-    def log_put(self, dataset, ids, vectors, columns, metric=None) -> None:
-        table = _put_table(ids, vectors, columns)
+    def log_put(
+        self, dataset, ids, vectors, columns, metric=None, timestamp=None
+    ) -> None:
+        table = _put_table(ids, vectors, columns, timestamp=timestamp)
         if metric:
             table = table.replace_schema_metadata({"longbow.metric": metric})
         self.wal.append_batch(dataset, table)
@@ -284,7 +308,7 @@ class StorageEngine:
                     # identical results with no rebuild/retrain
                     store.restore_dataset(name, blob)
                 elif blob["table"] is not None and blob["table"].num_rows:
-                    ids, vecs, cols = _table_to_put(blob["table"])
+                    ids, vecs, cols, _ = _table_to_put(blob["table"])
                     store.put(
                         name, ids, vecs, cols,
                         metric=meta.get("metric"), _log=False,
@@ -307,13 +331,14 @@ class StorageEngine:
             try:
                 if kind == KIND_BATCH:
                     table = WAL.decode_batch(payload)
-                    ids, vecs, cols = _table_to_put(table)
+                    ids, vecs, cols, put_ts = _table_to_put(table)
                     meta = table.schema.metadata or {}
                     metric = meta.get(b"longbow.metric")
                     store.put(
                         name, ids, vecs, cols,
                         metric=metric.decode() if metric else None,
-                        _log=False, timestamp=ts,
+                        _log=False,
+                        timestamp=put_ts if put_ts is not None else ts,
                     )
                 else:
                     op = json.loads(payload)

@@ -278,7 +278,10 @@ class VectorStore:
             # export+truncate — otherwise a concurrent snapshot can
             # truncate a frame whose apply it didn't export
             with self.engine.commit_guard():
-                self.engine.log_put(dataset, ids, vectors, columns, metric)
+                self.engine.log_put(
+                    dataset, ids, vectors, columns, metric,
+                    timestamp=timestamp,
+                )
                 ds.put(np.asarray(ids), vectors, columns, timestamp=timestamp)
         else:
             ds.put(np.asarray(ids), vectors, columns, timestamp=timestamp)

@@ -619,3 +619,44 @@ def test_weighted_path_hop_budget_not_blocked_by_cheap_long_path():
     g.add_edge("X", "dst", weight=1.0)
     path = g.weighted_path("src", "dst", max_hops=3)
     assert path == ["src", "Y", "X", "dst"]
+
+
+def test_replay_resolves_lww_by_origin_timestamp(tmp_path):
+    """A stale replicated write (older origin ts) that loses LWW in
+    memory is still WAL-logged with a LATER append time; replay must
+    use the persisted origin ts so the stale row does not resurrect
+    (advisor finding: engine.py log_put timestamps)."""
+    store = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    v = _vecs(2, 8)
+    store.put("a", np.array([1]), v[:1], timestamp=100.0)  # newer wins
+    store.put("a", np.array([1]), v[1:], timestamp=50.0)   # stale, dropped
+    ids, _, _ = store.search("a", v[0], 1, use_cache=False)
+    assert ids[0, 0] == 1
+    del store
+
+    store2 = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    ds = store2.get("a")
+    assert ds.live_count == 1
+    # the surviving row must be the ts=100 vector, not the stale ts=50
+    ids, scores, _ = store2.search("a", v[0], 1, use_cache=False)
+    assert ids[0, 0] == 1 and float(scores[0, 0]) < 1e-3
+    # and the LWW clock must reflect the winning origin time
+    assert ds._lww[1] == 100.0
+
+
+def test_replay_per_row_timestamps(tmp_path):
+    """Coalesced ingest logs one frame holding rows with DIFFERENT
+    origin timestamps; replay must keep per-row LWW semantics."""
+    store = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    v = _vecs(3, 8)
+    store.put(
+        "a", np.array([1, 2, 1]), v,
+        timestamp=np.array([10.0, 20.0, 5.0]),  # 3rd row is stale dup
+    )
+    del store
+    store2 = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    ds = store2.get("a")
+    assert ds.live_count == 2
+    assert ds._lww[1] == 10.0 and ds._lww[2] == 20.0
+    ids, scores, _ = store2.search("a", v[0], 1, use_cache=False)
+    assert ids[0, 0] == 1 and float(scores[0, 0]) < 1e-3
