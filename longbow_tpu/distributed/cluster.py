@@ -120,6 +120,14 @@ class ClusterCoordinator:
         # DNS-discovered members join live: create their Peer clients
         # and fold them into the replication/sync fan-outs
         self.membership.subscribe(self._on_member_change)
+        # SWIM transport hook: indirect probes + digest piggybacking
+        # travel as `gossip-probe` Flight actions over the existing
+        # peer clients (reference: ping-req packets, gossip.go:235)
+        self.membership.probe_action = self._gossip_action
+
+    def _gossip_action(self, m: Member, payload: dict) -> Optional[dict]:
+        peer = self._peer_for(m)
+        return peer.client._action("gossip-probe", payload)
 
     def _make_peer(self, m: Member) -> Peer:
         return Peer(

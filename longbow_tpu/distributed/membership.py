@@ -100,9 +100,30 @@ class MembershipManager:
         self_region: str = "",
         lan_group: Optional[str] = None,
         advertise_host: str = "",
+        indirect_k: int = 3,
+        digest_every: int = 5,
     ):
         self.self_id = self_id
         self.self_region = self_region
+        # SWIM indirect probing (reference: mesh/gossip.go:235 — on a
+        # failed direct ping, ask K=3 relay peers to probe the target):
+        # under an asymmetric partition (self cannot reach B but C
+        # reaches both) B must NOT be marked suspect/dead. probe_action
+        # is the transport hook — the cluster coordinator injects a
+        # Flight `gossip-probe` DoAction call; None = direct-only
+        # (single transport keeps this module client-free and lets
+        # tests inject loss).
+        self.indirect_k = indirect_k
+        self.probe_action: Optional[
+            Callable[["Member", dict], Optional[dict]]
+        ] = None
+        # piggybacked dissemination (reference: gossip.go:493-559 —
+        # membership updates ride probe packets): every digest_every-th
+        # round the direct probe also exchanges membership digests, and
+        # every indirect-probe request/response carries one.
+        self.digest_every = max(int(digest_every), 1)
+        self._round = 0
+        self.self_incarnation = 0
         self.probe_interval_s = probe_interval_s
         self.suspect_after = suspect_after
         self.dead_after = dead_after
@@ -318,10 +339,137 @@ class MembershipManager:
                 int(msg.get("meta_port", 0)), msg.get("region", ""),
             )
 
+    # -- SWIM digests / indirect probes ----------------------------------
+
+    def digest(self) -> list[dict]:
+        """Membership digest for piggybacking on probe traffic
+        (reference: gossip.go:493-559 packs updates <=1400B; ours ride
+        the Flight action body)."""
+        try:
+            h, dp, mp, _ = parse_peer(self.self_id)
+        except (ValueError, IndexError):
+            h, dp, mp = self.self_id, 0, 0
+        out = [{
+            "id": self.self_id,
+            "host": self.advertise_host or h,
+            "data_port": dp,
+            "meta_port": mp,
+            "status": ALIVE,
+            "incarnation": self.self_incarnation,
+            "region": self.self_region,
+        }]
+        with self._lock:
+            for m in self.members.values():
+                out.append({
+                    "id": m.id, "host": m.host,
+                    "data_port": m.data_port, "meta_port": m.meta_port,
+                    "status": m.status, "incarnation": m.incarnation,
+                    "region": m.region,
+                })
+        return out
+
+    def merge_digest(self, entries) -> None:
+        """Fold a peer's membership digest into the local view.
+
+        Rumor rules (conservative SWIM): unknown members are added
+        (discovery); a remote ALIVE with a HIGHER incarnation refutes a
+        local suspicion (the relay path heals asymmetric partitions);
+        remote SUSPECT/DEAD only degrades a member we ALREADY cannot
+        reach (local probes are authoritative for reachability from
+        this node — blindly applying remote deads would spread exactly
+        the false-positive this machinery exists to prevent)."""
+        changed: list[Member] = []
+        for e in entries or []:
+            mid = e.get("id")
+            if not mid or mid == self.self_id:
+                continue
+            host = e.get("host", "")
+            try:
+                dp = int(e.get("data_port", 0) or 0)
+                mp = int(e.get("meta_port", 0) or 0)
+                inc = int(e.get("incarnation", 0))
+            except (TypeError, ValueError):
+                continue
+            if not host or not dp:
+                try:
+                    host, p = mid.rsplit(":", 1)
+                    dp = int(p)
+                except ValueError:
+                    continue
+            if self._is_self(host, dp):
+                continue
+            st = e.get("status", SUSPECT)
+            with self._lock:
+                m = self.members.get(mid)
+                if m is None:
+                    # new member learned via gossip: starts SUSPECT so
+                    # the first successful probe fires the join event
+                    self.members[mid] = Member(
+                        mid, host, dp, mp or dp + 1, status=SUSPECT,
+                        incarnation=inc, region=e.get("region", ""),
+                    )
+                    continue
+                old = m.status
+                if inc > m.incarnation:
+                    m.incarnation = inc
+                    if st == ALIVE and m.status != ALIVE:
+                        m.status = ALIVE
+                        m.misses = 0
+                        m.last_seen = time.time()
+                    elif st == DEAD and m.status == SUSPECT:
+                        m.status = DEAD
+                if m.status != old:
+                    changed.append(m)
+        for m in changed:
+            for cb in self._subs:
+                try:
+                    cb(m)
+                except Exception:
+                    pass
+
+    def _indirect_probe(self, target: Member) -> bool:
+        """Ask up to indirect_k alive relay peers to probe the target
+        on our behalf (reference: gossip.go:235 ping-req via K=3
+        relays). Digests ride both directions."""
+        if self.probe_action is None:
+            return False
+        relays = [m for m in self.alive() if m.id != target.id]
+        relays = relays[: self.indirect_k]
+        payload = {
+            "target": f"{target.host}:{target.data_port}",
+            "digest": self.digest(),
+        }
+        try:
+            from longbow_tpu.metrics import get_registry
+
+            _reg = get_registry()
+        except Exception:
+            _reg = None
+        for r in relays:
+            try:
+                resp = self.probe_action(r, payload)
+            except Exception:
+                resp = None
+            if _reg is not None:
+                _reg.inc(
+                    "longbow_gossip_pings_total", direction="indirect"
+                )
+            if not resp:
+                continue
+            self.merge_digest(resp.get("digest"))
+            if resp.get("ok"):
+                return True
+        return False
+
     def probe_round(self) -> None:
         self._discover_dns()
         self._discover_k8s()
         self._discover_lan()
+        self._round += 1
+        exchange = (
+            self.probe_action is not None
+            and self._round % self.digest_every == 0
+        )
         try:
             from longbow_tpu.metrics import get_registry
 
@@ -332,6 +480,16 @@ class MembershipManager:
             ok = self._probe_one(m)
             if _reg is not None:
                 _reg.inc("longbow_gossip_pings_total", direction="out")
+            if ok and exchange:
+                # piggyback a membership-digest exchange on the probe
+                try:
+                    resp = self.probe_action(m, {"digest": self.digest()})
+                    if resp:
+                        self.merge_digest(resp.get("digest"))
+                except Exception:
+                    pass
+            if not ok:
+                ok = self._indirect_probe(m)
             with self._lock:
                 old = m.status
                 if ok:

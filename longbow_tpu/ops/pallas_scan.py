@@ -175,8 +175,17 @@ def _scan_kernel(
     def half_min(j0, j1):
         m = None
         for j in range(j0, j1):
+            # round the score UP to the id-field boundary before
+            # packing: clearing low bits used to perturb a MASKED row's
+            # sentinel a few ulps BELOW _MASKED_I32, letting tombstoned
+            # rows enter the registers (then surface with "valid"
+            # scores when < ncand real rows exist). Rounding up keeps
+            # masked >= the register init so they never win a swap;
+            # real scores absorb <= id_mask ulps of upward tie-break
+            # noise (same magnitude the old truncation had, opposite
+            # sign), orders below the rerank's correction.
             pj = jnp.bitwise_and(
-                u[:, j * LANES:(j + 1) * LANES], ~id_mask
+                u[:, j * LANES:(j + 1) * LANES] + id_mask, ~id_mask
             ) | j
             m = pj if m is None else jnp.minimum(m, pj)
         return m
@@ -357,7 +366,18 @@ def fused_flat_search(
         interpret=interpret,
     )(queries, qn, corpus, vn)
 
-    # decode candidates -> rows, then select the k best (one top_k)
+    # decode candidates -> rows, then select the k best (one top_k).
+    # Ghost canonicalization (belt to the kernel's round-up braces):
+    # any packed value at/above MASKED's id-field floor IS a masked/
+    # unfilled slot — no real score comes within 2^id_bits ulps of
+    # 3e38 (l2 scores are bias-bounded ~1e6; ip bounded by data norms).
+    # Emit exactly (MASKED, -1) for those so callers' `d < MASKED`
+    # checks never see a tombstoned row with a "real" score.
+    g_total = tile_n // LANES
+    id_bits_w = max((g_total - 1).bit_length(), 1)
+    ghost = out_vals >= (_MASKED_I32 & ~((1 << id_bits_w) - 1))
+    out_vals = jnp.where(ghost, _MASKED_I32, out_vals)
+    out_ids = jnp.where(ghost, -1, out_ids)
     lane = jnp.arange(ncand, dtype=jnp.int32) % LANES
     rows = jnp.where(
         out_ids >= 0, out_ids * LANES + lane[None, :], -1
@@ -377,7 +397,9 @@ def fused_flat_search(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "pool", "metric", "tile_n", "normalize"),
+    static_argnames=(
+        "k", "pool", "metric", "tile_n", "normalize", "exact_rerank"
+    ),
 )
 def flat_search_rerank(
     queries: jax.Array,
@@ -391,6 +413,7 @@ def flat_search_rerank(
     extra_mask=None,
     normalize: bool = False,
     tile_n: int = 0,  # 0 = dimension-aware default (tile_for_dim)
+    exact_rerank: bool | None = None,  # None = env/default policy
 ) -> tuple[jax.Array, jax.Array]:
     """Fused bf16 scan for a candidate pool + exact-f32-arithmetic
     re-rank of the pool (storage stays bf16).
@@ -413,17 +436,20 @@ def flat_search_rerank(
         qf = qf / jnp.maximum(
             jnp.linalg.norm(qf, axis=1, keepdims=True), 1e-30
         )
-    # NOTE (review finding, unvalidated on-chip this round): at
-    # DEFAULT precision the TPU MXU rounds these f32 operands to bf16,
-    # partially reinstating the cancellation noise the rerank removes.
-    # LONGBOW_RERANK_EXACT=1 opts into HIGHEST precision (tiny matmul,
-    # negligible cost) — flip the default after an on-chip recall
-    # measurement confirms no pathological compile.
-    import os as _os
+    # At DEFAULT precision the TPU MXU rounds these f32 operands to
+    # bf16, partially reinstating the cancellation noise the rerank
+    # exists to remove. The [B, k, D] einsum is tiny next to the scan,
+    # so HIGHEST costs ~nothing — it is the default; set
+    # LONGBOW_RERANK_EXACT=0 to opt back out (or pass
+    # exact_rerank=False). Trace-time read: the flag is baked into the
+    # compiled program, callers A/B via the static arg.
+    if exact_rerank is None:
+        import os as _os
 
+        exact_rerank = _os.environ.get("LONGBOW_RERANK_EXACT", "1") != "0"
     _prec = (
         jax.lax.Precision.HIGHEST
-        if _os.environ.get("LONGBOW_RERANK_EXACT") == "1"
+        if exact_rerank
         else jax.lax.Precision.DEFAULT
     )
     ip = jnp.einsum(

@@ -939,6 +939,30 @@ class LongbowFlightServer(flight.FlightServerBase):
             if self.cluster is not None:
                 st.update(self.cluster.status())
             return ok(st)
+        if name == "gossip-probe":
+            # SWIM relay endpoint (reference: mesh/gossip.go:235
+            # ping-req + :493-559 piggyback): optionally probe a target
+            # on the asker's behalf, and always exchange membership
+            # digests so rumors spread on existing probe traffic.
+            req = json.loads(body or b"{}")
+            resp = {"ok": True}
+            target = req.get("target")
+            if target and self.cluster is not None:
+                host, _, port = str(target).rpartition(":")
+                try:
+                    import socket as _socket
+
+                    with _socket.create_connection(
+                        (host, int(port)),
+                        timeout=self.cluster.membership.probe_timeout_s,
+                    ):
+                        resp["ok"] = True
+                except (OSError, ValueError):
+                    resp["ok"] = False
+            if self.cluster is not None:
+                self.cluster.membership.merge_digest(req.get("digest"))
+                resp["digest"] = self.cluster.membership.digest()
+            return ok(resp)
         if name == "MeshStatus":
             # reference: admin_api.md MeshStatus — membership view as
             # a member list (ID, Addr, Status)

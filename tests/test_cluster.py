@@ -590,3 +590,102 @@ def test_smart_client_routes_to_owners(three_partitioned_nodes):
     # reads still merge globally from any node
     t = n1.client.search("smart", v[7], k=1)
     assert t.column("id")[0].as_py() == 1007
+
+
+def test_asymmetric_partition_no_false_dead(three_nodes):
+    """SWIM indirect probing (reference: mesh/gossip.go:235): A cannot
+    reach B directly, but C reaches both — B must stay ALIVE on A via
+    the K-relay ping-req path, never false-SUSPECT/DEAD."""
+    a, bnode, c = three_nodes
+    b_id = bnode.id
+    orig = a.cluster.membership._probe_one
+
+    def lossy(m, _orig=orig):
+        return False if m.id == b_id else _orig(m)
+
+    a.cluster.membership._probe_one = lossy
+    # run many rounds past dead_after (5) — without indirect probes B
+    # would be DEAD after 5 misses
+    for _ in range(12):
+        a.cluster.membership.probe_round()
+    m = a.cluster.membership.members[b_id]
+    assert m.status == ALIVE, f"false {m.status} under asymmetric partition"
+    assert m.misses == 0
+
+
+def test_indirect_probe_cannot_save_a_dead_node(three_nodes):
+    """When the target is really down, relays agree and the death is
+    declared (no availability masking)."""
+    a, bnode, c = three_nodes
+    b_id = bnode.id
+    # actually take B down
+    bnode.data.shutdown()
+    bnode.meta.shutdown()
+    time.sleep(0.2)
+    for _ in range(14):
+        a.cluster.membership.probe_round()
+        time.sleep(0.02)
+    assert a.cluster.membership.members[b_id].status == DEAD
+
+
+def test_digest_merge_rules():
+    """Piggybacked rumor rules: discovery of unknown members; ALIVE
+    with a newer incarnation refutes local suspicion; remote DEAD only
+    degrades an already-suspect member; stale rumors ignored."""
+    mm = MembershipManager("self:9", ["127.0.0.1:7001"])
+    m = mm.members["127.0.0.1:7001"]
+    m.status = SUSPECT
+    m.incarnation = 1
+    events = []
+    mm.subscribe(lambda mem: events.append((mem.id, mem.status)))
+    # stale alive (equal incarnation): no refutation
+    mm.merge_digest([{"id": "127.0.0.1:7001", "host": "127.0.0.1",
+                      "data_port": 7001, "status": ALIVE,
+                      "incarnation": 1}])
+    assert m.status == SUSPECT
+    # newer alive: refutes
+    mm.merge_digest([{"id": "127.0.0.1:7001", "host": "127.0.0.1",
+                      "data_port": 7001, "status": ALIVE,
+                      "incarnation": 2}])
+    assert m.status == ALIVE and m.incarnation == 2 and m.misses == 0
+    assert ("127.0.0.1:7001", ALIVE) in events
+    # remote DEAD does not kill an ALIVE member (local probes are
+    # authoritative for reachability from this node)
+    mm.merge_digest([{"id": "127.0.0.1:7001", "host": "127.0.0.1",
+                      "data_port": 7001, "status": DEAD,
+                      "incarnation": 3}])
+    assert m.status == ALIVE
+    # ...but does confirm a suspicion
+    m.status = SUSPECT
+    mm.merge_digest([{"id": "127.0.0.1:7001", "host": "127.0.0.1",
+                      "data_port": 7001, "status": DEAD,
+                      "incarnation": 4}])
+    assert m.status == DEAD
+    # unknown member: discovered as SUSPECT (promoted by first probe)
+    mm.merge_digest([{"id": "10.0.0.9:7002", "host": "10.0.0.9",
+                      "data_port": 7002, "meta_port": 7003,
+                      "status": ALIVE, "incarnation": 0,
+                      "region": "eu"}])
+    new = mm.members["10.0.0.9:7002"]
+    assert new.status == SUSPECT and new.region == "eu"
+    # self entries never loop back
+    mm.merge_digest([{"id": "self:9", "host": "self", "data_port": 9,
+                      "status": DEAD, "incarnation": 99}])
+    assert "self:9" not in mm.members
+
+
+def test_digest_piggyback_spreads_membership(three_nodes):
+    """A member learned only by one node spreads to the others on
+    digest-carrying probe rounds (reference: gossip.go:493-559)."""
+    a, bnode, c = three_nodes
+    ghost = {"id": "10.9.9.9:7100", "host": "10.9.9.9",
+             "data_port": 7100, "meta_port": 7101,
+             "status": ALIVE, "incarnation": 0, "region": ""}
+    a.cluster.membership.merge_digest([ghost])
+    assert "10.9.9.9:7100" in a.cluster.membership.members
+    # force digest exchange on the next direct probes
+    a.cluster.membership.digest_every = 1
+    for _ in range(3):
+        a.cluster.membership.probe_round()
+    assert "10.9.9.9:7100" in bnode.cluster.membership.members
+    assert "10.9.9.9:7100" in c.cluster.membership.members

@@ -72,3 +72,44 @@ def test_fused_scan_k_exceeds_limit():
             jnp.asarray(q), jnp.asarray(c), norms, valid, 600, Metric.L2,
             interpret=True,
         )
+
+
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.DOT])
+def test_fused_scan_ghost_rows_exact_masked(metric):
+    """Fewer valid rows than k: the unfilled slots must decode to
+    EXACTLY (MASKED, -1) — never a tombstoned row with a score a few
+    ulps below the sentinel (round-3 deferred kernel fix: group-id
+    packing used to truncate the sentinel downward)."""
+    from longbow_tpu.ops.distance import MASKED
+
+    q, c = _data(n=300, d=32, b=3, seed=3)
+    valid = np.zeros(300, dtype=bool)
+    valid[:4] = True  # only 4 valid rows, k=10
+    norms = squared_norms(jnp.asarray(c))
+    dist, idx = fused_flat_search(
+        jnp.asarray(q), jnp.asarray(c), norms, jnp.asarray(valid), 10,
+        metric, tile_n=256, interpret=True,
+    )
+    d_np, i_np = np.asarray(dist), np.asarray(idx)
+    for b in range(3):
+        real = i_np[b] >= 0
+        assert real.sum() == 4
+        assert set(i_np[b][real]) <= {0, 1, 2, 3}
+        # every unfilled slot is the exact sentinel, not a ghost
+        assert (i_np[b][~real] == -1).all()
+        assert (d_np[b][~real] == np.float32(MASKED)).all()
+        assert (d_np[b][real] < 1e37).all()
+
+
+def test_fused_scan_all_masked():
+    q, c = _data(n=256, d=32, b=2, seed=4)
+    norms = squared_norms(jnp.asarray(c))
+    valid = jnp.zeros((256,), dtype=bool)
+    from longbow_tpu.ops.distance import MASKED
+
+    dist, idx = fused_flat_search(
+        jnp.asarray(q), jnp.asarray(c), norms, valid, 5, Metric.L2,
+        tile_n=256, interpret=True,
+    )
+    assert (np.asarray(idx) == -1).all()
+    assert (np.asarray(dist) == np.float32(MASKED)).all()
