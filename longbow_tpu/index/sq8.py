@@ -74,7 +74,22 @@ class SQ8Index:
         return v
 
     def train(self, vecs: np.ndarray) -> None:
-        """Per-dim min/max (reference: scalar_quantization.go:15)."""
+        """Per-dim min/max (reference: scalar_quantization.go:15).
+
+        int8/uint8 input trains an IDENTITY affine (lo/hi = the dtype's
+        full range): the stored codes are then the ingested bytes 1:1 —
+        the reference's native int8 ingest path, no quantization loss."""
+        vecs_np = np.asarray(vecs)
+        if self.metric == Metric.COSINE:
+            vecs_np = vecs_np.astype(np.float32)  # codes store normalized
+        if vecs_np.dtype == np.int8:
+            self.lo = jnp.full((self.dim,), -128.0, jnp.float32)
+            self.hi = jnp.full((self.dim,), 127.0, jnp.float32)
+            return
+        if vecs_np.dtype == np.uint8:
+            self.lo = jnp.zeros((self.dim,), jnp.float32)
+            self.hi = jnp.full((self.dim,), 255.0, jnp.float32)
+            return
         v = self._prep(vecs)
         self.lo = jnp.min(v, axis=0)
         self.hi = jnp.max(v, axis=0)

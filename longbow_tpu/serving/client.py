@@ -116,7 +116,9 @@ class LongbowClient:
         the replication marker stops the receiving node from fanning
         the write out again (reference marks replication traffic via
         its dedicated exchange protocol, do_exchange.go:47)."""
-        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        vectors = np.atleast_2d(np.asarray(vectors))
+        if vectors.dtype.name not in self._VEC_DTYPES:
+            vectors = vectors.astype(np.float32)
         n, d = vectors.shape
         ids = np.asarray(ids)
         meta = {}
@@ -163,7 +165,11 @@ class LongbowClient:
         cols = {
             "id": id_arr,
             "vector": pa.FixedSizeListArray.from_arrays(
-                pa.array(vectors.reshape(-1), pa.float32()), d
+                pa.array(
+                    np.ascontiguousarray(vectors).reshape(-1),
+                    pa.from_numpy_dtype(vectors.dtype),
+                ),
+                d,
             ),
         }
         for name, vals in (columns or {}).items():
@@ -402,9 +408,17 @@ class LongbowClient:
             return out, metric
         return out
 
-    @staticmethod
-    def _put_table(ids, vecs) -> pa.Table:
-        vecs = np.atleast_2d(np.asarray(vecs, np.float32))
+    # wire dtypes preserved end-to-end (reference ingests these vector
+    # dtypes natively with a published per-dtype throughput matrix,
+    # docs/performance.md:27-53); everything else casts to f32
+    _VEC_DTYPES = ("float32", "float16", "int8", "uint8", "int32",
+                   "float64")
+
+    @classmethod
+    def _put_table(cls, ids, vecs) -> pa.Table:
+        vecs = np.atleast_2d(np.asarray(vecs))
+        if vecs.dtype.name not in cls._VEC_DTYPES:
+            vecs = vecs.astype(np.float32)
         ids = np.asarray(ids)
         id_arr = (
             pa.array([str(i) for i in ids], pa.string())
@@ -415,7 +429,11 @@ class LongbowClient:
             {
                 "id": id_arr,
                 "vector": pa.FixedSizeListArray.from_arrays(
-                    pa.array(vecs.reshape(-1), pa.float32()), vecs.shape[1]
+                    pa.array(
+                        np.ascontiguousarray(vecs).reshape(-1),
+                        pa.from_numpy_dtype(vecs.dtype),
+                    ),
+                    vecs.shape[1],
                 ),
             }
         )

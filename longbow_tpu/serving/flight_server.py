@@ -19,6 +19,7 @@ spawns both against one shared VectorStore.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 from typing import Optional
@@ -44,13 +45,28 @@ from longbow_tpu.store.vector_store import VectorStore
 from longbow_tpu.utils.query_cache import QueryCache
 
 
+# vector dtypes accepted natively on the wire (reference ingests these
+# without a lossy bounce, docs/performance.md:27-53); the storage tier
+# picks a dtype-appropriate index at dataset creation (int8/uint8 ->
+# identity-affine SQ8 codes, f16 -> float16 storage)
+_NATIVE_VEC_DTYPES = {
+    np.dtype(np.float32), np.dtype(np.float16), np.dtype(np.int8),
+    np.dtype(np.uint8), np.dtype(np.int32), np.dtype(np.float64),
+}
+
+
 def _vector_column_to_numpy(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """list<f32> / fixed_size_list<f32> column -> [n, d] f32."""
+    """list<T> / fixed_size_list<T> column -> [n, d], dtype preserved
+    for the reference's ingest matrix (f32/f16/i8/u8/i32), f32
+    otherwise."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_fixed_size_list(col.type):
         d = col.type.list_size
-        return np.asarray(col.values, dtype=np.float32).reshape(-1, d)
+        vals = np.asarray(col.values)
+        if vals.dtype not in _NATIVE_VEC_DTYPES:
+            vals = vals.astype(np.float32)
+        return vals.reshape(-1, d)
     arrs = col.to_pylist()
     return np.asarray(arrs, dtype=np.float32)
 
@@ -567,8 +583,12 @@ class LongbowFlightServer(flight.FlightServerBase):
         return flight.RecordBatchStream(tbl)
 
     # ~2MB record batches: the reference's adaptive chunk target
-    # (flight/adaptive_chunk_strategy.go:10, doget_pipeline.go:33)
-    SCAN_CHUNK_BYTES = 2 * 1024 * 1024
+    # (flight/adaptive_chunk_strategy.go:10, doget_pipeline.go:33);
+    # LONGBOW_SCAN_CHUNK_BYTES overrides (bigger chunks = fewer Python
+    # round-trips per GB on fat pipes)
+    SCAN_CHUNK_BYTES = int(
+        os.environ.get("LONGBOW_SCAN_CHUNK_BYTES", 2 * 1024 * 1024)
+    )
 
     def _do_scan(self, tq):
         """Streaming table scan: the dataset is materialized in ~2MB
@@ -672,35 +692,79 @@ class LongbowFlightServer(flight.FlightServerBase):
         superchunk = rows_per * 32
         # idx was snapshotted with the row ids above; the old object's
         # functional arrays stay valid for the whole stream even if a
-        # compaction swaps ds.index mid-scan
+        # compaction swaps ds.index mid-scan.
+        #
+        # Prefetch pipeline (reference: DoGetPipeline
+        # doget_pipeline.go:33): a producer thread runs the device
+        # gather + Arrow wrapping for superchunk i+1 while gRPC
+        # serializes superchunk i — the gather/cast no longer serializes
+        # with the wire. Bounded queue keeps scan memory flat.
+        import queue as _queue
+
+        stop = threading.Event()
+
+        def produce(q):
+            try:
+                for soff in range(0, npairs, superchunk):
+                    if stop.is_set():
+                        return
+                    block_rows = rows_all[soff : soff + superchunk]
+                    vec_block = idx.get_vectors(block_rows)
+                    batches = []
+                    for off in range(0, len(block_rows), rows_per):
+                        m = min(rows_per, len(block_rows) - off)
+                        # pa.array over the contiguous numpy view wraps
+                        # the buffer without copying (reference counts
+                        # the same, doget_zero_copy_total)
+                        arrays = [
+                            id_all.slice(soff + off, m),
+                            pa.FixedSizeListArray.from_arrays(
+                                pa.array(
+                                    vec_block[off : off + m].reshape(-1),
+                                    pa.float32(),
+                                ),
+                                ds.dim,
+                            ),
+                        ] + [c.slice(soff + off, m) for c in col_all]
+                        batches.append(
+                            pa.record_batch(arrays, schema=schema)
+                        )
+                    while not stop.is_set():
+                        try:
+                            q.put(batches, timeout=1.0)
+                            break
+                        except _queue.Full:
+                            continue
+                if not stop.is_set():
+                    q.put(None)
+            except Exception as e:  # surfaced to the client
+                q.put(e)
 
         def gen():
-            for soff in range(0, npairs, superchunk):
-                block_rows = rows_all[soff : soff + superchunk]
-                vec_block = idx.get_vectors(block_rows)
-                for off in range(0, len(block_rows), rows_per):
-                    m = min(rows_per, len(block_rows) - off)
-                    self.metrics.inc(
-                        "longbow_doget_pipeline_steps_total",
-                        method="scan",
-                    )
-                    # pa.array over the contiguous numpy view wraps the
-                    # buffer without copying (reference counts the same,
-                    # doget_zero_copy_total, doget_pipeline.go)
-                    self.metrics.inc(
-                        "longbow_doget_zero_copy_total", type="vector"
-                    )
-                    arrays = [
-                        id_all.slice(soff + off, m),
-                        pa.FixedSizeListArray.from_arrays(
-                            pa.array(
-                                vec_block[off : off + m].reshape(-1),
-                                pa.float32(),
-                            ),
-                            ds.dim,
-                        ),
-                    ] + [c.slice(soff + off, m) for c in col_all]
-                    yield pa.record_batch(arrays, schema=schema)
+            q: _queue.Queue = _queue.Queue(maxsize=2)
+            t = threading.Thread(target=produce, args=(q,), daemon=True)
+            t.start()
+            n_batches = 0
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    if isinstance(item, Exception):
+                        raise item
+                    for b in item:
+                        yield b
+                        n_batches += 1
+            finally:
+                stop.set()  # aborted stream: unblock the producer
+                self.metrics.inc(
+                    "longbow_doget_pipeline_steps_total", n_batches,
+                    method="scan",
+                )
+                self.metrics.inc(
+                    "longbow_doget_zero_copy_total", n_batches,
+                    type="vector",
+                )
 
         return flight.GeneratorStream(schema, gen())
 

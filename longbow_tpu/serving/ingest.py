@@ -122,7 +122,12 @@ class IngestQueue:
             groups: dict = {}
             order = []
             for j in batch:
-                key = (j[0], j[4], tuple(sorted((j[3] or {}).keys())))
+                # vector dtype is part of the group key: coalescing an
+                # int8 batch with an f32 one would upcast the codes
+                key = (
+                    j[0], j[4], tuple(sorted((j[3] or {}).keys())),
+                    getattr(j[2], "dtype", None) and str(j[2].dtype),
+                )
                 if key not in groups:
                     groups[key] = []
                     order.append(key)
@@ -140,7 +145,7 @@ class IngestQueue:
                                 ts,
                             ) = gs[0]
                         else:
-                            dataset, metric, colkeys = key
+                            dataset, metric, colkeys, _vdt = key
                             ids = np.concatenate(
                                 [np.asarray(g[1]) for g in gs]
                             )

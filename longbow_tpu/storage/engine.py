@@ -79,10 +79,23 @@ def _put_table(
         if ids.dtype.kind in "OUS"
         else pa.array(ids.astype(np.int64), pa.int64())
     )
+    # preserve the ingest dtype in the frame (f16/i8/u8/i32 columns are
+    # logged as themselves — a quarter the bytes for int8, and replay
+    # reconstructs the same dtype-appropriate index)
+    v = np.asarray(vectors)
+    if v.dtype not in (
+        np.dtype(np.float32), np.dtype(np.float16), np.dtype(np.int8),
+        np.dtype(np.uint8), np.dtype(np.int32), np.dtype(np.float64),
+    ):
+        v = v.astype(np.float32)
     cols = {
         "id": id_arr,
         "vector": pa.FixedSizeListArray.from_arrays(
-            pa.array(vectors.reshape(-1).astype(np.float32), pa.float32()), d
+            pa.array(
+                np.ascontiguousarray(v).reshape(-1),
+                pa.from_numpy_dtype(v.dtype),
+            ),
+            d,
         ),
     }
     for name, vals in (columns or {}).items():
@@ -106,7 +119,7 @@ def _table_to_put(table: pa.Table):
     ids = np.asarray(table.column("id").to_pylist())
     vec_col = table.column("vector").combine_chunks()
     d = vec_col.type.list_size
-    vectors = np.asarray(vec_col.values, dtype=np.float32).reshape(-1, d)
+    vectors = np.asarray(vec_col.values).reshape(-1, d)  # dtype preserved
     ts = None
     if _TS_COL in table.column_names:
         ts = np.asarray(table.column(_TS_COL).to_pylist(), dtype=np.float64)

@@ -146,7 +146,16 @@ class Dataset:
         self.touch()
         device_input = isinstance(vectors, jax.Array)
         if not device_input:
-            vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+            # preserve the ingest dtype (reference's per-dtype matrix):
+            # int8/uint8 reach an sq8 index as raw codes; f16 reaches
+            # f16 storage; f32 conversion elsewhere is value-exact for
+            # every supported dtype except int32 > 2^24
+            if vectors.dtype in (
+                np.float16, np.int8, np.uint8, np.float64,
+            ):
+                vectors = np.ascontiguousarray(vectors)
+            else:
+                vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         n = len(ids)
         if vectors.shape[0] != n:
             raise ValueError("ids/vectors length mismatch")

@@ -21,6 +21,14 @@ from longbow_tpu.ops.distance import Metric
 from longbow_tpu.store.dataset import Dataset
 from longbow_tpu.utils.query_cache import QueryCache
 
+# vector dtypes ingested without a cast (reference's per-dtype ingest
+# matrix, docs/performance.md:27-53); the index tier converts exactly
+# (f16/i8/u8 -> f32 is lossless) or stores bytes 1:1 (sq8 identity)
+_NATIVE_VEC_DTYPES = {
+    np.dtype(np.float32), np.dtype(np.float16), np.dtype(np.int8),
+    np.dtype(np.uint8), np.dtype(np.int32), np.dtype(np.float64),
+}
+
 
 class VectorStore:
     def __init__(
@@ -92,7 +100,25 @@ class VectorStore:
         *,
         index_kind: Optional[str] = None,
         index_params: Optional[dict] = None,
+        dtype_hint=None,
     ) -> Dataset:
+        # dtype-aware creation (reference ingests f16/i8/u8 vector
+        # columns natively, docs/performance.md:27-53): a dataset first
+        # seen with integer vectors stores the bytes 1:1 as
+        # identity-affine SQ8 codes; one first seen with f16 stores
+        # float16 — no lossy bounce through a coarser storage dtype.
+        # Explicit index choices always win over the hint.
+        ds_dtype = self.dtype
+        if dtype_hint is not None and index_kind is None and (
+            self.default_index_kind in (None, "adaptive")
+        ):
+            hint = np.dtype(dtype_hint)
+            if hint in (np.dtype(np.int8), np.dtype(np.uint8)):
+                index_kind = "sq8"
+            elif hint == np.dtype(np.float16):
+                import jax.numpy as _jnp
+
+                ds_dtype = _jnp.float16
         with self._lock:
             ds = self._datasets.get(name)
             if ds is None:
@@ -120,7 +146,7 @@ class VectorStore:
                     name,
                     dim,
                     metric or self.default_metric,
-                    dtype=self.dtype,
+                    dtype=ds_dtype,
                     hnsw_config=self.hnsw_config,
                     migration_threshold=self.migration_threshold,
                     index_kind=index_kind or self.default_index_kind,
@@ -265,11 +291,18 @@ class VectorStore:
     ) -> None:
         import jax as _jax
 
+        dtype_hint = None
         if not isinstance(vectors, _jax.Array):
-            vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+            vectors = np.atleast_2d(np.asarray(vectors))
+            if vectors.dtype in _NATIVE_VEC_DTYPES:
+                dtype_hint = vectors.dtype
+            else:
+                vectors = vectors.astype(np.float32)
         if self.backpressure is not None:
             self.backpressure.check_admit(self)
-        ds = self.get_or_create(dataset, vectors.shape[1], metric)
+        ds = self.get_or_create(
+            dataset, vectors.shape[1], metric, dtype_hint=dtype_hint
+        )
         # validate BEFORE the WAL append: a rejected frame in the log
         # would re-raise on every restart and brick recovery
         ds.columns.check_types(columns or {})

@@ -32,10 +32,24 @@ def run_worker(args, worker_id, stats, stop):
     # pre-generated payloads: the load generator must not spend its
     # CPU on standard_normal per op (it was ~half the client cost and
     # capped the measured server throughput)
-    pregen = [
-        rng.standard_normal((args.batch_size, args.dim), dtype=np.float32)
-        for _ in range(4)
-    ]
+    # per-dtype payloads (reference publishes an ingest matrix per
+    # vector dtype, docs/performance.md:27-53)
+    def _gen():
+        f = rng.standard_normal(
+            (args.batch_size, args.dim), dtype=np.float32
+        )
+        dt = getattr(args, "dtype", "f32")
+        if dt == "f16":
+            return f.astype(np.float16)
+        if dt == "i8":
+            return (f * 30).clip(-128, 127).astype(np.int8)
+        if dt == "u8":
+            return (f * 30 + 128).clip(0, 255).astype(np.uint8)
+        if dt == "i32":
+            return (f * 1000).astype(np.int32)
+        return f
+
+    pregen = [_gen() for _ in range(4)]
     while not stop.is_set():
         try:
             t0 = time.perf_counter()
@@ -171,6 +185,9 @@ def main() -> int:
     ap.add_argument("--duration", type=float, default=30.0)
     ap.add_argument("--batch-size", type=int, default=1000)
     ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--dtype", choices=["f32", "f16", "i8", "u8", "i32"],
+                    default="f32",
+                    help="ingest mode: vector dtype for the payloads")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--warmup-rows", type=int, default=0,
                     help="rows to ingest before a search benchmark")
@@ -220,7 +237,14 @@ def main() -> int:
         "ops": ops,
         "ops_per_s": round(ops / wall, 1),
         "rows_per_s": round(rows / wall, 1),
-        "mb_per_s": round(rows * args.dim * 4 / wall / 1e6, 1)
+        "dtype": getattr(args, "dtype", "f32"),
+        "mb_per_s": round(
+            rows * args.dim
+            * {"f16": 2, "i8": 1, "u8": 1}.get(
+                getattr(args, "dtype", "f32"), 4
+            )
+            / wall / 1e6, 1,
+        )
         if args.mode in ("ingest", "scan") else None,
         "errors": errors,
         "p50_ms": round(pct(0.5), 2),
