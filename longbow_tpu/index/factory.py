@@ -20,12 +20,13 @@ from longbow_tpu.index.bq import BQIndex
 from longbow_tpu.index.flat import FlatIndex
 from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
 from longbow_tpu.index.pq import PQIndex
-from longbow_tpu.index.sq8 import SQ8Index
+from longbow_tpu.index.sq8 import SQ8Index, SQ8ResidualIndex
 from longbow_tpu.index.ivf import IVFIndex
 from longbow_tpu.index.tiered import TieredIndex
 
 INDEX_KINDS = (
-    "adaptive", "flat", "hnsw", "pq", "sq8", "bq", "disk", "ivf",
+    "adaptive", "flat", "hnsw", "pq", "sq8", "sq8r", "bq", "disk",
+    "ivf",
     "mesh_flat", "mesh_graph",
 )
 
@@ -216,7 +217,8 @@ class _QuantizedAdapter:
     @classmethod
     def import_state(cls, st: dict) -> "_QuantizedAdapter":
         inner_cls = {
-            "pq": PQIndex, "sq8": SQ8Index, "bq": BQIndex,
+            "pq": PQIndex, "sq8": SQ8Index, "sq8r": SQ8ResidualIndex,
+            "bq": BQIndex,
             "disk": TieredIndex, "ivf": IVFIndex,
         }[st["kind"]]
         return cls(inner_cls.import_state(st), st["kind"], st["dim"])
@@ -288,6 +290,16 @@ def make_index(
         )
     if kind == "sq8":
         return _QuantizedAdapter(SQ8Index(dim, metric), "sq8", dim)
+    if kind == "sq8r":
+        # mean-centered SQ8: k-means residual codes — same byte/dim as
+        # sq8, recalls past the global-affine ceiling on clustered data
+        return _QuantizedAdapter(
+            SQ8ResidualIndex(
+                dim, metric,
+                n_clusters=int(params.get("n_clusters", 0)),
+            ),
+            "sq8r", dim,
+        )
     if kind == "bq":
         return _QuantizedAdapter(
             BQIndex(dim, metric, rerank=bool(params.get("rerank", True))),
@@ -325,7 +337,7 @@ def import_index(state: dict):
     kind = state["kind"]
     if kind in ("flat", "hnsw"):
         return AdaptiveIndex.import_state(state)
-    if kind in ("pq", "sq8", "bq", "disk", "ivf"):
+    if kind in ("pq", "sq8", "sq8r", "bq", "disk", "ivf"):
         return _QuantizedAdapter.import_state(state)
     if kind in ("mesh_flat", "mesh_graph"):
         return _MeshAdapter.import_state(state)

@@ -53,9 +53,19 @@ def build_stage_timer(n: int, tag: str = "build"):
         return lambda label, *arrs: None
     state = {"t": _t.time()}
 
+    force = os.environ.get("LONGBOW_BUILD_FORCE") == "1"
+
     def stage(label, *arrs):
         for a in arrs:
-            jax.block_until_ready(a)
+            if force:
+                # block_until_ready returns EARLY through the device
+                # relay (round-4 finding) — a dependent scalar fetch is
+                # the only true barrier; debug-only (eager dispatch)
+                import numpy as _np
+
+                float(_np.asarray(a.astype(jnp.float32).sum()))
+            else:
+                jax.block_until_ready(a)
         now = _t.time()
         print(
             f"[{tag} {n}] {label}: {now - state['t']:.1f}s",
@@ -560,19 +570,48 @@ def _symmetrize_and_store(
     # Duplicates only occur BETWEEN the lists (each is internally
     # unique: forward = distinct heuristic picks; incoming = one edge
     # per (src,dst) pair), so the dedup mask is [n, R, m] — 4.5x fewer
-    # compares than the naive [n, (m+R)^2] all-pairs check
-    dup_inc = jnp.any(
-        (inc_src[:, :, None] == fwd_rows[:, None, :])
-        & (fwd_rows[:, None, :] >= 0),
-        axis=2,
-    )  # [n, R]
-    inc_d = jnp.where(dup_inc, MASKED, inc_d)
-    inc_de = jnp.where(dup_inc, MASKED, inc_de)
-    all_i = jnp.concatenate([fwd_rows, inc_src], axis=1)  # [n, m+R]
-    all_d = jnp.concatenate([fwd_dists, inc_d], axis=1)
-    all_de = jnp.concatenate([fwd_dists, inc_de], axis=1)
-    all_d = jnp.where(all_i >= 0, all_d, MASKED)
-    all_de = jnp.where(all_i >= 0, all_de, MASKED)
+    # compares than the naive [n, (m+R)^2] all-pairs check. CHUNKED:
+    # the full-N mask is ~6GB bool at 4M rows (HBM-OOMs the worker);
+    # lax.map over row chunks keeps it a few MB.
+    _mc = 8192
+    _npad3 = -(-n // _mc) * _mc
+
+    def _pad_rows(a, fill):
+        return jnp.pad(
+            a, ((0, _npad3 - n), (0, 0)), constant_values=fill
+        )
+
+    def _dedup_chunk(args):
+        inc_s_c, inc_d_c, inc_de_c, fwd_r_c, fwd_d_c = args
+        dup = jnp.any(
+            (inc_s_c[:, :, None] == fwd_r_c[:, None, :])
+            & (fwd_r_c[:, None, :] >= 0),
+            axis=2,
+        )
+        i_d = jnp.where(dup, MASKED, inc_d_c)
+        i_de = jnp.where(dup, MASKED, inc_de_c)
+        a_i = jnp.concatenate([fwd_r_c, inc_s_c], axis=1)
+        a_d = jnp.concatenate([fwd_d_c, i_d], axis=1)
+        a_de = jnp.concatenate([fwd_d_c, i_de], axis=1)
+        a_d = jnp.where(a_i >= 0, a_d, MASKED)
+        a_de = jnp.where(a_i >= 0, a_de, MASKED)
+        return a_i, a_d, a_de
+
+    _nch = _npad3 // _mc
+    all_i, all_d, all_de = jax.lax.map(
+        _dedup_chunk,
+        (
+            _pad_rows(inc_src, -1).reshape(_nch, _mc, r_slots),
+            _pad_rows(inc_d, MASKED).reshape(_nch, _mc, r_slots),
+            _pad_rows(inc_de, MASKED).reshape(_nch, _mc, r_slots),
+            _pad_rows(fwd_rows, -1).reshape(_nch, _mc, m),
+            _pad_rows(fwd_dists, MASKED).reshape(_nch, _mc, m),
+        ),
+    )
+    w_all = m + r_slots
+    all_i = all_i.reshape(_npad3, w_all)[:n]
+    all_d = all_d.reshape(_npad3, w_all)[:n]
+    all_de = all_de.reshape(_npad3, w_all)[:n]
 
     if diversify:
         # HNSW applies selectNeighbors on overflow, not plain
@@ -1011,17 +1050,33 @@ def _rp_round(
         bi.reshape(n_pad, kb)
     )
 
-    # merge into the running top-K, first occurrence wins on duplicates
-    dup = jnp.any(new_i[:, :, None] == ki[:, None, :], axis=2) & (
-        new_i >= 0
+    # merge into the running top-K, first occurrence wins on duplicates.
+    # CHUNKED (lax.map over block-rows): the full-N dup mask
+    # [n, kb, K] bool is ~6GB at 4M rows — it OOM-crashed the TPU
+    # worker on the first >1M build (round 4); per-chunk it is ~12MB.
+    def merge_chunk(args):
+        kd_c, ki_c, nd_c, ni_c = args
+        dup = jnp.any(
+            ni_c[:, :, None] == ki_c[:, None, :], axis=2
+        ) & (ni_c >= 0)
+        nd_c = jnp.where(dup, MASKED, nd_c)
+        all_d = jnp.concatenate([kd_c, nd_c], axis=1)
+        all_i = jnp.concatenate([ki_c, ni_c], axis=1)
+        neg, pos = jax.lax.top_k(-all_d, K)
+        kd2_c = -neg
+        ki2_c = jnp.where(
+            kd2_c < MASKED, jnp.take_along_axis(all_i, pos, axis=1), -1
+        )
+        return kd2_c, ki2_c
+
+    kd2, ki2 = jax.lax.map(
+        merge_chunk,
+        (
+            kd.reshape(nb, block, K), ki.reshape(nb, block, K),
+            new_d.reshape(nb, block, kb), new_i.reshape(nb, block, kb),
+        ),
     )
-    new_d = jnp.where(dup, MASKED, new_d)
-    all_d = jnp.concatenate([kd, new_d], axis=1)
-    all_i = jnp.concatenate([ki, new_i], axis=1)
-    neg, pos = jax.lax.top_k(-all_d, K)
-    kd2 = -neg
-    ki2 = jnp.where(kd2 < MASKED, jnp.take_along_axis(all_i, pos, axis=1), -1)
-    return kd2, ki2
+    return kd2.reshape(n_pad, K), ki2.reshape(n_pad, K)
 
 
 @functools.partial(

@@ -336,3 +336,58 @@ def test_ivf_imbalanced_cells_spill_to_flat_residual():
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
     gv = idx2.get_vectors(np.concatenate([rows[:3], idx._spill_rows[:2]]))
     assert gv.shape == (5, 16)
+
+
+def test_sq8r_beats_global_sq8_on_clustered():
+    """Residual (mean-centered) SQ8 must rank clustered data better
+    than the global affine — the fix for the measured 1M recall
+    ceiling (CLAUDE.md: global SQ8 caps at ~0.944)."""
+    import jax.numpy as jnp
+
+    from longbow_tpu.index.sq8 import SQ8Index, SQ8ResidualIndex
+    from longbow_tpu.ops.distance import exact_search
+
+    rng = np.random.default_rng(11)
+    n, d, k, nq = 20_000, 64, 10, 64
+    ncl = 256
+    centers = rng.standard_normal((ncl, d)).astype(np.float32) * 4.0
+    assign = rng.integers(0, ncl, n + nq)
+    allv = centers[assign] + rng.standard_normal(
+        (n + nq, d)
+    ).astype(np.float32)
+    vecs, q = allv[:n], allv[n:]
+
+    _, er = exact_search(
+        jnp.asarray(q), jnp.asarray(vecs), k, exact_precision=True
+    )
+    want = [set(r.tolist()) for r in np.asarray(er)]
+
+    def recall(idx):
+        idx.add(vecs)
+        _, r = idx.search(q, k)
+        got = np.asarray(r)
+        return np.mean(
+            [len(set(got[i].tolist()) & want[i]) / k for i in range(nq)]
+        )
+
+    r_sq8 = recall(SQ8Index(d))
+    r_sq8r = recall(SQ8ResidualIndex(d, n_clusters=256))
+    assert r_sq8r >= 0.95, f"sq8r recall {r_sq8r}"
+    assert r_sq8r > r_sq8 + 0.01, (r_sq8r, r_sq8)
+
+
+def test_sq8r_roundtrip_state(tmp_path):
+    from longbow_tpu.store.vector_store import VectorStore
+
+    rng = np.random.default_rng(12)
+    v = rng.standard_normal((600, 16), dtype=np.float32)
+    store = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    store.get_or_create("r", 16, index_kind="sq8r",
+                        index_params={"n_clusters": 16})
+    store.put("r", np.arange(600), v)
+    store.snapshot()
+    del store
+    store2 = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    assert store2.get("r").index_kind == "sq8r"
+    ids, scores, _ = store2.search("r", v[5], 3, use_cache=False)
+    assert ids[0, 0] == 5

@@ -86,3 +86,31 @@ def test_gate_1m_uniform_served_recall():
         [len(set(got[i]) & set(want[i])) / 10 for i in range(100)]
     )
     assert rec >= 0.95, f"served uniform-1M recall {rec} < 0.95"
+
+
+def test_gate_sq8_in_graph_10k_384d():
+    """SQ8-quantized graph at the reference's own scale and bar
+    (reference: recall_validation_test.go:42-46 — 10k x 384d, SQ8,
+    efSearch=100, recall@10 >= 0.95)."""
+    n, d, k = 10_000, 384, 10
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((n, d), dtype=np.float32)
+    idx = HNSWIndex(
+        d, storage="sq8",
+        config=HNSWConfig(m=48, m_max=64, ef_search=100),
+    )
+    idx.add(vecs)
+    qi = rng.choice(n, 100, replace=False)
+    q = vecs[qi]
+    _, er = exact_search(
+        jnp.asarray(q), jnp.asarray(vecs), k + 1, exact_precision=False
+    )
+    er = np.asarray(er)
+    want = [[x for x in er[i] if x != qi[i]][:k] for i in range(100)]
+    _, r = idx.search(q, k + 1, ef_search=100)
+    got = np.asarray(r)
+    got = [[x for x in got[i] if x != qi[i]][:k] for i in range(100)]
+    rec = np.mean(
+        [len(set(got[i]) & set(want[i])) / k for i in range(100)]
+    )
+    assert rec >= 0.95, f"SQ8-in-graph recall {rec} < 0.95"
