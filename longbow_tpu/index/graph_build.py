@@ -515,24 +515,22 @@ def bulk_build_edges(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n", "m_max", "diversify"),
-    donate_argnums=(0,),
-)
-def _symmetrize_and_store(
-    state: GraphState,
-    fwd_rows: jax.Array,   # [n, m]
-    fwd_dists: jax.Array,  # [n, m]
-    n: int,
-    *,
-    m_max: int,
-    diversify: bool = False,
-) -> GraphState:
+@functools.partial(jax.jit, static_argnames=("n", "m_max"))
+def _symm_edges(
+    fwd_rows: jax.Array, fwd_dists: jax.Array, n: int, *, m_max: int
+):
+    """Edge-list sorts -> per-node incoming candidates [n, m_max]."""
     m = fwd_rows.shape[1]
-    e = n * m
-    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), m)  # [E]
-    dst = fwd_rows.reshape(-1)
-    d = fwd_dists.reshape(-1)
+    # reverse-candidate edges come from the TOP m_rev forward ranks
+    # only: low-rank (far) forward edges essentially never win a slot
+    # in the m_max-best incoming merge, and the edge list's two argsorts
+    # (keys + 4 payload gathers each + sort workspace) dominate the
+    # build's HBM peak at >=4M rows (round-4 worker-crash diagnostic)
+    m_rev = min(m, 16)
+    e = n * m_rev
+    src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), m_rev)  # [E]
+    dst = fwd_rows[:, :m_rev].reshape(-1)
+    d = fwd_dists[:, :m_rev].reshape(-1)
     ok = dst >= 0
     dst_s = jnp.where(ok, dst, n)  # invalid -> sentinel bucket n
 
@@ -540,7 +538,7 @@ def _symmetrize_and_store(
     # nodes (common under high-dim hubness) lose every in-edge at the
     # prune below and become unreachable except via the entry sample
     rank_in_src = jax.lax.broadcasted_iota(
-        jnp.int32, (n, m), 1
+        jnp.int32, (n, m_rev), 1
     ).reshape(-1)
     protected = ok & (rank_in_src == 0)
     d_eff = jnp.where(protected, d - 1.0e9, d)
@@ -565,21 +563,24 @@ def _symmetrize_and_store(
     inc_src = jnp.where(inc_ok, jnp.take(src2, pos), -1)      # [n, R]
     inc_d = jnp.where(inc_ok, jnp.take(d2, pos), MASKED)
     inc_de = jnp.where(inc_ok, jnp.take(de2, pos), MASKED)
+    return inc_src, inc_d, inc_de
 
-    # merge forward + incoming, dedup, keep best m_max by priority.
-    # Duplicates only occur BETWEEN the lists (each is internally
-    # unique: forward = distinct heuristic picks; incoming = one edge
-    # per (src,dst) pair), so the dedup mask is [n, R, m] — 4.5x fewer
-    # compares than the naive [n, (m+R)^2] all-pairs check. CHUNKED:
-    # the full-N mask is ~6GB bool at 4M rows (HBM-OOMs the worker);
-    # lax.map over row chunks keeps it a few MB.
-    _mc = 8192
-    _npad3 = -(-n // _mc) * _mc
 
-    def _pad_rows(a, fill):
-        return jnp.pad(
-            a, ((0, _npad3 - n), (0, 0)), constant_values=fill
-        )
+@functools.partial(jax.jit, static_argnames=("m_max", "diversify"))
+def _symm_select_seg(
+    state: GraphState,
+    fwd_rows, fwd_dists, inc_src, inc_d, inc_de,
+    *, m_max: int, diversify: bool,
+):
+    """Merge forward + incoming for a ROW SEGMENT, dedup, keep the
+    best m_max by priority. Duplicates only occur BETWEEN the lists
+    (each is internally unique), so the dedup mask is [seg, R, m] —
+    and the chunked map keeps it a few MB (the full-N mask was ~6GB
+    bool at 4M rows)."""
+    nseg, m = fwd_rows.shape
+    r_slots = inc_src.shape[1]
+    _mc = min(8192, nseg)
+    _nch = nseg // _mc
 
     def _dedup_chunk(args):
         inc_s_c, inc_d_c, inc_de_c, fwd_r_c, fwd_d_c = args
@@ -597,21 +598,21 @@ def _symmetrize_and_store(
         a_de = jnp.where(a_i >= 0, a_de, MASKED)
         return a_i, a_d, a_de
 
-    _nch = _npad3 // _mc
     all_i, all_d, all_de = jax.lax.map(
         _dedup_chunk,
         (
-            _pad_rows(inc_src, -1).reshape(_nch, _mc, r_slots),
-            _pad_rows(inc_d, MASKED).reshape(_nch, _mc, r_slots),
-            _pad_rows(inc_de, MASKED).reshape(_nch, _mc, r_slots),
-            _pad_rows(fwd_rows, -1).reshape(_nch, _mc, m),
-            _pad_rows(fwd_dists, MASKED).reshape(_nch, _mc, m),
+            inc_src.reshape(_nch, _mc, r_slots),
+            inc_d.reshape(_nch, _mc, r_slots),
+            inc_de.reshape(_nch, _mc, r_slots),
+            fwd_rows.reshape(_nch, _mc, m),
+            fwd_dists.reshape(_nch, _mc, m),
         ),
     )
     w_all = m + r_slots
-    all_i = all_i.reshape(_npad3, w_all)[:n]
-    all_d = all_d.reshape(_npad3, w_all)[:n]
-    all_de = all_de.reshape(_npad3, w_all)[:n]
+    all_i = all_i.reshape(nseg, w_all)
+    all_d = all_d.reshape(nseg, w_all)
+    all_de = all_de.reshape(nseg, w_all)
+    n = nseg  # segment-local names for the branches below
 
     if diversify:
         # HNSW applies selectNeighbors on overflow, not plain
@@ -659,6 +660,16 @@ def _symmetrize_and_store(
             sel_d < MASKED, jnp.take_along_axis(all_i, ppos, axis=1), -1
         )
     cnt = jnp.sum(sel_i >= 0, axis=1).astype(jnp.int32)
+    return sel_i, sel_d, cnt
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "m_max"), donate_argnums=(0,)
+)
+def _symm_store(
+    state: GraphState, sel_i, sel_d, cnt, n: int, *, m_max: int
+) -> GraphState:
+    """Long-range edges + one scatter into the (donated) state."""
     # pad to the adjacency width actually allocated in the state (a
     # builder may use a smaller m_max than the index was created with)
     m2 = state.nbrs.shape[1]
@@ -692,6 +703,59 @@ def _symmetrize_and_store(
     )
     nbr_count = state.nbr_count.at[rows].set(cnt)
     return state._replace(nbrs=nbrs, nbr_dists=nbr_dists, nbr_count=nbr_count)
+
+
+def _symmetrize_and_store(
+    state: GraphState,
+    fwd_rows: jax.Array,   # [n, m]
+    fwd_dists: jax.Array,  # [n, m]
+    n: int,
+    *,
+    m_max: int,
+    diversify: bool = False,
+) -> GraphState:
+    """Host-orchestrated symmetrize: edge sorts (one program), row-
+    segmented dedup/select programs, one store scatter — every dispatch
+    bounded under the relay's 60s execution limit at any N."""
+    inc_src, inc_d, inc_de = _symm_edges(
+        fwd_rows, fwd_dists, n, m_max=m_max
+    )
+    seg = min(-(-n // 8192) * 8192, SEG_ROWS)
+    m = fwd_rows.shape[1]
+
+    def _pad_to(a, rows_total, fill):
+        if a.shape[0] >= rows_total:
+            return a[:rows_total]
+        return jnp.pad(
+            a, ((0, rows_total - a.shape[0]), (0, 0)),
+            constant_values=fill,
+        )
+
+    n_pad4 = -(-n // seg) * seg
+    fr = _pad_to(fwd_rows, n_pad4, -1)
+    fd = _pad_to(fwd_dists, n_pad4, float(MASKED))
+    isrc = _pad_to(inc_src, n_pad4, -1)
+    idd = _pad_to(inc_d, n_pad4, float(MASKED))
+    ide = _pad_to(inc_de, n_pad4, float(MASKED))
+    sels_i, sels_d, cnts = [], [], []
+    for off in range(0, n_pad4, seg):
+        si, sd, cn = _symm_select_seg(
+            state,
+            fr[off:off + seg], fd[off:off + seg],
+            isrc[off:off + seg], idd[off:off + seg],
+            ide[off:off + seg],
+            m_max=m_max, diversify=diversify,
+        )
+        sels_i.append(si)
+        sels_d.append(sd)
+        cnts.append(cn)
+    if len(sels_i) == 1:
+        sel_i, sel_d, cnt = sels_i[0][:n], sels_d[0][:n], cnts[0][:n]
+    else:
+        sel_i = jnp.concatenate(sels_i)[:n]
+        sel_d = jnp.concatenate(sels_d)[:n]
+        cnt = jnp.concatenate(cnts)[:n]
+    return _symm_store(state, sel_i, sel_d, cnt, n, m_max=m_max)
 
 
 # ---------------------------------------------------------------------------
@@ -989,43 +1053,40 @@ def nn_descent_refine(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("block", "kb"),
-    donate_argnums=(3, 4),
-)
-def _rp_round(
-    vectors,    # [cap, D] storage dtype (dense; densify SQ8 first)
-    norms_sq,   # [cap]
-    valid,      # [cap]
-    kd,         # [n_pad, K] running best dists (donated)
-    ki,         # [n_pad, K] running best rows  (donated)
-    rkey,       # jax PRNG key for this round
-    n: int,
-    block: int,
-    kb: int,
-):
-    n_pad, K = kd.shape
+# Segmenting rule (round-4 platform finding, CLAUDE.md): the device
+# relay KILLS any single program that executes >~60s. Build stages are
+# therefore host-orchestrated over per-segment jitted programs sized so
+# each dispatch stays far under the limit at any corpus size.
+SEG_ROWS = 1 << 20  # rows per dispatched program segment
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "block"))
+def _rp_prepare(vectors, norms_sq, valid, rkey, n, *, n_pad, block):
+    """Projection sort + gather into [nb, block, ...] tiles (fast; one
+    program)."""
     d = vectors.shape[1]
     vecs = vectors[:n_pad]
     norms = norms_sq[:n_pad]
     rowid = jnp.arange(n_pad, dtype=jnp.int32)
     live = (rowid < n) & valid[:n_pad]
-
-    # sort all rows by a random 1-d projection; dead rows to the end
     dirs = jax.random.normal(rkey, (d,), jnp.float32)
     proj = vecs.astype(jnp.float32) @ dirs
     proj = jnp.where(live, proj, jnp.float32(3.4e38))
     order = jnp.argsort(proj).astype(jnp.int32)  # [n_pad]
-
-    sv = jnp.take(vecs, order, axis=0)           # [n_pad, D]
+    sv = jnp.take(vecs, order, axis=0)
     sn = jnp.take(norms, order)
     sl = jnp.take(live, order)
     nb = n_pad // block
-    svb = sv.reshape(nb, block, d)
-    snb = sn.reshape(nb, block)
-    slb = sl.reshape(nb, block)
-    orb = order.reshape(nb, block)
+    return (
+        sv.reshape(nb, block, d), sn.reshape(nb, block),
+        sl.reshape(nb, block), order.reshape(nb, block), order,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block", "kb"))
+def _rp_block_seg(svb, snb, slb, orb, *, block, kb):
+    """Per-block kNN over a SEGMENT of sorted blocks (the matmul+top_k
+    hot loop — the stage that crosses the 60s limit if unsegmented)."""
 
     def one(args):
         vb, nbq, lv, ob = args
@@ -1042,7 +1103,19 @@ def _rp_round(
         dd = jnp.where(lv[:, None], dd, MASKED)  # dead query rows
         return dd, rows
 
-    bd, bi = jax.lax.map(one, (svb, snb, slb, orb))  # [nb, block, kb]
+    return jax.lax.map(one, (svb, snb, slb, orb))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block",), donate_argnums=(0, 1)
+)
+def _rp_scatter_merge(kd, ki, bd, bi, order, *, block):
+    """Scatter block results back to row order + chunked top-K merge.
+    The dup mask is per-chunk ([block, kb, K] ~12MB) — the full-N
+    version was ~6GB at 4M rows."""
+    n_pad, K = kd.shape
+    kb = bd.shape[-1]
+    nb = n_pad // block
     new_d = jnp.zeros((n_pad, kb), jnp.float32).at[order].set(
         bd.reshape(n_pad, kb)
     )
@@ -1050,10 +1123,6 @@ def _rp_round(
         bi.reshape(n_pad, kb)
     )
 
-    # merge into the running top-K, first occurrence wins on duplicates.
-    # CHUNKED (lax.map over block-rows): the full-N dup mask
-    # [n, kb, K] bool is ~6GB at 4M rows — it OOM-crashed the TPU
-    # worker on the first >1M build (round 4); per-chunk it is ~12MB.
     def merge_chunk(args):
         kd_c, ki_c, nd_c, ni_c = args
         dup = jnp.any(
@@ -1079,52 +1148,74 @@ def _rp_round(
     return kd2.reshape(n_pad, K), ki2.reshape(n_pad, K)
 
 
+def _rp_round(
+    vectors, norms_sq, valid, kd, ki, rkey, n, block: int, kb: int
+):
+    """One random-projection round, segmented into <60s programs."""
+    n_pad = kd.shape[0]
+    svb, snb, slb, orb, order = _rp_prepare(
+        vectors, norms_sq, valid, rkey, n, n_pad=n_pad, block=block
+    )
+    nb = n_pad // block
+    seg_b = max(1, SEG_ROWS // block)
+    if nb <= seg_b:
+        bd, bi = _rp_block_seg(svb, snb, slb, orb, block=block, kb=kb)
+    else:
+        bds, bis = [], []
+        for s0 in range(0, nb, seg_b):
+            s1 = min(s0 + seg_b, nb)
+            bd, bi = _rp_block_seg(
+                svb[s0:s1], snb[s0:s1], slb[s0:s1], orb[s0:s1],
+                block=block, kb=kb,
+            )
+            bds.append(bd)
+            bis.append(bi)
+        bd = jnp.concatenate(bds)
+        bi = jnp.concatenate(bis)
+    return _rp_scatter_merge(kd, ki, bd, bi, order, block=block)
+
+
+_reverse_lists_jit = None  # initialized lazily below
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("expand", "rev_slots", "chunk", "ext_k"),
-    donate_argnums=(3, 4),
+    static_argnames=("seg", "expand", "chunk", "ext_k", "sampled"),
 )
-def _nn_descent_round(
-    vectors, norms_sq, valid, knn_d, knn_i, n: int,
-    rkey=None,
-    expand: int = 4, rev_slots: int = 32, chunk: int = 1024,
-    ext_k: int = 0,
+def _nd_segment(
+    vectors, norms_sq, valid, knn_d, knn_i, rev_i, rkey, off0, n,
+    *, seg: int, expand: int, chunk: int, ext_k: int, sampled: bool,
 ):
-    """One NN-descent round as ONE program: reverse join + lax.map over
-    row chunks (the eager per-chunk loop paid a relay round trip per
-    512 rows).
-
-    rkey: when given, expansion heads are SAMPLED from the forward and
-    reverse lists instead of always taking the best few — deterministic
-    heads re-explore the same candidates every round and convergence
-    stalls (measured: +1.5%/round deterministic vs the sampled join)."""
-    n_pad, kk = knn_d.shape
-    rev_i = _reverse_lists(knn_i, knn_d, n_pad, rev_slots)
-    n_blocks = n_pad // chunk
+    """NN-descent join for rows [off0, off0+seg): lax.map over row
+    chunks; one bounded program per segment (the single full-N program
+    crossed the relay's 60s execution limit at 4M rows)."""
+    kk = knn_d.shape[1]
+    rev_slots = rev_i.shape[1]
     nf = expand
     nr = max(expand // 2, 2)
-    if rkey is not None:
-        # per-row random head slots, fresh every round
+    if sampled:
+        # per-row random head slots, fresh every round+segment
         fcols = jax.random.randint(
-            jax.random.fold_in(rkey, 1), (n_pad, nf), 0, kk
+            jax.random.fold_in(rkey, 1), (seg, nf), 0, kk
         )
         rcols = jax.random.randint(
-            jax.random.fold_in(rkey, 2), (n_pad, nr), 0, rev_slots
+            jax.random.fold_in(rkey, 2), (seg, nr), 0, rev_slots
         )
     else:
-        fcols = jnp.tile(jnp.arange(nf, dtype=jnp.int32), (n_pad, 1))
-        rcols = jnp.tile(jnp.arange(nr, dtype=jnp.int32), (n_pad, 1))
+        fcols = jnp.tile(jnp.arange(nf, dtype=jnp.int32), (seg, 1))
+        rcols = jnp.tile(jnp.arange(nr, dtype=jnp.int32), (seg, 1))
 
     def one(b):
-        off = b * chunk
+        loc = b * chunk
+        off = off0 + loc
         rows_c = jnp.minimum(
             off + jnp.arange(chunk, dtype=jnp.int32), n - 1
         )
         kd_c = jax.lax.dynamic_slice_in_dim(knn_d, off, chunk)
         ki_c = jax.lax.dynamic_slice_in_dim(knn_i, off, chunk)
         rv_c = jax.lax.dynamic_slice_in_dim(rev_i, off, chunk)
-        fc = jax.lax.dynamic_slice_in_dim(fcols, off, chunk)
-        rc = jax.lax.dynamic_slice_in_dim(rcols, off, chunk)
+        fc = jax.lax.dynamic_slice_in_dim(fcols, loc, chunk)
+        rc = jax.lax.dynamic_slice_in_dim(rcols, loc, chunk)
         top_f = jnp.take_along_axis(ki_c, fc, axis=1)
         top_r = jnp.take_along_axis(rv_c, rc, axis=1)
         heads = jnp.concatenate([top_f, top_r], axis=1)
@@ -1159,8 +1250,61 @@ def _nn_descent_round(
         )
         return nd, ni
 
-    nd, ni = jax.lax.map(one, jnp.arange(n_blocks, dtype=jnp.int32))
-    return nd.reshape(n_pad, kk), ni.reshape(n_pad, kk)
+    nd, ni = jax.lax.map(one, jnp.arange(seg // chunk, dtype=jnp.int32))
+    return nd.reshape(seg, kk), ni.reshape(seg, kk)
+
+
+def _nn_descent_round(
+    vectors, norms_sq, valid, knn_d, knn_i, n: int,
+    rkey=None,
+    expand: int = 4, rev_slots: int = 32, chunk: int = 1024,
+    ext_k: int = 0,
+):
+    """One NN-descent round, segmented into <60s programs.
+
+    rkey: when given, expansion heads are SAMPLED from the forward and
+    reverse lists instead of always taking the best few — deterministic
+    heads re-explore the same candidates every round and convergence
+    stalls (measured: +1.5%/round deterministic vs the sampled join)."""
+    global _reverse_lists_jit
+    if _reverse_lists_jit is None:
+        _reverse_lists_jit = jax.jit(
+            _reverse_lists, static_argnames=("n_pad", "r_slots")
+        )
+    n_pad, kk = knn_d.shape
+    # reverse join over the best 16 forward edges only: the full-kk
+    # edge list is n*kk entries and its two argsorts (keys + payload
+    # gathers + sort workspace) dominate the stage's HBM peak at 4M;
+    # the influential reverse edges come from the TOP of the forward
+    # lists, so capping costs no measurable recall
+    kk_rev = min(kk, 16)
+    rev_i = _reverse_lists_jit(
+        knn_i[:, :kk_rev], knn_d[:, :kk_rev], n_pad=n_pad,
+        r_slots=rev_slots,
+    )
+    if rkey is None:
+        rkey = jax.random.PRNGKey(0)
+        sampled = False
+    else:
+        sampled = True
+    seg = min(n_pad, max(SEG_ROWS // 2, chunk))
+    seg = (seg // chunk) * chunk or chunk
+    outs_d, outs_i = [], []
+    for s, off in enumerate(range(0, n_pad, seg)):
+        this = min(seg, n_pad - off)
+        this = -(-this // chunk) * chunk  # n_pad is chunk-aligned
+        nd, ni = _nd_segment(
+            vectors, norms_sq, valid, knn_d, knn_i, rev_i,
+            jax.random.fold_in(rkey, 77_000 + s),
+            jnp.int32(off), n,
+            seg=this, expand=expand, chunk=chunk, ext_k=ext_k,
+            sampled=sampled,
+        )
+        outs_d.append(nd)
+        outs_i.append(ni)
+    if len(outs_d) == 1:
+        return outs_d[0], outs_i[0]
+    return jnp.concatenate(outs_d), jnp.concatenate(outs_i)
 
 
 def bulk_build_rp(
@@ -1223,6 +1367,9 @@ def bulk_build_rp(
         _stage(f"nn-descent round {r}", kd)
     fwd_rows, fwd_dists = _prune_forward_all(state, kd, ki, m, prune_chunk)
     _stage("prune", fwd_rows)
+    # release the kNN working set before the symmetrize sorts — holding
+    # the [n, K] pair (1.5GB at 4M) through them tips the HBM peak
+    del kd, ki
     out = _symmetrize_and_store(
         state, fwd_rows[:n], fwd_dists[:n], n, m_max=m_max,
         diversify=diversify,
