@@ -26,6 +26,13 @@ class Config:
     data_port: int = field(default_factory=lambda: _env("DATA_PORT", 3000, int))
     meta_port: int = field(default_factory=lambda: _env("META_PORT", 3001, int))
     host: str = field(default_factory=lambda: _env("HOST", "0.0.0.0"))
+    # host-local fast path: directory for AF_UNIX mirror sockets
+    # (data.sock/meta.sock) — loopback TCP tops out ~0.5-0.9 GB/s on
+    # the target hosts vs 1.3-1.6 GB/s over unix sockets (measured,
+    # tools/flight_floor_probe.py); empty = TCP only
+    unix_socket_dir: str = field(
+        default_factory=lambda: _env("UNIX_SOCKET", "")
+    )
     metrics_port: int = field(
         default_factory=lambda: _env("METRICS_PORT", 9090, int)
     )

@@ -724,7 +724,9 @@ def _symmetrize_and_store(
     m = fwd_rows.shape[1]
 
     def _pad_to(a, rows_total, fill):
-        if a.shape[0] >= rows_total:
+        if a.shape[0] == rows_total:
+            return a
+        if a.shape[0] > rows_total:
             return a[:rows_total]
         return jnp.pad(
             a, ((0, rows_total - a.shape[0]), (0, 0)),
@@ -1060,36 +1062,31 @@ def nn_descent_refine(
 SEG_ROWS = 1 << 20  # rows per dispatched program segment
 
 
-@functools.partial(jax.jit, static_argnames=("n_pad", "block"))
-def _rp_prepare(vectors, norms_sq, valid, rkey, n, *, n_pad, block):
-    """Projection sort + gather into [nb, block, ...] tiles (fast; one
-    program)."""
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _rp_order(vectors, valid, rkey, n, *, n_pad):
+    """Random-projection sort: returns the row permutation only (the
+    sorted-corpus copy this used to materialize cost 1GB of HBM at
+    4M x 128 — segments gather their own rows instead)."""
     d = vectors.shape[1]
-    vecs = vectors[:n_pad]
-    norms = norms_sq[:n_pad]
     rowid = jnp.arange(n_pad, dtype=jnp.int32)
     live = (rowid < n) & valid[:n_pad]
     dirs = jax.random.normal(rkey, (d,), jnp.float32)
-    proj = vecs.astype(jnp.float32) @ dirs
+    proj = vectors[:n_pad].astype(jnp.float32) @ dirs
     proj = jnp.where(live, proj, jnp.float32(3.4e38))
-    order = jnp.argsort(proj).astype(jnp.int32)  # [n_pad]
-    sv = jnp.take(vecs, order, axis=0)
-    sn = jnp.take(norms, order)
-    sl = jnp.take(live, order)
-    nb = n_pad // block
-    return (
-        sv.reshape(nb, block, d), sn.reshape(nb, block),
-        sl.reshape(nb, block), order.reshape(nb, block), order,
-    )
+    return jnp.argsort(proj).astype(jnp.int32)  # [n_pad]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "kb"))
-def _rp_block_seg(svb, snb, slb, orb, *, block, kb):
+def _rp_block_seg(vectors, norms_sq, valid, orb, n, *, block, kb):
     """Per-block kNN over a SEGMENT of sorted blocks (the matmul+top_k
-    hot loop — the stage that crosses the 60s limit if unsegmented)."""
+    hot loop — the stage that crosses the 60s limit if unsegmented).
+    orb: [nbs, block] sorted row ids; rows are gathered per block so no
+    full-corpus sorted copy is ever held."""
 
-    def one(args):
-        vb, nbq, lv, ob = args
+    def one(ob):
+        vb = jnp.take(vectors, ob, axis=0)
+        nbq = jnp.take(norms_sq, ob)
+        lv = (ob < n) & jnp.take(valid, ob)
         ip = jax.lax.dot_general(
             vb, vb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -1103,25 +1100,23 @@ def _rp_block_seg(svb, snb, slb, orb, *, block, kb):
         dd = jnp.where(lv[:, None], dd, MASKED)  # dead query rows
         return dd, rows
 
-    return jax.lax.map(one, (svb, snb, slb, orb))
+    return jax.lax.map(one, orb)
 
 
 @functools.partial(
     jax.jit, static_argnames=("block",), donate_argnums=(0, 1)
 )
-def _rp_scatter_merge(kd, ki, bd, bi, order, *, block):
-    """Scatter block results back to row order + chunked top-K merge.
-    The dup mask is per-chunk ([block, kb, K] ~12MB) — the full-N
-    version was ~6GB at 4M rows."""
-    n_pad, K = kd.shape
-    kb = bd.shape[-1]
-    nb = n_pad // block
-    new_d = jnp.zeros((n_pad, kb), jnp.float32).at[order].set(
-        bd.reshape(n_pad, kb)
-    )
-    new_i = jnp.full((n_pad, kb), -1, jnp.int32).at[order].set(
-        bi.reshape(n_pad, kb)
-    )
+def _rp_merge_seg(kd_s, ki_s, bd, bi, off, *, block):
+    """Merge one segment's block results into the running top-K IN
+    SORTED DOMAIN, in place (donated buffers + dynamic_update_slice —
+    the previous row-domain scatter allocated two full-N [n, kb]
+    scratch arrays plus a concat of all segments: ~4.7GB of transients
+    at 4M rows, which HBM-OOMed the build)."""
+    K = kd_s.shape[1]
+    nbs, _, kb = bd.shape
+    rows = nbs * block
+    kd_c = jax.lax.dynamic_slice_in_dim(kd_s, off, rows)
+    ki_c = jax.lax.dynamic_slice_in_dim(ki_s, off, rows)
 
     def merge_chunk(args):
         kd_c, ki_c, nd_c, ni_c = args
@@ -1141,38 +1136,57 @@ def _rp_scatter_merge(kd, ki, bd, bi, order, *, block):
     kd2, ki2 = jax.lax.map(
         merge_chunk,
         (
-            kd.reshape(nb, block, K), ki.reshape(nb, block, K),
-            new_d.reshape(nb, block, kb), new_i.reshape(nb, block, kb),
+            kd_c.reshape(nbs, block, K), ki_c.reshape(nbs, block, K),
+            bd, bi,
         ),
     )
-    return kd2.reshape(n_pad, K), ki2.reshape(n_pad, K)
+    kd_s = jax.lax.dynamic_update_slice_in_dim(
+        kd_s, kd2.reshape(rows, K), off, 0
+    )
+    ki_s = jax.lax.dynamic_update_slice_in_dim(
+        ki_s, ki2.reshape(rows, K), off, 0
+    )
+    return kd_s, ki_s
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _permute_rows(a, order):
+    """a[order] (sorted domain <-> row domain moves; donation lets XLA
+    retire the source buffer)."""
+    return jnp.take(a, order, axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _unpermute_rows(a_sorted, order):
+    """Inverse of _permute_rows: order is a permutation, so every row
+    is written and the init value never survives."""
+    return jnp.zeros_like(a_sorted).at[order].set(a_sorted)
 
 
 def _rp_round(
     vectors, norms_sq, valid, kd, ki, rkey, n, block: int, kb: int
 ):
-    """One random-projection round, segmented into <60s programs."""
+    """One random-projection round, segmented into <60s programs with
+    a bounded-HBM merge (per-segment gather + in-place sorted-domain
+    top-K update)."""
     n_pad = kd.shape[0]
-    svb, snb, slb, orb, order = _rp_prepare(
-        vectors, norms_sq, valid, rkey, n, n_pad=n_pad, block=block
-    )
+    order = _rp_order(vectors, valid, rkey, n, n_pad=n_pad)
+    orb = order.reshape(n_pad // block, block)
+    kd_s = _permute_rows(kd, order)
+    ki_s = _permute_rows(ki, order)
     nb = n_pad // block
     seg_b = max(1, SEG_ROWS // block)
-    if nb <= seg_b:
-        bd, bi = _rp_block_seg(svb, snb, slb, orb, block=block, kb=kb)
-    else:
-        bds, bis = [], []
-        for s0 in range(0, nb, seg_b):
-            s1 = min(s0 + seg_b, nb)
-            bd, bi = _rp_block_seg(
-                svb[s0:s1], snb[s0:s1], slb[s0:s1], orb[s0:s1],
-                block=block, kb=kb,
-            )
-            bds.append(bd)
-            bis.append(bi)
-        bd = jnp.concatenate(bds)
-        bi = jnp.concatenate(bis)
-    return _rp_scatter_merge(kd, ki, bd, bi, order, block=block)
+    for s0 in range(0, nb, seg_b):
+        s1 = min(s0 + seg_b, nb)
+        bd, bi = _rp_block_seg(
+            vectors, norms_sq, valid, orb[s0:s1], n, block=block, kb=kb
+        )
+        kd_s, ki_s = _rp_merge_seg(
+            kd_s, ki_s, bd, bi, jnp.int32(s0 * block), block=block
+        )
+    kd = _unpermute_rows(kd_s, order)
+    ki = _unpermute_rows(ki_s, order)
+    return kd, ki
 
 
 _reverse_lists_jit = None  # initialized lazily below
@@ -1289,7 +1303,7 @@ def _nn_descent_round(
         sampled = True
     seg = min(n_pad, max(SEG_ROWS // 2, chunk))
     seg = (seg // chunk) * chunk or chunk
-    outs_d, outs_i = [], []
+    out_d = out_i = None
     for s, off in enumerate(range(0, n_pad, seg)):
         this = min(seg, n_pad - off)
         this = -(-this // chunk) * chunk  # n_pad is chunk-aligned
@@ -1300,11 +1314,23 @@ def _nn_descent_round(
             seg=this, expand=expand, chunk=chunk, ext_k=ext_k,
             sampled=sampled,
         )
-        outs_d.append(nd)
-        outs_i.append(ni)
-    if len(outs_d) == 1:
-        return outs_d[0], outs_i[0]
-    return jnp.concatenate(outs_d), jnp.concatenate(outs_i)
+        if off == 0 and this >= n_pad:
+            return nd, ni  # single segment
+        if out_d is None:
+            # donated accumulation buffers (a list+concat of segment
+            # outputs held 2x the full result transient at 4M rows)
+            out_d = jnp.zeros_like(knn_d)
+            out_i = jnp.zeros_like(knn_i)
+        out_d, out_i = _nd_acc(out_d, out_i, nd, ni, jnp.int32(off))
+    return out_d, out_i
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _nd_acc(out_d, out_i, nd, ni, off):
+    return (
+        jax.lax.dynamic_update_slice_in_dim(out_d, nd, off, 0),
+        jax.lax.dynamic_update_slice_in_dim(out_i, ni, off, 0),
+    )
 
 
 def bulk_build_rp(

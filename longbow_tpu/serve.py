@@ -331,6 +331,21 @@ def main(argv=None) -> int:
     meta_thread.start()
     log.info("data on :%d, meta on :%d", cfg.data_port, cfg.meta_port)
 
+    # host-local AF_UNIX mirrors (fast path for co-located clients:
+    # loopback TCP ~0.5-0.9 GB/s vs ~1.3-1.6 GB/s over unix sockets)
+    mirrors = []
+    if cfg.unix_socket_dir:
+        os.makedirs(cfg.unix_socket_dir, exist_ok=True)
+        for srv, sock in (
+            (data, "data.sock"), (meta, "meta.sock"),
+        ):
+            m = srv.spawn_unix_mirror(
+                os.path.join(cfg.unix_socket_dir, sock)
+            )
+            threading.Thread(target=m.serve, daemon=True).start()
+            mirrors.append(m)
+        log.info("unix sockets in %s", cfg.unix_socket_dir)
+
     # SIGINT: pyarrow re-raises it as KeyboardInterrupt out of serve().
     # SIGTERM: pyarrow ignores it (default action kills the process),
     # so map it to the same KeyboardInterrupt path for k8s-style stops.
@@ -356,6 +371,8 @@ def main(argv=None) -> int:
         ingest_queue.close()  # drain before the final snapshot
     if cluster is not None:
         cluster.stop()
+    for m in mirrors:
+        m.shutdown()
     data.shutdown()
     meta.shutdown()
     meta_thread.join(timeout=5)

@@ -28,8 +28,18 @@ class LongbowClient:
         (reference: SDK client.py:63-70). tls_root_certs: PEM CA bundle
         — switches the connection to grpc+tls."""
         scheme = "grpc+tls" if tls_root_certs else "grpc"
-        self.data_location = f"{scheme}://{host}:{data_port}"
-        self.meta_location = f"{scheme}://{host}:{meta_port}"
+        if host.startswith("unix:"):
+            # host-local fast path: host="unix:/run/longbow" connects
+            # to <dir>/data.sock + <dir>/meta.sock mirrors (the server
+            # side spawns them under LONGBOW_UNIX_SOCKET); measured
+            # 1.3-1.6 GB/s vs 0.5-0.9 GB/s loopback TCP on this host
+            # class (tools/flight_floor_probe.py)
+            d = host[len("unix:"):]
+            self.data_location = f"grpc+unix://{d}/data.sock"
+            self.meta_location = f"grpc+unix://{d}/meta.sock"
+        else:
+            self.data_location = f"{scheme}://{host}:{data_port}"
+            self.meta_location = f"{scheme}://{host}:{meta_port}"
         self._tls_root_certs = tls_root_certs
         self._opts = (
             flight.FlightCallOptions(

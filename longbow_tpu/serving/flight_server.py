@@ -146,6 +146,11 @@ class LongbowFlightServer(flight.FlightServerBase):
                 tls_cert_file, tls_key_file
             )
             location = location.replace("grpc://", "grpc+tls://", 1)
+        # auth middleware carries over to a unix-socket mirror; TLS
+        # does not (AF_UNIX is filesystem-permission protected)
+        self._mirror_kw = (
+            {"middleware": kw["middleware"]} if "middleware" in kw else {}
+        )
         super().__init__(location, **kw)
         self.store = store
         self.location = location
@@ -1342,6 +1347,57 @@ class LongbowFlightServer(flight.FlightServerBase):
             metadata={METRIC_METADATA_KEY: ds.metric},
         )
 
+    def spawn_unix_mirror(self, path: str) -> "UnixSocketMirror":
+        """Companion listener on an AF_UNIX socket sharing this
+        server's store and handlers. Loopback TCP on the target hosts
+        tops out at ~0.5-0.9 GB/s while the same Flight stream over a
+        unix socket measures 1.3-1.6 GB/s (tools/flight_floor_probe.py)
+        — co-located clients (ETL sidecars, rerankers) get the fast
+        path via LONGBOW_UNIX_SOCKET. (The reference binds TCP only,
+        cmd/longbow/main.go:448; this is a host-local addition.)"""
+        return UnixSocketMirror(self, path, **self._mirror_kw)
+
+
+class UnixSocketMirror(flight.FlightServerBase):
+    """Thin delegating listener: every RPC is handled by the primary
+    LongbowFlightServer instance, so state, metrics, middleware and
+    ingest queues are shared — only the transport differs."""
+
+    def __init__(self, primary: LongbowFlightServer, path: str, **kw):
+        if os.path.exists(path):
+            os.unlink(path)  # stale socket from a previous run
+        super().__init__(f"grpc+unix://{path}", **kw)
+        self._primary = primary
+        self.path = path
+        try:
+            os.chmod(path, 0o600)  # local-root only; no TLS on AF_UNIX
+        except OSError:
+            pass
+
+    def do_put(self, context, descriptor, reader, writer):
+        return self._primary.do_put(context, descriptor, reader, writer)
+
+    def do_get(self, context, ticket):
+        return self._primary.do_get(context, ticket)
+
+    def do_exchange(self, context, descriptor, reader, writer):
+        return self._primary.do_exchange(context, descriptor, reader, writer)
+
+    def do_action(self, context, action):
+        return self._primary.do_action(context, action)
+
+    def list_actions(self, context):
+        return self._primary.list_actions(context)
+
+    def list_flights(self, context, criteria):
+        return self._primary.list_flights(context, criteria)
+
+    def get_flight_info(self, context, descriptor):
+        return self._primary.get_flight_info(context, descriptor)
+
+    def get_schema(self, context, descriptor):
+        return self._primary.get_schema(context, descriptor)
+
 
 def Dataset_key(uid):
     return uid.item() if hasattr(uid, "item") else uid
@@ -1395,12 +1451,15 @@ def _response_ids_scores(ids, scores, ok) -> dict:
 
 
 class ServerHandle:
-    def __init__(self, data_server, meta_server, threads):
+    def __init__(self, data_server, meta_server, threads, mirrors=()):
         self.data_server = data_server
         self.meta_server = meta_server
+        self.mirrors = list(mirrors)
         self._threads = threads
 
     def shutdown(self):
+        for m in self.mirrors:
+            m.shutdown()
         self.data_server.shutdown()
         self.meta_server.shutdown()
         for t in self._threads:
@@ -1414,9 +1473,12 @@ def serve(
     host: str = "0.0.0.0",
     block: bool = False,
     middleware_chain=None,
+    unix_socket_dir: Optional[str] = None,
 ) -> ServerHandle:
     """Start data (:3000) + meta (:3001) Flight servers sharing one
-    store (reference: cmd/longbow/main.go:476-521)."""
+    store (reference: cmd/longbow/main.go:476-521). unix_socket_dir:
+    also listen on <dir>/data.sock + <dir>/meta.sock AF_UNIX mirrors
+    (the host-local fast path)."""
     store = store or VectorStore()
     data = LongbowFlightServer(
         store, f"grpc://{host}:{data_port}", middleware_chain=middleware_chain
@@ -1425,6 +1487,15 @@ def serve(
         store, f"grpc://{host}:{meta_port}", middleware_chain=middleware_chain
     )
     threads = []
+    mirrors = []
+    if unix_socket_dir:
+        os.makedirs(unix_socket_dir, exist_ok=True)
+        for srv, sock in ((data, "data.sock"), (meta, "meta.sock")):
+            m = srv.spawn_unix_mirror(os.path.join(unix_socket_dir, sock))
+            t = threading.Thread(target=m.serve, daemon=True)
+            t.start()
+            threads.append(t)
+            mirrors.append(m)
     if block:
         t = threading.Thread(target=meta.serve, daemon=True)
         t.start()
@@ -1435,4 +1506,4 @@ def serve(
             t = threading.Thread(target=srv.serve, daemon=True)
             t.start()
             threads.append(t)
-    return ServerHandle(data, meta, threads)
+    return ServerHandle(data, meta, threads, mirrors)

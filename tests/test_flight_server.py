@@ -576,3 +576,36 @@ def test_ingest_bad_group_does_not_drop_good_group():
     assert store.get("b").live_count == 10  # good group survived
     assert q.errors  # bad group surfaced loudly
     q.close()
+
+
+def test_unix_socket_mirror_roundtrip(tmp_path):
+    """AF_UNIX mirror listeners share the TCP servers' store: writes
+    over the unix socket are visible over TCP and vice versa (the
+    host-local fast path — loopback TCP measured 0.5-0.9 GB/s vs
+    1.3-1.6 GB/s over unix sockets, tools/flight_floor_probe.py)."""
+    store = VectorStore()
+    sock_dir = str(tmp_path / "socks")
+    handle = serve(
+        store, data_port=0, meta_port=0, host="127.0.0.1",
+        unix_socket_dir=sock_dir,
+    )
+    try:
+        cu = LongbowClient(f"unix:{sock_dir}").connect()
+        v = _vecs(40, 8)
+        cu.write("usock", np.arange(40), v)
+        t = cu.search("usock", v[7], k=3)
+        assert t.column("id")[0].as_py() == 7
+        # same rows visible through the TCP listener
+        ct = LongbowClient("127.0.0.1")
+        ct.data_location = f"grpc://127.0.0.1:{handle.data_server.port}"
+        ct.meta_location = f"grpc://127.0.0.1:{handle.meta_server.port}"
+        ct.connect()
+        t2 = ct.search("usock", v[7], k=3)
+        assert t2.column("id")[0].as_py() == 7
+        # scan back over unix
+        got = cu.scan("usock")
+        assert got.num_rows == 40
+        cu.close()
+        ct.close()
+    finally:
+        handle.shutdown()
