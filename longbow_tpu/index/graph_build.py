@@ -507,20 +507,24 @@ def bulk_build_edges(
     fwd_rows, fwd_dists = _prune_forward_all(
         state, knn_d, knn_i, m, chunk_b
     )
-    fwd_rows = fwd_rows[:n]    # [n, m]
-    fwd_dists = fwd_dists[:n]  # [n, m]
-
+    del knn_d, knn_i
+    # full padded arrays: dead rows are -1/MASKED, no exact-n copies
     return _symmetrize_and_store(
         state, fwd_rows, fwd_dists, n, m_max=m_max
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n", "m_max"))
-def _symm_edges(
-    fwd_rows: jax.Array, fwd_dists: jax.Array, n: int, *, m_max: int
-):
-    """Edge-list sorts -> per-node incoming candidates [n, m_max]."""
-    m = fwd_rows.shape[1]
+@functools.partial(jax.jit, static_argnames=("m_max",))
+def _symm_edges(fwd_rows: jax.Array, fwd_dists: jax.Array, *, m_max: int):
+    """Edge-list sorts -> per-node incoming candidates [R, m_max].
+
+    Operates on the builder's full padded arrays (dead rows carry -1 /
+    MASKED and fall into the sentinel bucket): no exact-n slice copies,
+    and the compiled shape stays bucketed. Returns (inc_src, inc_d,
+    inc_prot) — the protected flag is a bool [R, m_max] instead of a
+    second f32 priority array (that third full-size f32 cost 768MB at
+    4M x m_max=48; priorities are reconstructed in-segment)."""
+    n, m = fwd_rows.shape
     # reverse-candidate edges come from the TOP m_rev forward ranks
     # only: low-rank (far) forward edges essentially never win a slot
     # in the m_max-best incoming merge, and the edge list's two argsorts
@@ -562,24 +566,41 @@ def _symm_edges(
     inc_ok = slot < jnp.minimum(counts, r_slots)[:, None]
     inc_src = jnp.where(inc_ok, jnp.take(src2, pos), -1)      # [n, R]
     inc_d = jnp.where(inc_ok, jnp.take(d2, pos), MASKED)
-    inc_de = jnp.where(inc_ok, jnp.take(de2, pos), MASKED)
-    return inc_src, inc_d, inc_de
+    inc_prot = inc_ok & (jnp.take(de2, pos) < jnp.take(d2, pos) - 1.0e8)
+    return inc_src, inc_d, inc_prot
 
 
-@functools.partial(jax.jit, static_argnames=("m_max", "diversify"))
+@functools.partial(
+    jax.jit, static_argnames=("seg_rows", "m_max", "diversify")
+)
 def _symm_select_seg(
     state: GraphState,
-    fwd_rows, fwd_dists, inc_src, inc_d, inc_de,
-    *, m_max: int, diversify: bool,
+    fwd_rows, fwd_dists, inc_src, inc_d, inc_prot, off,
+    *, seg_rows: int, m_max: int, diversify: bool,
 ):
     """Merge forward + incoming for a ROW SEGMENT, dedup, keep the
-    best m_max by priority. Duplicates only occur BETWEEN the lists
-    (each is internally unique), so the dedup mask is [seg, R, m] —
-    and the chunked map keeps it a few MB (the full-N mask was ~6GB
-    bool at 4M rows)."""
+    best m_max by priority. Takes the FULL builder arrays + a dynamic
+    row offset and slices in-program (host-side segment slices cost a
+    copy of every segment — ~2.5GB of transients at 4M rows).
+    Duplicates only occur BETWEEN the lists (each is internally
+    unique), so the dedup mask is [seg, R, m] — and the chunked map
+    keeps it a few MB (the full-N mask was ~6GB bool at 4M rows)."""
+    fwd_rows = jax.lax.dynamic_slice_in_dim(fwd_rows, off, seg_rows)
+    fwd_dists = jax.lax.dynamic_slice_in_dim(fwd_dists, off, seg_rows)
+    inc_src = jax.lax.dynamic_slice_in_dim(inc_src, off, seg_rows)
+    inc_d = jax.lax.dynamic_slice_in_dim(inc_d, off, seg_rows)
+    inc_prot = jax.lax.dynamic_slice_in_dim(inc_prot, off, seg_rows)
+    # effective priority: protected reverse edges sort first (the
+    # full-size f32 priority array this replaces is reconstructed
+    # segment-locally for free inside the fusion)
+    inc_de = jnp.where(inc_prot, inc_d - 1.0e9, inc_d)
     nseg, m = fwd_rows.shape
     r_slots = inc_src.shape[1]
-    _mc = min(8192, nseg)
+    _mc = next(
+        c for c in (8192, 4096, 2048, 1024, 512, 256, 128, 64, 32,
+                    16, 8, 4, 2, 1)
+        if nseg % c == 0
+    )
     _nch = nseg // _mc
 
     def _dedup_chunk(args):
@@ -670,6 +691,10 @@ def _symm_store(
     state: GraphState, sel_i, sel_d, cnt, n: int, *, m_max: int
 ) -> GraphState:
     """Long-range edges + one scatter into the (donated) state."""
+    # selections may arrive at the padded row count — trim in-program
+    # (rows past n are dead; a host-side slice would copy)
+    if sel_i.shape[0] > n:
+        sel_i, sel_d, cnt = sel_i[:n], sel_d[:n], cnt[:n]
     # pad to the adjacency width actually allocated in the state (a
     # builder may use a smaller m_max than the index was created with)
     m2 = state.nbrs.shape[1]
@@ -705,10 +730,22 @@ def _symm_store(
     return state._replace(nbrs=nbrs, nbr_dists=nbr_dists, nbr_count=nbr_count)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _symm_acc(sel_i, sel_d, cnt, si, sd, cn, off):
+    """Write one segment's selection into the (donated) full-size
+    accumulators — the list+concat this replaces held every segment
+    twice (~1.9GB of transients at 4M rows)."""
+    return (
+        jax.lax.dynamic_update_slice_in_dim(sel_i, si, off, 0),
+        jax.lax.dynamic_update_slice_in_dim(sel_d, sd, off, 0),
+        jax.lax.dynamic_update_slice_in_dim(cnt, cn, off, 0),
+    )
+
+
 def _symmetrize_and_store(
     state: GraphState,
-    fwd_rows: jax.Array,   # [n, m]
-    fwd_dists: jax.Array,  # [n, m]
+    fwd_rows: jax.Array,   # [R, m], R >= n; dead rows -1 / MASKED
+    fwd_dists: jax.Array,  # [R, m]
     n: int,
     *,
     m_max: int,
@@ -716,47 +753,34 @@ def _symmetrize_and_store(
 ) -> GraphState:
     """Host-orchestrated symmetrize: edge sorts (one program), row-
     segmented dedup/select programs, one store scatter — every dispatch
-    bounded under the relay's 60s execution limit at any N."""
-    inc_src, inc_d, inc_de = _symm_edges(
-        fwd_rows, fwd_dists, n, m_max=m_max
+    bounded under the relay's 60s execution limit at any N, and no
+    full-size host-slice/pad copies at any stage (callers pass their
+    padded working arrays as-is; the 4M x 128 build OOMed on the
+    padded-copy version of this phase)."""
+    R = fwd_rows.shape[0]
+    inc_src, inc_d, inc_prot = _symm_edges(
+        fwd_rows, fwd_dists, m_max=m_max
     )
-    seg = min(-(-n // 8192) * 8192, SEG_ROWS)
-    m = fwd_rows.shape[1]
-
-    def _pad_to(a, rows_total, fill):
-        if a.shape[0] == rows_total:
-            return a
-        if a.shape[0] > rows_total:
-            return a[:rows_total]
-        return jnp.pad(
-            a, ((0, rows_total - a.shape[0]), (0, 0)),
-            constant_values=fill,
+    seg = min(R, SEG_ROWS)
+    if R <= seg:
+        sel_i, sel_d, cnt = _symm_select_seg(
+            state, fwd_rows, fwd_dists, inc_src, inc_d, inc_prot,
+            jnp.int32(0), seg_rows=R, m_max=m_max, diversify=diversify,
         )
-
-    n_pad4 = -(-n // seg) * seg
-    fr = _pad_to(fwd_rows, n_pad4, -1)
-    fd = _pad_to(fwd_dists, n_pad4, float(MASKED))
-    isrc = _pad_to(inc_src, n_pad4, -1)
-    idd = _pad_to(inc_d, n_pad4, float(MASKED))
-    ide = _pad_to(inc_de, n_pad4, float(MASKED))
-    sels_i, sels_d, cnts = [], [], []
-    for off in range(0, n_pad4, seg):
+        return _symm_store(state, sel_i, sel_d, cnt, n, m_max=m_max)
+    sel_i = jnp.full((R, m_max), -1, jnp.int32)
+    sel_d = jnp.full((R, m_max), MASKED, jnp.float32)
+    cnt = jnp.zeros((R,), jnp.int32)
+    for off in range(0, R, seg):
+        this = min(seg, R - off)
         si, sd, cn = _symm_select_seg(
-            state,
-            fr[off:off + seg], fd[off:off + seg],
-            isrc[off:off + seg], idd[off:off + seg],
-            ide[off:off + seg],
-            m_max=m_max, diversify=diversify,
+            state, fwd_rows, fwd_dists, inc_src, inc_d, inc_prot,
+            jnp.int32(off), seg_rows=this, m_max=m_max,
+            diversify=diversify,
         )
-        sels_i.append(si)
-        sels_d.append(sd)
-        cnts.append(cn)
-    if len(sels_i) == 1:
-        sel_i, sel_d, cnt = sels_i[0][:n], sels_d[0][:n], cnts[0][:n]
-    else:
-        sel_i = jnp.concatenate(sels_i)[:n]
-        sel_d = jnp.concatenate(sels_d)[:n]
-        cnt = jnp.concatenate(cnts)[:n]
+        sel_i, sel_d, cnt = _symm_acc(
+            sel_i, sel_d, cnt, si, sd, cn, jnp.int32(off)
+        )
     return _symm_store(state, sel_i, sel_d, cnt, n, m_max=m_max)
 
 
@@ -932,8 +956,7 @@ def bulk_build_clustered(
     fwd_rows, fwd_dists = _prune_forward_all(
         state, knn_d_j, knn_i_j, m, prune_chunk
     )
-    fwd_rows = fwd_rows[:n]
-    fwd_dists = fwd_dists[:n]
+    del knn_d_j, knn_i_j
     fwd_rows.block_until_ready()
     _stage("prune")
     out = _symmetrize_and_store(state, fwd_rows, fwd_dists, n, m_max=m_max)
@@ -1397,7 +1420,7 @@ def bulk_build_rp(
     # the [n, K] pair (1.5GB at 4M) through them tips the HBM peak
     del kd, ki
     out = _symmetrize_and_store(
-        state, fwd_rows[:n], fwd_dists[:n], n, m_max=m_max,
+        state, fwd_rows, fwd_dists, n, m_max=m_max,
         diversify=diversify,
     )
     _stage("symmetrize", out.nbrs)

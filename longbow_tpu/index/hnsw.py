@@ -24,7 +24,11 @@ from longbow_tpu.index.graph import (
 from longbow_tpu.index.graph_build import bulk_build_edges, insert_batch
 from longbow_tpu.ops.distance import MASKED, Metric, pad_to, squared_norms
 
-MIN_CAPACITY = 4096
+# capacity granularity must be a multiple of the bulk builder's block
+# (8192): otherwise bulk_build_rp's n_pad lands past the capacity and
+# it must materialize a padded COPY of vectors/norms/valid (+1GB HBM
+# at 4M x 128 — part of the 4M build's OOM budget)
+MIN_CAPACITY = 8192
 PQ_TRAIN_SAMPLE = 65_536  # codebook k-means training sample cap
 
 

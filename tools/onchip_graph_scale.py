@@ -114,8 +114,9 @@ gidx.add(c16)
 float(np.asarray(_force_i(gidx.state.nbrs)))
 t_cold = time.time() - t0
 log(f"build cold {t_cold:.1f}s = {N/t_cold:.0f} vec/s")
-# warm rebuild (the production rebuild/compaction shape)
-gidx2 = None
+# warm rebuild (the production rebuild/compaction shape) — release
+# the cold index FIRST: two live indexes at 4M are +2.2GB of HBM
+gidx = None
 gc.collect()
 gidx2 = HNSWIndex(
     D, dtype=jnp.bfloat16, storage="dense", edge_dtype=jnp.bfloat16,
