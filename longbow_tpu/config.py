@@ -45,6 +45,11 @@ class Config:
     wal_io_uring: bool = field(
         default_factory=lambda: _env("WAL_IOURING", False, bool)
     )
+    # O_DIRECT WAL writes (reference: storage/direct_io_linux.go):
+    # page-cache bypass; falls back to buffered on unsupporting fs
+    wal_direct_io: bool = field(
+        default_factory=lambda: _env("WAL_DIRECT", False, bool)
+    )
     # transport security (reference: SDK bearer auth client.py:63-70,
     # docs/security.md TLS): empty = open plaintext (dev default)
     auth_token: str = field(default_factory=lambda: _env("AUTH_TOKEN", ""))
@@ -167,6 +172,15 @@ class Config:
     # (reference: mesh/discovery mDNS mode), e.g. 224.0.1.187:7946
     peers_lan: str = field(default_factory=lambda: _env("PEERS_LAN", ""))
     region: str = field(default_factory=lambda: _env("REGION", ""))
+    # content-based fan-out pruning from peer region summaries
+    # (reference: mesh/region.go Router + spatial_index.go); opt-in —
+    # routing is approximate (centroid+radius*margin) and fails open
+    spatial_routing: bool = field(
+        default_factory=lambda: _env("SPATIAL_ROUTING", 0, int) == 1
+    )
+    spatial_margin: float = field(
+        default_factory=lambda: _env("SPATIAL_MARGIN", 1.5, float)
+    )
     # replicated: every node holds everything, reads merge freshness.
     # partitioned: rows route to ring owners (reference: sharding/ring)
     placement: str = field(

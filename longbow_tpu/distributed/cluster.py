@@ -52,6 +52,8 @@ class ClusterCoordinator:
         placement: str = "replicated",  # replicated | partitioned
         api_key: str = "",
         tls_root_certs=None,
+        spatial_routing: bool = False,
+        spatial_margin: float = 1.5,
     ):
         self.store = store
         self.self_id = self_id
@@ -109,6 +111,18 @@ class ClusterCoordinator:
         self.clocks: dict[str, VectorClock] = {}
         self._clock_lock = threading.Lock()
         self.conflicts = 0
+        # spatial (content-based) routing: peer region summaries
+        # pulled on a slow timer bound which peers a global search
+        # fans to (reference: mesh/region.go Router + spatial_index.go
+        # VP-tree; here one vectorized numpy distance over [P, D]
+        # centroids). Approximate — opt-in, fails open.
+        self.spatial = None
+        self._spatial_stop = threading.Event()
+        self._spatial_thread: Optional[threading.Thread] = None
+        if spatial_routing:
+            from longbow_tpu.distributed.spatial import RegionRouter
+
+            self.spatial = RegionRouter(margin=spatial_margin)
         # split-brain watchdog: compares this node's membership view
         # with alive peers' views on a slow timer (reference:
         # split_brain_detector.go:25)
@@ -189,6 +203,8 @@ class ClusterCoordinator:
                     pass
             if self.ring is not None:
                 self.ring.remove(m.id)
+            if self.spatial is not None:
+                self.spatial.drop_peer(m.id)
 
     # -- lifecycle ------------------------------------------------------
 
@@ -202,8 +218,35 @@ class ClusterCoordinator:
                 target=self._split_brain_loop, daemon=True
             )
             self._sb_thread.start()
+        if self.spatial is not None:
+            self._spatial_thread = threading.Thread(
+                target=self._spatial_loop, daemon=True
+            )
+            self._spatial_thread.start()
+
+    def _spatial_loop(self) -> None:
+        """Pull region-summary from alive peers on a slow timer and
+        refresh the routing table (reference: region updates ride the
+        mesh; here an explicit pull keeps the action surface small)."""
+        while not self._spatial_stop.wait(10.0):
+            for m in self.membership.alive():
+                try:
+                    resp = self._peer_for(m).client._action(
+                        "region-summary", {}
+                    )
+                    for nm, reg in (resp or {}).get(
+                        "regions", {}
+                    ).items():
+                        if reg.get("n"):
+                            self.spatial.update(
+                                m.id, nm, reg["centroid"],
+                                reg["radius"], reg["n"],
+                            )
+                except Exception:  # peer down: summaries expire via TTL
+                    continue
 
     def stop(self) -> None:
+        self._spatial_stop.set()
         self._sb_stop.set()
         self.membership.stop()
         if self.sync_worker:
@@ -445,6 +488,18 @@ class ClusterCoordinator:
                         pools[row][uid] = s
 
         alive = self.membership.alive()
+        if self.spatial is not None and alive:
+            kept, skipped = self.spatial.route(
+                dataset, qv, [m.id for m in alive]
+            )
+            if skipped:
+                keep = set(kept)
+                alive = [m for m in alive if m.id in keep]
+                if _reg is not None:
+                    _reg.inc(
+                        "longbow_spatial_routing_skipped_total",
+                        skipped,
+                    )
         results: list[Optional[dict]] = [None] * len(alive)
 
         def one(i: int, m: Member):

@@ -43,8 +43,9 @@ from prometheus_client import (
     Counter,
     Gauge,
     Histogram,
-    start_http_server,
+    generate_latest,
 )
+from prometheus_client.exposition import CONTENT_TYPE_LATEST
 
 _LATENCY_BUCKETS = (
     0.0001, 0.00025, 0.0005, 0.001, 0.0025, 0.005, 0.01, 0.025,
@@ -210,6 +211,11 @@ class MetricsRegistry:
         self._metrics: dict[str, object] = {}
         self._lock = threading.Lock()
         self._size_hist = set()
+        # /healthz hook: serve.py points this at HealthManager.check
+        # once the checkers exist (read at request time, so late
+        # registration is fine)
+        self.health_fn = None
+        self._debug_server = None
         for name, (kind, labels) in _CATALOG.items():
             if kind == _C:
                 self.counter(name, labels)
@@ -278,9 +284,83 @@ class MetricsRegistry:
         return _HistTimer(self, name, labels)
 
     def serve(self, port: int = 9090) -> None:
-        """Expose /metrics (reference serves :9090,
-        cmd/longbow/main.go:291)."""
-        start_http_server(port, registry=self.registry)
+        """Expose the debug mux on :9090 — /metrics plus the pprof
+        analogs (reference: cmd/longbow/main.go:291-356 serves metrics
+        and net/http/pprof on the same mux):
+
+        - /metrics                       prometheus exposition
+        - /healthz                       health manager JSON (set
+                                         ``registry.health_fn``)
+        - /debug/pprof/profile?seconds=5 wall-clock stack samples,
+                                         collapsed-stack text
+        - /debug/pprof/threads           one stack per live thread
+        """
+        import json as _json
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import parse_qs, urlparse
+
+        reg = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet; ops logs are JSON
+                pass
+
+            def _send(self, body: bytes, ctype: str, code: int = 200):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                try:
+                    if u.path == "/metrics":
+                        self._send(
+                            generate_latest(reg.registry),
+                            CONTENT_TYPE_LATEST,
+                        )
+                    elif u.path == "/healthz":
+                        fn = reg.health_fn
+                        body = _json.dumps(
+                            fn() if fn else {"status": "unknown"}
+                        ).encode()
+                        self._send(body, "application/json")
+                    elif u.path == "/debug/pprof/profile":
+                        from longbow_tpu.utils.profiling import (
+                            sample_stacks,
+                        )
+
+                        q = parse_qs(u.query)
+                        secs = float(q.get("seconds", ["5"])[0])
+                        hz = int(q.get("hz", ["97"])[0])
+                        self._send(
+                            sample_stacks(
+                                min(secs, 120.0), hz
+                            ).encode(),
+                            "text/plain; charset=utf-8",
+                        )
+                    elif u.path == "/debug/pprof/threads":
+                        from longbow_tpu.utils.profiling import (
+                            snapshot_stacks,
+                        )
+
+                        body = "\n".join(
+                            f"{k} {v}"
+                            for k, v in snapshot_stacks().items()
+                        ).encode()
+                        self._send(body, "text/plain; charset=utf-8")
+                    else:
+                        self._send(b"not found", "text/plain", 404)
+                except Exception as e:  # never kill the mux thread
+                    self._send(str(e).encode(), "text/plain", 500)
+
+        srv = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+        self._debug_server = srv
+        threading.Thread(
+            target=srv.serve_forever, daemon=True,
+            name="longbow-debug-mux",
+        ).start()
 
 
 class _OpTimer:

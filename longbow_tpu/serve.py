@@ -104,13 +104,31 @@ def main(argv=None) -> int:
         persist_dir=cfg.data_dir or None,
         wal_sync=cfg.wal_sync,
         wal_io_uring=cfg.wal_io_uring,
+        wal_direct_io=cfg.wal_direct_io,
         snapshot_backend=snapshot_backend,
     )
 
     registry = get_registry()
     try:
+        # debug mux: /metrics, /healthz, /debug/pprof/* (reference
+        # serves pprof on the same port, cmd/longbow/main.go:296-300)
+        from longbow_tpu.utils.health import (
+            HealthManager,
+            device_checker,
+            storage_checker,
+            store_checker,
+        )
+
+        _hm = HealthManager()
+        _hm.register("store", store_checker(store))
+        _hm.register("storage", storage_checker(store))
+        _hm.register("device", device_checker())
+        registry.health_fn = _hm.check
         registry.serve(cfg.metrics_port)
-        log.info("metrics on :%d/metrics", cfg.metrics_port)
+        log.info(
+            "metrics on :%d/metrics (+/healthz, /debug/pprof)",
+            cfg.metrics_port,
+        )
     except OSError as e:
         log.warning("metrics port unavailable: %s", e)
 
@@ -250,6 +268,8 @@ def main(argv=None) -> int:
             placement=cfg.placement,
             api_key=cfg.auth_token,
             tls_root_certs=peer_ca,
+            spatial_routing=cfg.spatial_routing,
+            spatial_margin=cfg.spatial_margin,
         )
         cluster.start()
         log.info(

@@ -1032,6 +1032,22 @@ class LongbowFlightServer(flight.FlightServerBase):
                 self.cluster.membership.merge_digest(req.get("digest"))
                 resp["digest"] = self.cluster.membership.digest()
             return ok(resp)
+        if name == "region-summary":
+            # spatial routing table entries: per-dataset centroid +
+            # radius (reference: mesh/region.go Region advertised per
+            # owner; peers pull these on the sync timer and feed
+            # RegionRouter)
+            from longbow_tpu.distributed.spatial import dataset_region
+
+            req = json.loads(body or b"{}")
+            names = req.get("datasets") or self.store.list_datasets()
+            out = {}
+            for nm in names:
+                try:
+                    out[nm] = dataset_region(self.store.get(nm))
+                except KeyError:
+                    continue
+            return ok({"regions": out})
         if name == "MeshStatus":
             # reference: admin_api.md MeshStatus — membership view as
             # a member list (ID, Addr, Status)
@@ -1301,6 +1317,7 @@ class LongbowFlightServer(flight.FlightServerBase):
             ("check_readiness", "readiness probe"),
             ("cluster-status", "cluster membership + dataset stats"),
             ("MeshStatus", "membership member list"),
+            ("region-summary", "spatial routing: dataset centroid+radius"),
             ("list-datasets", "list dataset names"),
             ("add-edge", "GraphRAG: add an edge"),
             ("traverse-graph", "GraphRAG: BFS traverse"),

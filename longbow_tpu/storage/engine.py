@@ -140,6 +140,7 @@ class StorageEngine:
         sync: str = "batch",
         snapshot_backend=None,
         io_uring: bool = False,
+        direct_io: bool = False,
     ):
         """snapshot_backend: optional remote mirror (S3/MinIO/R2 or the
         LocalBackend; reference: s3_backend.go:33) — every snapshot
@@ -150,7 +151,10 @@ class StorageEngine:
         import threading
 
         self.max_wal_bytes = max_wal_bytes
-        self.wal = WAL(self.dir / "wal.log", sync=sync, io_uring=io_uring)
+        self.wal = WAL(
+            self.dir / "wal.log", sync=sync, io_uring=io_uring,
+            direct_io=direct_io,
+        )
         self.backend = snapshot_backend
         # commit/snapshot coordination: a WAL append + its apply must
         # not interleave with snapshot's export+truncate, or an acked

@@ -46,6 +46,7 @@ class VectorStore:
         persist_dir=None,
         wal_sync: str = "batch",
         wal_io_uring: bool = False,
+        wal_direct_io: bool = False,
         snapshot_backend=None,
         default_index_kind: str = "adaptive",
         default_index_params: Optional[dict] = None,
@@ -87,6 +88,7 @@ class VectorStore:
                 persist_dir, sync=wal_sync,
                 snapshot_backend=snapshot_backend,
                 io_uring=wal_io_uring,
+                direct_io=wal_direct_io,
             )
             self.engine.recover(self)
 

@@ -362,3 +362,56 @@ def test_dead_member_pruned_from_replication_and_ring():
         assert all(
             p.addr != "127.0.0.1:4000" for p in cc.replicator.peers
         )
+
+
+# -- spatial (content-based) routing ---------------------------------------
+
+
+def test_region_router_routes_and_fails_open():
+    """Peers with fresh summaries are skipped only when every query is
+    provably outside their region ball; unknown peers always fan out
+    (reference: mesh/region.go Router.Route + spatial_index.go)."""
+    from longbow_tpu.distributed.spatial import RegionRouter
+
+    r = RegionRouter(margin=1.5)
+    d = 8
+    # peer A owns a cluster at the origin, peer B one far away
+    r.update("A", "ds", np.zeros(d), radius=1.0, n=100)
+    r.update("B", "ds", np.full(d, 100.0), radius=1.0, n=100)
+    q = np.zeros((2, d), np.float32)  # queries inside A's ball
+    kept, skipped = r.route("ds", q, ["A", "B", "C"])
+    assert kept == ["A", "C"]  # C has no summary: fail open
+    assert skipped == 1
+    # a query batch straddling both regions keeps both peers
+    q2 = np.stack([np.zeros(d), np.full(d, 100.0)]).astype(np.float32)
+    kept2, skipped2 = r.route("ds", q2, ["A", "B"])
+    assert kept2 == ["A", "B"] and skipped2 == 0
+    # dimension drift or an unknown dataset fails open
+    kept3, _ = r.route("other", q, ["A", "B"])
+    assert kept3 == ["A", "B"]
+    r.drop_peer("B")
+    kept4, _ = r.route("ds", q2, ["A", "B"])
+    assert kept4 == ["A", "B"]  # B's summary gone -> included again
+
+
+def test_dataset_region_and_action(two_nodes):
+    """region-summary action returns a centroid+radius that actually
+    encloses the dataset's vectors."""
+    (s1, h1), _ = two_nodes
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((300, 16)).astype(np.float32) + 7.0
+    s1.put("spat", np.arange(300), v)
+    from longbow_tpu.serving.client import LongbowClient
+
+    c = LongbowClient("127.0.0.1")
+    c.data_location = f"grpc://127.0.0.1:{h1.data_server.port}"
+    c.meta_location = f"grpc://127.0.0.1:{h1.meta_server.port}"
+    c.connect()
+    resp = c._action("region-summary", {"datasets": ["spat"]})
+    reg = resp["regions"]["spat"]
+    assert reg["n"] == 300
+    cent = np.asarray(reg["centroid"], np.float32)
+    assert np.allclose(cent, v.mean(axis=0), atol=0.5)
+    dmax = np.sqrt(((v - cent) ** 2).sum(axis=1).max())
+    assert reg["radius"] >= 0.9 * dmax  # sampled radius ~ true radius
+    c.close()

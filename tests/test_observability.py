@@ -312,3 +312,62 @@ def test_fallback_cache_ttl_and_eviction():
     _t.sleep(0.06)
     _, found = fc.get("c")
     assert not found  # expired
+
+
+def test_debug_mux_metrics_healthz_and_profiler():
+    """The :9090 debug mux serves /metrics, /healthz and the pprof
+    analogs (reference: cmd/longbow/main.go:291-356 mounts metrics and
+    net/http/pprof on one mux)."""
+    import json
+    import urllib.request
+
+    reg = MetricsRegistry()
+    reg.health_fn = lambda: {"status": "healthy", "checks": {}}
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    reg.serve(port)
+    base = f"http://127.0.0.1:{port}"
+    body = urllib.request.urlopen(f"{base}/metrics", timeout=5).read()
+    assert b"longbow_flight_operations_total" in body
+    hz = json.loads(
+        urllib.request.urlopen(f"{base}/healthz", timeout=5).read()
+    )
+    assert hz["status"] == "healthy"
+    # threads dump names this test's thread stack
+    thr = urllib.request.urlopen(
+        f"{base}/debug/pprof/threads", timeout=5
+    ).read().decode()
+    assert "MainThread" in thr
+    # short profile captures a busy thread's frames
+    import threading
+    import time as _time
+
+    stop = threading.Event()
+
+    def burn():
+        while not stop.is_set():
+            sum(i * i for i in range(2000))
+
+    t = threading.Thread(target=burn, name="burner", daemon=True)
+    t.start()
+    try:
+        prof = urllib.request.urlopen(
+            f"{base}/debug/pprof/profile?seconds=0.4&hz=200", timeout=10
+        ).read().decode()
+    finally:
+        stop.set()
+    assert "burner;" in prof and "burn" in prof
+    reg._debug_server.shutdown()
+
+
+def test_sample_stacks_collapsed_format():
+    from longbow_tpu.utils.profiling import sample_stacks
+
+    out = sample_stacks(seconds=0.2, hz=100)
+    for line in out.splitlines():
+        stack, _, count = line.rpartition(" ")
+        assert stack and int(count) >= 1
