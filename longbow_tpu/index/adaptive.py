@@ -48,6 +48,7 @@ class AdaptiveIndex:
         storage: str = "dense",
         pq_m: Optional[int] = None,
         min_contrast: float = DEFAULT_MIN_CONTRAST,
+        capacity: int = 0,
     ):
         self.dim = dim
         self.metric = Metric.validate(metric)
@@ -59,7 +60,12 @@ class AdaptiveIndex:
         # (arrow_hnsw.go:94, quantization_integration.go)
         self.storage = storage
         self.pq_m = pq_m
-        self._flat = FlatIndex(dim, metric, dtype)
+        # capacity pre-sizing skips every growth step (each doubling
+        # recompiles pad+ingest programs — seconds apiece through the
+        # device relay; profiled as the cold-ingest bottleneck)
+        self._flat = FlatIndex(
+            dim, metric, dtype, capacity=max(int(capacity), 0) or 4096
+        )
         self._graph: Optional[HNSWIndex] = None
         # background migration (reference: AutoShardingIndex migrates
         # in background with interim dual-read, hnsw_autoshard.go:49,
@@ -311,12 +317,13 @@ class AdaptiveIndex:
     def get_vectors(self, rows: np.ndarray) -> np.ndarray:
         if self._graph is not None:
             return self._graph.get_vectors(rows)
-        self._flat.flush()
-        return np.asarray(
-            jnp.take(
-                self._flat.vectors, jnp.asarray(rows), axis=0
-            ).astype(jnp.float32)
-        )
+        return self._flat.get_vectors(rows)
+
+    def get_vectors_device(self, rows) -> "jax.Array":
+        """Device-resident f32 gather (compaction stays on device)."""
+        if self._graph is not None:
+            return self._graph.get_vectors_device(rows)
+        return self._flat.get_vectors_device(rows)
 
     def export_state(self) -> dict:
         st = (self._graph or self._flat).export_state()

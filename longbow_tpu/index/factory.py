@@ -259,24 +259,26 @@ def make_index(
                 config=hnsw_config, dtype=dtype,
             )
         return _MeshAdapter(inner, kind, dim)
+    capacity = int(params.get("capacity", 0))
     if kind == "adaptive":
         return AdaptiveIndex(
             dim, metric, dtype=dtype,
             migration_threshold=migration_threshold,
             hnsw_config=hnsw_config, storage=storage, pq_m=graph_pq_m,
-            min_contrast=min_contrast,
+            min_contrast=min_contrast, capacity=capacity,
         )
     if kind == "flat":
         return AdaptiveIndex(
             dim, metric, dtype=dtype,
             migration_threshold=2**62,  # never migrate
-            hnsw_config=hnsw_config,
+            hnsw_config=hnsw_config, capacity=capacity,
         )
     if kind == "hnsw":
         return AdaptiveIndex(
             dim, metric, dtype=dtype,
             migration_threshold=0,  # migrate on first add
             hnsw_config=hnsw_config, storage=storage, pq_m=graph_pq_m,
+            capacity=capacity,
         )
     if kind == "pq":
         return _QuantizedAdapter(

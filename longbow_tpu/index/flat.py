@@ -14,6 +14,7 @@ docs/autoshard.md:30-33).
 from __future__ import annotations
 
 import functools
+import os
 import threading
 from typing import Optional
 
@@ -25,6 +26,7 @@ from longbow_tpu.ops.distance import (
     Metric,
     exact_search,
     pad_to,
+    tombstone_rows,
 )
 from longbow_tpu.ops.pallas_scan import flat_search_rerank, fused_flat_search
 
@@ -96,11 +98,6 @@ def _bucket_rows(n: int) -> int:
     return b
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _tombstone(valid, rows):
-    return valid.at[rows].set(False)
-
-
 @functools.partial(
     jax.jit, static_argnames=("k", "metric", "normalize")
 )
@@ -158,6 +155,19 @@ class FlatIndex:
         self._stage_buf: Optional[np.ndarray] = None
         self._stage_rows = 0
         self._stage_dead: list[int] = []
+        # host scan mirror: DoGet table scans read host RAM instead of
+        # a device->host gather (measured ~6 MB/s through the device
+        # relay vs GB/s np fancy-indexing; the reference serves scans
+        # from its host-resident Arrow memtable). f16 — the same
+        # precision family as the bf16 device storage. Maintained from
+        # the host-side bytes ingest already holds (one memcpy, no
+        # device IO); device-array appends can't feed it without a
+        # fetch, so they disable it and scans fall back to the device
+        # path. LONGBOW_SCAN_MIRROR=0 opts out (halves host RAM use).
+        self._mirror_enabled = (
+            os.environ.get("LONGBOW_SCAN_MIRROR", "1") != "0"
+        )
+        self._host_mirror: Optional[np.ndarray] = None  # [cap, dim] f16
         # Dispatch lock: appends DONATE the corpus buffers, and a
         # concurrent search that grabbed the old reference dispatches
         # against a deleted buffer ("Buffer has been deleted or
@@ -218,6 +228,10 @@ class FlatIndex:
                     f"expected [n, {self.dim}] vectors, got {vecs.shape}"
                 )
             self.flush()
+            # device-origin rows never pass through host RAM; feeding
+            # the mirror would cost the very fetch it exists to avoid
+            self._mirror_enabled = False
+            self._host_mirror = None
             n = vecs.shape[0]
             self._grow_to(self.count + n)
             self.vectors, self.norms_sq, self.valid = _ingest_block(
@@ -259,10 +273,16 @@ class FlatIndex:
         self.count += n
         # flush interval scales with the corpus: on backends without
         # buffer donation (CPU) a flush copies the WHOLE device block,
-        # so count/4 bounds the amortized copy cost at 4 copies/row;
-        # on TPU donation makes the flush a true in-place update and
-        # the interval just batches dispatches
-        if self._stage_rows >= max(16384, self._device_count // 4):
+        # so count/4 bounds the amortized copy cost at 4 copies/row.
+        # On TPU donation makes the flush a true in-place update, so
+        # CAP the interval there: an uncapped count/4 threshold let the
+        # stage grow to 1M+ rows at a 5M corpus and its doubling-growth
+        # prefix copies (512MB+ host memcpy) dominated the apply thread
+        # (profiled at 67% under sustained ingest)
+        limit = max(16384, self._device_count // 4)
+        if _on_tpu():
+            limit = min(limit, 262144)  # one _bucket_rows granule
+        if self._stage_rows >= limit:
             self.flush()
         return rows
 
@@ -293,14 +313,74 @@ class FlatIndex:
         # _grow_to/_ingest_block raised (wedged relay, device OOM) —
         # staged rows must stay retryable. Fresh zeros() per cycle is
         # lazy kernel pages, far cheaper than the old concat+pad.
+        if self._mirror_enabled:
+            rows_f = block[:n]
+            if self.metric == Metric.COSINE:
+                nr = np.linalg.norm(rows_f, axis=1, keepdims=True)
+                rows_f = rows_f / np.maximum(nr, 1e-30)
+            self._mirror_put(self._device_count, rows_f)
         self._stage_buf = None
         self._device_count += n
         self._stage_rows = 0
         if self._stage_dead:
-            self.valid = _tombstone(
-                self.valid, jnp.asarray(self._stage_dead)
+            self.valid = tombstone_rows(
+                self.valid, np.asarray(self._stage_dead), donate=True
             )
             self._stage_dead = []
+
+    def _mirror_put(self, row: int, rows_f32: np.ndarray) -> None:
+        cap = self.vectors.shape[0]
+        m = self._host_mirror
+        if m is None or m.shape[0] < cap:
+            nm = np.zeros((cap, self.dim), np.float16)
+            if m is not None:
+                nm[: m.shape[0]] = m
+            self._host_mirror = m = nm
+        m[row : row + len(rows_f32)] = rows_f32
+
+    def adopt_mirror(self, rows_f16: np.ndarray) -> None:
+        """Install a prebuilt mirror for rows [0, n) (compaction
+        carries the old index's mirror over with one np gather so the
+        rebuilt dataset keeps host-RAM scans)."""
+        if os.environ.get("LONGBOW_SCAN_MIRROR", "1") == "0":
+            return  # operator opted out of host mirrors entirely
+        if not self._mirror_enabled:
+            self._mirror_enabled = True
+        cap = self.vectors.shape[0]
+        nm = np.zeros((cap, self.dim), np.float16)
+        nm[: len(rows_f16)] = rows_f16
+        self._host_mirror = nm
+
+    def mirror_rows(self, rows: np.ndarray) -> Optional[np.ndarray]:
+        """Host-mirror gather, or None when the mirror is unavailable
+        (device-origin rows / opted out)."""
+        with self._mu:
+            self._flush_locked()
+            if not self._mirror_enabled or (
+                self._host_mirror is None and self._device_count
+            ):
+                return None
+            if self._host_mirror is None:  # empty index
+                return np.zeros((len(rows), self.dim), np.float16)
+            return self._host_mirror[np.asarray(rows)]
+
+    def get_vectors(self, rows: np.ndarray) -> np.ndarray:
+        """f32 vectors for internal rows — host mirror when available
+        (scan hot path), device gather otherwise."""
+        m = self.mirror_rows(rows)
+        if m is not None:
+            return m.astype(np.float32)
+        return np.asarray(self.get_vectors_device(rows))
+
+    def get_vectors_device(self, rows) -> jax.Array:
+        """Device-resident f32 gather (compaction fast path: the host
+        round trip through the relay cost minutes at 2.7M rows and
+        held the dataset lock the whole time)."""
+        with self._mu:
+            self.flush()
+            return jnp.take(
+                self.vectors, jnp.asarray(rows), axis=0
+            ).astype(jnp.float32)
 
     def delete_rows(self, rows: np.ndarray) -> None:
         """Tombstone internal rows (reference: tombstone bitsets,
@@ -317,7 +397,7 @@ class FlatIndex:
                     rows = rows[~staged]
                 if len(rows) == 0:
                     return
-            self.valid = _tombstone(self.valid, jnp.asarray(rows))
+            self.valid = tombstone_rows(self.valid, rows, donate=True)
 
     # -- search -------------------------------------------------------
 

@@ -22,7 +22,13 @@ from longbow_tpu.index.graph import (
     pq_decode,
 )
 from longbow_tpu.index.graph_build import bulk_build_edges, insert_batch
-from longbow_tpu.ops.distance import MASKED, Metric, pad_to, squared_norms
+from longbow_tpu.ops.distance import (
+    MASKED,
+    Metric,
+    pad_to,
+    squared_norms,
+    tombstone_rows,
+)
 
 # capacity granularity must be a multiple of the bulk builder's block
 # (8192): otherwise bulk_build_rp's n_pad lands past the capacity and
@@ -520,7 +526,7 @@ class HNSWIndex:
             return
         self._dead += len(rows)
         self.state = self.state._replace(
-            valid=self.state.valid.at[jnp.asarray(rows)].set(False)
+            valid=tombstone_rows(self.state.valid, rows)
         )
 
     # ------------------------------------------------------------------
@@ -629,6 +635,14 @@ class HNSWIndex:
         from longbow_tpu.index.graph import gather_vectors_f32
 
         out = np.asarray(gather_vectors_f32(self.state, jnp.asarray(rows)))
+        return out[:, : self.dim]
+
+    def get_vectors_device(self, rows) -> jax.Array:
+        """Device-resident variant of get_vectors (compaction passes
+        this straight into the new index's device add fast path)."""
+        from longbow_tpu.index.graph import gather_vectors_f32
+
+        out = gather_vectors_f32(self.state, jnp.asarray(rows))
         return out[:, : self.dim]
 
     def exact_search(self, queries, k: int, *, filter_mask=None):

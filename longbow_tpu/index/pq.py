@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from longbow_tpu.ops.distance import MASKED, Metric
+from longbow_tpu.ops.distance import MASKED, Metric, tombstone_rows
 from longbow_tpu.ops.kmeans import kmeans_init, lloyd
 
 MIN_CAPACITY = 4096
@@ -233,7 +233,7 @@ class PQIndex:
 
     def delete_rows(self, rows: np.ndarray) -> None:
         if len(rows):
-            self.valid = self.valid.at[jnp.asarray(rows)].set(False)
+            self.valid = tombstone_rows(self.valid, rows)
 
     def decode(self, rows: np.ndarray) -> np.ndarray:
         """Approximate reconstruction from codes

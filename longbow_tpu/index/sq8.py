@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from longbow_tpu.ops.distance import MASKED, Metric, pad_to
+from longbow_tpu.ops.distance import MASKED, Metric, pad_to, tombstone_rows
 
 SQ8_TRAIN_THRESHOLD = 5000  # reference: arrow_hnsw.go:94
 MIN_CAPACITY = 4096
@@ -130,7 +130,7 @@ class SQ8Index:
 
     def delete_rows(self, rows: np.ndarray) -> None:
         if len(rows):
-            self.valid = self.valid.at[jnp.asarray(rows)].set(False)
+            self.valid = tombstone_rows(self.valid, rows)
 
     def search(
         self, queries, k: int, *, filter_mask=None

@@ -25,6 +25,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # Metrics
@@ -107,6 +108,44 @@ def pad_to(n: int, multiple: int) -> int:
 def pad_dim(d: int) -> int:
     """Pad feature dim to the 128-lane TPU register width."""
     return pad_to(d, 128)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _tombstone_donated(valid, rows):
+    # pad slots carry an out-of-range index; 'drop' skips them instead
+    # of the default clamp tombstoning the last row
+    return valid.at[rows].set(False, mode="drop")
+
+
+@jax.jit
+def _tombstone_copy(valid, rows):
+    return valid.at[rows].set(False, mode="drop")
+
+
+def tombstone_rows(valid, rows, *, donate: bool = False):
+    """valid[rows] = False with a BUCKETED scatter shape.
+
+    Upsert-heavy ingest produces a different stale-row count per
+    group-committed batch; an exact-shape scatter (jit or eager —
+    eager dispatch also compiles per shape) recompiled per distinct
+    length, profiled at 64% of the ingest apply thread through the
+    device relay. Pad slots index past the array and are dropped.
+
+    donate=True reuses valid's buffer in place — only safe when the
+    caller serializes dispatch against concurrent readers of the SAME
+    array object (FlatIndex's _mu invariant); functional-snapshot
+    index states must keep the copying default."""
+    rows = np.asarray(rows, np.int64)
+    bucket = 64
+    while bucket < len(rows):
+        bucket *= 2
+    pad = bucket - len(rows)
+    if pad:
+        rows = np.concatenate(
+            [rows, np.full(pad, valid.shape[0], np.int64)]
+        )
+    fn = _tombstone_donated if donate else _tombstone_copy
+    return fn(valid, jnp.asarray(rows))
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,7 @@ from longbow_tpu.ops.distance import (
     exact_search,
     pad_to,
     squared_norms,
+    tombstone_rows,
 )
 from longbow_tpu.parallel.mesh import SHARD_AXIS
 
@@ -275,7 +276,7 @@ class ShardedFlatIndex:
             return
         internal = self._to_internal(rows)
         with self._mu:
-            self.valid = self.valid.at[jnp.asarray(internal)].set(False)
+            self.valid = tombstone_rows(self.valid, internal)
 
     def search(
         self,

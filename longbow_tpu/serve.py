@@ -366,6 +366,39 @@ def main(argv=None) -> int:
             mirrors.append(m)
         log.info("unix sockets in %s", cfg.unix_socket_dir)
 
+        def _mirror_healer() -> None:
+            # graceful-restart overlap: a PREVIOUS server instance
+            # draining on the same socket dir unlinks the paths this
+            # instance just bound when its gRPC listener shuts down
+            # (grpc removes AF_UNIX paths at server stop). Re-bind
+            # any mirror whose socket file disappeared.
+            import time as _t
+
+            while True:
+                _t.sleep(5.0)
+                for i, m in enumerate(list(mirrors)):
+                    if os.path.exists(m.path):
+                        continue
+                    try:
+                        m.shutdown()  # before rebinding: its stop
+                        # unlinks m.path again
+                    except Exception:
+                        pass
+                    try:
+                        nm = m._primary.spawn_unix_mirror(m.path)
+                        threading.Thread(
+                            target=nm.serve, daemon=True
+                        ).start()
+                        mirrors[i] = nm
+                        log.info("rebound unix socket %s", m.path)
+                    except Exception as e:
+                        log.warning(
+                            "unix socket rebind failed (%s): %s",
+                            m.path, e,
+                        )
+
+        threading.Thread(target=_mirror_healer, daemon=True).start()
+
     # SIGINT: pyarrow re-raises it as KeyboardInterrupt out of serve().
     # SIGTERM: pyarrow ignores it (default action kills the process),
     # so map it to the same KeyboardInterrupt path for k8s-style stops.

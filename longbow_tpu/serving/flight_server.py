@@ -1083,7 +1083,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                         if k in ("pq_m", "rerank", "rerank_factor",
                                  "path", "storage", "n_cells",
                                  "n_probe", "mesh_shards",
-                                 "graph_disk")
+                                 "graph_disk", "capacity")
                     },
                 )
             return ok({"created": dsname})

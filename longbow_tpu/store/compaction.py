@@ -114,7 +114,16 @@ def _compact_locked(dataset) -> dict:
 
     rows = np.asarray([r for _, r in pairs])
     ids = [u for u, _ in pairs]
-    vecs = dataset.index.get_vectors(rows)
+    # device-resident gather when the index supports it: the np path
+    # fetched EVERY live vector to host then re-uploaded (2 x 1.4GB
+    # through the device relay at 2.7M x 128 — minutes under the
+    # dataset lock, profiled blocking all ingest); the device array
+    # feeds the new index's device add fast path directly
+    gv_dev = getattr(dataset.index, "get_vectors_device", None)
+    vecs = (
+        gv_dev(rows) if gv_dev is not None
+        else dataset.index.get_vectors(rows)
+    )
 
     # snapshot live column values before the rebuild
     live_cols = {}
@@ -170,6 +179,20 @@ def _compact_locked(dataset) -> dict:
             if val is not None and hasattr(new_inner, attr):
                 setattr(new_inner, attr, val)
     new_rows = new_index.add(vecs)
+    # carry the host scan mirror over (np gather — the rebuilt index's
+    # device-origin add disabled its own mirror, and without this every
+    # compaction would silently demote scans back to device fetches)
+    old_flat = getattr(dataset.index, "_flat", None)
+    new_flat = getattr(new_index, "_flat", None)
+    if (
+        old_flat is not None
+        and new_flat is not None
+        and getattr(dataset.index, "_graph", None) is None
+        and getattr(new_index, "_graph", None) is None
+    ):
+        mr = old_flat.mirror_rows(rows)
+        if mr is not None:
+            new_flat.adopt_mirror(mr)
     new_columns = ColumnStore(new_index.capacity)
     # rows= and max(): mesh-sharded indexes return shard-strided
     # (non-ascending) row ids — same fix as Dataset.put

@@ -107,3 +107,48 @@ def test_staged_chunks_store_their_own_data():
     for a in (0, chunk, chunk + 1, 2 * chunk, 3 * chunk, n - 1):
         got = np.asarray(fl.vectors[a : a + 1]).astype(np.float32)
         assert np.abs(got - vecs[a : a + 1]).max() < 0.05, f"row {a}"
+
+
+def test_host_scan_mirror_matches_device():
+    """get_vectors serves from the host mirror (DoGet scans measured
+    ~6 MB/s via device->host fetch through the relay vs GB/s host
+    gather) and must match the device gather through ingest, upsert,
+    delete and compaction."""
+    from longbow_tpu.index.adaptive import AdaptiveIndex
+
+    rng = np.random.default_rng(3)
+    idx = AdaptiveIndex(16, "l2", dtype=jnp.bfloat16,
+                        migration_threshold=2**62)
+    v = rng.standard_normal((3000, 16)).astype(np.float32)
+    idx.add(v)
+    rows = np.arange(0, 3000, 7)
+    got = idx.get_vectors(rows)
+    dev = np.asarray(idx.get_vectors_device(rows))
+    # f16 mirror vs bf16 device storage: same values to f16 precision
+    assert np.allclose(got, dev, atol=2e-2), np.abs(got - dev).max()
+    # device-origin add disables the mirror (would need a fetch)
+    idx2 = AdaptiveIndex(16, "l2", dtype=jnp.bfloat16,
+                         migration_threshold=2**62)
+    idx2.add(jnp.asarray(v))
+    assert idx2._flat.mirror_rows(rows) is None
+    got2 = idx2.get_vectors(rows)  # falls back to device gather
+    assert np.allclose(got2, dev, atol=2e-2)
+
+
+def test_scan_mirror_survives_compaction():
+    from longbow_tpu.store.dataset import Dataset
+
+    rng = np.random.default_rng(4)
+    ds = Dataset("m", 8, index_kind="flat")
+    v = rng.standard_normal((500, 8)).astype(np.float32)
+    ds.put(np.arange(500), v)
+    ds.delete(np.arange(0, 500, 2))
+    from longbow_tpu.store.compaction import compact_dataset
+
+    out = compact_dataset(ds)
+    assert out["reclaimed_rows"] >= 250
+    assert ds.index._flat.mirror_rows(np.arange(5)) is not None
+    # surviving ids still read back their own vectors via the mirror
+    t_rows = np.asarray([ds._id_to_row[i] for i in (1, 3, 251)])
+    got = ds.index.get_vectors(t_rows)
+    assert np.allclose(got, v[[1, 3, 251]], atol=2e-2)
