@@ -11,15 +11,27 @@ Wire format (reference: query/requests.go:4-21, zero_alloc_parser.go:
                 "include_vectors": bool, "vector_format": str}}
 
 The reference hand-rolls a zero-allocation parser because Go GC
-pressure sits on its hot path (zero_alloc_parser.go:47-640); here the
-hot path is on-device, ticket parsing is host-edge work, and stdlib
-json is both correct and fast enough — so this is deliberately simple.
+pressure sits on its hot path (zero_alloc_parser.go:47-640). Here the
+equivalent hot cost is CPython float parsing: a measured 134us for one
+384-d query vector under json.loads caps one core at ~7.5k tickets/s,
+which DOES show up at the ≥5k QPS serving bar. parse_ticket therefore
+runs a guarded fast path: the "vector"/"vectors" numeric span is
+excised and parsed by the native library (strtof scan straight into a
+float32 buffer, native/longbow_native.cpp lb_json_f32), and stdlib
+json handles only the small remainder. Any ambiguity — no native lib,
+a second key occurrence, a parse error, the span not being the
+structural value — falls back to full stdlib parsing, so behavior is
+bit-identical on every malformed or adversarial ticket.
 """
 from __future__ import annotations
 
+import ctypes
 import json
+import re
 from dataclasses import dataclass, field
 from typing import Optional
+
+import numpy as np
 
 
 # Operator aliases (reference: filter_evaluator.go:63-90)
@@ -76,10 +88,14 @@ class VectorSearchRequest:
     consistency: str = ""
 
     def query_vectors(self) -> list:
-        """Normalized batch of query vectors."""
-        if self.vectors:
+        """Normalized batch of query vectors (a list of rows, or a 2D
+        float32 ndarray when the native fast path parsed the ticket —
+        both shapes np.asarray() identically at the call sites)."""
+        if self.vectors is not None and len(self.vectors):
             return self.vectors
         if self.vector is not None:
+            if isinstance(self.vector, np.ndarray):
+                return self.vector.reshape(1, -1)
             return [self.vector]
         return []
 
@@ -154,15 +170,92 @@ def parse_search_request(obj: dict) -> VectorSearchRequest:
     return req
 
 
+# `"vector":` / `"vectors":` key followed by an array open bracket
+_VEC_KEY_RE = re.compile(rb'"(vectors?)"\s*:\s*\[')
+# below this, stdlib json wins (fixed fast-path overhead ~8us)
+_FAST_MIN_BYTES = 1024
+
+
+def _native_lib():
+    from longbow_tpu.storage.native import get_lib
+
+    return get_lib()
+
+
+def _fast_parse(data: bytes):
+    """Native-assisted ticket parse: excise the query-vector numeric
+    span, parse it with lb_json_f32 (strtof -> float32 buffer), stdlib-
+    parse the small remainder, then verify the excised span really was
+    the structural "vector"/"vectors" value. Returns (obj, key, arr) or
+    None — the caller falls back to full stdlib parsing. Fallback
+    triggers: no native lib, no key, a SECOND key occurrence anywhere
+    (kills string-embedded-lookalike ambiguity), nested depth > 2,
+    NaN/Inf, malformed remainder, or the key not landing where the
+    excision put it."""
+    lib = _native_lib()
+    if lib is None:
+        return None
+    m = _VEC_KEY_RE.search(data)
+    if m is None or _VEC_KEY_RE.search(data, m.end()) is not None:
+        return None
+    start = m.end() - 1  # at '['
+    span = data[start:]
+    cap = len(span) // 2 + 2  # every float costs >=1 char + separator
+    out = np.empty(cap, np.float32)
+    rows = ctypes.c_int64(0)
+    consumed = ctypes.c_uint64(0)
+    n = lib.lb_json_f32(
+        span, len(span),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cap, ctypes.byref(rows), ctypes.byref(consumed),
+    )
+    if n < 0:
+        return None
+    remainder = b"%snull%s" % (
+        data[:start], data[start + consumed.value:]
+    )
+    try:
+        obj = json.loads(remainder)
+    except Exception:
+        return None
+    key = m.group(1).decode()
+    search = obj.get("search") if isinstance(obj, dict) else None
+    if (
+        not isinstance(search, dict)
+        or key not in search
+        or search[key] is not None
+    ):
+        return None
+    arr = out[:n]
+    if key == "vectors":
+        nr = rows.value
+        if nr <= 0 or n % nr:
+            return None  # ragged batch: stdlib path raises cleanly
+        arr = arr.reshape(nr, n // nr)
+    elif rows.value:
+        return None  # nested array under "vector" — not a fast shape
+    return obj, key, arr
+
+
 def parse_ticket(data: bytes | str) -> TicketQuery:
     """Parse a DoGet ticket (reference: ParseTicketQuerySafe,
     zero_alloc_parser.go:639)."""
-    if isinstance(data, bytes):
-        data = data.decode("utf-8")
-    try:
-        obj = json.loads(data)
-    except json.JSONDecodeError as e:
-        raise ValueError(f"malformed ticket JSON: {e}") from e
+    fast = None
+    if isinstance(data, (bytes, bytearray)) and len(data) >= _FAST_MIN_BYTES:
+        try:
+            fast = _fast_parse(bytes(data))
+        except Exception:
+            fast = None
+    if fast is not None:
+        obj, key, arr = fast
+        obj["search"][key] = arr
+    else:
+        if isinstance(data, bytes):
+            data = data.decode("utf-8")
+        try:
+            obj = json.loads(data)
+        except json.JSONDecodeError as e:
+            raise ValueError(f"malformed ticket JSON: {e}") from e
     if not isinstance(obj, dict):
         raise ValueError("ticket must be a JSON object")
     tq = TicketQuery(

@@ -44,7 +44,11 @@ def sanitize_search_request(req) -> None:
     """Bounds-check a parsed VectorSearchRequest."""
     if req.k > MAX_K:
         raise SanitizationError(f"k {req.k} exceeds limit {MAX_K}")
-    nq = len(req.vectors or []) or (1 if req.vector else 0)
+    # len()-based (never truthiness): the fast-path parser stores query
+    # vectors as np.ndarray, whose bool() raises for >1 element
+    nq = 0 if req.vectors is None else len(req.vectors)
+    if not nq and req.vector is not None and len(req.vector):
+        nq = 1
     if nq > MAX_QUERY_VECTORS:
         raise SanitizationError(
             f"{nq} query vectors exceeds limit {MAX_QUERY_VECTORS}"

@@ -83,6 +83,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.lb_uring_truncate.argtypes = [ctypes.c_uint64]
         lib.lb_uring_close.restype = None
         lib.lb_uring_close.argtypes = [ctypes.c_uint64]
+        # fast ticket-vector parse (reference: zero_alloc_parser.go)
+        lib.lb_json_f32.restype = ctypes.c_int64
+        lib.lb_json_f32.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
         _lib = lib
         return _lib
 

@@ -325,3 +325,139 @@ extern "C" int64_t lb_uring_size(uint64_t) { return -1; }
 extern "C" int64_t lb_uring_truncate(uint64_t) { return -1; }
 extern "C" void lb_uring_close(uint64_t) {}
 #endif
+
+// ---------------------------------------------------------------------
+// Fast JSON numeric-array parser for search tickets.
+//
+// The reference keeps ticket parsing off its GC with a hand-rolled
+// zero-allocation scanner (reference: query/zero_alloc_parser.go:
+// 47-640). Here the equivalent hot cost is CPython float parsing: a
+// single 384-d query vector costs ~134us under json.loads (~7.5k
+// tickets/s ceiling on one core). parse_ticket excises the "vector"/
+// "vectors" numeric span, this routine parses it straight into a
+// float32 buffer, and stdlib json handles only the small remainder.
+//
+// Accepts a flat array of numbers or one level of nesting (a batch of
+// vectors). Returns the float count, -1 on anything unexpected (the
+// caller falls back to stdlib json), -2 on out-buffer overflow.
+// *rows = inner-array count (0 for a flat array); *consumed = bytes
+// through the matching close bracket.
+#include <cstdlib>
+
+// Hand-rolled JSON-number -> f32 (reference's zero-alloc parser also
+// hand-parses floats, zero_alloc_parser.go:284-420). glibc strtof
+// measured ~100ns/float (39us for one 384-d vector — most of the
+// ticket budget); mantissa*pow10 in double is ~10ns and exact to well
+// below f32 ulp (f32 needs 24 mantissa bits; double gives 53).
+// Numbers outside the pow10 table (|exp|>307) defer to strtof.
+static double lb_pow10_tbl[616];  // 10^-308 .. 10^307
+static bool lb_pow10_init_done = false;
+
+static void lb_pow10_init() {
+    for (int e = -308; e <= 307; e++) {
+        double v = 1.0;
+        double b = (e < 0) ? 0.1 : 10.0;
+        int n = (e < 0) ? -e : e;
+        // exact enough: build from pow() to avoid cumulative error
+        v = __builtin_pow(10.0, (double)e);
+        (void)b; (void)n;
+        lb_pow10_tbl[e + 308] = v;
+    }
+    lb_pow10_init_done = true;
+}
+
+// Parses one JSON number at p (p < end guaranteed by caller's byte
+// check). Returns the char past the number, or nullptr on malformed.
+static inline const char* lb_parse_num(
+    const char* p, const char* end, float* outv
+) {
+    const char* start = p;
+    bool neg = false;
+    if (p < end && *p == '-') { neg = true; p++; }
+    if (p >= end || *p < '0' || *p > '9') return nullptr;
+    uint64_t mant = 0;
+    int exp10 = 0;
+    int digs = 0;
+    while (p < end && *p >= '0' && *p <= '9') {
+        if (digs < 19) { mant = mant * 10 + (uint64_t)(*p - '0'); digs++; }
+        else exp10++;  // beyond 19 digits: drop, bump exponent
+        p++;
+    }
+    if (p < end && *p == '.') {
+        p++;
+        if (p >= end || *p < '0' || *p > '9') return nullptr;
+        while (p < end && *p >= '0' && *p <= '9') {
+            if (digs < 19) {
+                mant = mant * 10 + (uint64_t)(*p - '0');
+                digs++; exp10--;
+            }
+            p++;
+        }
+    }
+    if (p < end && (*p == 'e' || *p == 'E')) {
+        p++;
+        bool eneg = false;
+        if (p < end && (*p == '+' || *p == '-')) { eneg = (*p == '-'); p++; }
+        if (p >= end || *p < '0' || *p > '9') return nullptr;
+        int ev = 0;
+        while (p < end && *p >= '0' && *p <= '9') {
+            if (ev < 100000) ev = ev * 10 + (*p - '0');
+            p++;
+        }
+        exp10 += eneg ? -ev : ev;
+    }
+    if (exp10 < -308 || exp10 > 307) {
+        // extreme exponent: strtof decides (subnormal/overflow edge)
+        char* e2 = nullptr;
+        float v = strtof(start, &e2);
+        if (e2 != p) return nullptr;  // strtof must agree on the extent
+        if (v == __builtin_inff() || v == -__builtin_inff())
+            return nullptr;  // overflow: stdlib fallback handles it
+        *outv = v;
+        return p;
+    }
+    double d = (double)mant * lb_pow10_tbl[exp10 + 308];
+    *outv = (float)(neg ? -d : d);
+    return p;
+}
+
+extern "C" int64_t lb_json_f32(
+    const char* buf, uint64_t len, float* out, int64_t max_out,
+    int64_t* rows, uint64_t* consumed
+) {
+    if (len == 0 || buf[0] != '[') return -1;
+    if (!lb_pow10_init_done) lb_pow10_init();
+    const char* end = buf + len;
+    uint64_t i = 0;
+    int64_t n = 0, nrows = 0;
+    int depth = 0;
+    while (i < len) {
+        char c = buf[i];
+        if (c == '[') {
+            if (++depth > 2) return -1;
+            if (depth == 2) nrows++;
+            i++;
+        } else if (c == ']') {
+            if (--depth < 0) return -1;
+            i++;
+            if (depth == 0) {
+                *rows = nrows;
+                *consumed = i;
+                return n;
+            }
+        } else if (c == ',' || c == ' ' || c == '\t' || c == '\n' ||
+                   c == '\r') {
+            i++;
+        } else {
+            // a JSON number; NaN/Infinity literals or overflow fail
+            // here and the whole ticket falls back to stdlib json
+            float v;
+            const char* np_ = lb_parse_num(buf + i, end, &v);
+            if (np_ == nullptr) return -1;
+            if (n >= max_out) return -2;
+            out[n++] = v;
+            i = (uint64_t)(np_ - buf);
+        }
+    }
+    return -1;  // ran off the end before the close bracket
+}

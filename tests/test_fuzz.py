@@ -32,6 +32,18 @@ def test_fuzz_parser_never_crashes_unhandled():
         for _ in range(int(rng.integers(1, 4))):
             b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
         corpora.append(bytes(b))
+    # mutated LARGE tickets: these cross the native fast-path size
+    # threshold, so the lb_json_f32 scanner + excision/fallback logic
+    # sees the same byte-flip fuzzing as the stdlib path
+    big = json.dumps({"search": {
+        "dataset": "d", "k": 3,
+        "vector": rng.standard_normal(200).tolist(),
+    }})
+    for _ in range(200):
+        b = bytearray(big.encode())
+        for _ in range(int(rng.integers(1, 6))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        corpora.append(bytes(b))
     for data in corpora:
         try:
             parse_ticket(data)
