@@ -84,6 +84,12 @@ def _ingest_block(vectors, norms, valid, new_f32, row, n, normalize):
     return vectors, norms, valid
 
 
+def _native_lib():
+    from longbow_tpu.storage.native import get_lib
+
+    return get_lib()
+
+
 def _bucket_rows(n: int) -> int:
     """Pad append shapes to powers of two (min 256; multiples of 256k
     past 256k) so flushes share compiled programs. NEVER let a jitted
@@ -158,8 +164,11 @@ class FlatIndex:
         # host scan mirror: DoGet table scans read host RAM instead of
         # a device->host gather (measured ~6 MB/s through the device
         # relay vs GB/s np fancy-indexing; the reference serves scans
-        # from its host-resident Arrow memtable). f16 — the same
-        # precision family as the bf16 device storage. Maintained from
+        # from its host-resident Arrow memtable). Stored as bf16 bits
+        # in uint16 via a vectorized round-to-nearest-even add+shift —
+        # numpy's f32->f16 cast is a SCALAR loop that profiled at 28%
+        # of the ingest apply thread, and bf16 makes mirror reads
+        # bit-identical to the device's bf16 storage. Maintained from
         # the host-side bytes ingest already holds (one memcpy, no
         # device IO); device-array appends can't feed it without a
         # fetch, so they disable it and scans fall back to the device
@@ -167,7 +176,21 @@ class FlatIndex:
         self._mirror_enabled = (
             os.environ.get("LONGBOW_SCAN_MIRROR", "1") != "0"
         )
-        self._host_mirror: Optional[np.ndarray] = None  # [cap, dim] f16
+        # mirror representation tracks the device storage dtype so
+        # mirror reads never change scan precision: bf16 bits for bf16
+        # storage, f16 for f16-preserving datasets, f32 otherwise
+        if dtype == jnp.bfloat16:
+            self._mirror_np_dtype = np.dtype(np.uint16)
+        elif dtype == jnp.float16:
+            self._mirror_np_dtype = np.dtype(np.float16)
+        else:
+            self._mirror_np_dtype = np.dtype(np.float32)
+        self._host_mirror: Optional[np.ndarray] = None  # [cap, dim]
+        # staging presize hint: the stage buffer is handed off to jax
+        # after every flush, so without the hint each cycle re-grows
+        # 16k->262k, re-copying the staged prefix at every doubling
+        # (profiled at ~19% of the apply thread)
+        self._stage_hint = 0
         # Dispatch lock: appends DONATE the corpus buffers, and a
         # concurrent search that grabbed the old reference dispatches
         # against a deleted buffer ("Buffer has been deleted or
@@ -262,7 +285,7 @@ class FlatIndex:
             # the whole staged prefix on every boundary — quadratic
             old_rows = buf.shape[0] if buf is not None else 0
             new_rows = _bucket_rows(
-                max(need, 2 * old_rows, 16384)
+                max(need, 2 * old_rows, self._stage_hint, 16384)
             )
             new = np.zeros((new_rows, self.dim), np.float32)
             if self._stage_rows:
@@ -319,6 +342,7 @@ class FlatIndex:
                 nr = np.linalg.norm(rows_f, axis=1, keepdims=True)
                 rows_f = rows_f / np.maximum(nr, 1e-30)
             self._mirror_put(self._device_count, rows_f)
+        self._stage_hint = self._stage_buf.shape[0]
         self._stage_buf = None
         self._device_count += n
         self._stage_rows = 0
@@ -330,29 +354,59 @@ class FlatIndex:
 
     def _mirror_put(self, row: int, rows_f32: np.ndarray) -> None:
         cap = self.vectors.shape[0]
+        md = self._mirror_np_dtype
         m = self._host_mirror
         if m is None or m.shape[0] < cap:
-            nm = np.zeros((cap, self.dim), np.float16)
+            nm = np.zeros((cap, self.dim), md)
             if m is not None:
                 nm[: m.shape[0]] = m
             self._host_mirror = m = nm
-        m[row : row + len(rows_f32)] = rows_f32
+        if md == np.uint16:
+            # f32 -> bf16 bits, round-to-nearest-even (same rounding
+            # XLA applies storing the device block, so mirror reads
+            # are bit-identical to device reads). Single C pass
+            # releasing the GIL: the numpy expression for this
+            # allocated ~5 block-sized temporaries and profiled at 45%
+            # of the apply thread; numpy's f32->f16 cast is worse (a
+            # scalar loop, 28% before the bf16 switch).
+            src = np.ascontiguousarray(rows_f32, np.float32)
+            dst = m[row : row + len(src)]
+            lib = _native_lib()
+            if lib is not None:
+                lib.lb_f32_to_bf16(
+                    src.ctypes.data, dst.ctypes.data, src.size
+                )
+            else:
+                u = src.view(np.uint32)
+                t = u >> np.uint32(16)
+                t &= np.uint32(1)
+                t += np.uint32(0x7FFF)
+                t += u
+                t >>= np.uint32(16)
+                dst[:] = t.astype(np.uint16)
+        else:
+            m[row : row + len(rows_f32)] = rows_f32
 
-    def adopt_mirror(self, rows_f16: np.ndarray) -> None:
-        """Install a prebuilt mirror for rows [0, n) (compaction
-        carries the old index's mirror over with one np gather so the
-        rebuilt dataset keeps host-RAM scans)."""
+    def adopt_mirror(self, rows_m: np.ndarray) -> None:
+        """Install a prebuilt mirror block for rows [0, n) — same
+        representation as mirror_rows returns (compaction carries the
+        old index's mirror over with one np gather so the rebuilt
+        dataset keeps host-RAM scans)."""
         if os.environ.get("LONGBOW_SCAN_MIRROR", "1") == "0":
             return  # operator opted out of host mirrors entirely
+        if rows_m.dtype != self._mirror_np_dtype:
+            return  # dtype changed across the rebuild: let scans
+            # fall back to the device path rather than mix precisions
         if not self._mirror_enabled:
             self._mirror_enabled = True
         cap = self.vectors.shape[0]
-        nm = np.zeros((cap, self.dim), np.float16)
-        nm[: len(rows_f16)] = rows_f16
+        nm = np.zeros((cap, self.dim), self._mirror_np_dtype)
+        nm[: len(rows_m)] = rows_m
         self._host_mirror = nm
 
     def mirror_rows(self, rows: np.ndarray) -> Optional[np.ndarray]:
-        """Host-mirror gather, or None when the mirror is unavailable
+        """Host-mirror gather (bf16 bits in uint16 / f16 / f32 per the
+        storage dtype), or None when the mirror is unavailable
         (device-origin rows / opted out)."""
         with self._mu:
             self._flush_locked()
@@ -361,15 +415,26 @@ class FlatIndex:
             ):
                 return None
             if self._host_mirror is None:  # empty index
-                return np.zeros((len(rows), self.dim), np.float16)
+                return np.zeros(
+                    (len(rows), self.dim), self._mirror_np_dtype
+                )
             return self._host_mirror[np.asarray(rows)]
+
+    @staticmethod
+    def mirror_to_f32(m: np.ndarray) -> np.ndarray:
+        """Decode a mirror block to float32."""
+        if m.dtype == np.uint16:  # bf16 bits
+            return (m.astype(np.uint32) << 16).view(np.float32)
+        if m.dtype == np.float32:
+            return m
+        return m.astype(np.float32)
 
     def get_vectors(self, rows: np.ndarray) -> np.ndarray:
         """f32 vectors for internal rows — host mirror when available
         (scan hot path), device gather otherwise."""
         m = self.mirror_rows(rows)
         if m is not None:
-            return m.astype(np.float32)
+            return self.mirror_to_f32(m)
         return np.asarray(self.get_vectors_device(rows))
 
     def get_vectors_device(self, rows) -> jax.Array:

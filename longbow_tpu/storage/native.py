@@ -91,6 +91,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_uint64),
         ]
+        # single-pass f32 -> bf16-bits (scan-mirror ingest hot path)
+        lib.lb_f32_to_bf16.restype = None
+        lib.lb_f32_to_bf16.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64
+        ]
         _lib = lib
         return _lib
 

@@ -461,3 +461,17 @@ extern "C" int64_t lb_json_f32(
     }
     return -1;  // ran off the end before the close bracket
 }
+
+// Single-pass f32 -> bf16-bits conversion (round-to-nearest-even,
+// matching XLA's device cast). The numpy expression for this allocated
+// ~5 corpus-sized temporaries and profiled at 45% of the ingest apply
+// thread (memory-bandwidth bound); this is one read + one half-width
+// write, auto-vectorized, and releases the GIL for the duration.
+extern "C" void lb_f32_to_bf16(
+    const uint32_t* src, uint16_t* dst, uint64_t n
+) {
+    for (uint64_t i = 0; i < n; i++) {
+        uint32_t u = src[i];
+        dst[i] = (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
+    }
+}

@@ -124,8 +124,9 @@ def test_host_scan_mirror_matches_device():
     rows = np.arange(0, 3000, 7)
     got = idx.get_vectors(rows)
     dev = np.asarray(idx.get_vectors_device(rows))
-    # f16 mirror vs bf16 device storage: same values to f16 precision
-    assert np.allclose(got, dev, atol=2e-2), np.abs(got - dev).max()
+    # bf16-bits mirror uses the same round-to-nearest-even as XLA's
+    # device store, so mirror reads are BIT-identical to device reads
+    assert np.array_equal(got, dev), np.abs(got - dev).max()
     # device-origin add disables the mirror (would need a fetch)
     idx2 = AdaptiveIndex(16, "l2", dtype=jnp.bfloat16,
                          migration_threshold=2**62)
