@@ -325,6 +325,13 @@ class AdaptiveIndex:
             return self._graph.get_vectors_device(rows)
         return self._flat.get_vectors_device(rows)
 
+    def mirror_rows(self, rows: np.ndarray):
+        """Host scan-mirror gather (None when unavailable — graph tier,
+        device-origin rows, or opted out)."""
+        if self._graph is not None:
+            return None
+        return self._flat.mirror_rows(rows)
+
     def export_state(self) -> dict:
         st = (self._graph or self._flat).export_state()
         st["migration_threshold"] = self.migration_threshold

@@ -55,6 +55,17 @@ _NATIVE_VEC_DTYPES = {
 }
 
 
+def _jnp_dtype_is_f16(dt) -> bool:
+    """True when a dataset's storage dtype is float16 (np.dtype handles
+    jnp dtype objects; bf16 maps to its own ml_dtypes dtype, not f16)."""
+    if dt is None:
+        return False
+    try:
+        return np.dtype(dt) == np.float16
+    except TypeError:
+        return False
+
+
 def _vector_column_to_numpy(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """list<T> / fixed_size_list<T> column -> [n, d], dtype preserved
     for the reference's ingest matrix (f32/f16/i8/u8/i32), f32
@@ -668,14 +679,25 @@ class LongbowFlightServer(flight.FlightServerBase):
                 return pa.string()
             return pa.from_numpy_dtype(a.dtype)
 
+        # stored-dtype downloads (reference parity: scans return the
+        # dtype the dataset stores, docs/performance.md:27-53). f16
+        # datasets stream halffloat — half the wire bytes, and the f16
+        # host mirror serves the block without any cast. Other dtypes
+        # stream f32 (bf16 has no Arrow type; int8 codes of a TRAINED
+        # sq8 dataset are meaningless without the affine).
+        wire_f16 = _jnp_dtype_is_f16(getattr(ds, "dtype", None))
+        vec_pa_type = pa.float16() if wire_f16 else pa.float32()
+        vec_bytes = 2 if wire_f16 else 4
         schema = pa.schema(
             [
                 ("id", pa.string() if str_ids else pa.int64()),
-                ("vector", pa.list_(pa.float32(), ds.dim)),
+                ("vector", pa.list_(vec_pa_type, ds.dim)),
             ]
             + [(c, _col_type(cols[c])) for c in col_names]
         )
-        rows_per = max(1, self.SCAN_CHUNK_BYTES // max(ds.dim * 4, 1))
+        rows_per = max(
+            1, self.SCAN_CHUNK_BYTES // max(ds.dim * vec_bytes, 1)
+        )
         if npairs == 0:
             return flight.RecordBatchStream(schema.empty_table())
 
@@ -714,7 +736,21 @@ class LongbowFlightServer(flight.FlightServerBase):
                     if stop.is_set():
                         return
                     block_rows = rows_all[soff : soff + superchunk]
-                    vec_block = idx.get_vectors(block_rows)
+                    if wire_f16:
+                        # f16 dataset: the host mirror IS f16 — slice
+                        # it straight onto the wire, no cast anywhere
+                        mr = getattr(idx, "mirror_rows", None)
+                        vec_block = mr(block_rows) if mr else None
+                        if (
+                            vec_block is None
+                            or vec_block.dtype != np.float16
+                        ):  # device-origin rows: gather then narrow
+                            # (lossless — storage is f16)
+                            vec_block = idx.get_vectors(
+                                block_rows
+                            ).astype(np.float16)
+                    else:
+                        vec_block = idx.get_vectors(block_rows)
                     batches = []
                     for off in range(0, len(block_rows), rows_per):
                         m = min(rows_per, len(block_rows) - off)
@@ -726,7 +762,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                             pa.FixedSizeListArray.from_arrays(
                                 pa.array(
                                     vec_block[off : off + m].reshape(-1),
-                                    pa.float32(),
+                                    vec_pa_type,
                                 ),
                                 ds.dim,
                             ),

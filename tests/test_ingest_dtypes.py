@@ -7,6 +7,7 @@ dtype — int8/uint8 bytes land 1:1 as identity-affine SQ8 codes, f16
 lands in float16 storage, and WAL frames log the native dtype.
 """
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from longbow_tpu.store.vector_store import VectorStore
@@ -140,6 +141,16 @@ def test_dtype_over_the_wire():
         }
         for i in range(25):
             np.testing.assert_array_equal(got[i], vi[i].astype(np.float32))
+        # f16 dataset scans back as halffloat (stored-dtype downloads,
+        # reference docs/performance.md:27-53) and value-exact
+        th = c.scan("wire_h")
+        assert th.schema.field("vector").type.value_type == pa.float16()
+        goth = {
+            int(r["id"]): np.asarray(r["vector"], np.float16)
+            for r in th.to_pylist()
+        }
+        for i in range(25):
+            np.testing.assert_array_equal(goth[i], vh[i])
     finally:
         c.close()
         srv.shutdown()
