@@ -243,8 +243,10 @@ class Config:
     search_coalesce: bool = field(
         default_factory=lambda: _env("SEARCH_COALESCE", True, bool)
     )
+    # 4096 = largest canonical kernel batch (B=4096 measures +30% QPS
+    # over two B=2048 dispatches; the corpus read keeps amortizing)
     search_coalesce_max_batch: int = field(
-        default_factory=lambda: _env("SEARCH_COALESCE_MAX_BATCH", 2048, int)
+        default_factory=lambda: _env("SEARCH_COALESCE_MAX_BATCH", 4096, int)
     )
 
     # cache (reference: query cache in DoGet, store_query.go:625)

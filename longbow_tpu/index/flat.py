@@ -494,23 +494,26 @@ class FlatIndex:
         # k=128 exceeds the 16MB limit (k>64 uses the XLA scan).
         if _on_tpu() and k <= 64 and self.dtype == jnp.bfloat16:
             # Fixed kernel shapes: k bucketed to {16, 64} and B to
-            # {128, 512, 2048} (small/odd shapes trigger pathological
-            # Mosaic compiles — minutes). Large batches matter: the
-            # scan's corpus read amortizes across the batch, so one
-            # B=2048 dispatch runs ~6.6x the QPS of 16 B=128 ones
-            # (round-3 honest timing: 3.8ms/128q vs 5.9ms/2048q at
-            # 1M x 128). The search coalescer feeds this path batches.
+            # {128, 512, 2048, 4096} (small/odd shapes trigger
+            # pathological Mosaic compiles — minutes). Large batches
+            # matter: the scan's corpus read amortizes across the
+            # batch, so one B=2048 dispatch runs ~6.6x the QPS of 16
+            # B=128 ones (round-3 honest timing: 3.8ms/128q vs
+            # 5.9ms/2048q at 1M x 128), and B=4096 measures a further
+            # +30% over two B=2048 dispatches (round-4 interleaved
+            # timing: 17.1ms vs 2x11.2ms, recall unchanged 0.9895).
+            # The search coalescer feeds this path batches.
             b = q.shape[0]
             k_pad = 16 if k <= 16 else 64
-            for cb in (128, 512, 2048):
+            for cb in (128, 512, 2048, 4096):
                 if b <= cb:
                     b_pad = cb
                     break
             else:
-                b_pad = -(-b // 2048) * 2048
+                b_pad = -(-b // 4096) * 4096
             if b_pad != b:
                 q = np.pad(q, ((0, b_pad - b), (0, 0)))
-            chunk = min(b_pad, 2048)
+            chunk = min(b_pad, 4096)
             with self._mu:  # dispatch under the lock, fetch outside
                 self._flush_locked()
                 packs = [
