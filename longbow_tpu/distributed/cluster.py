@@ -14,6 +14,8 @@ from __future__ import annotations
 import logging
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FuturesTimeout
 from typing import Optional
 
 import numpy as np
@@ -57,6 +59,12 @@ class ClusterCoordinator:
     ):
         self.store = store
         self.self_id = self_id
+        # shared fan-out pool (created lazily, grown to the largest
+        # fan-out seen): global_search previously spawned a fresh OS
+        # thread per peer per request
+        self._pool: Optional[ThreadPoolExecutor] = None
+        self._pool_size = 0
+        self._pool_mu = threading.Lock()
         # peer-auth credentials: intra-cluster hops present the same
         # bearer token / TLS roots the serving edge requires
         self._api_key = api_key or None
@@ -437,6 +445,23 @@ class ClusterCoordinator:
     def has_peers(self) -> bool:
         return bool(self.membership.alive())
 
+    def _fanout_pool(self, fanout: int) -> ThreadPoolExecutor:
+        """Shared executor for peer fan-outs, sized to 2x the largest
+        fan-out seen (headroom for stragglers still holding slots past
+        a deadline). Recreated on growth; the old pool drains itself."""
+        need = max(8, 2 * fanout)
+        with self._pool_mu:
+            if self._pool is None or self._pool_size < need:
+                old = self._pool
+                self._pool = ThreadPoolExecutor(
+                    max_workers=need,
+                    thread_name_prefix="longbow-fanout",
+                )
+                self._pool_size = need
+                if old is not None:
+                    old.shutdown(wait=False)
+            return self._pool
+
     def global_search(
         self,
         dataset: str,
@@ -529,17 +554,26 @@ class ClusterCoordinator:
                 peer.breaker.record_failure()
                 log.debug("global search: peer %s failed: %s", m.id, e)
 
-        threads = [
-            threading.Thread(target=one, args=(i, m), daemon=True)
+        # pooled fan-out (reference: bounded worker pool in the global
+        # coordinator, global_search.go) — thread-per-peer allocates a
+        # fresh OS thread per request per peer, which at high QPS and
+        # larger clusters is allocation + scheduler churn on the
+        # serving path. Pool is sized lazily to the largest fan-out.
+        futures = [
+            self._fanout_pool(len(alive)).submit(one, i, m)
             for i, m in enumerate(alive)
         ]
-        for t in threads:
-            t.start()
-        # ONE shared deadline across all joins: per-thread timeouts
+        # ONE shared deadline across all waits: per-future timeouts
         # compound to n_peers x timeout worst-case wall clock
         deadline = time.monotonic() + self.global_search_timeout_s
-        for t in threads:
-            t.join(timeout=max(0.0, deadline - time.monotonic()))
+        for f in futures:
+            try:
+                f.result(timeout=max(0.0, deadline - time.monotonic()))
+            except FuturesTimeout:
+                # leave the straggler running; its slot returns to the
+                # pool when the peer call finishes or fails. `one`
+                # swallows peer errors, so result() only times out.
+                pass
 
         if _reg is not None:
             _reg.observe("longbow_global_search_fanout_size", len(alive))

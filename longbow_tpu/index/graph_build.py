@@ -515,15 +515,23 @@ def bulk_build_edges(
 
 
 @functools.partial(jax.jit, static_argnames=("m_max",))
-def _symm_edges(fwd_rows: jax.Array, fwd_dists: jax.Array, *, m_max: int):
+def _symm_edges(
+    fwd_rows: jax.Array, fwd_dists: jax.Array, n_live, *, m_max: int
+):
     """Edge-list sorts -> per-node incoming candidates [R, m_max].
 
-    Operates on the builder's full padded arrays (dead rows carry -1 /
-    MASKED and fall into the sentinel bucket): no exact-n slice copies,
-    and the compiled shape stays bucketed. Returns (inc_src, inc_d,
-    inc_prot) — the protected flag is a bool [R, m_max] instead of a
-    second f32 priority array (that third full-size f32 cost 768MB at
-    4M x m_max=48; priorities are reconstructed in-segment)."""
+    Operates on the builder's full padded arrays: no exact-n slice
+    copies, and the compiled shape stays bucketed. n_live (a TRACED
+    scalar — static would recompile per exact corpus size) masks
+    padded-row sources: dead rows are zero vectors whose kNN lists
+    hold REAL target ids (the knn phase pads its query chunks), so
+    without the mask they become reverse-edge sources and inject
+    dead-row edges into live nodes' adjacency — measured 771 dead
+    edges and recall 0.959 -> 0.898 on the 10k x 384 SQ8 gate.
+    Returns (inc_src, inc_d, inc_prot) — the protected flag is a bool
+    [R, m_max] instead of a second f32 priority array (that third
+    full-size f32 cost 768MB at 4M x m_max=48; priorities are
+    reconstructed in-segment)."""
     n, m = fwd_rows.shape
     # reverse-candidate edges come from the TOP m_rev forward ranks
     # only: low-rank (far) forward edges essentially never win a slot
@@ -535,7 +543,7 @@ def _symm_edges(fwd_rows: jax.Array, fwd_dists: jax.Array, *, m_max: int):
     src = jnp.repeat(jnp.arange(n, dtype=jnp.int32), m_rev)  # [E]
     dst = fwd_rows[:, :m_rev].reshape(-1)
     d = fwd_dists[:, :m_rev].reshape(-1)
-    ok = dst >= 0
+    ok = (dst >= 0) & (src < n_live) & (dst < n_live)
     dst_s = jnp.where(ok, dst, n)  # invalid -> sentinel bucket n
 
     # protect each source's rank-0 reverse edge: without it, anti-hub
@@ -759,7 +767,7 @@ def _symmetrize_and_store(
     padded-copy version of this phase)."""
     R = fwd_rows.shape[0]
     inc_src, inc_d, inc_prot = _symm_edges(
-        fwd_rows, fwd_dists, m_max=m_max
+        fwd_rows, fwd_dists, jnp.int32(n), m_max=m_max
     )
     seg = min(R, SEG_ROWS)
     if R <= seg:

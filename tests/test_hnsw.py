@@ -370,6 +370,23 @@ def test_pq_graph_through_factory():
     assert (np.asarray(r)[:, 0] == np.arange(8)).mean() >= 0.8
 
 
+def test_bulk_build_no_dead_row_edges():
+    """The symmetrizer operates on the builder's PADDED arrays, and
+    padded rows are zero vectors whose kNN lists hold real target ids
+    (the knn phase pads its query chunks). Without masking them as
+    reverse-edge sources they inject dead-row edges into live nodes'
+    adjacency — 771 dead edges and recall 0.959 -> 0.898 on the
+    10k x 384 SQ8 gate (round-4 regression, fixed in _symm_edges)."""
+    rng = np.random.default_rng(3)
+    n = 3000  # pads to 8192 capacity: 5192 dead rows
+    vecs = rng.standard_normal((n, 96), dtype=np.float32)
+    idx = HNSWIndex(96, config=HNSWConfig(m=16, ef_search=64))
+    idx.add(vecs)
+    nb = np.asarray(idx.state.nbrs)[:n]
+    dead = int((nb >= n).sum())
+    assert dead == 0, f"{dead} adjacency edges point at dead rows"
+
+
 def test_symmetrize_no_duplicate_neighbors():
     """Adjacency rows stay duplicate-free after symmetrize (the dedup
     only checks incoming-vs-forward; each list is internally unique)."""
