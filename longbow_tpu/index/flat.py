@@ -383,6 +383,17 @@ class FlatIndex:
                 t += np.uint32(0x7FFF)
                 t += u
                 t >>= np.uint32(16)
+                # NaN stays NaN (bare RNE carries a small-payload NaN
+                # into Inf); canonical sign|0x7FC0 like XLA/Eigen
+                nan = ((u & np.uint32(0x7F800000)) == np.uint32(0x7F800000)) \
+                    & ((u & np.uint32(0x007FFFFF)) != 0)
+                if nan.any():
+                    t = np.where(
+                        nan,
+                        ((u >> np.uint32(16)) & np.uint32(0x8000))
+                        | np.uint32(0x7FC0),
+                        t,
+                    )
                 dst[:] = t.astype(np.uint16)
         else:
             m[row : row + len(rows_f32)] = rows_f32

@@ -431,31 +431,60 @@ extern "C" int64_t lb_json_f32(
     uint64_t i = 0;
     int64_t n = 0, nrows = 0;
     int depth = 0;
+    // structural state: stdlib-grade strictness so the fast path never
+    // ACCEPTS what json.loads rejects (`[1,,2]`, `[1 2]`, `[1,]`) and
+    // never silently mis-shapes a RAGGED batch ([[1,2,3],[4]] has
+    // n % nrows == 0 yet reshapes to garbage — every inner array must
+    // have the first one's length)
+    int64_t row_start = 0, row_len = -1;
+    bool expect_value = false;  // just consumed '[' or ','
+    bool saw_elem[3] = {false, false, false};
+    bool top_has_num = false;
     while (i < len) {
         char c = buf[i];
-        if (c == '[') {
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+            i++;
+        } else if (c == '[') {
+            if (depth > 0 && !expect_value) return -1;
+            if (depth == 1 && top_has_num) return -1;  // [1,[...]]
             if (++depth > 2) return -1;
-            if (depth == 2) nrows++;
+            if (depth == 2) { nrows++; row_start = n; }
+            saw_elem[depth] = false;
+            expect_value = true;
             i++;
         } else if (c == ']') {
+            if (expect_value && saw_elem[depth]) return -1;  // [1,]
+            if (depth == 2) {
+                int64_t rl = n - row_start;
+                if (row_len < 0) row_len = rl;
+                else if (rl != row_len) return -1;  // ragged batch
+            }
             if (--depth < 0) return -1;
+            saw_elem[depth] = true;  // closed array is parent's element
+            expect_value = false;
             i++;
             if (depth == 0) {
                 *rows = nrows;
                 *consumed = i;
                 return n;
             }
-        } else if (c == ',' || c == ' ' || c == '\t' || c == '\n' ||
-                   c == '\r') {
+        } else if (c == ',') {
+            if (expect_value || !saw_elem[depth]) return -1;
+            expect_value = true;
             i++;
         } else {
             // a JSON number; NaN/Infinity literals or overflow fail
             // here and the whole ticket falls back to stdlib json
+            if (saw_elem[depth] && !expect_value) return -1;  // [1 2]
+            if (depth == 1 && nrows > 0) return -1;  // [[1],2]
             float v;
             const char* np_ = lb_parse_num(buf + i, end, &v);
             if (np_ == nullptr) return -1;
             if (n >= max_out) return -2;
             out[n++] = v;
+            if (depth == 1) top_has_num = true;
+            saw_elem[depth] = true;
+            expect_value = false;
             i = (uint64_t)(np_ - buf);
         }
     }
@@ -472,6 +501,15 @@ extern "C" void lb_f32_to_bf16(
 ) {
     for (uint64_t i = 0; i < n; i++) {
         uint32_t u = src[i];
-        dst[i] = (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
+        // NaN must stay NaN: the bare RNE add would carry a small-
+        // payload NaN's mantissa into the exponent and emit Inf. XLA
+        // (Eigen float_to_bfloat16_rtne) canonicalizes NaN to
+        // sign|0x7FC0 — match it exactly. Branchless select keeps the
+        // loop auto-vectorizable.
+        uint16_t rne = (uint16_t)((u + 0x7FFFu + ((u >> 16) & 1u)) >> 16);
+        bool is_nan = ((u & 0x7F800000u) == 0x7F800000u)
+                      && ((u & 0x007FFFFFu) != 0u);
+        uint16_t qnan = (uint16_t)(((u >> 16) & 0x8000u) | 0x7FC0u);
+        dst[i] = is_nan ? qnan : rne;
     }
 }

@@ -188,6 +188,64 @@ def test_ticket_parser_native_fast_path():
     assert np.asarray(tq3.search.query_vectors(), np.float32).shape == (1, 384)
 
 
+def test_ticket_parser_fast_path_strictness():
+    """The native scanner must never ACCEPT what stdlib rejects, and a
+    ragged "vectors" batch must error, not silently mis-reshape
+    (a [[x*383],[x*385]] pair has total % rows == 0 and would reshape
+    into garbage without the per-row length check)."""
+    pad = b'"pad": "' + b"x" * 1100 + b'", '  # push over _FAST_MIN_BYTES
+
+    def tick(body: bytes) -> bytes:
+        return b'{' + pad + b'"search": {"dataset": "d", "k": 1, ' + body + b"}}"
+
+    # ragged batch: every row must have row 0's length
+    ragged = tick(
+        b'"vectors": [' + json.dumps([1.0] * 383).encode() + b","
+        + json.dumps([2.0] * 385).encode() + b"]"
+    )
+    with pytest.raises((ValueError, TypeError)):
+        q = parse_ticket(ragged).search.query_vectors()
+        np.asarray(q, np.float32)  # stdlib path: ragged -> object array
+    # malformed separators stdlib rejects -> fast path must reject too
+    for bad in (b'"vector": [1,,2]', b'"vector": [1 2]',
+                b'"vector": [1,2,]'):
+        with pytest.raises(ValueError):
+            parse_ticket(tick(bad))
+    # mixed number/array batches are VALID json but not a fast shape:
+    # must fall back to the stdlib list, never a mis-shaped ndarray
+    for mixed in (b'"vectors": [[1],2]', b'"vectors": [2,[1]]'):
+        tqm = parse_ticket(tick(mixed))
+        assert not isinstance(tqm.search.vectors, np.ndarray)
+    # equal-length batch still takes the fast path and parses right
+    okt = tick(b'"vectors": ' + json.dumps(
+        [[float(i)] * 384 for i in range(3)]).encode())
+    g = np.asarray(parse_ticket(okt).search.query_vectors(), np.float32)
+    assert g.shape == (3, 384) and g[2, 0] == 2.0
+
+
+def test_bf16_mirror_nan_preserved():
+    """lb_f32_to_bf16 (and the numpy fallback) must keep NaN NaN: the
+    bare RNE add carries a small-payload NaN's mantissa into the
+    exponent and emits Inf, diverging from the device's storage cast."""
+    from longbow_tpu.index.flat import FlatIndex
+
+    import jax.numpy as jnp
+
+    snan = np.uint32(0x7F800001).view(np.float32)  # smallest payload
+    v = np.zeros((4, 8), np.float32)
+    v[1, 2] = snan
+    v[2, 3] = -np.float32(np.nan)
+    v[3, 4] = np.inf
+    idx = FlatIndex(8, dtype=jnp.bfloat16)  # bf16-bits mirror path
+    idx.add(v)
+    m = idx.mirror_rows(np.arange(4))
+    assert m is not None and m.dtype == np.uint16
+    f = FlatIndex.mirror_to_f32(m)
+    assert np.isnan(f[1, 2]) and np.isnan(f[2, 3])
+    assert np.isinf(f[3, 4]) and f[3, 4] > 0
+    assert f[0, 0] == 0.0
+
+
 def test_pluggable_index_kinds():
     """reference: pluggable_index.go — index kind selectable per dataset."""
     for kind, params in (("flat", {}), ("pq", {"pq_m": 8}),
