@@ -313,10 +313,23 @@ class LongbowClient:
     def delete_namespace(self, dataset: str) -> bool:
         return self._action("delete-dataset", {"name": dataset})["dropped"]
 
-    def create_namespace(self, name: str, force: bool = False) -> dict:
-        return self._action(
-            "CreateNamespace", {"name": name, "overwrite": force}
-        )
+    def create_namespace(
+        self, name: str, force: bool = False, *, dim: int = 0,
+        index: str = "", metric: str = "", **index_params,
+    ) -> dict:
+        """Create a namespace; with dim (+ optional index kind, metric
+        and index params like capacity/pq_m/n_clusters/storage) the
+        dataset is created eagerly with that index instead of the
+        first-put default (reference: pluggable index selection)."""
+        body: dict = {"name": name, "overwrite": force}
+        if dim:
+            body["dim"] = int(dim)
+            if index:
+                body["index"] = index
+            if metric:
+                body["metric"] = metric
+            body.update(index_params)
+        return self._action("CreateNamespace", body)
 
     def list_namespaces(self) -> list:
         flights = (

@@ -1119,7 +1119,8 @@ class LongbowFlightServer(flight.FlightServerBase):
                         if k in ("pq_m", "rerank", "rerank_factor",
                                  "path", "storage", "n_cells",
                                  "n_probe", "mesh_shards",
-                                 "graph_disk", "capacity")
+                                 "graph_disk", "capacity",
+                                 "n_clusters")
                     },
                 )
             return ok({"created": dsname})

@@ -196,6 +196,15 @@ def test_create_namespace_with_index_type(client):
     assert t.column("id")[0].as_py() == 5
     st = client.cluster_status()
     assert st["datasets"]["e2e_pq"]["index_kind"] == "pq"
+    # the SDK's typed form of the same action (index params forwarded,
+    # here sq8r's n_clusters)
+    client.create_namespace("e2e_sq8r", dim=32, index="sq8r",
+                            n_clusters=16)
+    client.write("e2e_sq8r", np.arange(300), v)
+    t = client.search("e2e_sq8r", v[7], k=3)
+    assert t.column("id")[0].as_py() == 7
+    st = client.cluster_status()
+    assert st["datasets"]["e2e_sq8r"]["index_kind"] == "sq8r"
 
 
 def test_scan_streams_in_chunks(client):
