@@ -429,12 +429,36 @@ class FlatIndex:
                 return np.zeros(
                     (len(rows), self.dim), self._mirror_np_dtype
                 )
-            return self._host_mirror[np.asarray(rows)]
+            r = np.asarray(rows)
+            # contiguous-prefix fast path: a full unfiltered scan asks
+            # for rows [off, off+n) in order — serve a zero-copy VIEW
+            # instead of a fancy-index copy (the copy was the scan
+            # producer's biggest cost: 614MB/scan at 400k x 384).
+            # Mirror rows are append-only within an index generation
+            # (upserts append + tombstone; compaction swaps the whole
+            # index), so a read-only view stays valid.
+            if r.size > 1024 and r[0] + r.size - 1 == r[-1]:
+                base = int(r[0])
+                if np.array_equal(
+                    r, np.arange(base, base + r.size, dtype=r.dtype)
+                ):
+                    return self._host_mirror[base : base + r.size]
+            return self._host_mirror[r]
 
     @staticmethod
     def mirror_to_f32(m: np.ndarray) -> np.ndarray:
         """Decode a mirror block to float32."""
         if m.dtype == np.uint16:  # bf16 bits
+            lib = _native_lib()
+            if lib is not None:
+                src = np.ascontiguousarray(m)
+                out = np.empty(m.shape, np.float32)
+                # one pass, GIL released (the numpy chain allocated two
+                # block-sized temporaries per scan superchunk)
+                lib.lb_bf16_to_f32(
+                    src.ctypes.data, out.ctypes.data, src.size
+                )
+                return out
             return (m.astype(np.uint32) << 16).view(np.float32)
         if m.dtype == np.float32:
             return m

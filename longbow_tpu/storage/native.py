@@ -96,6 +96,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.lb_f32_to_bf16.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64
         ]
+        # inverse expansion (scan serving: mirror -> wire f32)
+        lib.lb_bf16_to_f32.restype = None
+        lib.lb_bf16_to_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64
+        ]
         _lib = lib
         return _lib
 

@@ -496,6 +496,17 @@ extern "C" int64_t lb_json_f32(
 // ~5 corpus-sized temporaries and profiled at 45% of the ingest apply
 // thread (memory-bandwidth bound); this is one read + one half-width
 // write, auto-vectorized, and releases the GIL for the duration.
+// Inverse single-pass expansion (scan serving hot path: decoding the
+// bf16-bits mirror to wire f32 via numpy allocated two block-sized
+// temporaries — astype(u32) then <<16 — per scan).
+extern "C" void lb_bf16_to_f32(
+    const uint16_t* src, uint32_t* dst, uint64_t n
+) {
+    for (uint64_t i = 0; i < n; i++) {
+        dst[i] = ((uint32_t)src[i]) << 16;
+    }
+}
+
 extern "C" void lb_f32_to_bf16(
     const uint32_t* src, uint16_t* dst, uint64_t n
 ) {

@@ -136,6 +136,29 @@ def test_host_scan_mirror_matches_device():
     assert np.allclose(got2, dev, atol=2e-2)
 
 
+def test_mirror_contiguous_view_fast_path():
+    """A contiguous ascending row range (the full-scan shape) must be
+    served as a zero-copy VIEW of the mirror, and must read the same
+    bytes as the general fancy-index path."""
+    from longbow_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(4)
+    idx = FlatIndex(16, dtype=jnp.bfloat16)
+    v = rng.standard_normal((3000, 16)).astype(np.float32)
+    idx.add(v)
+    contig = np.arange(512, 2048, dtype=np.int64)
+    mv = idx.mirror_rows(contig)
+    assert np.shares_memory(mv, idx._host_mirror)  # view, no copy
+    scattered = contig[::-1].copy()
+    ms = idx.mirror_rows(scattered)
+    assert not np.shares_memory(ms, idx._host_mirror)
+    assert np.array_equal(mv[::-1], ms)
+    # decode equivalence: native single-pass vs numpy chain
+    f_native = FlatIndex.mirror_to_f32(np.ascontiguousarray(mv))
+    f_numpy = (mv.astype(np.uint32) << 16).view(np.float32)
+    assert np.array_equal(f_native, f_numpy)
+
+
 def test_scan_mirror_survives_compaction():
     from longbow_tpu.store.dataset import Dataset
 
