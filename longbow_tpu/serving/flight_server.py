@@ -1096,12 +1096,50 @@ class LongbowFlightServer(flight.FlightServerBase):
                     }
                 )
             return ok({"self": None, "members": []})
+        if name == "MeshIdentity":
+            # reference: servers.go:192 — this node's own Member record
+            if self.cluster is not None:
+                st = self.cluster.status()
+                me = st.get("self")
+                if isinstance(me, dict):
+                    return ok(me)
+                return ok({"id": me, "status": "alive"})
+            return ok({"id": "", "status": "alive"})
+        if name == "DiscoveryStatus":
+            # reference: servers.go:238 — active discovery provider +
+            # the peer list it currently yields
+            if self.cluster is not None:
+                mem = self.cluster.membership
+                provider = (
+                    "dns" if mem.dns_name
+                    else "kubernetes" if mem.k8s_service
+                    else "multicast" if getattr(mem, "lan_group", None)
+                    else "static"
+                )
+                return ok({
+                    "provider": provider,
+                    "peers": [m.id for m in mem.members.values()],
+                })
+            return ok({"provider": "none", "peers": []})
         if name in ("list-datasets", "ListDatasets"):
             return ok(self.store.list_datasets())
         if name == "ListNamespaces":
             # reference response shape (docs/namespaces.md:29-38)
             ns = self.store.list_namespaces()
             return ok({"namespaces": ns, "count": len(ns)})
+        if name == "GetTotalNamespaceCount":
+            # reference: servers.go:299
+            return ok({"count": len(self.store.list_namespaces())})
+        if name == "GetNamespaceDatasetCount":
+            # reference: servers.go:311 — 404s on unknown namespace
+            req = json.loads(body or b"{}")
+            nsname = req.get("name", "")
+            counts = self.store.namespace_dataset_counts()
+            if nsname not in counts:
+                raise flight.FlightServerError(
+                    f"namespace {nsname!r} not found"
+                )
+            return ok({"namespace": nsname, "count": counts[nsname]})
         if name in ("CreateNamespace",):
             req = json.loads(body or b"{}")
             dsname = sanitize_dataset_name(req.get("name", ""))
@@ -1354,6 +1392,10 @@ class LongbowFlightServer(flight.FlightServerBase):
             ("check_readiness", "readiness probe"),
             ("cluster-status", "cluster membership + dataset stats"),
             ("MeshStatus", "membership member list"),
+            ("MeshIdentity", "this node's own member record"),
+            ("DiscoveryStatus", "discovery provider + current peers"),
+            ("GetTotalNamespaceCount", "number of namespaces"),
+            ("GetNamespaceDatasetCount", "datasets in one namespace"),
             ("region-summary", "spatial routing: dataset centroid+radius"),
             ("list-datasets", "list dataset names"),
             ("add-edge", "GraphRAG: add an edge"),

@@ -278,6 +278,12 @@ class VectorStore:
     def list_namespaces(self) -> list[str]:
         return sorted(self._namespaces)
 
+    def namespace_dataset_counts(self) -> dict[str, int]:
+        """namespace -> live dataset count (reference:
+        GetNamespaceDatasetCount, servers.go:311)."""
+        with self._lock:
+            return {ns: len(m) for ns, m in self._namespaces.items()}
+
     # -- data plane ---------------------------------------------------
 
     def put(

@@ -475,6 +475,28 @@ def test_list_namespaces_action_and_metric_aliases(client):
     assert t.column("id")[0].as_py() == 4
 
 
+def test_admin_action_parity(client):
+    """The reference's remaining admin actions (servers.go:169-189):
+    MeshIdentity, DiscoveryStatus, namespace counters."""
+    import pyarrow.flight as flight
+
+    me = client._action("MeshIdentity", {})
+    assert "id" in me and "status" in me
+    disc = client._action("DiscoveryStatus", {})
+    assert disc["provider"] in ("static", "dns", "kubernetes",
+                                "multicast", "none")
+    assert isinstance(disc["peers"], list)
+    v = _vecs(5, 8, seed=32)
+    client.write("nsa/alpha", np.arange(5), v)
+    client.write("nsa/beta", np.arange(5), v)
+    total = client._action("GetTotalNamespaceCount", {})
+    assert total["count"] >= 1
+    cnt = client._action("GetNamespaceDatasetCount", {"name": "nsa"})
+    assert cnt == {"namespace": "nsa", "count": 2}
+    with pytest.raises(flight.FlightError):
+        client._action("GetNamespaceDatasetCount", {"name": "missing"})
+
+
 def test_scan_consistent_across_concurrent_compaction():
     """A streaming scan must keep returning the vectors its captured
     row list referred to even when compaction swaps the index (with
