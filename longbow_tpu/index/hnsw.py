@@ -24,6 +24,7 @@ from longbow_tpu.index.graph import (
 from longbow_tpu.index.graph_build import bulk_build_edges, insert_batch
 from longbow_tpu.ops.distance import (
     MASKED,
+    MASKED_GUARD,
     Metric,
     pad_to,
     squared_norms,
@@ -607,6 +608,14 @@ class HNSWIndex:
             masked = d_np >= MASKED
             # report as distance = -ip (smaller better) like FlatIndex
             d = np.where(masked, d_np, -ip).astype(np.float32)
+        elif self.metric == Metric.COSINE:
+            # beam distances are l2^2 on unit vectors; report the
+            # declared cosine distance 1 - cos = l2^2 / 2 (uniform
+            # across index kinds, matching exact_search(COSINE))
+            d_np = np.asarray(d)
+            d = np.where(
+                d_np < np.float32(MASKED_GUARD), 0.5 * d_np, d_np
+            ).astype(np.float32)
         return d, r
 
     def _speed_state(self) -> "GraphState":
@@ -683,6 +692,11 @@ class HNSWIndex:
             d_np = np.asarray(d)
             ip = (qn + self._mips_msq - d_np) / 2.0
             d = np.where(d_np >= MASKED, d_np, -ip).astype(np.float32)
+        elif self.metric == Metric.COSINE:
+            d_np = np.asarray(d)
+            d = np.where(
+                d_np < np.float32(MASKED_GUARD), 0.5 * d_np, d_np
+            ).astype(np.float32)
         return d, r
 
     def export_state(self) -> dict:

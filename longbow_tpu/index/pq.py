@@ -22,7 +22,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from longbow_tpu.ops.distance import MASKED, Metric, tombstone_rows
+from longbow_tpu.ops.distance import (
+    MASKED,
+    MASKED_GUARD,
+    Metric,
+    tombstone_rows,
+)
 from longbow_tpu.ops.kmeans import kmeans_init, lloyd
 
 MIN_CAPACITY = 4096
@@ -266,7 +271,10 @@ class PQIndex:
             metric=self.metric,
         )
         if not self.rerank:
-            return d[:, :k], i[:, :k]
+            dd = d[:, :k]
+            if self.metric == Metric.COSINE:  # ADC l2^2 -> 1 - cos
+                dd = jnp.where(dd < MASKED_GUARD, 0.5 * dd, dd)
+            return dd, i[:, :k]
         # exact re-rank of ADC candidates on stored full vectors
         cand = jnp.take(
             self.rerank_vectors, jnp.maximum(i, 0), axis=0
@@ -282,7 +290,12 @@ class PQIndex:
             ed = jnp.maximum(qn - 2.0 * ip + cn, 0.0)
         ed = jnp.where(d < MASKED, ed, MASKED)
         neg, pos = jax.lax.top_k(-ed, k)
-        return -neg, jnp.take_along_axis(i, pos, axis=1)
+        vals = -neg
+        if self.metric == Metric.COSINE:
+            # rerank distances are l2^2 on unit vectors: report the
+            # declared cosine distance 1 - cos = l2^2 / 2
+            vals = jnp.where(vals < MASKED_GUARD, 0.5 * vals, vals)
+        return vals, jnp.take_along_axis(i, pos, axis=1)
 
     # -- persistence hooks --
 

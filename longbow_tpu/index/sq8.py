@@ -15,7 +15,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from longbow_tpu.ops.distance import MASKED, Metric, pad_to, tombstone_rows
+from longbow_tpu.ops.distance import (
+    MASKED,
+    MASKED_GUARD,
+    Metric,
+    pad_to,
+    tombstone_rows,
+)
 
 SQ8_TRAIN_THRESHOLD = 5000  # reference: arrow_hnsw.go:94
 MIN_CAPACITY = 4096
@@ -355,10 +361,13 @@ def _sq8r_scan(
             qs, cc.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + q_lo + jnp.take(qc, ci, axis=1)
-        if metric == Metric.L2:
-            dist = jnp.maximum(qn - 2.0 * ip + nn[None, :], 0.0)
-        else:
+        if metric == Metric.DOT:
             dist = -ip
+        else:
+            # l2 AND cosine: the l2 form's consistent dequant-norm term
+            # cancels the quantized-storage norm wobble that raw -q.v
+            # injects un-attenuated (see FlatIndex.search cosine note)
+            dist = jnp.maximum(qn - 2.0 * ip + nn[None, :], 0.0)
         dist = jnp.where(vv[None, :], dist, MASKED)
         neg, pos = jax.lax.top_k(-dist, k)
         return -neg, pos.astype(jnp.int32) + off
@@ -369,7 +378,10 @@ def _sq8r_scan(
     all_d = jnp.moveaxis(bd, 0, 1).reshape(b, nb * k)
     all_i = jnp.moveaxis(bi, 0, 1).reshape(b, nb * k)
     neg, pos = jax.lax.top_k(-all_d, k)
-    return -neg, jnp.take_along_axis(all_i, pos, axis=1)
+    vals = -neg
+    if metric == Metric.COSINE:  # l2^2 on unit vectors -> 1 - cos
+        vals = jnp.where(vals < MASKED_GUARD, 0.5 * vals, vals)
+    return vals, jnp.take_along_axis(all_i, pos, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
@@ -385,11 +397,14 @@ def _sq8_scan(codes, lo, hi, norms_sq, queries, valid, k, metric):
     )
     q_lo = jnp.sum(queries * lo[None, :], axis=1, keepdims=True)
     ip = ip_codes + q_lo
-    if metric == Metric.L2:
+    if metric == Metric.DOT:
+        dist = -ip
+    else:  # l2 AND cosine (see _sq8r_scan note on the norm wobble)
         qn = jnp.sum(queries * queries, axis=1, keepdims=True)
         dist = jnp.maximum(qn - 2.0 * ip + norms_sq[None, :], 0.0)
-    else:  # dot / cosine(normalized)
-        dist = -ip
     dist = jnp.where(valid[None, :], dist, MASKED)
     neg, pos = jax.lax.top_k(-dist, k)
-    return -neg, pos
+    vals = -neg
+    if metric == Metric.COSINE:  # l2^2 on unit vectors -> 1 - cos
+        vals = jnp.where(vals < MASKED_GUARD, 0.5 * vals, vals)
+    return vals, pos

@@ -150,7 +150,11 @@ class TieredIndex:
             vecs = self.host.get(cand)
             if self.metric == Metric.L2:
                 ed = np.sum((vecs - q[row][None, :]) ** 2, axis=1)
-            else:  # dot / cosine(normalized): smaller-better = -ip
+            elif self.metric == Metric.COSINE:
+                # host pool rows are exact normalized f32: report the
+                # declared cosine distance 1 - cos
+                ed = 1.0 - vecs @ q[row]
+            else:  # dot: smaller-better = -ip
                 ed = -(vecs @ q[row])
             top = np.argsort(ed)[:k]
             out_d[row, : len(top)] = ed[top]

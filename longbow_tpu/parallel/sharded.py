@@ -47,7 +47,9 @@ MIN_SHARD_CAPACITY = 2048
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "mesh", "shard_rows", "normalize"),
+    static_argnames=(
+        "k", "metric", "mesh", "shard_rows", "normalize", "cosine"
+    ),
 )
 def _sharded_search(
     vectors: jax.Array,   # [S*shard_rows, D] sharded over rows
@@ -60,6 +62,7 @@ def _sharded_search(
     mesh: Mesh,
     shard_rows: int,
     normalize: bool,
+    cosine: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     n_shards = mesh.size
     if normalize:
@@ -92,13 +95,21 @@ def _sharded_search(
         neg, pos = jax.lax.top_k(-dall, k)
         return -neg, jnp.take_along_axis(iall, pos, axis=1)
 
-    return shard_map(
+    d, i = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS), P(SHARD_AXIS), P(None, None)),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )(vectors, norms, valid, queries)
+    if cosine:
+        # cosine rides the L2 scan (the l2 form cancels the rounded-
+        # storage norm wobble that raw -q.v injects — see
+        # FlatIndex.search); report 1 - cos = l2^2 / 2, in-jit
+        from longbow_tpu.ops.distance import MASKED_GUARD as _MG
+
+        d = jnp.where(d < _MG, 0.5 * d, d)
+    return d, i
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "shard_rows"), donate_argnums=(0, 1, 2))
@@ -289,7 +300,7 @@ class ShardedFlatIndex:
         if queries.ndim == 1:
             queries = queries[None, :]
         normalize = self.metric == Metric.COSINE
-        metric = Metric.DOT if normalize else self.metric
+        metric = Metric.L2 if normalize else self.metric
         if filter_mask is not None:
             # pad the public-order mask to the public row space; the
             # internal permutation happens in-jit (no eager dispatches
@@ -313,6 +324,7 @@ class ShardedFlatIndex:
                 mesh=self.mesh,
                 shard_rows=self.shard_capacity,
                 normalize=normalize,
+                cosine=normalize,
             )
 
     def get_vectors(self, rows: np.ndarray) -> np.ndarray:

@@ -351,9 +351,9 @@ class ShardedGraphIndex:
             di = np.asarray(di, np.float32)
             ri = np.asarray(ri)
             if self.metric == Metric.COSINE:
-                # FlatIndex cosine reports -cos; the graph reports L2^2
-                # on normalized vectors (= 2 - 2cos). Align conventions.
-                di = np.where(di >= MASKED, di, 2.0 + 2.0 * di)
+                # FlatIndex cosine reports 1 - cos; merge in the
+                # graph-internal L2^2-on-unit-vectors space (= 2 - 2cos)
+                di = np.where(di >= MASKED, di, 2.0 * di)
             ci = np.where(
                 (ri >= 0) & (di < MASKED), ri + self.built_count, -1
             )
@@ -362,6 +362,9 @@ class ShardedGraphIndex:
             order = np.argsort(d_all, axis=1)[:, :k]
             d = np.take_along_axis(d_all, order, axis=1)
             corpus_rows = np.take_along_axis(r_all, order, axis=1)
+        if self.metric == Metric.COSINE:
+            # report the declared cosine distance (uniform across kinds)
+            d = np.where(d >= MASKED, d, 0.5 * d).astype(np.float32)
         return d, corpus_rows
 
     # -- uniform index surface (factory adapter) ------------------------

@@ -391,3 +391,52 @@ def test_sq8r_roundtrip_state(tmp_path):
     assert store2.get("r").index_kind == "sq8r"
     ids, scores, _ = store2.search("r", v[5], 3, use_cache=False)
     assert ids[0, 0] == 5
+
+
+def test_cosine_distance_convention_uniform_across_kinds():
+    """Every index kind must report the DECLARED cosine distance
+    (1 - cos, ops/distance.py header) — before round 4 the kinds
+    disagreed (-cos for flat/sq8, 2-2cos for hnsw/ivf/pq), so a user
+    switching index kinds silently changed score semantics. Values are
+    checked against the exact oracle on the same corpus."""
+    import jax.numpy as jnp
+
+    from longbow_tpu.index.factory import make_index
+    from longbow_tpu.ops.distance import Metric, exact_search
+
+    rng = np.random.default_rng(21)
+    n, d, k = 800, 32, 5
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = v[17] * 3.0 + rng.standard_normal(d).astype(np.float32) * 0.01
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    _ = exact_search  # oracle: numpy for exact values
+    cosd = 1.0 - (vn @ (q / np.linalg.norm(q)))
+    want = np.sort(cosd)[:k]
+
+    kinds = {
+        "flat": {},
+        "hnsw": {},
+        "sq8": {},
+        "sq8r": {"n_clusters": 16},
+        "pq": {"pq_m": 8},
+        "bq": {},
+        "ivf": {"n_cells": 16},
+    }
+    for kind, params in kinds.items():
+        idx = make_index(kind, d, metric=Metric.COSINE, **params)
+        idx.add(v)
+        dist, rows = idx.search(jnp.asarray(q[None, :]), k)
+        dist = np.asarray(dist)[0]
+        rows = np.asarray(rows)[0]
+        # top hit must be row 17 (a scaled near-copy)
+        assert rows[0] == 17, (kind, rows)
+        # values are the declared cosine distance: compare the top hit
+        # against the exact oracle with headroom for each kind's
+        # quantization (bq's 1-bit codes rank right but re-rank on
+        # bf16; pq reconstructs)
+        tol = {"flat": 2e-2, "hnsw": 2e-2, "sq8": 3e-2, "sq8r": 3e-2,
+               "pq": 8e-2, "bq": 3e-2, "ivf": 2e-2}[kind]
+        assert abs(float(dist[0]) - float(want[0])) <= tol, (
+            kind, dist[0], want[0]
+        )
+        assert dist[0] >= -1e-4, (kind, dist[0])  # 1-cos is >= 0
