@@ -12,6 +12,7 @@ scatter to alive peers with `local_only: true` + a top-k merge.
 from __future__ import annotations
 
 import logging
+import os
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -155,6 +156,13 @@ class ClusterCoordinator:
         return Peer(
             m.host, m.data_port, m.meta_port,
             api_key=self._api_key, tls_root_certs=self._tls_root_certs,
+            # every peer hop carries a gRPC deadline: a blackholed peer
+            # FAILS its calls (feeding the breaker) instead of pinning
+            # fan-out pool slots forever. Generous vs the global-search
+            # deadline — replication puts ride the same client.
+            call_timeout_s=float(
+                os.environ.get("LONGBOW_PEER_CALL_TIMEOUT_S", "60")
+            ) or None,
         )
 
     def _peer_for(self, m: Member) -> Peer:
@@ -515,7 +523,7 @@ class ClusterCoordinator:
         alive = self.membership.alive()
         if self.spatial is not None and alive:
             kept, skipped = self.spatial.route(
-                dataset, qv, [m.id for m in alive]
+                dataset, qv, [m.id for m in alive], metric=metric
             )
             if skipped:
                 keep = set(kept)
@@ -532,6 +540,19 @@ class ClusterCoordinator:
             # Arrow for exactly this hop, stream_aggregator.go:17 —
             # JSON-encoded vectors/results don't scale past toy sizes)
             peer = self._peer_for(m)
+            # breaker gate (reference: per-peer breakers on every hop):
+            # a peer that keeps failing/hanging is skipped outright
+            # rather than burning a shared pool slot per request
+            if not peer.breaker.allow():
+                return
+            # per-peer in-flight cap: a hung peer saturates ITS slots,
+            # not the shared pool (head-of-line isolation)
+            if not peer.search_slots.acquire(blocking=False):
+                if _reg is not None:
+                    _reg.inc(
+                        "longbow_global_search_peer_saturated_total"
+                    )
+                return
             try:
                 tables, peer_metric = peer.client.exchange_search(
                     dataset, [qv], k,
@@ -553,6 +574,8 @@ class ClusterCoordinator:
             except Exception as e:  # peer slow/dead: skip, breaker counts
                 peer.breaker.record_failure()
                 log.debug("global search: peer %s failed: %s", m.id, e)
+            finally:
+                peer.search_slots.release()
 
         # pooled fan-out (reference: bounded worker pool in the global
         # coordinator, global_search.go) — thread-per-peer allocates a

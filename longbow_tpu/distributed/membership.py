@@ -381,7 +381,7 @@ class MembershipManager:
         changed: list[Member] = []
         for e in entries or []:
             mid = e.get("id")
-            if not mid or mid == self.self_id:
+            if not mid:
                 continue
             host = e.get("host", "")
             try:
@@ -396,7 +396,16 @@ class MembershipManager:
                     dp = int(p)
                 except ValueError:
                     continue
-            if self._is_self(host, dp):
+            if mid == self.self_id or self._is_self(host, dp):
+                # SWIM refutation (gossip.go:493-559 alive-rumor rule):
+                # only the member itself may originate a higher
+                # incarnation. Seeing ourselves rumored SUSPECT/DEAD at
+                # our current incarnation, we bump past it — the next
+                # digest we piggyback advertises ALIVE@inc+1, which
+                # relays carry back to the suspecting node and which
+                # its merge (inc > local) accepts as a refutation.
+                if e.get("status", ALIVE) != ALIVE and inc >= self.self_incarnation:
+                    self.self_incarnation = inc + 1
                 continue
             st = e.get("status", SUSPECT)
             with self._lock:
@@ -495,8 +504,11 @@ class MembershipManager:
                 if ok:
                     m.last_seen = time.time()
                     m.misses = 0
-                    if m.status != ALIVE:
-                        m.incarnation += 1
+                    # NOTE: no local incarnation bump — incarnations are
+                    # originated ONLY by the member itself (digest()'s
+                    # self entry). A node-local bump would race past the
+                    # member's own counter and permanently block the
+                    # alive-rumor refutation in merge_digest.
                     m.status = ALIVE
                 else:
                     m.misses += 1

@@ -40,16 +40,23 @@ def required_acks(level: str, n_peers: int) -> int:
 class Peer:
     def __init__(
         self, host: str, data_port: int, meta_port: int,
-        api_key=None, tls_root_certs=None,
+        api_key=None, tls_root_certs=None, call_timeout_s=None,
     ):
         self.addr = f"{host}:{data_port}"
         self.client = LongbowClient(
             host, data_port, meta_port,
             api_key=api_key, tls_root_certs=tls_root_certs,
+            call_timeout_s=call_timeout_s,
         )
         self.breaker = CircuitBreaker(
             threshold=5, cooldown_s=10.0, name=f"peer:{self.addr}"
         )
+        # per-peer in-flight cap for search fan-out: one hung/blackholed
+        # peer must not consume every slot of the SHARED fan-out pool
+        # (head-of-line blocking would degrade later global searches to
+        # local-only until the hangs clear). Non-blocking acquire —
+        # a saturated peer is skipped for that request, not waited on.
+        self.search_slots = threading.BoundedSemaphore(8)
 
     def replicate_put(
         self, dataset, ids, vectors, columns, metric=None, timestamp=None,

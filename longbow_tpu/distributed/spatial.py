@@ -121,16 +121,32 @@ class RegionRouter:
             self._cache[dataset] = (ids, cents, radii, now)
             return ids, cents, radii
 
-    def route(self, dataset: str, queries: np.ndarray, peer_ids):
+    def route(
+        self, dataset: str, queries: np.ndarray, peer_ids,
+        metric: str = "l2",
+    ):
         """Subset of peer_ids worth fanning a search to. A peer is
         skipped ONLY when a fresh summary proves every query in the
         batch lies outside its region ball * margin — no summary (or
         an empty one) means the peer is always included (fail open).
-        Returns (kept_ids, skipped_count)."""
+        Returns (kept_ids, skipped_count).
+
+        Ball geometry is only meaningful under L2. Cosine datasets
+        store normalized vectors (summaries are unit-ball), so the
+        query must be normalized to match before the distance test.
+        Dot/MIPS has no distance geometry at all — a top-inner-product
+        row can live in any L2-distant region — so routing fails open
+        (every peer kept), as does an unknown metric."""
+        m = (metric or "").lower()
+        if m not in ("l2", "euclidean", "cosine"):
+            return list(peer_ids), 0  # no valid ball geometry: fail open
         ids, cents, radii, = self._table(dataset)
         if ids is None:
             return list(peer_ids), 0
         q = np.atleast_2d(np.asarray(queries, np.float32))
+        if m == "cosine":
+            norms = np.linalg.norm(q, axis=1, keepdims=True)
+            q = q / np.maximum(norms, 1e-30)
         if cents.shape[1] != q.shape[1]:
             return list(peer_ids), 0  # dim drift: fail open
         # [B, P] distances, one BLAS call

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from longbow_tpu.ops.distance import (
+    cosine_report,
     MASKED_GUARD,
     Metric,
     exact_search,
@@ -581,9 +582,7 @@ class FlatIndex:
             _count_dispatch("pallas_fused")
             dd = dd[:b, :k]
             if normalize:  # l2^2 on unit vectors -> 1 - cos
-                dd = np.where(
-                    dd < np.float32(MASKED_GUARD), 0.5 * dd, dd
-                )
+                dd = cosine_report(dd)
             return dd, ii[:b, :k]
         _count_dispatch("xla")
         with self._mu:  # dispatch under the lock, fetch outside
@@ -601,7 +600,7 @@ class FlatIndex:
             )
         d = np.asarray(d)
         if normalize:
-            d = np.where(d < np.float32(MASKED_GUARD), 0.5 * d, d)
+            d = cosine_report(d)
         return d, np.asarray(i)
 
     # -- state export (persistence hooks) -----------------------------

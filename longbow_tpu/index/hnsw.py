@@ -23,6 +23,7 @@ from longbow_tpu.index.graph import (
 )
 from longbow_tpu.index.graph_build import bulk_build_edges, insert_batch
 from longbow_tpu.ops.distance import (
+    cosine_report,
     MASKED,
     MASKED_GUARD,
     Metric,
@@ -612,10 +613,7 @@ class HNSWIndex:
             # beam distances are l2^2 on unit vectors; report the
             # declared cosine distance 1 - cos = l2^2 / 2 (uniform
             # across index kinds, matching exact_search(COSINE))
-            d_np = np.asarray(d)
-            d = np.where(
-                d_np < np.float32(MASKED_GUARD), 0.5 * d_np, d_np
-            ).astype(np.float32)
+            d = cosine_report(np.asarray(d, np.float32))
         return d, r
 
     def _speed_state(self) -> "GraphState":
@@ -693,10 +691,7 @@ class HNSWIndex:
             ip = (qn + self._mips_msq - d_np) / 2.0
             d = np.where(d_np >= MASKED, d_np, -ip).astype(np.float32)
         elif self.metric == Metric.COSINE:
-            d_np = np.asarray(d)
-            d = np.where(
-                d_np < np.float32(MASKED_GUARD), 0.5 * d_np, d_np
-            ).astype(np.float32)
+            d = cosine_report(np.asarray(d, np.float32))
         return d, r
 
     def export_state(self) -> dict:

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from longbow_tpu.ops.distance import MASKED, MASKED_GUARD, Metric
+from longbow_tpu.ops.distance import MASKED, MASKED_GUARD, Metric, cosine_report
 from longbow_tpu.ops.kmeans import kmeans_init, lloyd
 
 
@@ -293,10 +293,7 @@ class IVFIndex:
         if self.metric == Metric.COSINE:
             # cells hold normalized rows scanned with l2: report the
             # declared cosine distance 1 - cos = l2^2 / 2
-            dn = np.asarray(d)
-            d = np.where(
-                dn < np.float32(MASKED_GUARD), 0.5 * dn, dn
-            ).astype(np.float32)
+            d = cosine_report(np.asarray(d, np.float32))
         return d, r
 
     def get_vectors(self, rows: np.ndarray) -> np.ndarray:

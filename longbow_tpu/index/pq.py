@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from longbow_tpu.ops.distance import (
+    cosine_report,
     MASKED,
     MASKED_GUARD,
     Metric,
@@ -273,7 +274,7 @@ class PQIndex:
         if not self.rerank:
             dd = d[:, :k]
             if self.metric == Metric.COSINE:  # ADC l2^2 -> 1 - cos
-                dd = jnp.where(dd < MASKED_GUARD, 0.5 * dd, dd)
+                dd = cosine_report(dd)
             return dd, i[:, :k]
         # exact re-rank of ADC candidates on stored full vectors
         cand = jnp.take(
@@ -294,7 +295,7 @@ class PQIndex:
         if self.metric == Metric.COSINE:
             # rerank distances are l2^2 on unit vectors: report the
             # declared cosine distance 1 - cos = l2^2 / 2
-            vals = jnp.where(vals < MASKED_GUARD, 0.5 * vals, vals)
+            vals = cosine_report(vals)
         return vals, jnp.take_along_axis(i, pos, axis=1)
 
     # -- persistence hooks --

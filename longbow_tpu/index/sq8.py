@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from longbow_tpu.ops.distance import (
+    cosine_report,
     MASKED,
     MASKED_GUARD,
     Metric,
@@ -380,7 +381,7 @@ def _sq8r_scan(
     neg, pos = jax.lax.top_k(-all_d, k)
     vals = -neg
     if metric == Metric.COSINE:  # l2^2 on unit vectors -> 1 - cos
-        vals = jnp.where(vals < MASKED_GUARD, 0.5 * vals, vals)
+        vals = cosine_report(vals)
     return vals, jnp.take_along_axis(all_i, pos, axis=1)
 
 
@@ -406,5 +407,5 @@ def _sq8_scan(codes, lo, hi, norms_sq, queries, valid, k, metric):
     neg, pos = jax.lax.top_k(-dist, k)
     vals = -neg
     if metric == Metric.COSINE:  # l2^2 on unit vectors -> 1 - cos
-        vals = jnp.where(vals < MASKED_GUARD, 0.5 * vals, vals)
+        vals = cosine_report(vals)
     return vals, pos

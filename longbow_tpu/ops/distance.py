@@ -70,6 +70,22 @@ MASKED = 3.0e38
 MASKED_GUARD = 1.0e37
 
 
+def cosine_report(d):
+    """Internal l2^2-on-unit-vectors distances -> the DECLARED cosine
+    distance 1-cos (= l2^2/2 on unit vectors), leaving masked
+    sentinels (>= MASKED_GUARD) intact.
+
+    Every index kind must report cosine through this one helper —
+    before round 4 each kind had its own inline copy and they
+    disagreed (-cos flat/sq8, 2-2cos hnsw/ivf/pq). Dispatches on the
+    input: host numpy stays numpy (eager jnp on a serving path costs
+    ~30 ms through the relay), anything else (jax array or tracer)
+    rides jnp so the conversion fuses into the calling jit."""
+    if isinstance(d, np.ndarray):
+        return np.where(d < np.float32(MASKED_GUARD), np.float32(0.5) * d, d)
+    return jnp.where(d < MASKED_GUARD, 0.5 * d, d)
+
+
 def complex_as_real(v: jax.Array) -> jax.Array:
     """Complex [.., D] -> real [.., 2D] by concatenating (real, imag).
 

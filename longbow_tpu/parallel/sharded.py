@@ -106,9 +106,9 @@ def _sharded_search(
         # cosine rides the L2 scan (the l2 form cancels the rounded-
         # storage norm wobble that raw -q.v injects — see
         # FlatIndex.search); report 1 - cos = l2^2 / 2, in-jit
-        from longbow_tpu.ops.distance import MASKED_GUARD as _MG
+        from longbow_tpu.ops.distance import cosine_report
 
-        d = jnp.where(d < _MG, 0.5 * d, d)
+        d = cosine_report(d)
     return d, i
 
 

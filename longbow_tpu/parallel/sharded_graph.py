@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from longbow_tpu.index.graph import GraphState, beam_search
 from longbow_tpu.index.hnsw import HNSWConfig, HNSWIndex
-from longbow_tpu.ops.distance import MASKED, Metric
+from longbow_tpu.ops.distance import MASKED, Metric, cosine_report
 from longbow_tpu.parallel.mesh import SHARD_AXIS
 
 
@@ -364,7 +364,7 @@ class ShardedGraphIndex:
             corpus_rows = np.take_along_axis(r_all, order, axis=1)
         if self.metric == Metric.COSINE:
             # report the declared cosine distance (uniform across kinds)
-            d = np.where(d >= MASKED, d, 0.5 * d).astype(np.float32)
+            d = cosine_report(np.asarray(d, np.float32))
         return d, corpus_rows
 
     # -- uniform index surface (factory adapter) ------------------------

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import ctypes
 import json
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Optional
@@ -211,8 +212,17 @@ def _fast_parse(data: bytes):
     )
     if n < 0:
         return None
-    remainder = b"%snull%s" % (
-        data[:start], data[start + consumed.value:]
+    # The excised span is replaced by a per-call random sentinel
+    # string, and the parse is accepted only if the sentinel surfaces
+    # as search.<key>'s value. A fixed placeholder (e.g. null) is
+    # spoofable: {"params": {"vector": [..]}, "search": {"vector":
+    # null}} would pass a `search[key] is None` check and install
+    # params' floats as the query vector — numbers the stdlib path
+    # would ignore. An unpredictable sentinel cannot pre-exist in the
+    # ticket, so its presence proves the span's structural position.
+    sentinel = "lbfp:" + os.urandom(8).hex()
+    remainder = b'%s"%s"%s' % (
+        data[:start], sentinel.encode(), data[start + consumed.value:]
     )
     try:
         obj = json.loads(remainder)
@@ -220,11 +230,7 @@ def _fast_parse(data: bytes):
         return None
     key = m.group(1).decode()
     search = obj.get("search") if isinstance(obj, dict) else None
-    if (
-        not isinstance(search, dict)
-        or key not in search
-        or search[key] is not None
-    ):
+    if not isinstance(search, dict) or search.get(key) != sentinel:
         return None
     arr = out[:n]
     if key == "vectors":

@@ -12,6 +12,7 @@ import pyarrow as pa
 import pyarrow.flight as flight
 
 from longbow_tpu.store.dataset import METRIC_METADATA_KEY
+from longbow_tpu.wire_types import NATIVE_VECTOR_DTYPES
 
 
 class LongbowClient:
@@ -23,10 +24,14 @@ class LongbowClient:
         *,
         api_key: Optional[str] = None,
         tls_root_certs: Optional[bytes] = None,
+        call_timeout_s: Optional[float] = None,
     ):
         """api_key: sent as `authorization: Bearer <key>` on every call
         (reference: SDK client.py:63-70). tls_root_certs: PEM CA bundle
-        — switches the connection to grpc+tls."""
+        — switches the connection to grpc+tls. call_timeout_s: gRPC
+        deadline applied to every call — a TCP-blackholed server then
+        fails the call instead of hanging it forever (the cluster sets
+        this on peer hops so circuit breakers actually open)."""
         scheme = "grpc+tls" if tls_root_certs else "grpc"
         if host.startswith("unix:"):
             # host-local fast path: host="unix:/run/longbow" connects
@@ -41,13 +46,14 @@ class LongbowClient:
             self.data_location = f"{scheme}://{host}:{data_port}"
             self.meta_location = f"{scheme}://{host}:{meta_port}"
         self._tls_root_certs = tls_root_certs
-        self._opts = (
-            flight.FlightCallOptions(
-                headers=[(b"authorization", f"Bearer {api_key}".encode())]
-            )
-            if api_key
-            else None
-        )
+        _opt_kw = {}
+        if api_key:
+            _opt_kw["headers"] = [
+                (b"authorization", f"Bearer {api_key}".encode())
+            ]
+        if call_timeout_s:
+            _opt_kw["timeout"] = float(call_timeout_s)
+        self._opts = flight.FlightCallOptions(**_opt_kw) if _opt_kw else None
         self._data: Optional[flight.FlightClient] = None
         self._meta: Optional[flight.FlightClient] = None
         # smart routing (reference: Go SmartClient client/client.go:15
@@ -127,7 +133,7 @@ class LongbowClient:
         the write out again (reference marks replication traffic via
         its dedicated exchange protocol, do_exchange.go:47)."""
         vectors = np.atleast_2d(np.asarray(vectors))
-        if vectors.dtype.name not in self._VEC_DTYPES:
+        if vectors.dtype not in self._VEC_DTYPES:
             vectors = vectors.astype(np.float32)
         n, d = vectors.shape
         ids = np.asarray(ids)
@@ -431,16 +437,18 @@ class LongbowClient:
             return out, metric
         return out
 
-    # wire dtypes preserved end-to-end (reference ingests these vector
-    # dtypes natively with a published per-dtype throughput matrix,
-    # docs/performance.md:27-53); everything else casts to f32
-    _VEC_DTYPES = ("float32", "float16", "int8", "uint8", "int32",
-                   "float64")
+    # wire dtypes preserved end-to-end (canonical matrix:
+    # wire_types.NATIVE_VECTOR_DTYPES); everything else casts to f32.
+    # float64 is deliberately NOT preserved: np.asarray over plain
+    # Python lists (the most common SDK input) defaults to f64, which
+    # would double wire + WAL bytes for precision every index kind
+    # discards at staging anyway.
+    _VEC_DTYPES = NATIVE_VECTOR_DTYPES
 
     @classmethod
     def _put_table(cls, ids, vecs) -> pa.Table:
         vecs = np.atleast_2d(np.asarray(vecs))
-        if vecs.dtype.name not in cls._VEC_DTYPES:
+        if vecs.dtype not in cls._VEC_DTYPES:
             vecs = vecs.astype(np.float32)
         ids = np.asarray(ids)
         id_arr = (

@@ -41,18 +41,16 @@ from longbow_tpu.serving.security import (
     sanitize_search_request,
 )
 from longbow_tpu.store.dataset import METRIC_METADATA_KEY
+from longbow_tpu.wire_types import NATIVE_VECTOR_DTYPES
 from longbow_tpu.store.vector_store import VectorStore
 from longbow_tpu.utils.query_cache import QueryCache
 
 
-# vector dtypes accepted natively on the wire (reference ingests these
-# without a lossy bounce, docs/performance.md:27-53); the storage tier
-# picks a dtype-appropriate index at dataset creation (int8/uint8 ->
+# vector dtypes accepted natively on the wire (canonical matrix:
+# wire_types.NATIVE_VECTOR_DTYPES); the storage tier picks a
+# dtype-appropriate index at dataset creation (int8/uint8 ->
 # identity-affine SQ8 codes, f16 -> float16 storage)
-_NATIVE_VEC_DTYPES = {
-    np.dtype(np.float32), np.dtype(np.float16), np.dtype(np.int8),
-    np.dtype(np.uint8), np.dtype(np.int32), np.dtype(np.float64),
-}
+_NATIVE_VEC_DTYPES = NATIVE_VECTOR_DTYPES
 
 
 def _jnp_dtype_is_f16(dt) -> bool:
@@ -730,6 +728,19 @@ class LongbowFlightServer(flight.FlightServerBase):
 
         stop = threading.Event()
 
+        def _put(q, item) -> bool:
+            # stop-aware put: a client abort sets `stop` and no consumer
+            # will ever drain the bounded queue again — a bare q.put
+            # would park this thread (plus ~2 superchunks of batches)
+            # forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=1.0)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
+
         def produce(q):
             try:
                 for soff in range(0, npairs, superchunk):
@@ -770,16 +781,11 @@ class LongbowFlightServer(flight.FlightServerBase):
                         batches.append(
                             pa.record_batch(arrays, schema=schema)
                         )
-                    while not stop.is_set():
-                        try:
-                            q.put(batches, timeout=1.0)
-                            break
-                        except _queue.Full:
-                            continue
-                if not stop.is_set():
-                    q.put(None)
+                    if not _put(q, batches):
+                        return
+                _put(q, None)
             except Exception as e:  # surfaced to the client
-                q.put(e)
+                _put(q, e)
 
         def gen():
             q: _queue.Queue = _queue.Queue(maxsize=2)

@@ -16,6 +16,7 @@ import pyarrow as pa
 
 from longbow_tpu.storage.snapshot import read_snapshot, write_snapshot
 from longbow_tpu.storage.wal import KIND_BATCH, KIND_OP, WAL
+from longbow_tpu.wire_types import NATIVE_VECTOR_DTYPES
 
 MAX_WAL_BYTES = 100 * 1024 * 1024  # reference default MAX_WAL_SIZE
 
@@ -83,10 +84,7 @@ def _put_table(
     # logged as themselves — a quarter the bytes for int8, and replay
     # reconstructs the same dtype-appropriate index)
     v = np.asarray(vectors)
-    if v.dtype not in (
-        np.dtype(np.float32), np.dtype(np.float16), np.dtype(np.int8),
-        np.dtype(np.uint8), np.dtype(np.int32), np.dtype(np.float64),
-    ):
+    if v.dtype not in NATIVE_VECTOR_DTYPES:
         v = v.astype(np.float32)
     cols = {
         "id": id_arr,

@@ -23,6 +23,7 @@ from longbow_tpu.index.hnsw import HNSWConfig
 from longbow_tpu.ops.distance import MASKED, Metric
 from longbow_tpu.query.filters import ColumnStore, FilterCache
 from longbow_tpu.query.parser import Filter
+from longbow_tpu.wire_types import NATIVE_VECTOR_DTYPES  # noqa: F401 (re-export)
 
 # string columns indexed into BM25 for hybrid search (the reference
 # indexes document text fed through its BM25 pipeline,
@@ -146,13 +147,12 @@ class Dataset:
         self.touch()
         device_input = isinstance(vectors, jax.Array)
         if not device_input:
-            # preserve the ingest dtype (reference's per-dtype matrix):
-            # int8/uint8 reach an sq8 index as raw codes; f16 reaches
-            # f16 storage; f32 conversion elsewhere is value-exact for
-            # every supported dtype except int32 > 2^24
-            if vectors.dtype in (
-                np.float16, np.int8, np.uint8, np.float64,
-            ):
+            # preserve the ingest dtype (NATIVE_VECTOR_DTYPES is the
+            # canonical matrix): int8/uint8 reach an sq8 index as raw
+            # codes; f16 reaches f16 storage. int32 converts HERE (the
+            # index add paths take float input; > 2^24 rounds, as in
+            # the reference); anything else casts to f32.
+            if vectors.dtype in (np.float16, np.int8, np.uint8):
                 vectors = np.ascontiguousarray(vectors)
             else:
                 vectors = np.ascontiguousarray(vectors, dtype=np.float32)

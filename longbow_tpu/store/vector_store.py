@@ -19,15 +19,13 @@ import numpy as np
 from longbow_tpu.index.hnsw import HNSWConfig
 from longbow_tpu.ops.distance import Metric
 from longbow_tpu.store.dataset import Dataset
+from longbow_tpu.wire_types import NATIVE_VECTOR_DTYPES
 from longbow_tpu.utils.query_cache import QueryCache
 
-# vector dtypes ingested without a cast (reference's per-dtype ingest
-# matrix, docs/performance.md:27-53); the index tier converts exactly
+# vector dtypes ingested without a cast (canonical matrix:
+# wire_types.NATIVE_VECTOR_DTYPES); the index tier converts exactly
 # (f16/i8/u8 -> f32 is lossless) or stores bytes 1:1 (sq8 identity)
-_NATIVE_VEC_DTYPES = {
-    np.dtype(np.float32), np.dtype(np.float16), np.dtype(np.int8),
-    np.dtype(np.uint8), np.dtype(np.int32), np.dtype(np.float64),
-}
+_NATIVE_VEC_DTYPES = NATIVE_VECTOR_DTYPES
 
 
 class VectorStore:

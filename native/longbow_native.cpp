@@ -171,14 +171,25 @@ int uring_enter_sys(int fd, unsigned to_submit, unsigned min_complete,
                         flags, nullptr, 0);
 }
 
-// reap every available completion; frees the write buffers
+// reap every available completion; frees the write buffers.
+// A write buffer's first 8 bytes hold the requested length so a SHORT
+// write (res >= 0 but < requested — silent WAL corruption otherwise)
+// counts as an IO error exactly like res < 0.
 void uring_reap(LbUring* u) {
     unsigned head = __atomic_load_n(u->cq_head, __ATOMIC_ACQUIRE);
     unsigned tail = __atomic_load_n(u->cq_tail, __ATOMIC_ACQUIRE);
     while (head != tail) {
         io_uring_cqe* cqe = &u->cqes[head & *u->cq_mask];
-        if (cqe->user_data) free((void*)(uintptr_t)cqe->user_data);
-        if (cqe->res < 0) u->io_errors++;
+        if (cqe->user_data) {
+            void* buf = (void*)(uintptr_t)cqe->user_data;
+            uint64_t want;
+            memcpy(&want, buf, 8);
+            if (cqe->res < 0 || (uint64_t)cqe->res != want)
+                u->io_errors++;
+            free(buf);
+        } else if (cqe->res < 0) {
+            u->io_errors++;
+        }
         head++;
         if (u->inflight) u->inflight--;
     }
@@ -186,12 +197,16 @@ void uring_reap(LbUring* u) {
 }
 
 io_uring_sqe* uring_next_sqe(LbUring* u) {
-    unsigned head = __atomic_load_n(u->sq_head, __ATOMIC_ACQUIRE);
-    unsigned tail = *u->sq_tail;
-    if (tail - head >= u->sq_entries) {
-        // queue full: wait for one completion, then reap
-        uring_enter_sys(u->ring_fd, 0, 1, IORING_ENTER_GETEVENTS);
+    // loop until a slot frees: a single wait+reap pass is not
+    // guaranteed to open one, and overwriting a not-yet-consumed SQE
+    // would drop a WAL write on the floor
+    for (;;) {
+        unsigned head = __atomic_load_n(u->sq_head, __ATOMIC_ACQUIRE);
+        unsigned tail = *u->sq_tail;
+        if (tail - head < u->sq_entries) break;
+        int rc = uring_enter_sys(u->ring_fd, 0, 1, IORING_ENTER_GETEVENTS);
         uring_reap(u);
+        if (rc < 0 && errno != EINTR) break;  // ring wedged: best effort
     }
     unsigned idx = (*u->sq_tail) & *u->sq_mask;
     io_uring_sqe* sqe = &u->sqes[idx];
@@ -261,15 +276,27 @@ extern "C" int64_t lb_uring_write(uint64_t h, const uint8_t* buf, uint64_t len) 
     LbUring* u = (LbUring*)(uintptr_t)h;
     if (!u || u->file_fd < 0) return -1;
     uring_reap(u);  // opportunistic buffer recycling
-    void* copy = malloc(len);
+    // buffer layout: [u64 requested_len][payload] — reap compares the
+    // completion's res against requested_len to catch short writes
+    void* copy = malloc(len + 8);
     if (!copy) return -1;
-    memcpy(copy, buf, len);
+    memcpy(copy, &len, 8);
+    memcpy((char*)copy + 8, buf, len);
     io_uring_sqe* sqe = uring_next_sqe(u);
     sqe->opcode = IORING_OP_WRITE;
     sqe->fd = u->file_fd;
-    sqe->addr = (uint64_t)(uintptr_t)copy;
+    sqe->addr = (uint64_t)(uintptr_t)copy + 8;
     sqe->len = (uint32_t)len;
     sqe->off = u->offset;
+    // DRAIN orders this append after everything already queued.
+    // Buffered appends usually execute inline at submit, but one
+    // punted to an io-wq worker (dirty-page throttling under exactly
+    // the heavy-ingest load a WAL sees) could complete AFTER a later
+    // append — with O_APPEND the frames would land in the file out of
+    // order, and replay applies file order. IOSQE_IO_LINK can't give
+    // this guarantee (chains don't span submission boundaries; we
+    // submit one SQE at a time).
+    sqe->flags = IOSQE_IO_DRAIN;
     sqe->user_data = (uint64_t)(uintptr_t)copy;
     uring_submit(u);
     u->offset += len;

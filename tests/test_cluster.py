@@ -674,6 +674,38 @@ def test_digest_merge_rules():
     assert "self:9" not in mm.members
 
 
+def test_self_refutation_bumps_incarnation():
+    """SWIM alive-rumor refutation: only the member itself originates
+    incarnations. Learning we are rumored SUSPECT/DEAD at our current
+    incarnation bumps past it so our next digest refutes the rumor
+    (reference: gossip.go:493-559)."""
+    mm = MembershipManager("self:9", ["127.0.0.1:7001"])
+    assert mm.self_incarnation == 0
+    mm.merge_digest([{"id": "self:9", "host": "self", "data_port": 9,
+                      "status": SUSPECT, "incarnation": 0}])
+    assert mm.self_incarnation == 1
+    # the bumped incarnation rides the next digest's self entry, ALIVE
+    self_entry = mm.digest()[0]
+    assert self_entry["incarnation"] == 1 and self_entry["status"] == ALIVE
+    # ALIVE rumors about self never bump
+    mm.merge_digest([{"id": "self:9", "host": "self", "data_port": 9,
+                      "status": ALIVE, "incarnation": 1}])
+    assert mm.self_incarnation == 1
+    # stale suspicion (below current incarnation) is ignored
+    mm.merge_digest([{"id": "self:9", "host": "self", "data_port": 9,
+                      "status": SUSPECT, "incarnation": 0}])
+    assert mm.self_incarnation == 1
+    # a peer refutes our suspicion once ITS self-originated incarnation
+    # exceeds the one we recorded — round-trip of the rule above
+    m = mm.members["127.0.0.1:7001"]
+    m.status = SUSPECT
+    m.incarnation = 0
+    mm.merge_digest([{"id": "127.0.0.1:7001", "host": "127.0.0.1",
+                      "data_port": 7001, "status": ALIVE,
+                      "incarnation": 1}])
+    assert m.status == ALIVE and m.incarnation == 1
+
+
 def test_digest_piggyback_spreads_membership(three_nodes):
     """A member learned only by one node spreads to the others on
     digest-carrying probe rounds (reference: gossip.go:493-559)."""

@@ -54,6 +54,27 @@ def test_fuzz_parser_never_crashes_unhandled():
             assert isinstance(e, ValueError), (data, e)
 
 
+def test_parser_fast_path_rejects_out_of_search_vector():
+    """A vector array OUTSIDE "search" must never be installed as the
+    query vector when search carries a literal null (or no vector at
+    all) — the fast path's excision check must prove the span's
+    structural position, matching stdlib semantics bit-for-bit."""
+    floats = ", ".join("1.5" for _ in range(400))  # > fast-path min size
+    spoof = (
+        '{"params": {"vector": [%s]}, '
+        '"search": {"vector": null, "k": 5, "dataset": "d"}}' % floats
+    ).encode()
+    tq = parse_ticket(spoof)
+    assert tq.search is not None
+    assert tq.search.query_vectors() == []  # stdlib semantics: no vector
+    # same ticket without the decoy key parses the array on either path
+    good = (
+        '{"search": {"vector": [%s], "k": 5, "dataset": "d"}}' % floats
+    ).encode()
+    qv = np.asarray(parse_ticket(good).search.query_vectors())
+    assert qv.shape == (1, 400) and float(qv[0, 0]) == 1.5
+
+
 def test_fuzz_wal_random_truncation_always_recovers(tmp_path):
     """Truncate a WAL at every possible byte boundary -> replay must
     yield a clean prefix and never raise (reference: wal_fuzz_test.go,
