@@ -225,6 +225,14 @@ def insert_batch(
     nb, pb = jax.lax.top_k(-bd, kb)
     bd_k = -nb
     bi_k = jnp.where(bd_k < MASKED, jnp.take(new_rows, pb), -1)
+    # self-exclusion for DUPLICATED row ids in the batch (HNSWIndex.add
+    # edge-pads tail batches by repeating the last row): the eye mask
+    # only covers the diagonal, but a duplicate's off-diagonal distance
+    # is 0 with bi_k == its own row id — a self-loop edge that wastes
+    # adjacency slots. Mirror the graph-candidate self_hit mask above.
+    self_b = bi_k == new_rows[:, None]
+    bd_k = jnp.where(self_b, MASKED, bd_k)
+    bi_k = jnp.where(self_b, -1, bi_k)
 
     all_d = jnp.concatenate([gd, bd_k], axis=1)
     all_i = jnp.concatenate([gi, bi_k], axis=1)
@@ -808,8 +816,6 @@ def _assign_clusters(
 ) -> np.ndarray:
     """Row -> nearest centroid id for rows [0, n)."""
     cn = jnp.sum(cent * cent, axis=1)
-    # capacity is a power of two >= n and >= any power-of-two chunk, so
-    # ceil(n/chunk)*chunk never exceeds the array (no clamping needed)
     chunk = min(chunk, vectors.shape[0])
 
     @jax.jit
@@ -824,10 +830,19 @@ def _assign_clusters(
 
     out = []
     n_pad = -(-n // chunk) * chunk
+    cap = vectors.shape[0]
     for off in range(0, n_pad, chunk):
-        sl_v = jax.lax.dynamic_slice_in_dim(vectors, off, chunk)
-        sl_n = jax.lax.dynamic_slice_in_dim(norms, off, chunk)
-        out.append(np.asarray(one(sl_v, sl_n)))
+        # capacity is any 8192-multiple (NOT necessarily a power of
+        # two or a chunk multiple — explicit CreateNamespace capacity,
+        # restored counts), so the final window can overrun it.
+        # dynamic_slice would silently CLAMP the start and assign the
+        # tail rows cluster ids computed for earlier rows; slice from
+        # the clamped start ourselves and index the wanted rows out of
+        # the window instead.
+        start = min(off, max(cap - chunk, 0))
+        sl_v = jax.lax.dynamic_slice_in_dim(vectors, start, chunk)
+        sl_n = jax.lax.dynamic_slice_in_dim(norms, start, chunk)
+        out.append(np.asarray(one(sl_v, sl_n))[off - start:])
     return np.concatenate(out)[:n]
 
 
@@ -1013,61 +1028,30 @@ def nn_descent_refine(
     """NN-descent refinement of a kNN-graph estimate.
 
     Each round, every node considers: its current neighbors, its
-    REVERSE neighbors (nodes listing it — the join that makes
-    NN-descent converge), and the forward lists of the `expand` closest
-    of each. Keeps the best K.
+    REVERSE neighbors (nodes listing it -- the join that makes
+    NN-descent converge), and the forward lists of sampled heads from
+    both. Keeps the best K.
+
+    Thin wrapper over `_nn_descent_round` -- the ONE implementation
+    (valid-masked candidates, sampled expansion heads, <60s segmented
+    dispatches). An earlier inline duplicate here lacked the valid
+    mask and ran an eager per-512-row dispatch loop. knn_d/knn_i must
+    be `chunk`-aligned in rows (the clustered builder pads to
+    prune_chunk, a multiple of every chunk used here).
     """
-    n_pad, kk = knn_d.shape
-    vecs = state.vectors
-    norms = state.norms_sq
-
-    @functools.partial(jax.jit, donate_argnums=())
-    def refine_chunk(kd_c, ki_c, rv_c, rows_c, all_ki):
-        # candidates: fwd nbrs + rev nbrs + fwd lists of the closest
-        # few of both
-        top_f = ki_c[:, :expand]                       # [c, S]
-        top_r = rv_c[:, : max(expand // 2, 2)]         # [c, S/2]
-        heads = jnp.concatenate([top_f, top_r], axis=1)
-        ext = jnp.take(all_ki, jnp.maximum(heads, 0), axis=0)
-        ext = jnp.where(heads[:, :, None] >= 0, ext, -1)
-        cand = jnp.concatenate(
-            [ki_c, rv_c, ext.reshape(ki_c.shape[0], -1)], axis=1
+    # share the rp path's compiled shapes when alignment allows (1024),
+    # halving down only if the caller's row padding is finer
+    chunk = 1024
+    n_pad = knn_d.shape[0]
+    while chunk > 1 and n_pad % chunk:
+        chunk //= 2
+    root = jax.random.PRNGKey(987_654_321)
+    for r in range(rounds):
+        knn_d, knn_i = _nn_descent_round(
+            state.vectors, state.norms_sq, state.valid, knn_d, knn_i, n,
+            jax.random.fold_in(root, r),
+            expand=expand, rev_slots=rev_slots, chunk=chunk,
         )
-        q = jnp.take(vecs, rows_c, axis=0).astype(jnp.float32)
-        qn = jnp.take(norms, rows_c)
-        cv = jnp.take(vecs, jnp.maximum(cand, 0), axis=0).astype(jnp.float32)
-        cn = jnp.take(norms, jnp.maximum(cand, 0))
-        ip = jnp.einsum(
-            "cd,cwd->cw", q, cv, preferred_element_type=jnp.float32
-        )
-        dist = qn[:, None] - 2.0 * ip + cn
-        bad = (cand < 0) | (cand == rows_c[:, None])
-        dist = jnp.where(bad, MASKED, dist)
-        # mask duplicate candidates (keep first occurrence)
-        w = cand.shape[1]
-        eq = cand[:, :, None] == cand[:, None, :]
-        earlier = jnp.tril(jnp.ones((w, w), bool), k=-1)
-        dup = jnp.any(eq & earlier & (cand[:, None, :] >= 0), axis=2)
-        dist = jnp.where(dup, MASKED, dist)
-        neg, pos = jax.lax.top_k(-dist, kk)
-        nd = -neg
-        ni = jnp.where(nd < MASKED, jnp.take_along_axis(cand, pos, axis=1), -1)
-        return nd, ni
-
-    for _ in range(rounds):
-        rev_i = _reverse_lists(knn_i, knn_d, n_pad, rev_slots)
-        new_d, new_i = [], []
-        for off in range(0, n_pad, chunk):
-            rows_c = jnp.arange(off, off + chunk, dtype=jnp.int32)
-            rows_c = jnp.minimum(rows_c, n - 1)
-            kd_c = jax.lax.dynamic_slice_in_dim(knn_d, off, chunk)
-            ki_c = jax.lax.dynamic_slice_in_dim(knn_i, off, chunk)
-            rv_c = jax.lax.dynamic_slice_in_dim(rev_i, off, chunk)
-            nd, ni = refine_chunk(kd_c, ki_c, rv_c, rows_c, knn_i)
-            new_d.append(nd)
-            new_i.append(ni)
-        knn_d = jnp.concatenate(new_d)
-        knn_i = jnp.concatenate(new_i)
     return knn_d, knn_i
 
 
@@ -1387,7 +1371,7 @@ def bulk_build_rp(
             bulk_build_rp(
                 _densified(state), n, m=m, m_max=m_max, knn_k=knn_k,
                 rounds=rounds, block=block, nn_rounds=nn_rounds,
-                prune_chunk=prune_chunk, seed=seed,
+                prune_chunk=prune_chunk, seed=seed, diversify=diversify,
             ),
         )
     n_pad = -(-n // max(block, prune_chunk)) * max(block, prune_chunk)

@@ -144,8 +144,23 @@ class SearchCoalescer:
                 batch.append(nxt)
             try:
                 self._drain(batch)
-            except Exception:  # pragma: no cover - defensive
+            except Exception as e:  # pragma: no cover - defensive
                 log.exception("coalescer dispatch failed")
+                # a grouping-phase failure must not orphan the batch:
+                # an unresolved future blocks its caller for the full
+                # request timeout (30s) instead of surfacing the error
+                for it in batch:
+                    if not it[7]._ev.is_set():
+                        it[7].set_err(e)
+        # shutdown: fail whatever is still queued instead of leaving
+        # callers to time out
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[7].set_err(RuntimeError("coalescer stopped"))
 
     def _drain(self, batch: list) -> None:
         """Group compatible requests, one store.search per group."""

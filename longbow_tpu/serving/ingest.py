@@ -27,7 +27,13 @@ class IngestQueue:
         self.store = store
         self._q: queue.Queue = queue.Queue(maxsize=max_depth)
         self._stop = threading.Event()
-        self._active = 0  # jobs being applied right now
+        # jobs counted from BEFORE they enter the queue until applied:
+        # deriving depth from qsize()+in-flight had an unavoidable
+        # window between get() returning and the in-flight bump where
+        # depth read 0 with an acked batch in hand — a checkpoint
+        # polling drain() there could truncate the WAL with acked rows
+        # unapplied
+        self._pending = 0
         self._lock = threading.Lock()
         self.errors: list[str] = []
         self._threads = [
@@ -46,7 +52,7 @@ class IngestQueue:
     @property
     def depth(self) -> int:
         with self._lock:
-            return self._q.qsize() + self._active
+            return self._pending
 
     def _observe_depth(self) -> None:
         from longbow_tpu.metrics import get_registry
@@ -67,16 +73,34 @@ class IngestQueue:
         if bp is not None:
             # raises MemoryPressureError over the hard cap
             bp.check_admit(self.store)
-        self._q.put(
-            (dataset, ids, vectors, columns, metric, timestamp),
-            timeout=block_s,
-        )
+        with self._lock:
+            self._pending += 1
+        try:
+            self._q.put(
+                (dataset, ids, vectors, columns, metric, timestamp),
+                timeout=block_s,
+            )
+        except Exception:
+            with self._lock:
+                self._pending -= 1
+            raise
         self._observe_depth()
 
     # coalescing cap: one device append per <= this many rows
     # (reference: adaptive batching to 50k rows / 32MB,
     # store_actions.go:530-618)
     MAX_COALESCE_ROWS = 65536
+
+    @staticmethod
+    def _stamp(j):
+        """Give a None-timestamp job its LWW timestamp AT DEQUEUE, in
+        queue order. Stamping only merged groups (and letting
+        single-job groups be stamped later, inside Dataset.put) let a
+        later-submitted same-id write in a DIFFERENT group win LWW
+        over the client's actual last write."""
+        if j[5] is None:
+            return (j[0], j[1], j[2], j[3], j[4], time.time())
+        return j
 
     def _loop(self, worker_id: int = 0):
         import numpy as np
@@ -90,22 +114,16 @@ class IngestQueue:
             # (dataset, metric, column-key) group as ONE store.put —
             # one WAL write, one device append, one metrics pass.
             # Per-row origin timestamps preserve LWW across the merge.
-            # account each job the moment it leaves the queue: a gap
-            # between get() and the _active bump makes depth==0 lie to
-            # drain(), and a checkpoint could truncate the WAL with
-            # acked rows still unapplied
-            with self._lock:
-                self._active += 1
-            batch = [first]
+            # (depth accounting lives in _pending, spanning submit ->
+            # applied — no get/bump window to race a checkpoint.)
+            batch = [self._stamp(first)]
             rows = len(first[1])
             while rows < self.MAX_COALESCE_ROWS:
                 try:
                     j = self._q.get_nowait()
                 except queue.Empty:
                     break
-                with self._lock:
-                    self._active += 1
-                batch.append(j)
+                batch.append(self._stamp(j))
                 rows += len(j[1])
             try:
                 from longbow_tpu.metrics import get_registry
@@ -122,11 +140,26 @@ class IngestQueue:
             groups: dict = {}
             order = []
             for j in batch:
-                # vector dtype is part of the group key: coalescing an
-                # int8 batch with an f32 one would upcast the codes
+                # vector dtype, vector DIM and column dtypes are all
+                # part of the group key: coalescing an int8 batch with
+                # an f32 one would upcast the codes; a dim mismatch
+                # fails np.concatenate; a column dtype flip promotes
+                # the whole merged column and fails check_types —
+                # either way one bad job would take its innocent
+                # group-mates' acked rows down with it
+                try:
+                    shp = getattr(j[2], "shape", None)
+                    dim = shp[-1] if shp else len(j[2][0])
+                except Exception:
+                    dim = -1
+                colsig = tuple(sorted(
+                    (c, str(np.asarray(v).dtype))
+                    for c, v in (j[3] or {}).items()
+                ))
                 key = (
-                    j[0], j[4], tuple(sorted((j[3] or {}).keys())),
+                    j[0], j[4], colsig,
                     getattr(j[2], "dtype", None) and str(j[2].dtype),
+                    dim,
                 )
                 if key not in groups:
                     groups[key] = []
@@ -145,7 +178,7 @@ class IngestQueue:
                                 ts,
                             ) = gs[0]
                         else:
-                            dataset, metric, colkeys, _vdt = key
+                            dataset, metric, colsig, _vdt, _dim = key
                             ids = np.concatenate(
                                 [np.asarray(g[1]) for g in gs]
                             )
@@ -155,29 +188,45 @@ class IngestQueue:
                                     c: np.concatenate(
                                         [np.asarray(g[3][c]) for g in gs]
                                     )
-                                    for c in colkeys
+                                    for c, _dt in colsig
                                 }
                                 or None
                             )
-                            now = time.time()
-                            ts = np.concatenate(
-                                [
-                                    np.full(
-                                        len(g[1]),
-                                        g[5] if g[5] is not None else now,
-                                    )
-                                    for g in gs
-                                ]
-                            )
+
+                            def _ts_rows(g):
+                                # jobs were _stamp()ed at dequeue, but a
+                                # replicated write carries a PER-ROW ts
+                                # array — expand scalars, pass arrays
+                                t = np.asarray(g[5], np.float64)
+                                if t.ndim == 0:
+                                    return np.full(len(g[1]), float(t))
+                                return t
+
+                            ts = np.concatenate([_ts_rows(g) for g in gs])
                         self._apply(
                             dataset, ids, vectors, columns, metric, ts
                         )
-                    except Exception as e:  # surface via errors
-                        self.errors.append(f"{time.time():.0f} {e!r}")
-                        del self.errors[:-20]
+                    except Exception as e:
+                        if len(gs) > 1:
+                            # merged apply failed: retry each job alone
+                            # so one bad job can't drop its group-mates'
+                            # acked rows
+                            for g in gs:
+                                try:
+                                    self._apply(
+                                        g[0], g[1], g[2], g[3], g[4], g[5]
+                                    )
+                                except Exception as e2:
+                                    self.errors.append(
+                                        f"{time.time():.0f} {e2!r}"
+                                    )
+                                    del self.errors[:-20]
+                        else:  # surface via errors
+                            self.errors.append(f"{time.time():.0f} {e!r}")
+                            del self.errors[:-20]
             finally:
                 with self._lock:
-                    self._active -= len(batch)
+                    self._pending -= len(batch)
                 self._observe_depth()
 
     def _apply(self, dataset, ids, vectors, columns, metric, ts):

@@ -263,6 +263,7 @@ class EvictionManager:
                         and now - ts > self.ttl_s
                     ):
                         victims.append(uid)
+            ttl_n = len(victims)
             if self.max_rows is not None:
                 over = dataset.live_count - len(victims) - self.max_rows
                 if over > 0:
@@ -284,10 +285,18 @@ class EvictionManager:
             self.evicted_total += len(victims)
             from longbow_tpu.metrics import get_registry
 
-            reason = "ttl" if self.ttl_s is not None else self.policy
-            get_registry().inc(
-                "longbow_evictions_total", len(victims), reason=reason
-            )
+            # attribute each victim to the policy branch that chose it
+            # (reason was previously picked from CONFIG — lru/lfu
+            # size-policy evictions all reported as "ttl" whenever a
+            # ttl was merely configured)
+            reg = get_registry()
+            if ttl_n:
+                reg.inc("longbow_evictions_total", ttl_n, reason="ttl")
+            if len(victims) > ttl_n:
+                reg.inc(
+                    "longbow_evictions_total", len(victims) - ttl_n,
+                    reason=self.policy,
+                )
         return len(victims)
 
 
@@ -328,8 +337,15 @@ class CompactionWorker:
             for name in self.store.list_datasets():
                 ds = self.store.get(name)
                 if now - ds.last_access > self.dataset_ttl_s:
+                    # count the dataset's live ROWS under a distinct
+                    # reason: the counter's unit is rows everywhere
+                    # else, and +1-per-dataset silently mixed units
+                    rows = ds.live_count
                     self.store.drop(name)
-                    reg.inc("longbow_evictions_total", reason="ttl")
+                    reg.inc(
+                        "longbow_evictions_total", rows,
+                        reason="dataset_ttl",
+                    )
         stats = {}
         worst_frag = 0.0
         for name in self.store.list_datasets():
@@ -443,16 +459,21 @@ class MemoryBackpressureController:
         return 0
 
     def _coldest_rows(self, ds, k: int) -> list:
+        # snapshot the id set under the dataset lock: this runs on the
+        # CompactionWorker thread while ingest mutates _id_to_row/_lww —
+        # an unlocked sorted() dies with "dictionary changed size
+        # during iteration" and silently disables HBM enforcement
+        # under exactly the write load that causes memory pressure
+        with ds._lock:
+            ids = list(ds._id_to_row)
+            lww = dict(ds._lww)
         if self.eviction is not None and self.eviction._last_access:
-            pool = sorted(
-                ds._id_to_row,
-                key=lambda u: self.eviction._last_access.get(u, 0.0),
+            ids.sort(
+                key=lambda u: self.eviction._last_access.get(u, 0.0)
             )
         else:  # oldest write first
-            pool = sorted(
-                ds._id_to_row, key=lambda u: ds._lww.get(u, 0.0)
-            )
-        return pool[:k]
+            ids.sort(key=lambda u: lww.get(u, 0.0))
+        return ids[:k]
 
     def enforce(self, store) -> int:
         """Evict until under the soft target; returns rows evicted.

@@ -89,6 +89,51 @@ def test_error_propagates_to_all_futures():
             pass
 
 
+def test_stop_fails_queued_futures_fast():
+    """Requests still queued when the coalescer stops must get an
+    error immediately, not block their callers for the 30s request
+    timeout."""
+    vs, v = _mk_store()
+    co = SearchCoalescer(vs, autostart=False)
+    fut = _Future()
+    co._q.put(("d", v[:1], 5, None, None, False, True, fut))
+    co._stop.set()
+    co.start()
+    co.stop()
+    try:
+        fut.get(5)
+        assert False, "expected RuntimeError"
+    except RuntimeError as e:
+        assert "stopped" in str(e)
+
+
+def test_grouping_failure_fails_batch_not_hangs():
+    """An exception in the grouping phase (e.g. a malformed filter
+    object whose cache_key raises) must set_err on every future in the
+    batch instead of orphaning them."""
+    vs, v = _mk_store()
+    co = SearchCoalescer(vs, autostart=False)
+
+    class BadFilter:
+        def cache_key(self):
+            raise ValueError("malformed filter")
+
+    f1, f2 = _Future(), _Future()
+    co._q.put(("d", v[:1], 5, [BadFilter()], None, False, True, f1))
+    co._q.put(("d", v[1:2], 5, None, None, False, True, f2))
+    co.start()
+    try:
+        # the bad filter poisons the whole batch's grouping phase —
+        # both futures must resolve (with the error), not time out
+        for f in (f1, f2):
+            try:
+                f.get(5)
+            except ValueError:
+                pass
+    finally:
+        co.stop()
+
+
 def test_threaded_end_to_end():
     vs, v = _mk_store()
     co = SearchCoalescer(vs)

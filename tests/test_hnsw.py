@@ -65,6 +65,45 @@ def test_incremental_adds():
     assert rec >= 0.9, rec
 
 
+def test_padded_tail_batch_no_self_loops():
+    """HNSWIndex.add edge-pads the tail batch by repeating its last
+    row; the intra-batch kNN must not hand the duplicate a distance-0
+    self edge (wasted adjacency slots on every non-multiple add)."""
+    rng = np.random.default_rng(7)
+    idx = HNSWIndex(16, config=HNSWConfig(m=8, ef_construction=32,
+                                          ef_search=32,
+                                          insert_batch_size=64))
+    idx.add(rng.standard_normal((200, 16), dtype=np.float32))
+    # tail batch of 3 -> padded with 61 copies of its last row
+    idx.add(rng.standard_normal((131, 16), dtype=np.float32))
+    nbrs = np.asarray(idx.state.nbrs)
+    rows = np.arange(len(idx))[:, None]
+    assert not np.any(nbrs[: len(idx)] == rows), "self-loop edge found"
+
+
+def test_assign_clusters_tail_beyond_chunk_multiple():
+    """Capacity is any 8192-multiple, NOT necessarily a chunk
+    multiple: the final window's dynamic_slice clamps, and the tail
+    rows must still receive THEIR OWN cluster ids (a silent recall
+    killer when mis-assigned)."""
+    import jax.numpy as jnp
+
+    from longbow_tpu.index.graph_build import _assign_clusters
+
+    rng = np.random.default_rng(11)
+    cap, n, d = 24, 22, 8          # chunk=16 -> n_pad=32 > cap
+    v = rng.standard_normal((cap, d)).astype(np.float32)
+    cent = rng.standard_normal((4, d)).astype(np.float32)
+    got = _assign_clusters(
+        jnp.asarray(v), jnp.asarray((v * v).sum(1)), jnp.asarray(cent),
+        n, chunk=16,
+    )
+    want = np.argmin(
+        ((v[:n, None, :] - cent[None, :, :]) ** 2).sum(-1), axis=1
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_self_query_returns_self():
     rng = np.random.default_rng(2)
     vecs = rng.standard_normal((1000, 32), dtype=np.float32)

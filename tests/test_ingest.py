@@ -111,6 +111,57 @@ def test_ingest_queue_coalesces_same_dataset():
     assert vs.get("c")._lww[195] == 19.0
 
 
+def test_ingest_queue_bad_job_spares_group_mates():
+    """A wrong-dim job merged into a group must not drop its innocent
+    group-mates' acked rows: the dim is part of the group key AND a
+    merged-apply failure retries jobs individually."""
+    from longbow_tpu.serving.ingest import IngestQueue
+
+    vs = VectorStore()
+    q = IngestQueue(vs, max_depth=64)
+    good = _vecs(10, 8)
+    bad = _vecs(10, 12)  # same dataset, same columns, wrong dim
+    q.submit("g", np.arange(0, 10), good, None, None, 1.0)
+    q.submit("g", np.arange(100, 110), bad, None, None, 2.0)
+    q.submit("g", np.arange(10, 20), good, None, None, 3.0)
+    assert q.drain(timeout_s=30.0)
+    q.close()
+    # both good jobs landed despite the bad one failing
+    assert vs.get("g").live_count == 20
+    assert len(q.errors) >= 1
+
+
+def test_ingest_queue_depth_spans_submit_to_applied():
+    """depth must count a job from before it's queued until applied —
+    a checkpoint polling drain() must never see 0 with acked rows in
+    flight (the WAL would truncate them)."""
+    import threading
+
+    from longbow_tpu.serving.ingest import IngestQueue
+
+    vs = VectorStore()
+    release = threading.Event()
+    entered = threading.Event()
+    orig = vs.put
+
+    def slow_put(*a, **kw):
+        entered.set()
+        release.wait(10.0)
+        return orig(*a, **kw)
+
+    vs.put = slow_put
+    q = IngestQueue(vs, max_depth=8)
+    q.submit("s", np.arange(5), _vecs(5, 8), None, None, 1.0)
+    assert entered.wait(5.0)
+    # job is out of the queue, inside the (stalled) apply: still counted
+    assert q.depth == 1
+    assert not q.drain(timeout_s=0.1)
+    release.set()
+    assert q.drain(timeout_s=10.0)
+    q.close()
+    assert vs.get("s").live_count == 5
+
+
 def test_background_migration_does_not_block_puts():
     idx = AdaptiveIndex(8, migration_threshold=500)
     slow = {"done": False}
