@@ -394,6 +394,44 @@ def test_region_router_routes_and_fails_open():
     assert kept4 == ["A", "B"]  # B's summary gone -> included again
 
 
+def test_region_router_is_metric_aware():
+    """Cosine queries are normalized before the ball test (summaries
+    are computed over normalized storage, so they live on the unit
+    ball); dot/MIPS and unknown metrics have no ball geometry and must
+    fail open (sweep regression: raw-L2 geometry on a cosine dataset
+    skipped the right peer whenever the query magnitude was large)."""
+    from longbow_tpu.distributed.spatial import RegionRouter
+
+    d = 8
+    r = RegionRouter(margin=1.5)
+    e0 = np.zeros(d, np.float32)
+    e0[0] = 1.0
+    e1 = np.zeros(d, np.float32)
+    e1[1] = 1.0
+    # unit-ball summaries, as dataset_region produces for cosine storage
+    r.update("A", "ds", e0, radius=0.2, n=100)
+    r.update("B", "ds", e1, radius=0.2, n=100)
+
+    # a large-magnitude query aligned with A: raw L2 puts it ~999 from
+    # BOTH centroids (both would be skipped); normalized it sits at A
+    q = (e0 * 1000.0)[None, :]
+    kept, skipped = r.route("ds", q, ["A", "B"], metric="cosine")
+    assert kept == ["A"] and skipped == 1
+
+    # dot has no distance geometry: every peer kept no matter what
+    kept_dot, skipped_dot = r.route("ds", q, ["A", "B"], metric="dot")
+    assert kept_dot == ["A", "B"] and skipped_dot == 0
+
+    # unknown metric string also fails open
+    kept_u, _ = r.route("ds", q, ["A", "B"], metric="mahalanobis")
+    assert kept_u == ["A", "B"]
+
+    # l2 still uses raw geometry: the magnitude-1000 query is outside
+    # both unit balls, so both peers are provably skippable
+    kept_l2, skipped_l2 = r.route("ds", q, ["A", "B"], metric="l2")
+    assert kept_l2 == [] and skipped_l2 == 2
+
+
 def test_dataset_region_and_action(two_nodes):
     """region-summary action returns a centroid+radius that actually
     encloses the dataset's vectors."""
