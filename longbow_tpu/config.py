@@ -53,6 +53,9 @@ class Config:
     # transport security (reference: SDK bearer auth client.py:63-70,
     # docs/security.md TLS): empty = open plaintext (dev default)
     auth_token: str = field(default_factory=lambda: _env("AUTH_TOKEN", ""))
+    # append-only JSONL audit trail of mutating ops (reference:
+    # security/audit.go:16-32); empty = disabled
+    audit_log: str = field(default_factory=lambda: _env("AUDIT_LOG", ""))
     tls_cert_file: str = field(default_factory=lambda: _env("TLS_CERT", ""))
     tls_key_file: str = field(default_factory=lambda: _env("TLS_KEY", ""))
     tls_ca_file: str = field(default_factory=lambda: _env("TLS_CA", ""))

@@ -319,10 +319,16 @@ def main(argv=None) -> int:
         coalescer = SearchCoalescer(
             store, max_batch=cfg.search_coalesce_max_batch
         )
+    audit = None
+    if cfg.audit_log:
+        from longbow_tpu.serving.security import AuditLogger
+
+        audit = AuditLogger(cfg.audit_log)  # shared; lock serializes
     sec = dict(
         auth_token=cfg.auth_token or None,
         tls_cert_file=cfg.tls_cert_file or None,
         tls_key_file=cfg.tls_key_file or None,
+        audit_logger=audit,
     )
     data = LongbowFlightServer(
         store,

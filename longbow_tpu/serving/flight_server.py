@@ -226,6 +226,9 @@ class LongbowFlightServer(flight.FlightServerBase):
                 self._do_put_stream(
                     reader, dataset, metric, is_replication, origin_ts
                 )
+            self.audit.record(
+                "put", dataset, {"replication": is_replication}
+            )
             if (
                 self.ingest is not None
                 and self.ingest.pressure > 0.8
@@ -1167,13 +1170,16 @@ class LongbowFlightServer(flight.FlightServerBase):
                                  "n_clusters")
                     },
                 )
+            self.audit.record("create_namespace", dsname)
             return ok({"created": dsname})
         if name in ("delete-dataset", "DeleteNamespace"):
             req = json.loads(body or b"{}")
             # reference SDK sends {"dataset": ...} (client.py:314-347);
             # "name" is this repo's original key — accept both
             target = req.get("name") or req.get("dataset") or ""
-            return ok({"dropped": self.store.drop(target)})
+            dropped = self.store.drop(target)
+            self.audit.record("drop_dataset", target, {"dropped": dropped})
+            return ok({"dropped": dropped})
         if name in ("delete", "Delete", "delete-vector"):
             req = json.loads(body or b"{}")
             ids = req.get("ids")
@@ -1324,6 +1330,9 @@ class LongbowFlightServer(flight.FlightServerBase):
             if self.store.engine is None:
                 return ok({"committed": False, "error": "no persist_dir"})
             self.store.snapshot()
+            self.audit.record(
+                "checkpoint_commit", "*", {"epoch": req.get("epoch")}
+            )
             return ok({"committed": True, "epoch": req.get("epoch")})
         if name == "ForceSnapshot":
             # reference SDK snapshot(): immediate local snapshot, no
@@ -1334,6 +1343,7 @@ class LongbowFlightServer(flight.FlightServerBase):
             if self.store.engine is None:
                 return ok({"ok": False, "error": "no persist_dir"})
             self.store.snapshot()
+            self.audit.record("snapshot", "*", {"drained": drained})
             if not drained:
                 # acked-but-queued rows are NOT in this snapshot —
                 # don't let a reference-style "snapshot = durable"
@@ -1360,6 +1370,7 @@ class LongbowFlightServer(flight.FlightServerBase):
             if self.store.engine is None:
                 return ok({"ok": False, "error": "no persist_dir"})
             self.store.snapshot()
+            self.audit.record("checkpoint", "*")
             return ok({"ok": True, "local": True})
         if name == "merkle-state":
             req = json.loads(body)

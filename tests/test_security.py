@@ -106,3 +106,46 @@ def test_tls_with_token(tmp_path):
         c2.close()
     finally:
         srv.shutdown()
+
+
+def test_audit_trail_records_mutations(tmp_path):
+    """Every mutating op leaves an append-only JSONL audit entry
+    (reference: security/audit.go:16-32 logs operation/resource)."""
+    import json
+
+    from longbow_tpu.serving.security import AuditLogger
+
+    port = _free_port()
+    audit_path = tmp_path / "audit.jsonl"
+    srv = LongbowFlightServer(
+        VectorStore(),
+        f"grpc://127.0.0.1:{port}",
+        audit_logger=AuditLogger(audit_path),
+    )
+    _start(srv)
+    try:
+        v = np.random.default_rng(2).standard_normal((8, 8), np.float32)
+        c = LongbowClient("127.0.0.1", port, port)
+        c.create_namespace("aud", dim=8)
+        c.write("aud", np.arange(8), v)
+        c.delete("aud", [0, 1])
+        c.delete_namespace("aud")
+        c.close()
+    finally:
+        srv.shutdown()
+
+    entries = [
+        json.loads(line)
+        for line in audit_path.read_text().strip().splitlines()
+    ]
+    ops = [(e["op"], e["dataset"]) for e in entries]
+    assert ("create_namespace", "aud") in ops
+    assert ("put", "aud") in ops
+    assert ("delete", "aud") in ops
+    assert ("drop_dataset", "aud") in ops
+    # reads leave no trace
+    assert all(e["op"] not in ("search", "scan") for e in entries)
+    # delete carries its row count, drop its result
+    d = next(e for e in entries if e["op"] == "delete")
+    assert d["n"] == 2
+    assert next(e for e in entries if e["op"] == "drop_dataset")["dropped"]
