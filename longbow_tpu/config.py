@@ -136,6 +136,13 @@ class Config:
     rate_limit_burst: int = field(
         default_factory=lambda: _env("RATE_LIMIT_BURST", 0, int)
     )
+    # per-client-IP limit (reference: security CheckRateLimit(ip))
+    ip_rate_limit_rps: float = field(
+        default_factory=lambda: _env("IP_RATE_LIMIT_RPS", 0.0, float)
+    )
+    ip_rate_limit_burst: int = field(
+        default_factory=lambda: _env("IP_RATE_LIMIT_BURST", 0, int)
+    )
     breaker_threshold: int = field(
         default_factory=lambda: _env("BREAKER_THRESHOLD", 10, int)
     )

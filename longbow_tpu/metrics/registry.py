@@ -309,6 +309,13 @@ class MetricsRegistry:
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
+                # security headers (reference: security/input_sanitizer
+                # .go:32-50 SecurityHeaders wraps the same mux)
+                self.send_header("X-Frame-Options", "DENY")
+                self.send_header("X-Content-Type-Options", "nosniff")
+                self.send_header(
+                    "Content-Security-Policy", "default-src 'self'"
+                )
                 self.end_headers()
                 self.wfile.write(body)
 

@@ -284,6 +284,8 @@ def main(argv=None) -> int:
         cfg.breaker_cooldown_s,
         bulkhead_max_concurrent=cfg.bulkhead_max_concurrent,
         bulkhead_max_wait_s=cfg.bulkhead_max_wait_s,
+        ip_rate_limit_rps=cfg.ip_rate_limit_rps,
+        ip_rate_limit_burst=cfg.ip_rate_limit_burst,
     )
     degradation = None
     if cfg.degradation_enabled:

@@ -110,6 +110,15 @@ def _meta_columns_to_numpy(tbl: pa.Table, names) -> dict:
 _RESERVED = {"id", "vector", "timestamp"}
 
 
+def _peer(context) -> str:
+    """Client address from a Flight call context ('' when the binding
+    doesn't expose one) — feeds the per-IP rate limiter."""
+    try:
+        return context.peer() or ""
+    except Exception:
+        return ""
+
+
 class LongbowFlightServer(flight.FlightServerBase):
     def __init__(
         self,
@@ -220,7 +229,7 @@ class LongbowFlightServer(flight.FlightServerBase):
             except Exception:
                 pass
         if self.middleware:
-            self.middleware.admit("DoPut")
+            self.middleware.admit("DoPut", peer=_peer(context))
         try:
             with self.metrics.time_op("DoPut"):
                 self._do_put_stream(
@@ -358,7 +367,7 @@ class LongbowFlightServer(flight.FlightServerBase):
 
     def do_get(self, context, ticket):
         if self.middleware:
-            self.middleware.admit("DoGet")
+            self.middleware.admit("DoGet", peer=_peer(context))
         try:
             with self.metrics.time_op("DoGet"):
                 with self.metrics.timer(
@@ -823,7 +832,7 @@ class LongbowFlightServer(flight.FlightServerBase):
 
     def do_exchange(self, context, descriptor, reader, writer):
         if self.middleware:
-            self.middleware.admit("DoExchange")
+            self.middleware.admit("DoExchange", peer=_peer(context))
         self.metrics.inc("longbow_do_exchange_calls_total")
         _t0 = time.perf_counter()
         try:
@@ -1000,7 +1009,7 @@ class LongbowFlightServer(flight.FlightServerBase):
 
     def do_action(self, context, action):
         if self.middleware:
-            self.middleware.admit(action.type)
+            self.middleware.admit(action.type, peer=_peer(context))
         try:
             with self.metrics.time_op(action.type):
                 return self._do_action(action)

@@ -45,6 +45,50 @@ class RateLimiter:
             return False
 
 
+class PeerRateLimiter:
+    """Per-client-IP token buckets (reference:
+    security/input_sanitizer.go:25 CheckRateLimit(ip) — that map grows
+    without bound; here buckets are LRU-capped so a scan of spoofed
+    peers can't exhaust memory). rps<=0 disables."""
+
+    MAX_PEERS = 4096
+
+    def __init__(self, rps: float = 0.0, burst: int = 0):
+        self.rps = rps
+        self.burst = (
+            (burst if burst > 0 else max(int(rps), 1)) if rps > 0 else 0
+        )
+        self._buckets: dict[str, list[float]] = {}  # ip -> [tokens, last]
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def peer_ip(peer: str) -> str:
+        """'ipv4:1.2.3.4:55' / 'ipv6:[::1]:55' / 'unix:/p.sock' -> host."""
+        if peer.startswith("ipv6:"):
+            body = peer[5:]
+            return body[1:body.index("]")] if "[" in body else body
+        if peer.startswith("ipv4:"):
+            return peer[5:].rsplit(":", 1)[0]
+        return peer  # unix sockets etc: one bucket per address
+
+    def allow(self, peer: str) -> bool:
+        if self.rps <= 0 or not peer:
+            return True
+        ip = self.peer_ip(peer)
+        now = time.monotonic()
+        with self._lock:
+            b = self._buckets.pop(ip, None)  # pop+reinsert = LRU order
+            if b is None:
+                if len(self._buckets) >= self.MAX_PEERS:
+                    oldest = next(iter(self._buckets))
+                    del self._buckets[oldest]
+                b = [float(self.burst), now]
+            tokens = min(self.burst, b[0] + (now - b[1]) * self.rps)
+            ok = tokens >= 1.0
+            self._buckets[ip] = [tokens - 1.0 if ok else tokens, now]
+            return ok
+
+
 class CircuitBreaker:
     """CLOSED -> OPEN after `threshold` consecutive failures; half-open
     retry after `cooldown_s` (reference: middleware/circuit_breaker.go:15
@@ -317,8 +361,13 @@ class MiddlewareChain:
         breaker_cooldown_s: float = 30.0,
         bulkhead_max_concurrent: int = 0,
         bulkhead_max_wait_s: float = 0.2,
+        ip_rate_limit_rps: float = 0.0,
+        ip_rate_limit_burst: int = 0,
     ):
         self.limiter = RateLimiter(rate_limit_rps, rate_limit_burst)
+        self.peer_limiter = PeerRateLimiter(
+            ip_rate_limit_rps, ip_rate_limit_burst
+        )
         self.breaker = CircuitBreaker(
             breaker_threshold, breaker_cooldown_s, name="flight"
         )
@@ -326,13 +375,17 @@ class MiddlewareChain:
         self.degradation: Optional[GracefulDegradation] = None
         self.fallback: Optional[FallbackCache] = None
 
-    def admit(self, op: str) -> None:
+    def admit(self, op: str, peer: str = "") -> None:
         if not self.breaker.allow():
             raise flight.FlightUnavailableError(
                 f"circuit breaker open for {op}"
             )
         if not self.limiter.allow():
             raise flight.FlightUnavailableError("rate limit exceeded")
+        if not self.peer_limiter.allow(peer):
+            raise flight.FlightUnavailableError(
+                "per-client rate limit exceeded"
+            )
         if not self.bulkhead.acquire():
             raise flight.FlightUnavailableError(
                 f"bulkhead saturated for {op}"

@@ -371,3 +371,68 @@ def test_sample_stacks_collapsed_format():
     for line in out.splitlines():
         stack, _, count = line.rpartition(" ")
         assert stack and int(count) >= 1
+
+
+def test_peer_rate_limiter_isolates_clients():
+    """Per-IP token buckets (reference: security/input_sanitizer.go:25
+    CheckRateLimit(ip)): one client exhausting its bucket must not
+    starve another, and the bucket table stays bounded."""
+    from longbow_tpu.serving.middleware import PeerRateLimiter
+
+    # address parsing across gRPC peer formats
+    assert PeerRateLimiter.peer_ip("ipv4:10.0.0.9:5432") == "10.0.0.9"
+    assert PeerRateLimiter.peer_ip("ipv6:[::1]:5432") == "::1"
+    assert (
+        PeerRateLimiter.peer_ip("unix:/tmp/data.sock") == "unix:/tmp/data.sock"
+    )
+
+    lim = PeerRateLimiter(rps=1.0, burst=2)
+    a, b = "ipv4:1.1.1.1:10", "ipv4:2.2.2.2:10"
+    assert lim.allow(a) and lim.allow(a)
+    assert not lim.allow(a)  # a's bucket is dry...
+    assert lim.allow(b)      # ...but b is untouched
+    # different ports on one host share the bucket (it's per-IP)
+    assert not lim.allow("ipv4:1.1.1.1:9999")
+
+    # disabled limiter admits everything, including empty peers
+    assert PeerRateLimiter(rps=0.0).allow("ipv4:1.1.1.1:10")
+    assert lim.allow("")
+
+    # the LRU cap bounds memory under a spoofed-peer scan
+    lim2 = PeerRateLimiter(rps=100.0, burst=1)
+    for i in range(lim2.MAX_PEERS + 500):
+        lim2.allow(f"ipv4:10.0.{i // 256}.{i % 256}:1")
+    assert len(lim2._buckets) <= lim2.MAX_PEERS
+
+
+def test_middleware_chain_per_peer_limit():
+    import pyarrow.flight as flight
+
+    mw = MiddlewareChain(ip_rate_limit_rps=1.0, ip_rate_limit_burst=1)
+    mw.admit("DoGet", peer="ipv4:9.9.9.9:1")
+    mw.release("DoGet")
+    with pytest.raises(flight.FlightUnavailableError):
+        mw.admit("DoGet", peer="ipv4:9.9.9.9:2")
+    # another client is unaffected
+    mw.admit("DoGet", peer="ipv4:8.8.8.8:1")
+    mw.release("DoGet")
+
+
+def test_debug_mux_sets_security_headers():
+    """reference: security/input_sanitizer.go:32-50 SecurityHeaders
+    wraps the metrics/pprof mux."""
+    import socket
+    import urllib.request
+
+    reg = MetricsRegistry()
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    reg.serve(port)
+    resp = urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/metrics", timeout=5
+    )
+    assert resp.headers["X-Frame-Options"] == "DENY"
+    assert resp.headers["X-Content-Type-Options"] == "nosniff"
+    assert resp.headers["Content-Security-Policy"] == "default-src 'self'"
