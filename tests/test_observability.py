@@ -436,3 +436,20 @@ def test_debug_mux_sets_security_headers():
     assert resp.headers["X-Frame-Options"] == "DENY"
     assert resp.headers["X-Content-Type-Options"] == "nosniff"
     assert resp.headers["Content-Security-Policy"] == "default-src 'self'"
+
+
+def test_every_config_knob_is_documented():
+    """docs/CONFIGURATION.md must name every LONGBOW_* knob declared in
+    config.py — the doc is the user's contract and silently drifts
+    otherwise. (Doc-only knobs like LONGBOW_FORCE_CPU are allowed; an
+    undocumented config field is not.)"""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    src = (root / "longbow_tpu" / "config.py").read_text()
+    knobs = sorted(set(re.findall(r'_env\(\s*"([A-Z0-9_]+)"', src)))
+    assert len(knobs) > 50  # the extraction itself must keep working
+    doc = (root / "docs" / "CONFIGURATION.md").read_text()
+    missing = [k for k in knobs if f"LONGBOW_{k}" not in doc]
+    assert not missing, f"knobs missing from docs/CONFIGURATION.md: {missing}"
