@@ -453,3 +453,36 @@ def test_dataset_region_and_action(two_nodes):
     dmax = np.sqrt(((v - cent) ** 2).sum(axis=1).max())
     assert reg["radius"] >= 0.9 * dmax  # sampled radius ~ true radius
     c.close()
+
+
+def test_dcn_two_process_dryrun():
+    """The multi-host program shape actually runs: two OS processes
+    join one jax.distributed cluster (CPU, 4 virtual devices each),
+    build ONE 8-device global mesh, and execute the sharded search
+    step (local top-k + all_gather merge over what would be DCN).
+    Mirrors the driver's dryrun_multichip but across process
+    boundaries (tools/dcn_dryrun.py)."""
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+
+    # the tool's fixed coordinator port must be free (REUSEADDR: a
+    # TIME_WAIT socket from a previous run is fine — the coordinator
+    # sets it too)
+    s = socket.socket()
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    try:
+        s.bind(("127.0.0.1", 9876))
+    except OSError:
+        pytest.skip("coordinator port 9876 in use")
+    finally:
+        s.close()
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(root / "tools" / "dcn_dryrun.py")],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "DCN dryrun: OK" in proc.stdout + proc.stderr
