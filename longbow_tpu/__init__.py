@@ -17,3 +17,30 @@ scatter-gather.
 __version__ = "0.1.0"
 
 from longbow_tpu.ops.distance import Metric  # noqa: F401
+
+# Lazy top-level API (PEP 562): `longbow_tpu.VectorStore` /
+# `longbow_tpu.LongbowClient` without importing jax or pyarrow.flight
+# at package-import time (the storage tier deliberately stays
+# importable without either).
+_LAZY = {
+    "VectorStore": ("longbow_tpu.store.vector_store", "VectorStore"),
+    "Dataset": ("longbow_tpu.store.dataset", "Dataset"),
+    "LongbowClient": ("longbow_tpu.serving.client", "LongbowClient"),
+    "Config": ("longbow_tpu.config", "Config"),
+    "load_config": ("longbow_tpu.config", "load_config"),
+}
+
+
+def __getattr__(name: str):
+    target = _LAZY.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    obj = getattr(importlib.import_module(target[0]), target[1])
+    globals()[name] = obj  # cache: next access skips the import hook
+    return obj
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
