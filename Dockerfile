@@ -6,8 +6,9 @@ RUN apt-get update && apt-get install -y --no-install-recommends g++ \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /app
+# the native C++ source ships inside the package (native_src/);
+# storage/native.py compiles it on first use with the g++ above
 COPY longbow_tpu/ longbow_tpu/
-COPY native/ native/
 COPY tools/ tools/
 
 RUN pip install --no-cache-dir "jax[tpu]" pyarrow prometheus_client numpy
