@@ -453,3 +453,47 @@ def test_every_config_knob_is_documented():
     doc = (root / "docs" / "CONFIGURATION.md").read_text()
     missing = [k for k in knobs if f"LONGBOW_{k}" not in doc]
     assert not missing, f"knobs missing from docs/CONFIGURATION.md: {missing}"
+
+
+def test_every_thirdparty_import_is_a_declared_dependency():
+    """pyproject.toml must declare every third-party package the code
+    imports at module scope (lazy optional imports like boto3 are
+    inside functions and exempt by construction)."""
+    import ast
+    import re
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    stdlib = set(sys.stdlib_module_names)
+    tops = set()
+
+    def collect(nodes):
+        # import-time scope only: recurse through module-level
+        # if/try/class bodies but NOT into function bodies —
+        # function-local imports are the sanctioned optional-dep
+        # pattern (boto3, kubernetes endpoints, ...)
+        for node in nodes:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                continue
+            if isinstance(node, ast.Import):
+                tops.update(a.name.split(".")[0] for a in node.names)
+            elif isinstance(node, ast.ImportFrom):
+                if node.module and node.level == 0:
+                    tops.add(node.module.split(".")[0])
+            else:
+                collect(ast.iter_child_nodes(node))
+
+    for py in (root / "longbow_tpu").rglob("*.py"):
+        collect(ast.parse(py.read_text()).body)
+    thirdparty = {
+        t for t in tops
+        if t not in stdlib and t != "longbow_tpu"
+    }
+    pyproject = (root / "pyproject.toml").read_text()
+    deps = set(re.findall(r'"([A-Za-z0-9_.-]+)\s*[><=~!]', pyproject))
+    declared = {d.replace("-", "_") for d in deps}
+    missing = sorted(thirdparty - declared)
+    assert not missing, (
+        f"imported but not declared in pyproject.toml: {missing}"
+    )
