@@ -28,10 +28,17 @@ class FragmentationTracker:
         self.threshold = threshold
 
     def ratio(self, dataset) -> float:
-        total = len(dataset.index)
+        # read (index rows, live ids) under the dataset lock: put()
+        # appends index rows BEFORE rebuilding the id map, so an
+        # unlocked read mid-put sees a torn pair whose gap looks like
+        # dead rows (observed: a fresh 50k-row ingest read ratio 0.33
+        # and triggered a 329s zero-reclaim rebuild)
+        with dataset._lock:
+            total = len(dataset.index)
+            live = dataset.live_count
         if total == 0:
             return 0.0
-        return 1.0 - dataset.live_count / total
+        return 1.0 - live / total
 
     def needs_compaction(self, dataset) -> bool:
         return self.ratio(dataset) > self.threshold
@@ -40,20 +47,27 @@ class FragmentationTracker:
 def compact_dataset(dataset) -> dict:
     """Rebuild the dataset's index/columns with only live rows.
 
-    Holds the dataset lock for the whole rebuild: a delete that landed
-    between the live-row snapshot and the index swap would otherwise be
-    resurrected. (The reference serializes compaction against writers
-    the same way, compaction.go.)
+    The expensive rebuild (a bulk index build — minutes for a graph
+    kind) runs OUTSIDE the dataset lock so searches and puts keep
+    being served; the lock is held only to snapshot the live rows and
+    to swap the rebuilt trio in. Mutations that land during the build
+    are reconciled at swap time: a re-put id changes its row number
+    (rows are append-only within an index generation), so comparing
+    the id→row map against the snapshot detects every upsert and
+    delete exactly. (Observed before this: a 329s graph rebuild under
+    the lock timed out every concurrent search. The reference compacts
+    concurrently too — compaction.go's worker remaps batches while
+    readers proceed.)
 
-    Returns stats {reclaimed_rows, live_rows, seconds}.
+    Returns stats {reclaimed_rows, live_rows, seconds, ...}.
     """
     from longbow_tpu.metrics import get_registry
 
     reg = get_registry()
     ds_label = getattr(dataset, "name", "") or "default"
     try:
-        with dataset._lock:
-            out = _compact_locked(dataset)
+        with dataset._compact_mu:
+            out = _compact_concurrent(dataset)
     except Exception:
         reg.inc(
             "longbow_compaction_operations_total",
@@ -75,84 +89,12 @@ def compact_dataset(dataset) -> dict:
     return out
 
 
-def _compact_locked(dataset) -> dict:
-    t0 = time.time()
-    pairs = list(dataset._id_to_row.items())
-    dead = len(dataset.index) - len(pairs)
-    if not pairs:
-        if dead == 0:
-            return {"reclaimed_rows": 0, "live_rows": 0, "seconds": 0.0}
-        # fully-deleted dataset: swap in a minimal fresh index so the
-        # device bytes actually come back (the old early-return kept
-        # full capacity forever and re-triggered a no-op every sweep)
-        from longbow_tpu.index.factory import make_index
-        from longbow_tpu.query.filters import ColumnStore
-
-        dataset.index = make_index(
-            dataset.index_kind,
-            dataset.dim,
-            dataset.metric,
-            dtype=dataset.dtype,
-            migration_threshold=dataset.migration_threshold,
-            hnsw_config=dataset.hnsw_config,
-            **{
-                k: v
-                for k, v in dataset.index_params.items()
-                if k != "graph_disk"
-            },
-        )
-        dataset.columns = ColumnStore(dataset.index.capacity)
-        dataset._id_to_row = {}
-        dataset._row_to_id = []
-        dataset._row_ids_np = None
-        dataset.filter_cache.invalidate()
-        return {
-            "reclaimed_rows": dead,
-            "live_rows": 0,
-            "seconds": time.time() - t0,
-        }
-
-    rows = np.asarray([r for _, r in pairs])
-    ids = [u for u, _ in pairs]
-    # device-resident gather when the index supports it: the np path
-    # fetched EVERY live vector to host then re-uploaded (2 x 1.4GB
-    # through the device relay at 2.7M x 128 — minutes under the
-    # dataset lock, profiled blocking all ingest); the device array
-    # feeds the new index's device add fast path directly
-    gv_dev = getattr(dataset.index, "get_vectors_device", None)
-    vecs = (
-        gv_dev(rows) if gv_dev is not None
-        else dataset.index.get_vectors(rows)
-    )
-
-    # snapshot live column values before the rebuild
-    live_cols = {}
-    cols = dataset.columns
-    for name in cols.fields():
-        if name in cols._host_numeric:
-            live_cols[name] = cols._host_numeric[name][rows]
-        elif name in cols._numeric:
-            live_cols[name] = np.asarray(cols._numeric[name])[rows]
-        else:
-            codes = np.asarray(cols._str_codes[name])[rows]
-            rev = {v: k for k, v in cols._str_dicts[name].items()}
-            live_cols[name] = np.asarray(
-                [rev.get(int(c), "") for c in codes]
-            )
-
-    # fresh index + columns, re-put everything (BM25/graph keyed by
-    # user id — unaffected by row renumbering). Rebuild from the
-    # dataset's construction params: quantized adapter kinds have none
-    # of AdaptiveIndex's attributes.
+def _fresh_index(dataset):
+    """New empty index from the dataset's construction params
+    (quantized adapter kinds have none of AdaptiveIndex's attrs)."""
     from longbow_tpu.index.factory import make_index
-    from longbow_tpu.query.filters import ColumnStore
 
-    old_inner = getattr(dataset.index, "_inner", None)
-    # BUILD EVERYTHING OFF TO THE SIDE, then swap: searches snapshot
-    # (index, row map, columns) under the dataset lock, so the old
-    # trio must stay internally consistent (no in-place clear()) and
-    # the new trio must be fully populated before any reference swaps
-    new_index = make_index(
+    return make_index(
         dataset.index_kind,
         dataset.dim,
         dataset.metric,
@@ -165,6 +107,81 @@ def _compact_locked(dataset) -> dict:
             if k != "graph_disk"  # dataset-level knob, not an index kwarg
         },
     )
+
+
+def _gather_cols(cols, rows: np.ndarray) -> dict:
+    """Snapshot column values at the given rows (strings decoded back
+    from their dictionary codes)."""
+    out = {}
+    for name in cols.fields():
+        if name in cols._host_numeric:
+            out[name] = cols._host_numeric[name][rows]
+        elif name in cols._numeric:
+            out[name] = np.asarray(cols._numeric[name])[rows]
+        else:
+            codes = np.asarray(cols._str_codes[name])[rows]
+            rev = {v: k for k, v in cols._str_dicts[name].items()}
+            out[name] = np.asarray([rev.get(int(c), "") for c in codes])
+    return out
+
+
+def _compact_concurrent(dataset) -> dict:
+    t0 = time.time()
+
+    # ---- phase 1 (locked): snapshot the live rows ----
+    with dataset._lock:
+        pairs = list(dataset._id_to_row.items())
+        dead = len(dataset.index) - len(pairs)
+        if not pairs:
+            if dead == 0:
+                return {"reclaimed_rows": 0, "live_rows": 0, "seconds": 0.0}
+            # fully-deleted dataset: swap in a minimal fresh index so
+            # the device bytes actually come back (the old early-return
+            # kept full capacity forever, re-triggering a no-op sweep)
+            from longbow_tpu.query.filters import ColumnStore
+
+            dataset.index = _fresh_index(dataset)
+            dataset.columns = ColumnStore(dataset.index.capacity)
+            dataset._id_to_row = {}
+            dataset._row_to_id = []
+            dataset._row_ids_np = None
+            dataset.filter_cache.invalidate()
+            return {
+                "reclaimed_rows": dead,
+                "live_rows": 0,
+                "seconds": time.time() - t0,
+            }
+
+        rows = np.asarray([r for _, r in pairs])
+        ids = [u for u, _ in pairs]
+        # device-resident gather when the index supports it: the np
+        # path fetched EVERY live vector to host then re-uploaded
+        # (2 x 1.4GB through the device relay at 2.7M x 128); the
+        # device array feeds the new index's device add fast path
+        gv_dev = getattr(dataset.index, "get_vectors_device", None)
+        vecs = (
+            gv_dev(rows) if gv_dev is not None
+            else dataset.index.get_vectors(rows)
+        )
+        live_cols = _gather_cols(dataset.columns, rows)
+        # host scan mirror snapshot, carried into the rebuilt index so
+        # compaction never silently demotes scans to device fetches
+        # (the new index's device-origin bulk add disables its own)
+        mr = None
+        if (
+            getattr(dataset.index, "_flat", None) is not None
+            and getattr(dataset.index, "_graph", None) is None
+        ):
+            mr = dataset.index._flat.mirror_rows(rows)
+        old_inner = getattr(dataset.index, "_inner", None)
+
+    # ---- phase 2 (UNLOCKED): build the new trio off to the side.
+    # This is the expensive part (a graph kind bulk-builds here —
+    # minutes on some backends); searches and puts keep being served
+    # against the old trio, which stays internally consistent. ----
+    from longbow_tpu.query.filters import ColumnStore
+
+    new_index = _fresh_index(dataset)
     # keep trained quantizer state so PQ/SQ8/BQ codes stay stable
     # across compactions (reference keeps codebooks on the Dataset,
     # quantization_integration.go)
@@ -179,20 +196,12 @@ def _compact_locked(dataset) -> dict:
             if val is not None and hasattr(new_inner, attr):
                 setattr(new_inner, attr, val)
     new_rows = new_index.add(vecs)
-    # carry the host scan mirror over (np gather — the rebuilt index's
-    # device-origin add disabled its own mirror, and without this every
-    # compaction would silently demote scans back to device fetches)
-    old_flat = getattr(dataset.index, "_flat", None)
-    new_flat = getattr(new_index, "_flat", None)
     if (
-        old_flat is not None
-        and new_flat is not None
-        and getattr(dataset.index, "_graph", None) is None
+        mr is not None
+        and getattr(new_index, "_flat", None) is not None
         and getattr(new_index, "_graph", None) is None
     ):
-        mr = old_flat.mirror_rows(rows)
-        if mr is not None:
-            new_flat.adopt_mirror(mr)
+        new_index._flat.adopt_mirror(mr)
     new_columns = ColumnStore(new_index.capacity)
     # rows= and max(): mesh-sharded indexes return shard-strided
     # (non-ascending) row ids — same fix as Dataset.put
@@ -204,15 +213,61 @@ def _compact_locked(dataset) -> dict:
     new_r2i: list = [None] * (top + 1)
     for j, uid in enumerate(ids):
         new_r2i[int(new_rows[j])] = uid
-    dataset.index = new_index
-    dataset.columns = new_columns
-    dataset._id_to_row = new_i2r
-    dataset._row_to_id = new_r2i
-    dataset._row_ids_np = None
-    dataset.filter_cache.invalidate()
+
+    # ---- phase 3 (locked): reconcile mutations that landed during
+    # the build, then swap. Rows are append-only within an index
+    # generation (an upsert tombstones the old row and appends a new
+    # one), so comparing the live id→row map against the snapshot
+    # detects every upsert and delete exactly. ----
+    snap_map = dict(pairs)
+    with dataset._lock:
+        cur = dataset._id_to_row
+        # deletes — and the stale snapshot version of every re-put
+        # id — leave the new trio
+        drop_new_rows = []
+        for uid, old_row in snap_map.items():
+            if cur.get(uid) == old_row:
+                continue  # unchanged since the snapshot
+            nr = new_i2r.pop(uid, None)
+            if nr is not None:
+                drop_new_rows.append(nr)
+                if nr < len(new_r2i):
+                    new_r2i[nr] = None
+        if drop_new_rows:
+            new_index.delete_rows(np.asarray(drop_new_rows))
+        # upserts and brand-new ids: re-add their CURRENT version
+        changed = [
+            uid for uid, row in cur.items() if snap_map.get(uid) != row
+        ]
+        if changed:
+            rows2 = np.asarray([cur[uid] for uid in changed])
+            # host-path gather + add: feeds the new index's scan
+            # mirror (a device add would disable it) and the delta is
+            # small — proportional to writes during the build
+            vecs2 = dataset.index.get_vectors(rows2)
+            cols2 = _gather_cols(dataset.columns, rows2)
+            nr2 = new_index.add(vecs2)
+            new_columns.append(
+                cols2, len(changed), new_index.capacity, rows=nr2
+            )
+            nr2_list = nr2.tolist()
+            need = max(nr2_list) + 1 - len(new_r2i)
+            if need > 0:
+                new_r2i.extend([None] * need)
+            for uid, r in zip(changed, nr2_list):
+                new_i2r[uid] = int(r)
+                new_r2i[int(r)] = uid
+        dataset.index = new_index
+        dataset.columns = new_columns
+        dataset._id_to_row = new_i2r
+        dataset._row_to_id = new_r2i
+        dataset._row_ids_np = None
+        dataset.filter_cache.invalidate()
     return {
         "reclaimed_rows": dead,
-        "live_rows": len(ids),
+        "live_rows": len(new_i2r),
+        "delta_upserts": len(changed),
+        "delta_deletes": len(drop_new_rows),
         "seconds": time.time() - t0,
     }
 

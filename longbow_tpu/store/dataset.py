@@ -104,6 +104,10 @@ class Dataset:
         # RLock: export_delta/_bucket_map nest under it, and merkle
         # snapshots must hold it to iterate _lww safely vs ingest
         self._lock = threading.RLock()
+        # serializes compactions (the rebuild runs OUTSIDE self._lock
+        # so serving continues; two concurrent rebuilds of the same
+        # dataset would race on the trio swap)
+        self._compact_mu = threading.Lock()
         self.created_at = time.time()
         # dataset-level TTL eviction input (reference: docs/eviction.md
         # — LONGBOW_TTL drops datasets not read or written for the

@@ -251,3 +251,143 @@ def test_compaction_reclaims_fully_deleted_dataset():
     # second compaction is a no-op, not a re-trigger
     out = compact_dataset(ds)
     assert out["reclaimed_rows"] == 0
+
+
+# ---- concurrent compaction (the rebuild must not block serving) ----
+
+
+def _slow_build_hook(monkeypatch, in_build, release):
+    """Make the compaction-phase-2 bulk add block on `release` after
+    signalling `in_build` (only the FIRST add — the phase-3 delta add
+    must run normally)."""
+    import longbow_tpu.store.compaction as comp
+
+    orig_fresh = comp._fresh_index
+
+    def slow_fresh(dataset):
+        idx = orig_fresh(dataset)
+        orig_add = idx.add
+        state = {"first": True}
+
+        def add(vecs):
+            if state["first"]:
+                state["first"] = False
+                in_build.set()
+                assert release.wait(30), "test never released the build"
+            return orig_add(vecs)
+
+        idx.add = add
+        return idx
+
+    monkeypatch.setattr(comp, "_fresh_index", slow_fresh)
+
+
+def test_compaction_does_not_block_serving(monkeypatch):
+    """A slow index rebuild (minutes for a graph kind) must not hold
+    the dataset lock: searches and puts during the build complete
+    immediately (observed pre-fix: a 329s rebuild timed out every
+    concurrent search)."""
+    import threading
+
+    vs = VectorStore()
+    v = _vecs(3000, 16)
+    vs.put("c", np.arange(3000), v)
+    vs.delete("c", list(range(1500)))  # make it genuinely fragmented
+    ds = vs.get("c")
+
+    in_build, release = threading.Event(), threading.Event()
+    _slow_build_hook(monkeypatch, in_build, release)
+
+    out = {}
+    t = threading.Thread(target=lambda: out.update(compact_dataset(ds)))
+    t.start()
+    assert in_build.wait(30)
+    # the build is parked holding NO dataset lock: serving proceeds
+    t0 = time.time()
+    ids, _, ok = ds.search(v[2000][None], 1)
+    assert ids[0, 0] == 2000
+    ds.put(np.array([99_001]), _vecs(1, 16, seed=9))
+    assert time.time() - t0 < 5.0  # not blocked behind the rebuild
+    release.set()
+    t.join(timeout=120)
+    assert not t.is_alive()
+    # the put that landed during the build survived the swap
+    assert 99_001 in ds._id_to_row
+    assert out["live_rows"] == 1501
+
+
+def test_compaction_reconciles_concurrent_mutations(monkeypatch):
+    """Upserts, inserts and deletes that land DURING the offline
+    rebuild must all be present/absent in the swapped-in trio."""
+    import threading
+
+    vs = VectorStore()
+    v = _vecs(500, 16)
+    vs.put("r", np.arange(500), v,
+           columns={"tag": np.array(["old"] * 500)})
+    vs.delete("r", list(range(0, 250)))  # fragment to justify compaction
+    ds = vs.get("r")
+
+    in_build, release = threading.Event(), threading.Event()
+    _slow_build_hook(monkeypatch, in_build, release)
+
+    out = {}
+    t = threading.Thread(target=lambda: out.update(compact_dataset(ds)))
+    t.start()
+    assert in_build.wait(30)
+    new_vec = _vecs(1, 16, seed=42)
+    ds.put(np.array([300]), new_vec,
+           columns={"tag": np.array(["new"])})  # upsert survivor id 300
+    ds.put(np.array([777]), _vecs(1, 16, seed=7))  # brand-new id
+    ds.delete(np.array([301]))  # delete a snapshot survivor
+    release.set()
+    t.join(timeout=120)
+    assert not t.is_alive()
+
+    assert out["delta_upserts"] == 2  # id 300 re-put + id 777 new
+    assert out["delta_deletes"] >= 2  # id 301 + id 300's stale version
+    # upsert: the NEW vector serves, with the NEW column value
+    ids, dist, ok = ds.search(new_vec, 1)
+    assert ids[0, 0] == 300 and dist[0, 0] < 1e-3
+    ids, _, ok = ds.search(new_vec, 5, filters=[Filter("tag", "=", "new")])
+    assert ids[0, 0] == 300
+    # insert present, delete absent
+    assert 777 in ds._id_to_row
+    assert 301 not in ds._id_to_row
+    ids, _, ok = ds.search(v[301][None], 1)
+    assert ids[0, 0] != 301
+    # map invariants after reconcile
+    for uid, row in ds._id_to_row.items():
+        assert ds._row_to_id[row] == uid
+
+
+def test_fragmentation_ratio_not_torn_by_ingest():
+    """put() appends index rows before rebuilding the id map; the
+    tracker must read both under the dataset lock or a fresh ingest
+    looks >30% dead and triggers a full zero-reclaim rebuild
+    (observed on a live server: 329s rebuild, 0 rows reclaimed)."""
+    import threading
+
+    vs = VectorStore()
+    vs.put("t", np.arange(100), _vecs(100, 16))
+    ds = vs.get("t")
+    tracker = FragmentationTracker()
+    stop = threading.Event()
+    fired = []
+
+    def poll():
+        while not stop.is_set():
+            if tracker.needs_compaction(ds):
+                fired.append(tracker.ratio(ds))
+
+    th = threading.Thread(target=poll)
+    th.start()
+    base = 100
+    try:
+        for _ in range(60):
+            ds.put(np.arange(base, base + 2000), _vecs(2000, 16, seed=base))
+            base += 2000
+    finally:
+        stop.set()
+        th.join(timeout=10)
+    assert not fired, f"spurious compaction triggers mid-ingest: {fired}"
