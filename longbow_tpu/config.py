@@ -59,6 +59,10 @@ class Config:
     tls_cert_file: str = field(default_factory=lambda: _env("TLS_CERT", ""))
     tls_key_file: str = field(default_factory=lambda: _env("TLS_KEY", ""))
     tls_ca_file: str = field(default_factory=lambda: _env("TLS_CA", ""))
+    # pre-compile the common search shape per recovered dataset at
+    # startup so the first client query after a restart doesn't pay
+    # the XLA compile (~30s via the remote compiler)
+    warmup: bool = field(default_factory=lambda: _env("WARMUP", True, bool))
     max_wal_mb: int = field(default_factory=lambda: _env("MAX_WAL_MB", 100, int))
     wal_sync: str = field(default_factory=lambda: _env("WAL_SYNC", "batch"))
     # remote snapshot mirror (reference: s3_backend.go): either an S3

@@ -158,15 +158,38 @@ class AdaptiveIndex:
                             )
                         except Exception:
                             pass
-                        return
+                        break
                 # large backlog: catch up outside the lock (adds only
                 # append past `count`, so [built, count) is stable)
                 self._graph_chunk(g, built, count)
                 built = count
+            # pre-compile the common serving search shape on this
+            # (builder) thread, outside every lock — the first
+            # post-migration search otherwise pays the full compile
+            # on a user query
+            self._warm_graph(g)
         except Exception:
             log.exception("background migration failed; staying flat")
         finally:
             self._builder = None
+
+    def _warm_graph(self, g) -> None:
+        """Pre-compile the common serving search shape (B buckets to 1,
+        k=10) off the query path: the first post-migration search
+        otherwise pays the full XLA/Mosaic compile (~30s through the
+        remote compiler) on a user query — measured on a live server
+        timing out every in-flight client during the window.
+        LONGBOW_WARMUP_AFTER_BUILD=0 opts out (tests do: their search
+        shapes rarely match the warmed one)."""
+        import os
+
+        if os.environ.get("LONGBOW_WARMUP_AFTER_BUILD", "1") == "0":
+            return
+        try:
+            k = min(10, max(1, len(g)))
+            g.search(np.zeros((1, self.dim), np.float32), k)
+        except Exception:
+            log.exception("graph warmup search failed (serving unaffected)")
 
     def _probe_contrast(self, count: int) -> bool:
         """Hardness probe: True = hard-enough structure to migrate.

@@ -548,7 +548,14 @@ class HNSWIndex:
         """
         import numpy as _np
 
+        from longbow_tpu.ops.distance import bucket_queries
+
         q_np = _np.atleast_2d(_np.asarray(queries, dtype=_np.float32))
+        # bucket B to powers of two: beam_search compiles per batch
+        # shape, and the coalescer produces arbitrary sizes — each
+        # fresh B cost a ~30s remote compile that timed out every
+        # in-flight client (results sliced back to b_orig at return)
+        q_np, b_orig = bucket_queries(q_np)
         if self._mips:
             q_np = _np.concatenate(
                 [q_np, _np.zeros((q_np.shape[0], 1), _np.float32)], axis=1
@@ -614,6 +621,8 @@ class HNSWIndex:
             # declared cosine distance 1 - cos = l2^2 / 2 (uniform
             # across index kinds, matching exact_search(COSINE))
             d = cosine_report(np.asarray(d, np.float32))
+        if b_orig != q_np.shape[0]:
+            d, r = d[:b_orig], r[:b_orig]
         return d, r
 
     def _speed_state(self) -> "GraphState":

@@ -126,6 +126,29 @@ def pad_dim(d: int) -> int:
     return pad_to(d, 128)
 
 
+def bucket_queries(q: "np.ndarray", cap: int = 4096):
+    """Pad a [B, ...] host query batch to the next power-of-two rows.
+
+    Jitted search programs compile once per input SHAPE; the serving
+    coalescer produces whatever batch size happened to queue (1, 2, 3,
+    7, ...), and each fresh B costs a full compile (~30s through the
+    remote compiler — measured timing out every client during the
+    window). Power-of-two buckets bound compiles at log2(cap) shapes
+    and padding waste at 2x. Past `cap` rows batches are bulk/canonical
+    already. Returns (padded, original_rows)."""
+    import numpy as np
+
+    b = q.shape[0]
+    if b <= 0 or b > cap:
+        return q, b
+    nb = 1 << (b - 1).bit_length()
+    if nb == b:
+        return q, b
+    out = np.zeros((nb,) + q.shape[1:], q.dtype)
+    out[:b] = q
+    return out, b
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _tombstone_donated(valid, rows):
     # pad slots carry an out-of-range index; 'drop' skips them instead

@@ -171,6 +171,36 @@ def main(argv=None) -> int:
 
     threading.Thread(target=_memory_loop, daemon=True).start()
 
+    # index warmup: pre-compile the common search shape for each
+    # recovered dataset so the first client query after a restart
+    # doesn't pay the XLA compile (~30s via the remote compiler —
+    # measured timing out every in-flight search on a live server).
+    # One SEQUENTIAL thread: concurrent remote compiles wedge the
+    # compile helper. LONGBOW_WARMUP=0 opts out.
+    if cfg.warmup and store.list_datasets():
+
+        def _warmup() -> None:
+            import time as _t
+
+            import numpy as _np
+
+            for name in store.list_datasets():
+                try:
+                    ds = store.get(name)
+                    if ds.live_count == 0:
+                        continue
+                    t0 = _t.time()
+                    ds.search(_np.zeros((1, ds.dim), _np.float32), 10)
+                    log.info(
+                        "warmed %s in %.1fs", name, _t.time() - t0
+                    )
+                except Exception:
+                    log.exception("warmup search failed for %s", name)
+
+        threading.Thread(
+            target=_warmup, daemon=True, name="longbow-warmup"
+        ).start()
+
     # periodic snapshots in addition to the WAL-size trigger
     # (reference: SNAPSHOT_INTERVAL, cmd/longbow/main.go:57)
     if cfg.snapshot_interval_s > 0 and store.engine is not None:

@@ -86,6 +86,11 @@ class SearchCoalescer:
         self.dispatches = 0       # kernel dispatches issued
         self.coalesced = 0        # requests that shared a dispatch
         self.requests = 0
+        # dataset -> dispatch start time, for timeout diagnostics: a
+        # request that times out while a long dispatch is running is
+        # almost always waiting on a first-shape XLA compile, and the
+        # error should say so instead of looking like a wedge
+        self._inflight: dict = {}
         self._t: Optional[threading.Thread] = None
         if autostart:
             self.start()
@@ -213,6 +218,9 @@ class SearchCoalescer:
             )
         except Exception:
             pass
+        import time as _t
+
+        self._inflight[dataset] = _t.time()
         try:
             ids, scores, ok = self.store.search(
                 dataset, qs, k, filters=filters, ef_search=ef,
@@ -222,6 +230,8 @@ class SearchCoalescer:
             for it in items:
                 it[7].set_err(e)
             return
+        finally:
+            self._inflight.pop(dataset, None)
         off = 0
         for it in items:
             n = it[1].shape[0]

@@ -350,6 +350,20 @@ class Dataset:
             r2i = self._row_to_id
             cols = self.columns
         mask = self.filter_mask(filters or [], _columns=cols, _index=idx)
+        # bucket the batch dim to powers of two for host-origin queries:
+        # jitted search programs compile per input shape, and the
+        # serving coalescer produces whatever size happened to queue —
+        # each fresh B cost a full remote compile. FlatIndex buckets
+        # internally to its canonical kernel shapes; this covers every
+        # other index kind (results sliced back below).
+        b_orig = None
+        if isinstance(queries, np.ndarray):
+            from longbow_tpu.ops.distance import bucket_queries
+
+            queries2d = np.atleast_2d(queries)
+            padded, b = bucket_queries(queries2d)
+            if padded.shape[0] != queries2d.shape[0]:
+                queries, b_orig = padded, b
         t0 = time.perf_counter()
         d, r = idx.search(
             jnp.asarray(queries, dtype=jnp.float32),
@@ -373,6 +387,8 @@ class Dataset:
                 pass
         d = np.asarray(d)
         r = np.asarray(r)
+        if b_orig is not None:
+            d, r = d[:b_orig], r[:b_orig]
         from longbow_tpu.ops.distance import MASKED_GUARD
 
         ok = (d < float(MASKED_GUARD)) & (r >= 0)

@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Skip the post-migration warmup search: it pre-compiles the B=1/k=10
+# serving shape, which test searches rarely reuse — pure compile cost.
+os.environ.setdefault("LONGBOW_WARMUP_AFTER_BUILD", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

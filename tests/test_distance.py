@@ -159,3 +159,20 @@ def test_float64_inputs_search_correctly():
     got = np.asarray(pairwise_distance(jnp.asarray(v[:4]), jnp.asarray(v[4:8])))
     want = ((v[:4] - v[4:8]) ** 2).sum(-1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_bucket_queries_pads_to_pow2():
+    from longbow_tpu.ops.distance import bucket_queries
+
+    q = np.ones((3, 8), np.float32)
+    p, b = bucket_queries(q)
+    assert b == 3 and p.shape == (4, 8)
+    assert (p[:3] == 1).all() and (p[3] == 0).all()
+    # exact powers of two pass through untouched
+    q = np.ones((4, 8), np.float32)
+    p, b = bucket_queries(q)
+    assert p is q and b == 4
+    # past the cap: bulk batches keep their exact shape
+    q = np.ones((5000, 2), np.float32)
+    p, b = bucket_queries(q)
+    assert p is q and b == 5000

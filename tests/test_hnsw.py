@@ -448,3 +448,42 @@ def test_symmetrize_no_duplicate_neighbors():
     for i in range(0, n, 37):
         row = nbrs[i][nbrs[i] >= 0]
         assert len(row) == len(set(row.tolist())), i
+
+
+def test_graph_search_batch_bucketing():
+    """HNSWIndex.search pads B to powers of two; results must match
+    the per-query answers and slice back to the caller's B."""
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((200, 32), dtype=np.float32)
+    idx = HNSWIndex(32, config=HNSWConfig(m=16, ef_construction=64,
+                                          ef_search=64))
+    idx.add(v)
+    for b in (1, 3, 7):
+        d, r = idx.search(v[:b] + 0.0005, 5)
+        assert d.shape == (b, 5) and r.shape == (b, 5)
+        assert [int(r[i, 0]) for i in range(b)] == list(range(b))
+
+
+def test_warm_graph_gate_and_resilience(monkeypatch):
+    """_warm_graph respects LONGBOW_WARMUP_AFTER_BUILD and never
+    propagates a failure into the builder thread."""
+    from longbow_tpu.index.adaptive import AdaptiveIndex
+    from longbow_tpu.ops.distance import Metric
+
+    idx = AdaptiveIndex(8, Metric.L2, migration_threshold=10**9)
+    calls = []
+
+    class G:
+        def __len__(self):
+            return 50
+
+        def search(self, q, k):
+            calls.append((q.shape, k))
+            raise RuntimeError("boom")  # must be swallowed
+
+    monkeypatch.setenv("LONGBOW_WARMUP_AFTER_BUILD", "0")
+    idx._warm_graph(G())
+    assert not calls
+    monkeypatch.setenv("LONGBOW_WARMUP_AFTER_BUILD", "1")
+    idx._warm_graph(G())  # exception swallowed
+    assert calls == [((1, 8), 10)]

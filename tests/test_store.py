@@ -380,3 +380,21 @@ def test_schema_type_flip_rejected_atomically():
         store.put(
             "se", np.arange(10, 15), v, columns={"cat": np.arange(5.0)}
         )
+
+
+def test_search_batch_bucketing_transparent():
+    """Dataset.search pads host batches to power-of-two rows (one
+    compile per bucket instead of one per client batch size) — the
+    padding must be invisible: same results, same shapes."""
+    from longbow_tpu.store.dataset import Dataset
+
+    ds = Dataset(name="b", dim=16, metric="l2", index_kind="flat")
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((300, 16), dtype=np.float32)
+    ds.put(np.arange(300), v)
+    for b in (1, 3, 5, 7):
+        q = v[:b] + 0.001
+        ids, scores, ok = ds.search(q, 5)
+        assert ids.shape == (b, 5) and scores.shape == (b, 5)
+        for i in range(b):
+            assert ids[i, 0] == i  # nearest neighbor of v[i]+eps
