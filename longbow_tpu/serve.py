@@ -42,7 +42,19 @@ def main(argv=None) -> int:
 
     faulthandler.register(signal.SIGUSR1, all_threads=True)
     cfg = load_config()
-    if cfg.compile_cache_dir:
+    # The cache exists for the TPU relay's 30-400s kernel compiles. On
+    # the CPU backend it is a measured PESSIMIZATION: XLA:CPU AOT
+    # entries load with a target-feature mismatch (+prefer-no-gather /
+    # +prefer-no-scatter pseudo-features the load-time host probe never
+    # reports) and the loaded executable runs ~2.4x slower than a fresh
+    # compile of the identical program (served dense search p50 10.9ms
+    # cached vs 4.6ms fresh, 50k x 384 bf16, one core). CPU compiles
+    # are seconds, so default the cache OFF there;
+    # LONGBOW_COMPILE_CACHE_CPU=1 opts back in (multi-node CPU soaks
+    # where restart-recompile time dominates).
+    _cpu_forced = os.environ.get("LONGBOW_FORCE_CPU") == "1"
+    _cache_on_cpu = os.environ.get("LONGBOW_COMPILE_CACHE_CPU") == "1"
+    if cfg.compile_cache_dir and (not _cpu_forced or _cache_on_cpu):
         # persistent XLA executable cache: restart cold-start goes from
         # minutes of kernel compiles to cache reads. Best-effort — a
         # backend that can't serialize executables just recompiles.
