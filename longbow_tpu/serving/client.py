@@ -229,7 +229,14 @@ class LongbowClient:
         (reference: client.py search :192 ticket format)."""
         req: dict[str, Any] = {"dataset": dataset, "k": k}
         if vector is not None:
-            req["vector"] = np.asarray(vector, dtype=np.float32).ravel().tolist()
+            v = np.asarray(vector, dtype=np.float32)
+            if v.ndim >= 2:
+                # a [B, D] batch passed positionally: send as "vectors"
+                # — ravel()ing it read as one (B*D)-dim query and the
+                # server rejected the dimension
+                req["vectors"] = v.reshape(v.shape[0], -1).tolist()
+            else:
+                req["vector"] = v.ravel().tolist()
         if vectors is not None:
             req["vectors"] = np.asarray(vectors, dtype=np.float32).tolist()
         if filters:

@@ -640,3 +640,18 @@ def test_unix_socket_mirror_roundtrip(tmp_path):
         ct.close()
     finally:
         handle.shutdown()
+
+
+def test_batched_vector_search_via_sdk(client):
+    """A [B, D] batch passed to client.search must become a 'vectors'
+    ticket (ravel()ing it read as one B*D-dim query and the server
+    rejected the dimension)."""
+    v = _vecs(40, 16, seed=4)
+    client.write("e2e_batch", np.arange(40), v)
+    t = client.search("e2e_batch", v[:5] + 0.001, k=3)
+    assert t.num_rows == 15
+    qi = t.column("query_index").to_numpy()
+    assert sorted(set(qi.tolist())) == [0, 1, 2, 3, 4]
+    ids = t.column("id").to_numpy(zero_copy_only=False)
+    for b in range(5):
+        assert ids[qi == b][0] == b  # nearest neighbor of v[b]+eps
