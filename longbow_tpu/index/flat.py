@@ -149,7 +149,16 @@ class FlatIndex:
         self.metric = Metric.validate(metric)
         self.dtype = dtype
         self.count = 0
-        cap = pad_to(capacity, MIN_CAPACITY)
+        # capacity rides the SAME doubling series organic growth
+        # produces (MIN_CAPACITY * 2^k): the fused kernel compiles per
+        # corpus shape, and an arbitrary pre-size creates a fresh
+        # Mosaic shape per dataset — measured 990s compiling for a
+        # 300k pre-size (303104 rows) while the power-of-two shapes
+        # are one compile ever, shared across datasets and restarts
+        # via the persistent cache
+        cap = MIN_CAPACITY
+        while cap < capacity:
+            cap *= 2
         self.vectors = jnp.zeros((cap, dim), dtype=dtype)
         self.norms_sq = jnp.zeros((cap,), dtype=jnp.float32)
         self.valid = jnp.zeros((cap,), dtype=bool)

@@ -183,34 +183,54 @@ def main(argv=None) -> int:
 
     threading.Thread(target=_memory_loop, daemon=True).start()
 
-    # index warmup: pre-compile the common search shape for each
-    # recovered dataset so the first client query after a restart
-    # doesn't pay the XLA compile (~30s via the remote compiler —
-    # measured timing out every in-flight search on a live server).
-    # One SEQUENTIAL thread: concurrent remote compiles wedge the
-    # compile helper. LONGBOW_WARMUP=0 opts out.
-    if cfg.warmup and store.list_datasets():
+    # index warmer: pre-compile the common search shape OFF the query
+    # path — at startup for recovered datasets, and again whenever a
+    # dataset's kernel shape changes (new dataset's first rows, a
+    # capacity doubling, an index-kind swap). Without this the first
+    # client query pays the XLA compile (~30s via the remote compiler)
+    # and times out — observed on-chip: 10 consecutive compile-window
+    # timeouts opened the circuit breaker. One SEQUENTIAL thread:
+    # concurrent remote compiles wedge the compile helper.
+    # LONGBOW_WARMUP=0 opts out.
+    if cfg.warmup:
 
-        def _warmup() -> None:
+        def _warmup_loop() -> None:
             import time as _t
 
             import numpy as _np
 
-            for name in store.list_datasets():
-                try:
-                    ds = store.get(name)
-                    if ds.live_count == 0:
-                        continue
-                    t0 = _t.time()
-                    ds.search(_np.zeros((1, ds.dim), _np.float32), 10)
-                    log.info(
-                        "warmed %s in %.1fs", name, _t.time() - t0
-                    )
-                except Exception:
-                    log.exception("warmup search failed for %s", name)
+            warmed: dict = {}
+            while True:
+                for name in store.list_datasets():
+                    try:
+                        ds = store.get(name)
+                        if ds.live_count == 0:
+                            continue
+                        key = (
+                            ds.index_kind,
+                            type(ds.index).__name__,
+                            getattr(ds.index, "capacity", 0),
+                        )
+                        if warmed.get(name) == key:
+                            continue
+                        # one attempt per shape, even on failure — a
+                        # failing compile must not retry in a hot loop
+                        warmed[name] = key
+                        t0 = _t.time()
+                        ds.search(
+                            _np.zeros((1, ds.dim), _np.float32), 10
+                        )
+                        dt = _t.time() - t0
+                        if dt > 1.0:
+                            log.info("warmed %s in %.1fs", name, dt)
+                    except Exception:
+                        log.exception(
+                            "warmup search failed for %s", name
+                        )
+                _t.sleep(2.0)
 
         threading.Thread(
-            target=_warmup, daemon=True, name="longbow-warmup"
+            target=_warmup_loop, daemon=True, name="longbow-warmup"
         ).start()
 
     # periodic snapshots in addition to the WAL-size trigger

@@ -406,6 +406,15 @@ class LongbowFlightServer(flight.FlightServerBase):
         except (ValueError, SanitizationError) as e:
             self.metrics.inc("longbow_vector_search_action_errors_total")
             raise flight.FlightServerError(f"bad request: {e}") from e
+        except TimeoutError as e:
+            # coalesced dispatch still running (first-shape XLA compile
+            # or a huge batch): the server is healthy and making
+            # progress, so this must NOT count toward the breaker —
+            # observed on-chip: one ~30s kernel compile produced 10
+            # consecutive timeouts, opened the breaker, and turned a
+            # warmup window into a full-node outage
+            self.metrics.inc("longbow_vector_search_action_errors_total")
+            raise flight.FlightUnavailableError(str(e)) from e
         except Exception:
             if self.middleware:
                 self.middleware.record_failure("DoGet")

@@ -385,6 +385,14 @@ class Dataset:
                 ).observe(dt)
             except Exception:
                 pass
+        # overlap the two device->host fetches: sequential np.asarray
+        # calls pay two full relay round trips (~26ms each on a bad
+        # relay day); async copies issue both transfers before blocking
+        for _a in (d, r):
+            try:
+                _a.copy_to_host_async()
+            except AttributeError:
+                pass  # already a numpy array (host-only index kinds)
         d = np.asarray(d)
         r = np.asarray(r)
         if b_orig is not None:

@@ -655,3 +655,18 @@ def test_batched_vector_search_via_sdk(client):
     ids = t.column("id").to_numpy(zero_copy_only=False)
     for b in range(5):
         assert ids[qi == b][0] == b  # nearest neighbor of v[b]+eps
+
+
+def test_large_batch_auto_routes_via_exchange(client):
+    """B >= 256 batches ride DoExchange transparently (the JSON ticket
+    measured 253ms for a 2048-query batch vs 8ms via Arrow exchange);
+    result contract must match the ticket path."""
+    v = _vecs(300, 16, seed=6)
+    client.write("e2e_xbatch", np.arange(300), v)
+    t = client.search("e2e_xbatch", v[:256] + 0.001, k=2)
+    assert set(t.column_names) == {"query_index", "id", "score"}
+    assert t.num_rows == 512
+    qi = t.column("query_index").to_numpy()
+    ids = t.column("id").to_numpy(zero_copy_only=False)
+    for b in (0, 100, 255):
+        assert ids[qi == b][0] == b
