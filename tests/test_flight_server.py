@@ -670,3 +670,53 @@ def test_large_batch_auto_routes_via_exchange(client):
     ids = t.column("id").to_numpy(zero_copy_only=False)
     for b in (0, 100, 255):
         assert ids[qi == b][0] == b
+
+
+def test_compile_window_timeouts_do_not_trip_breaker():
+    """A coalesced dispatch that is still running (first-shape compile)
+    times requests out — those must NOT open the circuit breaker (a
+    single ~30s on-chip compile produced 10 consecutive timeouts and
+    took the whole node down for every client), while genuine server
+    failures still must."""
+    import json as _json
+
+    import pyarrow.flight as flight
+
+    from longbow_tpu.serving.flight_server import LongbowFlightServer
+    from longbow_tpu.serving.middleware import MiddlewareChain
+
+    store = VectorStore()
+    store.put("d", np.arange(10), _vecs(10, 8))
+    mw = MiddlewareChain(breaker_threshold=3)
+    srv = LongbowFlightServer(
+        store, "grpc://127.0.0.1:0", middleware_chain=mw
+    )
+    try:
+        ticket = flight.Ticket(
+            _json.dumps(
+                {"search": {"dataset": "d", "k": 2,
+                            "vector": [0.0] * 8}}
+            ).encode()
+        )
+
+        class _TimeoutSearch:
+            def search(self, *a, **kw):
+                raise TimeoutError("coalesced search timed out")
+
+        srv.coalescer = _TimeoutSearch()
+        for _ in range(6):
+            with pytest.raises(Exception):
+                srv.do_get(None, ticket)
+        assert mw.breaker.allow()  # still CLOSED after 6 timeouts
+
+        class _BrokenSearch:
+            def search(self, *a, **kw):
+                raise RuntimeError("device fell over")
+
+        srv.coalescer = _BrokenSearch()
+        for _ in range(3):
+            with pytest.raises(Exception):
+                srv.do_get(None, ticket)
+        assert not mw.breaker.allow()  # genuine failures DO open it
+    finally:
+        srv.shutdown()
