@@ -192,6 +192,11 @@ class LongbowFlightServer(flight.FlightServerBase):
         # cmd/longbow/main.go:448-458): rate limiter + circuit breaker
         self.middleware = middleware_chain
         self.audit = audit_logger or AuditLogger()  # no-op without path
+        # namespaces created WITHOUT a dim are "declared": the dataset
+        # materializes lazily on first DoPut, but the name must already
+        # show in ListFlights/ListNamespaces (the reference creates
+        # eagerly — its own ops_test.py asserts the round trip)
+        self._declared_ns: set = set()
 
     # -- ingestion (reference: servers.go:44 DoPut -> store_actions.go:426) --
 
@@ -839,6 +844,19 @@ class LongbowFlightServer(flight.FlightServerBase):
     # -- bidirectional streaming (reference: do_exchange.go:47-284 —
     #    ingest path + VectorSearch exchange) --------------------------
 
+    def _exchange_legacy_ack(self, reader, writer) -> None:
+        """Reference DoExchange fallback: unknown commands get one ack
+        per received message — the 'verification echo' its ops_test.py
+        exercises (do_exchange.go:186-260 sends DataBody "ack")."""
+        writer.begin(pa.schema([]))
+        n = 0
+        for chunk in reader:
+            if chunk.data is None and chunk.app_metadata is None:
+                continue
+            writer.write_metadata(b"ack")
+            n += 1
+        self.metrics.inc("longbow_do_exchange_batches_sent_total", n)
+
     def do_exchange(self, context, descriptor, reader, writer):
         if self.middleware:
             self.middleware.admit("DoExchange", peer=_peer(context))
@@ -847,7 +865,13 @@ class LongbowFlightServer(flight.FlightServerBase):
         try:
             cmd = {}
             if descriptor.descriptor_type == flight.DescriptorType.CMD:
-                cmd = json.loads(descriptor.command or b"{}")
+                try:
+                    cmd = json.loads(descriptor.command or b"{}")
+                except ValueError:
+                    # reference fallback: any unrecognized command
+                    # (its ops_test.py sends b"fetch") acks each
+                    # received message (do_exchange.go:186-260)
+                    return self._exchange_legacy_ack(reader, writer)
             elif descriptor.path:
                 cmd = {
                     "protocol": "ingest",
@@ -1152,7 +1176,8 @@ class LongbowFlightServer(flight.FlightServerBase):
             return ok(self.store.list_datasets())
         if name == "ListNamespaces":
             # reference response shape (docs/namespaces.md:29-38)
-            ns = self.store.list_namespaces()
+            ns = sorted(set(self.store.list_namespaces())
+                        | {d.split("/", 1)[0] for d in self._declared_ns})
             return ok({"namespaces": ns, "count": len(ns)})
         if name == "GetTotalNamespaceCount":
             # reference: servers.go:299
@@ -1188,6 +1213,8 @@ class LongbowFlightServer(flight.FlightServerBase):
                                  "n_clusters")
                     },
                 )
+            else:
+                self._declared_ns.add(dsname)
             self.audit.record("create_namespace", dsname)
             return ok({"created": dsname})
         if name in ("delete-dataset", "DeleteNamespace"):
@@ -1195,6 +1222,7 @@ class LongbowFlightServer(flight.FlightServerBase):
             # reference SDK sends {"dataset": ...} (client.py:314-347);
             # "name" is this repo's original key — accept both
             target = req.get("name") or req.get("dataset") or ""
+            self._declared_ns.discard(target)
             dropped = self.store.drop(target)
             self.audit.record("drop_dataset", target, {"dropped": dropped})
             return ok({"dropped": dropped})
@@ -1448,12 +1476,18 @@ class LongbowFlightServer(flight.FlightServerBase):
     # -- discovery --
 
     def list_flights(self, context, criteria):
-        for name in self.store.list_datasets():
+        existing = self.store.list_datasets()
+        for name in existing:
             ds = self.store.get(name)
             descriptor = flight.FlightDescriptor.for_path(name.encode())
             yield flight.FlightInfo(
                 self._dataset_schema(ds), descriptor, [], ds.live_count, -1
             )
+        # declared-but-not-yet-materialized namespaces (no dim at
+        # create time): empty schema, zero records
+        for name in sorted(self._declared_ns - set(existing)):
+            descriptor = flight.FlightDescriptor.for_path(name.encode())
+            yield flight.FlightInfo(pa.schema([]), descriptor, [], 0, -1)
 
     def get_flight_info(self, context, descriptor):
         name = descriptor.path[0].decode()

@@ -720,3 +720,51 @@ def test_compile_window_timeouts_do_not_trip_breaker():
         assert not mw.breaker.allow()  # genuine failures DO open it
     finally:
         srv.shutdown()
+
+
+def test_declared_namespace_listed_before_first_put(client):
+    """CreateNamespace without a dim must already show in ListFlights /
+    ListNamespaces (the reference creates eagerly; its ops_test.py
+    asserts the round trip), and materialize lazily on first put."""
+    client.create_namespace("declared-ns")
+    names = [
+        f.descriptor.path[0].decode()
+        for f in client._mc().list_flights()
+    ] if hasattr(client, "_mc") else None
+    if names is None:  # fall back to the SDK surface
+        names = client.list_namespaces()
+    assert "declared-ns" in names
+    # materializes on first put, still listed exactly once
+    client.write("declared-ns", np.arange(5), _vecs(5, 8, seed=2))
+    names2 = client.list_namespaces()
+    assert names2.count("declared-ns") == 1
+    client.delete_namespace("declared-ns")
+    assert "declared-ns" not in client.list_namespaces()
+
+
+def test_exchange_unknown_command_acks(client, server):
+    """The reference's DoExchange falls back to an ack-per-message loop
+    for unrecognized commands (its ops_test.py sends b\"fetch\") —
+    do_exchange.go:186-260. Ours must not error."""
+    import pyarrow as pa
+    import pyarrow.flight as flight
+
+    dc = flight.connect(f"grpc://127.0.0.1:{server.data_server.port}")
+    descriptor = flight.FlightDescriptor.for_command(b"fetch")
+    writer, reader = dc.do_exchange(descriptor)
+    schema = pa.schema([("data", pa.string())])
+    writer.begin(schema)
+    writer.write_table(pa.table({"data": pa.array(["ping"])}))
+    writer.done_writing()
+    acks = 0
+    while True:
+        try:
+            chunk = reader.read_chunk()
+        except StopIteration:
+            break
+        if chunk.app_metadata is not None:
+            assert chunk.app_metadata.to_pybytes() == b"ack"
+            acks += 1
+    assert acks >= 1
+    writer.close()
+    dc.close()
