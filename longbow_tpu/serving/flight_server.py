@@ -1491,7 +1491,14 @@ class LongbowFlightServer(flight.FlightServerBase):
 
     def get_flight_info(self, context, descriptor):
         name = descriptor.path[0].decode()
-        ds = self.store.get(name)
+        try:
+            ds = self.store.get(name)
+        except KeyError:
+            if name in self._declared_ns:  # declared, not materialized
+                return flight.FlightInfo(
+                    pa.schema([]), descriptor, [], 0, -1
+                )
+            raise
         return flight.FlightInfo(
             self._dataset_schema(ds), descriptor, [], ds.live_count, -1
         )
