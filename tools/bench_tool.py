@@ -191,10 +191,32 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--warmup-rows", type=int, default=0,
                     help="rows to ingest before a search benchmark")
+    ap.add_argument("--index", default="",
+                    help="create the dataset with this index kind "
+                         "first (implicit datasets default to "
+                         "adaptive, whose 200k migration probe steals "
+                         "the core mid-benchmark)")
+    ap.add_argument("--capacity", type=int, default=0,
+                    help="pre-size device arrays at creation "
+                         "(growth doubles are copies)")
     args = ap.parse_args()
 
     if args.mode == "micro":
         return run_micro(args.out)
+
+    if args.index or args.capacity:
+        c = _client()(args.host, args.data_port, args.meta_port).connect()
+        try:
+            kw = {}
+            if args.capacity:
+                kw["capacity"] = args.capacity
+            c.create_namespace(
+                args.dataset, dim=args.dim,
+                index=args.index or "flat", **kw,
+            )
+        except Exception as e:
+            print(f"create_namespace: {e}", file=sys.stderr)
+        c.close()
 
     if args.warmup_rows:
         c = _client()(args.host, args.data_port, args.meta_port).connect()
