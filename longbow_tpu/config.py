@@ -259,6 +259,11 @@ class Config:
     )
     # 4096 = largest canonical kernel batch (B=4096 measures +30% QPS
     # over two B=2048 dispatches; the corpus read keeps amortizing)
+    # dispatch threads, routed by hash(dataset): isolates tenants from
+    # one another's first-shape compiles (head-of-line blocking)
+    search_coalesce_shards: int = field(
+        default_factory=lambda: _env("SEARCH_COALESCE_SHARDS", 4, int)
+    )
     search_coalesce_max_batch: int = field(
         default_factory=lambda: _env("SEARCH_COALESCE_MAX_BATCH", 4096, int)
     )

@@ -381,7 +381,8 @@ def main(argv=None) -> int:
         from longbow_tpu.serving.coalescer import SearchCoalescer
 
         coalescer = SearchCoalescer(
-            store, max_batch=cfg.search_coalesce_max_batch
+            store, max_batch=cfg.search_coalesce_max_batch,
+            shards=cfg.search_coalesce_shards,
         )
     audit = None
     if cfg.audit_log:

@@ -76,12 +76,20 @@ class SearchCoalescer:
         *,
         max_batch: int = 2048,
         max_group: int = 64,
+        shards: int = 4,
         autostart: bool = True,
     ):
         self.store = store
         self.max_batch = max_batch
         self.max_group = max_group
-        self._q: queue.Queue = queue.Queue()
+        # dataset-sharded dispatch: one thread per shard, routed by
+        # hash(dataset). A single dispatch thread head-of-line-blocked
+        # every OTHER dataset behind one dataset's first-shape compile
+        # (~30s through the remote compiler) — multi-tenant nodes need
+        # tenant isolation. Per-dataset ordering is preserved (a
+        # dataset always lands on the same shard); device-side
+        # execution serializes in dispatch order regardless.
+        self._qs = [queue.Queue() for _ in range(max(1, shards))]
         self._stop = threading.Event()
         self.dispatches = 0       # kernel dispatches issued
         self.coalesced = 0        # requests that shared a dispatch
@@ -91,23 +99,32 @@ class SearchCoalescer:
         # almost always waiting on a first-shape XLA compile, and the
         # error should say so instead of looking like a wedge
         self._inflight: dict = {}
-        self._t: Optional[threading.Thread] = None
+        # back-compat alias: single-shard callers/tests poke ._q
+        self._q = self._qs[0]
+        self._ts: Optional[list] = None
         if autostart:
             self.start()
 
     def start(self) -> None:
-        if self._t is None:
-            self._t = threading.Thread(
-                target=self._loop, daemon=True, name="longbow-coalesce"
-            )
-            self._t.start()
+        if self._ts is None:
+            self._ts = [
+                threading.Thread(
+                    target=self._loop, args=(q,), daemon=True,
+                    name=f"longbow-coalesce-{i}",
+                )
+                for i, q in enumerate(self._qs)
+            ]
+            for t in self._ts:
+                t.start()
 
     def stop(self) -> None:
         self._stop.set()
-        self._q.put(None)
-        if self._t is not None:
-            self._t.join(timeout=5.0)
-            self._t = None
+        for q in self._qs:
+            q.put(None)
+        if self._ts is not None:
+            for t in self._ts:
+                t.join(timeout=5.0)
+            self._ts = None
 
     # ------------------------------------------------------------------
 
@@ -126,22 +143,22 @@ class SearchCoalescer:
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         fut = _Future()
         self.requests += 1
-        self._q.put(
+        self._qs[hash(dataset) % len(self._qs)].put(
             (dataset, q, k, filters, ef_search, exact, use_cache, fut)
         )
         return fut.get(timeout)
 
     # ------------------------------------------------------------------
 
-    def _loop(self) -> None:
+    def _loop(self, _q: queue.Queue) -> None:
         while not self._stop.is_set():
-            item = self._q.get()
+            item = _q.get()
             if item is None:
                 continue
             batch = [item]
             while len(batch) < self.max_group:
                 try:
-                    nxt = self._q.get_nowait()
+                    nxt = _q.get_nowait()
                 except queue.Empty:
                     break
                 if nxt is None:
@@ -161,7 +178,7 @@ class SearchCoalescer:
         # callers to time out
         while True:
             try:
-                item = self._q.get_nowait()
+                item = _q.get_nowait()
             except queue.Empty:
                 break
             if item is not None:

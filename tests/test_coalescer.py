@@ -152,3 +152,48 @@ def test_threaded_end_to_end():
         want = vs.search("d", v[i : i + 2], 3, use_cache=False)
         assert (ids == want[0]).all()
     co.stop()
+
+
+def test_dataset_sharding_isolates_slow_tenants():
+    """One dataset's stalled dispatch (a first-shape compile) must not
+    head-of-line-block other datasets: dispatch threads are sharded by
+    dataset hash."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from longbow_tpu.serving.coalescer import SearchCoalescer
+
+    block = threading.Event()
+    entered = threading.Event()
+
+    class SlowStore:
+        def search(self, dataset, qs, k, **kw):
+            if dataset == "slow":
+                entered.set()
+                assert block.wait(30)
+            b = qs.shape[0]
+            ids = np.zeros((b, k), object)
+            return ids, np.zeros((b, k), np.float32), np.ones((b, k), bool)
+
+    # find two dataset names landing on DIFFERENT shards
+    co = SearchCoalescer(SlowStore(), shards=4)
+    nshards = len(co._qs)
+    slow_shard = hash("slow") % nshards
+    other = next(
+        n for n in (f"fast{i}" for i in range(64))
+        if hash(n) % nshards != slow_shard
+    )
+    q = np.zeros((1, 8), np.float32)
+    t = threading.Thread(
+        target=lambda: co.search("slow", q, 1, timeout=60)
+    )
+    t.start()
+    assert entered.wait(10)
+    t0 = time.time()
+    co.search(other, q, 1, timeout=10)  # must NOT wait for "slow"
+    assert time.time() - t0 < 5.0
+    block.set()
+    t.join(timeout=30)
+    co.stop()
