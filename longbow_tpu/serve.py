@@ -52,9 +52,14 @@ def main(argv=None) -> int:
     # are seconds, so default the cache OFF there;
     # LONGBOW_COMPILE_CACHE_CPU=1 opts back in (multi-node CPU soaks
     # where restart-recompile time dominates).
-    _cpu_forced = os.environ.get("LONGBOW_FORCE_CPU") == "1"
+    import jax as _jax
+
+    _cpu_backend = (
+        os.environ.get("LONGBOW_FORCE_CPU") == "1"
+        or str(_jax.config.jax_platforms or "").startswith("cpu")
+    )
     _cache_on_cpu = os.environ.get("LONGBOW_COMPILE_CACHE_CPU") == "1"
-    if cfg.compile_cache_dir and (not _cpu_forced or _cache_on_cpu):
+    if cfg.compile_cache_dir and (not _cpu_backend or _cache_on_cpu):
         # persistent XLA executable cache: restart cold-start goes from
         # minutes of kernel compiles to cache reads. Best-effort — a
         # backend that can't serialize executables just recompiles.
@@ -210,6 +215,11 @@ def main(argv=None) -> int:
                             ds.index_kind,
                             type(ds.index).__name__,
                             getattr(ds.index, "capacity", 0),
+                            # adaptive migration swaps flat->graph
+                            # INSIDE the index object: the beam-search
+                            # program is a different compile
+                            getattr(ds.index, "_graph", None)
+                            is not None,
                         )
                         if warmed.get(name) == key:
                             continue
@@ -380,9 +390,20 @@ def main(argv=None) -> int:
     if cfg.search_coalesce:
         from longbow_tpu.serving.coalescer import SearchCoalescer
 
+        shards = cfg.search_coalesce_shards
+        if (
+            not _cpu_backend
+            and os.environ.get("LONGBOW_SEARCH_COALESCE_SHARDS") is None
+        ):
+            # the platform rules require ONE remote compile at a time;
+            # parallel shard threads could compile two fresh shapes
+            # concurrently through the relay. CPU backends compile
+            # in-process (safe); on TPU default to a single dispatch
+            # thread unless the operator opts in explicitly.
+            shards = 1
         coalescer = SearchCoalescer(
             store, max_batch=cfg.search_coalesce_max_batch,
-            shards=cfg.search_coalesce_shards,
+            shards=shards,
         )
     audit = None
     if cfg.audit_log:

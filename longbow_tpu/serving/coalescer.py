@@ -146,7 +146,19 @@ class SearchCoalescer:
         self._qs[hash(dataset) % len(self._qs)].put(
             (dataset, q, k, filters, ef_search, exact, use_cache, fut)
         )
-        return fut.get(timeout)
+        try:
+            return fut.get(timeout)
+        except TimeoutError:
+            t0 = self._inflight.get(dataset)
+            if t0 is not None:
+                import time as _t
+
+                raise TimeoutError(
+                    "coalesced search timed out (a dispatch for "
+                    f"'{dataset}' has been running {_t.time() - t0:.0f}s"
+                    " — likely a first-shape XLA compile; retry shortly)"
+                )
+            raise
 
     # ------------------------------------------------------------------
 

@@ -195,8 +195,23 @@ class LongbowFlightServer(flight.FlightServerBase):
         # namespaces created WITHOUT a dim are "declared": the dataset
         # materializes lazily on first DoPut, but the name must already
         # show in ListFlights/ListNamespaces (the reference creates
-        # eagerly — its own ops_test.py asserts the round trip)
+        # eagerly — its own ops_test.py asserts the round trip).
+        # Guarded by a lock (mutated from action threads while listing
+        # threads iterate) and persisted next to the WAL so a restart
+        # keeps the declared names.
+        self._declared_mu = threading.Lock()
         self._declared_ns: set = set()
+        self._declared_path = None
+        eng = getattr(store, "engine", None)
+        if eng is not None and getattr(eng, "dir", None) is not None:
+            self._declared_path = os.path.join(
+                str(eng.dir), "declared_namespaces.json"
+            )
+            try:
+                with open(self._declared_path) as f:
+                    self._declared_ns = set(json.load(f))
+            except (OSError, ValueError):
+                pass
 
     # -- ingestion (reference: servers.go:44 DoPut -> store_actions.go:426) --
 
@@ -868,9 +883,12 @@ class LongbowFlightServer(flight.FlightServerBase):
                 try:
                     cmd = json.loads(descriptor.command or b"{}")
                 except ValueError:
-                    # reference fallback: any unrecognized command
-                    # (its ops_test.py sends b"fetch") acks each
-                    # received message (do_exchange.go:186-260)
+                    cmd = None
+                if not isinstance(cmd, dict):
+                    # reference fallback: any unrecognized command —
+                    # non-JSON (ops_test.py sends b"fetch"), or valid
+                    # JSON that isn't an object — acks each received
+                    # message (do_exchange.go:186-260)
                     return self._exchange_legacy_ack(reader, writer)
             elif descriptor.path:
                 cmd = {
@@ -882,9 +900,9 @@ class LongbowFlightServer(flight.FlightServerBase):
                 return self._exchange_ingest(cmd, reader, writer)
             if proto in ("search", "VectorSearch"):
                 return self._exchange_search(cmd, reader, writer)
-            raise flight.FlightServerError(
-                f"unknown exchange protocol {proto!r}"
-            )
+            # unrecognized protocol: reference acks each message
+            # rather than erroring (do_exchange.go:186-260)
+            return self._exchange_legacy_ack(reader, writer)
         finally:
             self.metrics.observe(
                 "longbow_do_exchange_duration_seconds",
@@ -976,12 +994,23 @@ class LongbowFlightServer(flight.FlightServerBase):
         except KeyError:
             metric = ""
         str_ids = False
+        ds_metric = None
         try:
             ds = self.store.get(dataset)
+            ds_metric = ds.metric
             rid = next(iter(ds._id_to_row), None)
             str_ids = isinstance(rid, str)
         except KeyError:
             pass
+        # same fan-out rule as the DoGet ticket path: peers' hops set
+        # local_only, client batches merge alive peers' top-k (without
+        # this, a >=256 SDK batch auto-routed here silently returned
+        # only the contacted node's local matches)
+        fan_out = (
+            self.cluster is not None
+            and not bool(cmd.get("local_only"))
+            and self.cluster.has_peers()
+        )
         id_type = pa.string() if str_ids else pa.int64()
         out_schema = pa.schema(
             [
@@ -1004,23 +1033,42 @@ class LongbowFlightServer(flight.FlightServerBase):
                 ids, scores, ok = self._search(
                     dataset, qv, k, filters=filters
                 )
-                okm = np.asarray(ok)
-                qi, ji = np.nonzero(okm)
-                id_vals = ids[qi, ji]
-                id_arr = (
-                    pa.array([str(v) for v in id_vals], pa.string())
-                    if str_ids
-                    else pa.array(
-                        [int(v) for v in id_vals], pa.int64()
-                    )
-                )
-                score_arr = pa.array(
-                    np.asarray(scores)[qi, ji], pa.float32()
-                )
             except KeyError:
-                qi = np.zeros((0,), np.int32)
-                id_arr = pa.array([], id_type)
-                score_arr = pa.array([], pa.float32())
+                if not fan_out:
+                    raise flight.FlightServerError(
+                        f"not found: {dataset!r}"
+                    )
+                # dataset lives only on peers: global-only read
+                b = qv.shape[0]
+                ids = np.empty((b, k), dtype=object)
+                scores = np.zeros((b, k), np.float32)
+                ok = np.zeros((b, k), bool)
+            if fan_out:
+                from longbow_tpu.distributed.cluster import (
+                    ConsistencyError,
+                )
+
+                try:
+                    ids, scores, ok = self.cluster.global_search(
+                        dataset, qv, k,
+                        raw_filters=cmd.get("filters"),
+                        local=(ids, scores, ok),
+                        metric=ds_metric,
+                        consistency=cmd.get("consistency"),
+                    )
+                except ConsistencyError as e:
+                    raise flight.FlightUnavailableError(str(e)) from e
+            okm = np.asarray(ok)
+            qi, ji = np.nonzero(okm)
+            id_vals = ids[qi, ji]
+            id_arr = (
+                pa.array([str(v) for v in id_vals], pa.string())
+                if str_ids
+                else pa.array([int(v) for v in id_vals], pa.int64())
+            )
+            score_arr = pa.array(
+                np.asarray(scores)[qi, ji], pa.float32()
+            )
             writer.write_batch(
                 pa.record_batch(
                     {
@@ -1176,12 +1224,11 @@ class LongbowFlightServer(flight.FlightServerBase):
             return ok(self.store.list_datasets())
         if name == "ListNamespaces":
             # reference response shape (docs/namespaces.md:29-38)
-            ns = sorted(set(self.store.list_namespaces())
-                        | {d.split("/", 1)[0] for d in self._declared_ns})
+            ns = sorted(self._all_namespaces())
             return ok({"namespaces": ns, "count": len(ns)})
         if name == "GetTotalNamespaceCount":
-            # reference: servers.go:299
-            return ok({"count": len(self.store.list_namespaces())})
+            # reference: servers.go:299 — must agree with ListNamespaces
+            return ok({"count": len(self._all_namespaces())})
         if name == "GetNamespaceDatasetCount":
             # reference: servers.go:311 — 404s on unknown namespace
             req = json.loads(body or b"{}")
@@ -1214,7 +1261,9 @@ class LongbowFlightServer(flight.FlightServerBase):
                     },
                 )
             else:
-                self._declared_ns.add(dsname)
+                with self._declared_mu:
+                    self._declared_ns.add(dsname)
+                self._persist_declared()
             self.audit.record("create_namespace", dsname)
             return ok({"created": dsname})
         if name in ("delete-dataset", "DeleteNamespace"):
@@ -1222,7 +1271,11 @@ class LongbowFlightServer(flight.FlightServerBase):
             # reference SDK sends {"dataset": ...} (client.py:314-347);
             # "name" is this repo's original key — accept both
             target = req.get("name") or req.get("dataset") or ""
-            self._declared_ns.discard(target)
+            with self._declared_mu:
+                was_declared = target in self._declared_ns
+                self._declared_ns.discard(target)
+            if was_declared:
+                self._persist_declared()
             dropped = self.store.drop(target)
             self.audit.record("drop_dataset", target, {"dropped": dropped})
             return ok({"dropped": dropped})
@@ -1475,6 +1528,24 @@ class LongbowFlightServer(flight.FlightServerBase):
 
     # -- discovery --
 
+    def _all_namespaces(self) -> set:
+        with self._declared_mu:
+            declared = {d.split("/", 1)[0] for d in self._declared_ns}
+        return set(self.store.list_namespaces()) | declared
+
+    def _persist_declared(self) -> None:
+        if not self._declared_path:
+            return
+        try:
+            with self._declared_mu:
+                data = sorted(self._declared_ns)
+            tmp = self._declared_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(data, f)
+            os.replace(tmp, self._declared_path)
+        except OSError:
+            pass  # best-effort: in-memory state still serves
+
     def list_flights(self, context, criteria):
         existing = self.store.list_datasets()
         for name in existing:
@@ -1485,7 +1556,9 @@ class LongbowFlightServer(flight.FlightServerBase):
             )
         # declared-but-not-yet-materialized namespaces (no dim at
         # create time): empty schema, zero records
-        for name in sorted(self._declared_ns - set(existing)):
+        with self._declared_mu:
+            declared = set(self._declared_ns)
+        for name in sorted(declared - set(existing)):
             descriptor = flight.FlightDescriptor.for_path(name.encode())
             yield flight.FlightInfo(pa.schema([]), descriptor, [], 0, -1)
 
@@ -1494,7 +1567,9 @@ class LongbowFlightServer(flight.FlightServerBase):
         try:
             ds = self.store.get(name)
         except KeyError:
-            if name in self._declared_ns:  # declared, not materialized
+            with self._declared_mu:
+                declared = name in self._declared_ns
+            if declared:  # declared, not materialized
                 return flight.FlightInfo(
                     pa.schema([]), descriptor, [], 0, -1
                 )

@@ -721,3 +721,32 @@ def test_digest_piggyback_spreads_membership(three_nodes):
         a.cluster.membership.probe_round()
     assert "10.9.9.9:7100" in bnode.cluster.membership.members
     assert "10.9.9.9:7100" in c.cluster.membership.members
+
+
+def test_exchange_batch_search_fans_out(three_partitioned_nodes):
+    """SDK batches >=256 auto-route through DoExchange — that path must
+    merge peers' top-k exactly like the DoGet ticket path (review
+    finding: it silently returned only the contacted node's local
+    matches)."""
+    n0, n1, n2 = three_partitioned_nodes
+    c = n0.client.enable_smart_routing()
+    v = _vecs(300, 8, seed=21)
+    c.write("xfan", np.arange(300), v)  # rows spread over ring owners
+    t0 = time.time()
+    while time.time() - t0 < 10:
+        total = sum(
+            n.store.get("xfan").live_count
+            for n in (n0, n1, n2)
+            if "xfan" in n.store.list_datasets()
+        )
+        if total == 300:
+            break
+        time.sleep(0.2)
+    # batch of 256 queries (auto-exchange) against ONE node: every
+    # query's true nearest (itself) must come back, wherever it lives
+    plain = n0.client  # no smart routing on the search side
+    t = plain.search("xfan", v[:256] + 0.0005, k=1)
+    ids = t.column("id").to_numpy(zero_copy_only=False)
+    qi = t.column("query_index").to_numpy()
+    hits = sum(1 for b in range(256) if b in ids[qi == b])
+    assert hits == 256, f"only {hits}/256 queries found their row"

@@ -768,3 +768,37 @@ def test_exchange_unknown_command_acks(client, server):
     assert acks >= 1
     writer.close()
     dc.close()
+
+
+def test_declared_namespace_survives_restart(tmp_path):
+    """Declared (dim-less) namespaces persist next to the WAL — the
+    reference's eager creation is durable, so a restart must not lose
+    the name (review finding)."""
+    from longbow_tpu.serving.flight_server import LongbowFlightServer
+
+    store = VectorStore(persist_dir=str(tmp_path))
+    srv = LongbowFlightServer(store, "grpc://127.0.0.1:0")
+    try:
+        import json as _json
+
+        import pyarrow.flight as flight
+
+        srv._do_action(
+            flight.Action(
+                "CreateNamespace", _json.dumps({"name": "durable-ns"}).encode()
+            )
+        )
+    finally:
+        srv.shutdown()
+    from longbow_tpu.serving.flight_server import LongbowFlightServer as _S
+
+    store2 = VectorStore(persist_dir=str(tmp_path))
+    srv2 = _S(store2, "grpc://127.0.0.1:0")
+    try:
+        names = [
+            f.descriptor.path[0].decode()
+            for f in srv2.list_flights(None, None)
+        ]
+        assert "durable-ns" in names
+    finally:
+        srv2.shutdown()
