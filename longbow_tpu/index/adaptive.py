@@ -304,13 +304,33 @@ class AdaptiveIndex:
             t.join(timeout_s)
         return self._graph is not None
 
-    def add(self, vecs: np.ndarray) -> np.ndarray:
+    # list-of-blocks puts pass through to the flat tier's staging
+    # buffer; resolved under _mlock in add() (a migration between the
+    # caller's capability check and the add must not hand a list to
+    # the graph tier)
+    accepts_blocks = True
+
+    def add(self, vecs) -> np.ndarray:
         with self._mlock:
             if self._graph is not None:
+                if isinstance(vecs, list):
+                    vecs = np.concatenate(vecs)
                 return self._graph.add(vecs)
             rows = self._flat.add(vecs)
         self._maybe_migrate()
         return rows
+
+    def warm(self) -> None:
+        """Pre-compile the active tier's serving search program (the
+        flat tier warms lock-free — FlatIndex.warm; a migrated graph
+        compiles through a plain 1-query search, which is rare: kind
+        swaps happen once per dataset lifetime)."""
+        g = self._graph
+        if g is None:
+            return self._flat.warm()
+        import numpy as _np
+
+        g.search(_np.zeros((1, self._flat.dim), _np.float32), 10)
 
     def delete_rows(self, rows: np.ndarray) -> None:
         with self._mlock:

@@ -138,6 +138,10 @@ class FlatIndex:
     docs/vectorsearch.md:137-145).
     """
 
+    # add() takes a list of [n, dim] np blocks without an up-front
+    # concatenate (the staging-buffer fill is the merge point)
+    accepts_blocks = True
+
     def __init__(
         self,
         dim: int,
@@ -277,12 +281,21 @@ class FlatIndex:
             self.count += n
             self._device_count = self.count
             return rows
-        vecs = np.ascontiguousarray(vecs, dtype=np.float32)
-        if vecs.ndim != 2 or vecs.shape[1] != self.dim:
-            raise ValueError(
-                f"expected [n, {self.dim}] vectors, got {vecs.shape}"
-            )
-        n = vecs.shape[0]
+        # list-of-blocks input: the coalescing ingest queue hands the
+        # merged group's blocks straight through so the ONLY host copy
+        # of the payload is the staging-buffer fill below (profiled:
+        # the queue-side np.concatenate re-copied every ingested byte,
+        # ~18% of apply-thread wall under sustained DoPut load)
+        blocks = vecs if isinstance(vecs, list) else [vecs]
+        blocks = [
+            np.ascontiguousarray(b, dtype=np.float32) for b in blocks
+        ]
+        for b in blocks:
+            if b.ndim != 2 or b.shape[1] != self.dim:
+                raise ValueError(
+                    f"expected [n, {self.dim}] vectors, got {b.shape}"
+                )
+        n = sum(b.shape[0] for b in blocks)
         rows = np.arange(self.count, self.count + n, dtype=np.int64)
         # stage straight into a bucketed-size buffer: flush then slices
         # it with the pad region already zero — the old list-of-blocks
@@ -302,7 +315,10 @@ class FlatIndex:
             if self._stage_rows:
                 new[: self._stage_rows] = buf[: self._stage_rows]
             self._stage_buf = buf = new
-        buf[self._stage_rows : need] = vecs
+        off = self._stage_rows
+        for b in blocks:
+            buf[off : off + b.shape[0]] = b
+            off += b.shape[0]
         self._stage_rows = need
         self.count += n
         # flush interval scales with the corpus: on backends without
@@ -611,6 +627,46 @@ class FlatIndex:
         if normalize:
             d = cosine_report(d)
         return d, np.asarray(i)
+
+    def warm(self) -> None:
+        """Compile the serving search program for the current capacity
+        bucket WITHOUT holding the dispatch lock across the compile.
+
+        search() dispatches under ``self._mu`` (appends donate the
+        corpus buffers, see the lock's comment), so a cold-shape
+        compile inside search blocks every concurrent flush for the
+        compile's duration — profiled on the 1-core CPU server as the
+        warmup thread pinning the ingest apply path behind the lock
+        for whole seconds, and on TPU a remote compile holds it for
+        ~30s. Warming instead snapshots the (immutable) array refs
+        under the lock and dispatches outside it: a concurrent flush
+        that donates the snapshot away just fails this best-effort
+        pass (the shape-keyed compile is already cached by then; the
+        warmer loop retries on its next tick)."""
+        normalize = self.metric == Metric.COSINE
+        metric = Metric.L2 if normalize else self.metric
+        with self._mu:
+            vectors, norms, valid = self.vectors, self.norms_sq, self.valid
+        try:
+            if _on_tpu() and self.dtype == jnp.bfloat16:
+                # the single-query serving shape: B buckets to 128,
+                # k=10 buckets to 16 (mirrors search()'s padding)
+                qp = jnp.asarray(np.zeros((128, self.dim), np.float32))
+                p = _fused_packed(
+                    qp, vectors, norms, valid, 16, metric, None,
+                    normalize,
+                )
+                np.asarray(p)
+            else:
+                d, _ = exact_search(
+                    jnp.asarray(np.zeros((1, self.dim), np.float32)),
+                    vectors, 10, metric, corpus_norms_sq=norms,
+                    valid=valid, normalize=normalize,
+                    exact_precision=False,
+                )
+                np.asarray(d)
+        except Exception:  # donated-away snapshot: compile still cached
+            pass
 
     # -- state export (persistence hooks) -----------------------------
 

@@ -202,8 +202,6 @@ def main(argv=None) -> int:
         def _warmup_loop() -> None:
             import time as _t
 
-            import numpy as _np
-
             warmed: dict = {}
             while True:
                 for name in store.list_datasets():
@@ -227,9 +225,12 @@ def main(argv=None) -> int:
                         # failing compile must not retry in a hot loop
                         warmed[name] = key
                         t0 = _t.time()
-                        ds.search(
-                            _np.zeros((1, ds.dim), _np.float32), 10
-                        )
+                        # ds.warm compiles WITHOUT holding the index
+                        # dispatch lock (a warm search held it for the
+                        # whole compile, stalling concurrent ingest
+                        # flushes — profiled: the warmup thread pinned
+                        # the apply path for seconds per new dataset)
+                        ds.warm()
                         dt = _t.time() - t0
                         if dt > 1.0:
                             log.info("warmed %s in %.1fs", name, dt)

@@ -150,18 +150,42 @@ class Dataset:
         # fetch it back to host (~13s at 1M rows through the relay)
         self.touch()
         device_input = isinstance(vectors, jax.Array)
-        if not device_input:
-            # preserve the ingest dtype (NATIVE_VECTOR_DTYPES is the
-            # canonical matrix): int8/uint8 reach an sq8 index as raw
-            # codes; f16 reaches f16 storage. int32 converts HERE (the
-            # index add paths take float input; > 2^24 rounds, as in
-            # the reference); anything else casts to f32.
-            if vectors.dtype in (np.float16, np.int8, np.uint8):
-                vectors = np.ascontiguousarray(vectors)
+        # list-of-blocks fast path: the coalescing ingest queue hands
+        # merged groups through as a list of np blocks (same dtype/dim,
+        # enforced by its group key) so the payload is copied once —
+        # into the flat tier's staging buffer — instead of twice. Only
+        # indexes that advertise accepts_blocks take the list; anything
+        # else (and the rare LWW-drop path below) concatenates here.
+        blocks: Optional[list] = None
+        if isinstance(vectors, list):
+            if not getattr(self.index, "accepts_blocks", False):
+                vectors = np.concatenate(vectors)
             else:
-                vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+                blocks = vectors
+        if not device_input:
+
+            def _canon(v):
+                # preserve the ingest dtype (NATIVE_VECTOR_DTYPES is
+                # the canonical matrix): int8/uint8 reach an sq8 index
+                # as raw codes; f16 reaches f16 storage. int32 converts
+                # HERE (the index add paths take float input; > 2^24
+                # rounds, as in the reference); else casts to f32.
+                if v.dtype in (np.float16, np.int8, np.uint8):
+                    return np.ascontiguousarray(v)
+                return np.ascontiguousarray(v, dtype=np.float32)
+
+            if blocks is not None:
+                blocks = [_canon(b) for b in blocks]
+                vectors = blocks
+            else:
+                vectors = _canon(vectors)
         n = len(ids)
-        if vectors.shape[0] != n:
+        n_vec = (
+            sum(b.shape[0] for b in blocks)
+            if blocks is not None
+            else vectors.shape[0]
+        )
+        if n_vec != n:
             raise ValueError("ids/vectors length mismatch")
         keys = ids.tolist()
         ts_list = None
@@ -196,6 +220,9 @@ class Dataset:
                 seen[k] = j
             if dropped:
                 sel = np.nonzero(keep)[0]
+                if blocks is not None:  # rare path: pay the merge here
+                    vectors = np.concatenate(blocks)
+                    blocks = None
                 ids, vectors = ids[sel], vectors[sel]
                 sl = sel.tolist()
                 keys = [keys[j] for j in sl]
@@ -327,6 +354,19 @@ class Dataset:
         elif mask.shape[0] > cap:
             mask = mask[:cap]
         return mask
+
+    def warm(self) -> None:
+        """Pre-compile this dataset's serving search program off the
+        query path. Indexes that expose warm() compile WITHOUT holding
+        their dispatch lock (FlatIndex.warm — a cold-shape compile
+        inside search() blocks concurrent ingest flushes behind the
+        lock for the compile's duration); anything else warms through
+        a plain 1-query search."""
+        w = getattr(self.index, "warm", None)
+        if w is not None:
+            w()
+            return
+        self.search(np.zeros((1, self.dim), np.float32), 10)
 
     def search(
         self,

@@ -298,16 +298,29 @@ class VectorStore:
         import jax as _jax
 
         dtype_hint = None
-        if not isinstance(vectors, _jax.Array):
+        if isinstance(vectors, list):
+            # coalesced-ingest blocks (same dtype/dim per the queue's
+            # group key): defer the merge — Dataset.put stages blocks
+            # into the index without an up-front concatenate. The WAL
+            # path below still needs one contiguous array per frame.
+            if self.engine is not None and _log:
+                vectors = np.concatenate(vectors)
+            else:
+                if vectors[0].dtype in _NATIVE_VEC_DTYPES:
+                    dtype_hint = vectors[0].dtype
+                dim = vectors[0].shape[1]
+        if not isinstance(vectors, (list, _jax.Array)):
             vectors = np.atleast_2d(np.asarray(vectors))
             if vectors.dtype in _NATIVE_VEC_DTYPES:
                 dtype_hint = vectors.dtype
             else:
                 vectors = vectors.astype(np.float32)
+        if not isinstance(vectors, list):
+            dim = vectors.shape[1]
         if self.backpressure is not None:
             self.backpressure.check_admit(self)
         ds = self.get_or_create(
-            dataset, vectors.shape[1], metric, dtype_hint=dtype_hint
+            dataset, dim, metric, dtype_hint=dtype_hint
         )
         # validate BEFORE the WAL append: a rejected frame in the log
         # would re-raise on every restart and brick recovery

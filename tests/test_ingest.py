@@ -228,3 +228,64 @@ def test_hardness_probe_does_not_block_puts():
         assert slow["calls"] == 1
     finally:
         adaptive_mod.relative_contrast_from_sample = orig
+
+
+def test_flat_add_list_of_blocks_matches_single_array():
+    """Coalesced-ingest fast path: add() takes a list of blocks and
+    stages them without an up-front concatenate — results must be
+    identical to the equivalent single-array add."""
+    v = _vecs(90, 8)
+    a = FlatIndex(8)
+    rows_a = a.add(v)
+    b = FlatIndex(8)
+    rows_b = b.add([v[:30], v[30:75], v[75:]])
+    np.testing.assert_array_equal(rows_a, rows_b)
+    q = _vecs(4, 8, seed=3)
+    da, ia = a.search(q, 5)
+    db, ib = b.search(q, 5)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(da, db, rtol=1e-6)
+
+
+def test_dataset_put_blocks_lww_drop_path():
+    """A merged group whose blocks contain a stale (LWW-losing) row
+    must pay the concatenate fallback and still land the right rows."""
+    vs = VectorStore()
+    d = 8
+    vs.put("blk", np.arange(5), _vecs(5, d, seed=1), timestamp=10.0)
+    newer = _vecs(5, d, seed=2)
+    stale = _vecs(5, d, seed=3)
+    # list-of-blocks put: block 1 is newer (wins), block 2 rows 0-4
+    # are stale (ts 5.0 < 10.0 -> dropped)
+    vs.put(
+        "blk",
+        np.concatenate([np.arange(5, 10), np.arange(5)]),
+        [newer, stale],
+        timestamp=np.array([20.0] * 5 + [5.0] * 5),
+    )
+    ds = vs.get("blk")
+    assert ds.live_count == 10
+    # row 0 still answers with its ORIGINAL (ts 10) vector
+    got = ds.search(_vecs(5, d, seed=1)[:1], 1)
+    assert got[0][0][0] == 0
+
+
+def test_ingest_queue_merged_blocks_roundtrip():
+    """End-to-end: merged groups ride the list-of-blocks path; every
+    row must be searchable with its own vector afterwards."""
+    from longbow_tpu.serving.ingest import IngestQueue
+
+    vs = VectorStore()
+    q = IngestQueue(vs, max_depth=64)
+    d = 16
+    blocks = [(_vecs(20, d, seed=s), np.arange(s * 20, s * 20 + 20))
+              for s in range(12)]
+    for v, ids in blocks:
+        q.submit("mb", ids, v, None, None, None)
+    assert q.drain(timeout_s=30.0)
+    q.close()
+    ds = vs.get("mb")
+    assert ds.live_count == 240
+    for v, ids in blocks[::5]:
+        got_ids, _, _ = ds.search(v[:2], 1)
+        assert got_ids[0][0] == ids[0] and got_ids[1][0] == ids[1]
