@@ -1,0 +1,80 @@
+"""On-chip probe: does a B=8192 dispatch (tile_n=2048 to keep the
+[B, T] VMEM tile at the headline footprint) beat 2x B=4096 at 1M x 128
+bf16? Honest reduction-forced timing per CLAUDE.md. One compile at a
+time; serial."""
+import os as _o, sys; sys.path.insert(0, _o.path.dirname(_o.path.dirname(_o.path.abspath(__file__))))
+import time, threading
+import numpy as np
+
+def log(m): print(f"[b8192 {time.strftime('%H:%M:%S')}] {m}", file=sys.stderr, flush=True)
+
+up = threading.Event()
+def probe():
+    import jax; jax.devices(); up.set()
+threading.Thread(target=probe, daemon=True).start()
+if not up.wait(300):
+    log("RELAY DOWN"); sys.exit(3)
+
+import os, jax, jax.numpy as jnp
+cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "longbow_tpu", "xla")
+from longbow_tpu.config import machine_cache_tag
+cache_dir = os.path.join(cache_dir, machine_cache_tag())
+os.makedirs(cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from longbow_tpu.ops.distance import Metric, exact_search, squared_norms
+from longbow_tpu.ops.pallas_scan import flat_search_rerank
+
+N, D, K, NEV = 1_000_000, 128, 10, 256
+rng = np.random.default_rng(0)
+centers = rng.standard_normal((1024, D)).astype(np.float32) * 4.0
+assign = rng.integers(0, 1024, N + 8192)
+allv = centers[assign] + rng.standard_normal((N + 8192, D)).astype(np.float32)
+corpus, queries = allv[:N], allv[N:]
+
+cj = jnp.asarray(corpus); c16 = cj.astype(jnp.bfloat16)
+norms = squared_norms(cj); valid = jnp.ones((N,), bool)
+
+log("oracle (256 queries)...")
+t0 = time.time()
+_, gt_i = exact_search(jnp.asarray(queries[:NEV]), cj, K, Metric.L2,
+    corpus_norms_sq=norms, valid=valid, exact_precision=True, chunk_rows=131072)
+gt = np.asarray(gt_i); log(f"oracle {time.time()-t0:.0f}s")
+
+@jax.jit
+def _force(*ds): return sum(jnp.sum(x) for x in ds)
+
+def measure(fn, nb, iters=8):
+    qb = [jnp.asarray(queries[:nb] + 1e-6 * i) for i in range(iters)]
+    d, _ = fn(qb[0]); float(np.asarray(_force(*([d] * iters))))  # warm
+    t0 = time.perf_counter()
+    outs = [fn(q)[0] for q in qb]
+    float(np.asarray(_force(*outs)))
+    return (time.perf_counter() - t0) / iters
+
+def run(tag, nb, tile_n):
+    fn = lambda q: flat_search_rerank(q, c16, norms, valid, K, Metric.L2,
+                                      pool=64, tile_n=tile_n)
+    log(f"compile {tag}...")
+    t0 = time.time()
+    d, i = fn(jnp.asarray(queries[:nb]))
+    got = np.asarray(i)[:NEV]
+    rec = float(np.mean([len(set(got[j]) & set(gt[j])) / K for j in range(NEV)]))
+    log(f"{tag}: compile {time.time()-t0:.0f}s, recall@10 {rec:.4f}")
+    dt = measure(fn, nb)
+    log(f"{tag}: {dt*1000:.2f} ms/batch = {nb/dt:.0f} QPS")
+    return dt, rec
+
+# reference point first (cached from the headline config)
+dt4, r4 = run("B=4096 tile=4096", 4096, 0)
+dt8, r8 = run("B=8192 tile=2048", 8192, 2048)
+# also B=8192 at the default tile (may blow VMEM -> compile error)
+try:
+    dt8b, r8b = run("B=8192 tile=4096", 8192, 0)
+except Exception as e:
+    log(f"B=8192 tile=4096 failed: {type(e).__name__}: {str(e)[:200]}")
+    dt8b = None
+
+log(f"SUMMARY: 2x4096={2*dt4*1000:.2f}ms vs 1x8192(t2048)={dt8*1000:.2f}ms "
+    f"({8192/dt8:.0f} QPS)" + (f" 1x8192(t4096)={dt8b*1000:.2f}ms" if dt8b else ""))
