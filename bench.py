@@ -209,18 +209,35 @@ def main() -> None:
     # is reported alongside for latency/continuity
     B_HEAD = 4096
 
-    log(f"generating corpus {N}x{D}")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    log(f"backend={jax.default_backend()} on_tpu={on_tpu} — generating corpus {N}x{D}")
     # held-out queries from the SAME mixture (different centers would be
     # off-manifold — not what recall gates measure)
-    allv = make_corpus(N + max(N_EVAL, B_HEAD), D)
-    corpus, queries = allv[:N], allv[N:]
+    if on_tpu:
+        # generate ON DEVICE (same clustered-mixture recipe): the relay's
+        # host->device rate swings 27-234 MB/s with time of day, so a
+        # 512MB corpus upload could eat minutes of the round-end run's
+        # deadline. jax PRNG on-chip takes ~1s and uploads nothing.
+        ntot = N + max(N_EVAL, B_HEAD)
 
-    cj = jnp.asarray(corpus)
+        @jax.jit
+        def _gen_mixture():
+            kc, ka, kn = jax.random.split(jax.random.PRNGKey(0), 3)
+            centers = jax.random.normal(kc, (1024, D), jnp.float32) * 4.0
+            assign = jax.random.randint(ka, (ntot,), 0, 1024)
+            return centers[assign] + jax.random.normal(
+                kn, (ntot, D), jnp.float32
+            )
+
+        allv = _gen_mixture()
+        cj, queries = allv[:N], allv[N:]
+    else:
+        allv = make_corpus(N + max(N_EVAL, B_HEAD), D)
+        corpus, queries = allv[:N], allv[N:]
+        cj = jnp.asarray(corpus)
     c16 = cj.astype(jnp.bfloat16)
     norms = squared_norms(cj)
     valid = jnp.ones((N,), bool)
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    log(f"backend={jax.default_backend()} on_tpu={on_tpu}")
 
     # ---- ground truth (full-precision oracle) ----
     t0 = time.time()
