@@ -23,6 +23,7 @@ Method notes:
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -58,15 +59,42 @@ def load_verified() -> dict | None:
         return None
 
 
+def git_commit() -> str:
+    """Short commit hash stamped into persisted artifacts so a stale
+    best-run can never masquerade as a measurement of current code."""
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
+    except Exception:
+        return ""
+
+
 def persist_verified(result: dict) -> None:
     """Keep the BEST verified on-chip run (each persisted entry is a
     real measured run with its capture timestamp). The relay's dispatch
     RTT swings widely with time of day (CLAUDE.md relay-weather notes);
     a run taken in a slow phase must not clobber a faster verified run
-    from the same kernel earlier in the round."""
+    from the same kernel earlier in the round.
+
+    Identity guard (round-5): prev only wins if it was measured on the
+    SAME code (git commit) and corpus recipe — otherwise a kernel
+    regression or corpus change would report the stale historic best
+    forever. LONGBOW_BENCH_FRESH=1 force-persists the current run."""
     try:
         prev = load_verified()
-        if prev is not None and prev.get("value", 0) > result.get(
+        same_identity = (
+            prev is not None
+            and prev.get("git_commit") == result.get("git_commit")
+            and prev.get("corpus_recipe") == result.get("corpus_recipe")
+        )
+        if os.environ.get("LONGBOW_BENCH_FRESH") == "1":
+            same_identity = False
+        if same_identity and prev.get("value", 0) > result.get(
             "value", 0
         ):
             log(
@@ -231,10 +259,18 @@ def main() -> None:
 
         allv = _gen_mixture()
         cj, queries = allv[:N], allv[N:]
+        corpus_recipe = "dev-gmm1024-key0"
     else:
         allv = make_corpus(N + max(N_EVAL, B_HEAD), D)
         corpus, queries = allv[:N], allv[N:]
         cj = jnp.asarray(corpus)
+        corpus_recipe = "host-gmm1024-seed0"
+
+    # jitted batch perturbation: building `queries[:nb] + 1e-6*i`
+    # eagerly costs two ~30ms relay dispatches per iteration (ADVICE r4)
+    @functools.partial(jax.jit, static_argnames=("nb",))
+    def _perturb(q, i, nb):
+        return q[:nb] + 1e-6 * i
     c16 = cj.astype(jnp.bfloat16)
     norms = squared_norms(cj)
     valid = jnp.ones((N,), bool)
@@ -281,9 +317,7 @@ def main() -> None:
 
     def measure(nb: int, iters: int) -> float:
         """Seconds per batch of nb queries (reduction-forced)."""
-        qbatches = [
-            jnp.asarray(queries[:nb] + 1e-6 * i) for i in range(iters)
-        ]
+        qbatches = [_perturb(queries, i, nb) for i in range(iters)]
         d, _ = search_one(qbatches[0])
         float(np.asarray(_force_all(*([d] * iters))))  # warm both
         t0 = time.perf_counter()
@@ -359,10 +393,7 @@ def main() -> None:
 
             gidx._refresh_sample()
             g_iters = 20
-            gqs = [
-                jnp2.asarray(queries[:128] + 1e-6 * i)
-                for i in range(g_iters)
-            ]
+            gqs = [_perturb(queries, i, 128) for i in range(g_iters)]
             g_qps = {}
             # serving default (deferred extraction, every edge) at two
             # ef points, plus the fast profile (cached 32-edge slice +
@@ -433,6 +464,8 @@ def main() -> None:
             if on_tpu else {}
         ),
         "backend": jax.default_backend(),
+        "corpus_recipe": corpus_recipe,
+        "git_commit": git_commit(),
         "baseline_note": "2000 QPS = 1/p95 of reference dense search on a 20x smaller corpus (docs/performance.md:18-53)",
         **graph_fields,
     }
@@ -464,6 +497,9 @@ def main() -> None:
             # verified on-chip run of this round (real, timestamped);
             # this rerun's numbers ride along so nothing is hidden.
             best = dict(best)
+            # every non-rerun_* field below came from the best run at
+            # this timestamp, not from the rerun (ADVICE r4)
+            best["fields_from"] = best.get("verified_at_utc")
             best["rerun_qps"] = result["value"]
             best["rerun_ms_per_batch"] = result.get("ms_per_batch")
             best["rerun_recall_at_10"] = result.get("recall_at_10")

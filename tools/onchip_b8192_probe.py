@@ -25,6 +25,15 @@ threading.Thread(target=probe, daemon=True).start()
 if not up.wait(300):
     log("RELAY DOWN"); sys.exit(3)
 
+# mid-run deadline (ADVICE r4): a relay wedge during the B=8192 compile
+# would hang this script forever — SIGALRM never fires inside PJRT C
+# code, so use the daemon-thread + Event.wait + os._exit pattern.
+_done = threading.Event()
+def _deadline():
+    if not _done.wait(float(_o.environ.get("LONGBOW_PROBE_DEADLINE_S", "1800"))):
+        log("DEADLINE EXCEEDED (relay wedge mid-run?)"); _o._exit(4)
+threading.Thread(target=_deadline, daemon=True).start()
+
 import os, jax, jax.numpy as jnp
 cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "longbow_tpu", "xla")
 from longbow_tpu.config import machine_cache_tag
@@ -98,3 +107,4 @@ dt8, r8 = run("B=8192 tile=2048", 8192, 2048)
 log(f"SUMMARY: 2x4096={2*dt4*1000:.2f}ms ({8192/(2*dt4):.0f} QPS) vs "
     f"1x8192(t2048)={dt8*1000:.2f}ms ({8192/dt8:.0f} QPS), "
     f"recall {r4:.4f}/{r8:.4f}")
+_done.set()
