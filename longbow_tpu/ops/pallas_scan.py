@@ -114,19 +114,23 @@ def _tile_scores(q, qn, tile, vn, mode: str):
 
 
 def _scan_kernel(
-    q_ref,        # [B, D] VMEM
-    qn_ref,       # [B, 1] VMEM (|q|^2; zeros for ip mode)
-    tile_ref,     # [TILE_N, D] VMEM corpus tile
-    vn_ref,       # [1, TILE_N] VMEM (corpus |v|^2 + bias, MASKED-folded)
-    out_vals_ref,  # [B, depth*LANES] i32 (sortable-packed values)
-    out_ids_ref,   # [B, depth*LANES] i32 (global column-group ids)
-    rv_ref,       # scratch [B, depth*LANES] i32
-    ri_ref,       # scratch [B, depth*LANES] i32
-    *,
+    *refs,
     tile_n: int,
     mode: str,
     depth: int,
+    has_gt: bool = False,
 ):
+    """Refs (in order): q [B,D], qn [B,1], tile [TILE_N,D] (bf16 or u8
+    codes), vn [1,TILE_N], [gt [B, TILE_N//LANES] when has_gt —
+    per-column-group additive score term, the sq8r cluster-center
+    fold], out_vals [B,depth*LANES] i32, out_ids i32, rv/ri scratch."""
+    if has_gt:
+        (q_ref, qn_ref, tile_ref, vn_ref, gt_ref,
+         out_vals_ref, out_ids_ref, rv_ref, ri_ref) = refs
+    else:
+        (q_ref, qn_ref, tile_ref, vn_ref,
+         out_vals_ref, out_ids_ref, rv_ref, ri_ref) = refs
+        gt_ref = None
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
     g = tile_n // LANES  # column groups per tile
@@ -136,7 +140,13 @@ def _scan_kernel(
         rv_ref[:] = jnp.full_like(rv_ref, _MASKED_I32)
         ri_ref[:] = jnp.full_like(ri_ref, -1)
 
-    scores = _tile_scores(q_ref[:], qn_ref[:], tile_ref[:], vn_ref[:], mode)
+    tile = tile_ref[:]
+    if tile.dtype != q_ref.dtype:
+        # u8 codes stream: 1 byte/dim of HBM traffic, converted to the
+        # query dtype in VMEM right before the MXU feed (0..255 is
+        # exactly representable in bf16's 8-bit significand)
+        tile = tile.astype(q_ref.dtype)
+    scores = _tile_scores(q_ref[:], qn_ref[:], tile, vn_ref[:], mode)
     if mode == "l2":
         # the wrapper biased vn so every l2 score is strictly positive:
         # the raw bitcast is then order-preserving — no negative-branch
@@ -184,9 +194,17 @@ def _scan_kernel(
             # real scores absorb <= id_mask ulps of upward tie-break
             # noise (same magnitude the old truncation had, opposite
             # sign), orders below the rerank's correction.
-            pj = jnp.bitwise_and(
-                u[:, j * LANES:(j + 1) * LANES] + id_mask, ~id_mask
-            ) | j
+            if gt_ref is None:
+                uj = u[:, j * LANES:(j + 1) * LANES]
+            else:
+                # per-group additive term (sq8r -2*q.center[cid] fold):
+                # one [B,1]->[B,LANES] broadcast add per column group,
+                # applied on the f32 score slice BEFORE the sortable
+                # bitcast. A MASKED row absorbs the add (3e38 + O(1e3)
+                # rounds back to 3e38), so masking still rides vn.
+                sj = scores[:, j * LANES:(j + 1) * LANES] + gt_ref[:, j:j + 1]
+                uj = jax.lax.bitcast_convert_type(sj, jnp.int32)
+            pj = jnp.bitwise_and(uj + id_mask, ~id_mask) | j
             m = pj if m is None else jnp.minimum(m, pj)
         return m
 
@@ -392,6 +410,184 @@ def fused_flat_search(
         # bias is far below one ulp at 3e38) and clamp bf16
         # cancellation — self-distance must not go negative
         out_vals = jnp.maximum(out_vals - bias, 0.0)
+    return out_vals, out_idx[:b, :k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "tile_n", "interpret", "depth", "clamp_zero"),
+)
+def fused_codes_search(
+    qs: jax.Array,
+    qn_eff: jax.Array,
+    codes: jax.Array,
+    vn_row: jax.Array,
+    valid: jax.Array,
+    k: int,
+    *,
+    group_term: jax.Array | None = None,
+    extra_mask=None,
+    neg_slack: float | jax.Array = 0.0,
+    clamp_zero: bool = True,
+    tile_n: int = 0,
+    depth: int = 0,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused flat scan over uint8 QUANTIZED codes — the TPU-native
+    equivalent of the reference's native SQ8/ADC kernels (reference:
+    internal/simd/sq8.go:37 + sq8_amd64.s, batch_operations.go:119):
+    1 byte/dim of HBM traffic instead of 2 (bf16), same lane-candidate
+    register machinery as `fused_flat_search`.
+
+    The caller folds its affine/residual dequantization into the
+    QUERY side; the kernel scores the l2-form expression
+
+        score[b, n] = qn_eff[b] - 2 * (qs[b] . codes[n]) + vn_row[n]
+                      (+ group_term[b, n // 128] when given)
+
+    which expresses:
+      - SQ8 (global per-dim affine, index/sq8.py):
+          qs = q * scale,  qn_eff = |q|^2 - 2 q.lo,  vn_row = |v_deq|^2
+      - residual SQ8 (cluster-grouped layout): additionally
+          group_term[b, g] = -2 * (q . centers[cid_of_group[g]])
+        (valid because the physical layout keeps each 128-row lane
+        group single-cluster — see index/sq8.py SQ8ResidualIndex)
+      - dot/ip: qs = q * scale / 2, qn_eff = -(q.lo), vn_row = 0,
+        negated center term halved likewise.
+
+    codes:  [N, D] uint8 (N should be a tile_n multiple — padded here
+            otherwise, which materializes a padded copy per call)
+    qs:     [B, D] f32/bf16 pre-scaled query side (cast to bf16)
+    qn_eff: [B] f32;  vn_row: [N] f32;  valid: [N] bool
+    group_term: [B, N // 128] f32 per-column-group additive term
+    Returns (score [B, k] f32 incl. all terms, row [B, k] i32),
+    ascending; masked/unfilled slots decode as (MASKED, -1).
+
+    Scores are positivity-biased with a data-derived bias (same trap as
+    the bf16 kernel: bf16 cancellation breaks raw-bitcast ordering) —
+    the bias must dominate every additive term, so it is derived from
+    qn_eff/vn_row/group_term maxima inside this jit. That covers
+    l2-form scores (mathematically >= 0 up to rounding); a dot-style
+    fold whose scores go genuinely negative MUST pass `neg_slack` >=
+    max possible |negative score| (e.g. 2 * max|qs| * max|codes| from
+    stats the index keeps) and `clamp_zero=False`.
+    """
+    if codes.dtype != jnp.uint8:
+        raise ValueError("fused_codes_search: codes must be uint8")
+    if tile_n and tile_n % LANES != 0:
+        raise ValueError(f"tile_n must be a multiple of {LANES}")
+    if group_term is not None and (
+        codes.shape[0] % LANES != 0
+        or group_term.shape[1] != codes.shape[0] // LANES
+    ):
+        raise ValueError(
+            "group_term requires N % 128 == 0 and shape [B, N // 128] "
+            f"(got N={codes.shape[0]}, gt={group_term.shape})"
+        )
+    if extra_mask is not None:
+        valid = jnp.logical_and(valid, extra_mask)
+
+    b, d = qs.shape
+    n = codes.shape[0]
+    if depth <= 0:
+        depth = 2 if k <= LANES else DEPTH
+    ncand = depth * LANES
+    if k > ncand:
+        raise ValueError(f"fused_codes_search supports k <= {ncand}")
+
+    d_pad = pad_to(d, 128)
+    tile_n = tile_n or tile_for_dim(d)
+    n_pad = pad_to(n, tile_n)
+    b_pad = pad_to(b, 16)
+
+    qs = qs.astype(jnp.bfloat16)
+    if d_pad != d:
+        qs = jnp.pad(qs, ((0, 0), (0, d_pad - d)))
+        codes = jnp.pad(codes, ((0, 0), (0, d_pad - d)))
+    if b_pad != b:
+        qs = jnp.pad(qs, ((0, b_pad - b), (0, 0)))
+        qn_eff = jnp.pad(qn_eff, (0, b_pad - b))
+        if group_term is not None:
+            group_term = jnp.pad(group_term, ((0, b_pad - b), (0, 0)))
+    if n_pad != n:
+        codes = jnp.pad(codes, ((0, n_pad - n), (0, 0)))
+        vn_row = jnp.pad(vn_row, (0, n_pad - n))
+        valid = jnp.pad(valid.astype(bool), (0, n_pad - n))
+        if group_term is not None:
+            group_term = jnp.pad(
+                group_term, ((0, 0), (0, n_pad // LANES - n // LANES))
+            )
+
+    valid = valid.astype(bool)
+    # positivity bias (see module docstring): must dominate the bf16
+    # matmul cancellation of EVERY additive term, including the
+    # group term's magnitude when present
+    m_q = jnp.max(jnp.abs(qn_eff))
+    m_v = jnp.max(jnp.where(valid, jnp.abs(vn_row), 0.0))
+    bias = 1.0 + 0.25 * (m_q + m_v) + jnp.abs(
+        jnp.asarray(neg_slack, jnp.float32)
+    )
+    if group_term is not None:
+        bias = bias + 0.25 * jnp.max(jnp.abs(group_term))
+    vn = jnp.where(valid, vn_row.astype(jnp.float32) + bias, MASKED)[None, :]
+    qn = qn_eff.astype(jnp.float32)[:, None]
+
+    grid = (n_pad // tile_n,)
+    g = tile_n // LANES
+    has_gt = group_term is not None
+    in_specs = [
+        pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    args = [qs, qn, codes, vn]
+    if has_gt:
+        in_specs.append(
+            pl.BlockSpec((b_pad, g), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(group_term.astype(jnp.float32))
+    kernel = functools.partial(
+        _scan_kernel, tile_n=tile_n, mode="l2", depth=depth,
+        has_gt=has_gt,
+    )
+    out_vals, out_ids = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((b_pad, ncand), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, ncand), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, ncand), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, ncand), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, ncand), jnp.int32),
+            pltpu.VMEM((b_pad, ncand), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d_pad,
+            bytes_accessed=n_pad * d_pad,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    # decode (same ghost canonicalization as fused_flat_search)
+    id_bits_w = max((g - 1).bit_length(), 1)
+    ghost = out_vals >= (_MASKED_I32 & ~((1 << id_bits_w) - 1))
+    out_vals = jnp.where(ghost, _MASKED_I32, out_vals)
+    out_ids = jnp.where(ghost, -1, out_ids)
+    lane = jnp.arange(ncand, dtype=jnp.int32) % LANES
+    rows = jnp.where(out_ids >= 0, out_ids * LANES + lane[None, :], -1)
+    neg, pos = jax.lax.top_k(-out_vals, k)
+    out_idx = jnp.take_along_axis(rows, pos, axis=1)
+    out_vals = _unsortable_f32(-neg)
+    out_vals = out_vals[:b, :k] - bias
+    if clamp_zero:  # l2-form: self-distance must not go negative
+        out_vals = jnp.maximum(out_vals, 0.0)
     return out_vals, out_idx[:b, :k]
 
 

@@ -98,17 +98,22 @@ class S3Backend:
         bucket: str,
         prefix: str = "longbow",
         endpoint_url: Optional[str] = None,
+        client=None,
     ):
+        """client: injectable S3 client (upload_file / download_file /
+        get_paginator surface) — tests exercise the full backend with a
+        fake; production passes None and gets boto3."""
+        self.bucket = bucket
+        self.prefix = prefix
+        if client is not None:
+            self.client = client
+            return
         try:
-            import boto3  # noqa: F401
+            import boto3
         except ImportError as e:
             raise RuntimeError(
                 "S3 backend needs boto3; install it or use LocalBackend"
             ) from e
-        import boto3
-
-        self.bucket = bucket
-        self.prefix = prefix
         self.client = boto3.client("s3", endpoint_url=endpoint_url)
 
     @_s3_op("upload")

