@@ -480,6 +480,7 @@ class ClusterCoordinator:
         local: Optional[tuple] = None,
         metric: Optional[str] = "l2",
         consistency: str = "",
+        hybrid: Optional[dict] = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Fan `VectorSearch {local_only: true}` out to alive peers,
         merge with the local top-k (reference: global_search.go:48-280;
@@ -492,6 +493,14 @@ class ClusterCoordinator:
         consistency: ""/best-effort, or ONE|QUORUM|ALL — raises
         ConsistencyError when fewer nodes (peers + self) answer than
         the level requires (reference: quorum.go:93-126).
+        hybrid: optional {"text_query", "alpha", "fusion",
+        "graph_alpha", "graph_depth"} — forwarded to every peer so
+        each runs its LOCAL hybrid pipeline (the reference forwards
+        the full VectorSearchRequest, global_search.go:48). Because
+        BM25 statistics are node-local, per-node fused scores are NOT
+        comparable across nodes; hybrid responses merge by
+        reciprocal-rank fusion over the per-node ranked lists (scores
+        returned are RRF scores — documented in docs/DISTRIBUTED.md).
         Returns merged (ids [B,k] object, scores [B,k] f32, ok [B,k]).
         """
         try:
@@ -557,7 +566,7 @@ class ClusterCoordinator:
                 tables, peer_metric = peer.client.exchange_search(
                     dataset, [qv], k,
                     filters=raw_filters, local_only=True,
-                    with_metric=True,
+                    with_metric=True, hybrid=hybrid,
                 )
                 t = tables[0]
                 results[i] = {
@@ -657,6 +666,51 @@ class ClusterCoordinator:
                 "l2",
             )
             bigger_better = metric == "dot"
+
+        if hybrid and hybrid.get("text_query"):
+            # cross-node hybrid merge: RRF over per-node ranked lists
+            # (each node's fused list is already best-first; its raw
+            # scores reflect node-local BM25 stats + normalization and
+            # must not be compared across nodes)
+            from longbow_tpu.hybrid.fusion import fuse_rrf
+
+            node_lists: list[list[list]] = [[] for _ in range(b)]
+            if local is not None:
+                lid, _ls, lok = local
+                for row in range(min(b, lid.shape[0])):
+                    lst = [
+                        lid[row, j]
+                        for j in range(lid.shape[1])
+                        if lok[row, j]
+                    ]
+                    if lst:
+                        node_lists[row].append(lst)
+            for resp in results:
+                if not resp:
+                    continue
+                rid = resp.get("ids", [])
+                rq = resp.get("query_index")
+                if rq is None:
+                    rq = [0] * len(rid)
+                per_row: dict[int, list] = {}
+                for uid, row in zip(rid, rq):
+                    if row < b:
+                        # response rows are row-major in fused order
+                        per_row.setdefault(int(row), []).append(uid)
+                for row, lst in per_row.items():
+                    node_lists[row].append(lst)
+            out_ids = np.empty((b, k), dtype=object)
+            out_scores = np.zeros((b, k), np.float32)
+            out_ok = np.zeros((b, k), bool)
+            for row in range(b):
+                for j, (uid, s) in enumerate(
+                    fuse_rrf(node_lists[row], k)
+                ):
+                    out_ids[row, j] = uid
+                    out_scores[row, j] = s
+                    out_ok[row, j] = True
+            return out_ids, out_scores, out_ok
+
         if local is not None:
             fold(*local)
 

@@ -55,7 +55,13 @@ def _normalize(pairs: list[tuple]) -> dict:
         return {}
     vals = [s for _, s in pairs]
     lo, hi = min(vals), max(vals)
-    span = (hi - lo) or 1.0
+    if hi - lo <= 0.0:
+        # degenerate list (single hit or all-tied): these ARE the top
+        # matches of their modality — mapping them to 0 made a unique
+        # BM25 keyword hit contribute nothing to the fusion (found by
+        # the cross-node hybrid test; the match ranked dead last)
+        return {d: 1.0 for d, _ in pairs}
+    span = hi - lo
     return {d: (s - lo) / span for d, s in pairs}
 
 

@@ -142,9 +142,13 @@ def _scan_kernel(
 
     tile = tile_ref[:]
     if tile.dtype != q_ref.dtype:
-        # u8 codes stream: 1 byte/dim of HBM traffic, converted to the
-        # query dtype in VMEM right before the MXU feed (0..255 is
-        # exactly representable in bf16's 8-bit significand)
+        # int8 codes stream: 1 byte/dim of HBM traffic, converted to
+        # the query dtype in VMEM right before the MXU feed (-128..127
+        # is exactly representable in bf16's 8-bit significand).
+        # Codes are SIGNED (u8 - 128, shift folded into the affine):
+        # Mosaic has no unsigned->float lowering, the signed chain
+        # i8 -> i32 -> f32 -> bf16 is supported (lowering.py
+        # _convert_helper; measured on v5e round 5).
         tile = tile.astype(q_ref.dtype)
     scores = _tile_scores(q_ref[:], qn_ref[:], tile, vn_ref[:], mode)
     if mode == "l2":
@@ -433,7 +437,7 @@ def fused_codes_search(
     depth: int = 0,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Fused flat scan over uint8 QUANTIZED codes — the TPU-native
+    """Fused flat scan over int8 QUANTIZED codes — the TPU-native
     equivalent of the reference's native SQ8/ADC kernels (reference:
     internal/simd/sq8.go:37 + sq8_amd64.s, batch_operations.go:119):
     1 byte/dim of HBM traffic instead of 2 (bf16), same lane-candidate
@@ -445,9 +449,12 @@ def fused_codes_search(
         score[b, n] = qn_eff[b] - 2 * (qs[b] . codes[n]) + vn_row[n]
                       (+ group_term[b, n // 128] when given)
 
-    which expresses:
+    Codes are RECENTERED SIGNED bytes (stored_u8_value - 128) because
+    Mosaic cannot lower unsigned->float casts; fold the shift into the
+    affine: lo_eff = lo + 128 * scale. The expression then covers:
       - SQ8 (global per-dim affine, index/sq8.py):
-          qs = q * scale,  qn_eff = |q|^2 - 2 q.lo,  vn_row = |v_deq|^2
+          qs = q * scale,  qn_eff = |q|^2 - 2 q.lo_eff,
+          vn_row = |v_deq|^2
       - residual SQ8 (cluster-grouped layout): additionally
           group_term[b, g] = -2 * (q . centers[cid_of_group[g]])
         (valid because the physical layout keeps each 128-row lane
@@ -455,7 +462,7 @@ def fused_codes_search(
       - dot/ip: qs = q * scale / 2, qn_eff = -(q.lo), vn_row = 0,
         negated center term halved likewise.
 
-    codes:  [N, D] uint8 (N should be a tile_n multiple — padded here
+    codes:  [N, D] int8 (N should be a tile_n multiple — padded here
             otherwise, which materializes a padded copy per call)
     qs:     [B, D] f32/bf16 pre-scaled query side (cast to bf16)
     qn_eff: [B] f32;  vn_row: [N] f32;  valid: [N] bool
@@ -472,8 +479,11 @@ def fused_codes_search(
     max possible |negative score| (e.g. 2 * max|qs| * max|codes| from
     stats the index keeps) and `clamp_zero=False`.
     """
-    if codes.dtype != jnp.uint8:
-        raise ValueError("fused_codes_search: codes must be uint8")
+    if codes.dtype != jnp.int8:
+        raise ValueError(
+            "fused_codes_search: codes must be int8 (recentered u8-128"
+            " — Mosaic has no unsigned->float cast)"
+        )
     if tile_n and tile_n % LANES != 0:
         raise ValueError(f"tile_n must be a multiple of {LANES}")
     if group_term is not None and (

@@ -420,15 +420,29 @@ class LongbowClient:
         filters=None,
         local_only: bool = False,
         with_metric: bool = False,
+        hybrid: dict | None = None,
     ):
         """Stream query batches; returns one arrow table per batch
         (Arrow both directions — the peer global-search transport).
-        with_metric=True -> (tables, metric_from_schema_metadata)."""
+        with_metric=True -> (tables, metric_from_schema_metadata).
+        hybrid: optional {"text_query", "alpha", "fusion",
+        "graph_alpha", "graph_depth"} carried in the command so peers
+        run their LOCAL hybrid pipeline — the reference forwards the
+        entire VectorSearchRequest through global search
+        (global_search.go:48; requests.go:4-21)."""
         cmd = {"protocol": "search", "dataset": dataset, "k": k}
         if filters:
             cmd["filters"] = filters
         if local_only:
             cmd["local_only"] = True
+        if hybrid and hybrid.get("text_query"):
+            cmd.update({
+                "text_query": hybrid["text_query"],
+                "alpha": float(hybrid.get("alpha", 0.0)),
+                "fusion": hybrid.get("fusion", "linear") or "linear",
+                "graph_alpha": float(hybrid.get("graph_alpha", 0.0)),
+                "graph_depth": int(hybrid.get("graph_depth", 2)),
+            })
         descriptor = flight.FlightDescriptor.for_command(
             json.dumps(cmd).encode()
         )

@@ -520,6 +520,14 @@ class LongbowFlightServer(flight.FlightServerBase):
             # top-k (reference: store_query.go:696-717 -> global_search.go)
             from longbow_tpu.distributed.cluster import ConsistencyError
 
+            hy = None
+            if req.text_query and 0.0 <= req.alpha < 1.0 and allow_hybrid:
+                hy = {
+                    "text_query": req.text_query, "alpha": req.alpha,
+                    "fusion": req.fusion,
+                    "graph_alpha": req.graph_alpha if allow_graph else 0.0,
+                    "graph_depth": req.graph_depth,
+                }
             try:
                 ids, scores, ok = self.cluster.global_search(
                     dsname, qv, req.k,
@@ -527,6 +535,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                     local=(ids, scores, ok),
                     metric=ds.metric if ds is not None else None,
                     consistency=req.consistency,
+                    hybrid=hy,
                 )
             except ConsistencyError as e:
                 raise flight.FlightUnavailableError(str(e)) from e
@@ -989,6 +998,15 @@ class LongbowFlightServer(flight.FlightServerBase):
             from longbow_tpu.query.parser import _parse_filters
 
             filters = _parse_filters(cmd["filters"])
+        # hybrid fields forwarded by a fan-out coordinator (reference
+        # forwards the full VectorSearchRequest, global_search.go:48):
+        # a peer hop runs its LOCAL hybrid pipeline over its own BM25
+        # stats and returns the fused ranking
+        text_query = cmd.get("text_query", "") or ""
+        hy_alpha = float(cmd.get("alpha", 0.0))
+        hy_fusion = cmd.get("fusion", "linear") or "linear"
+        hy_galpha = float(cmd.get("graph_alpha", 0.0))
+        hy_gdepth = int(cmd.get("graph_depth", 2))
         try:
             metric = self.store.get(dataset).metric
         except KeyError:
@@ -1030,9 +1048,17 @@ class LongbowFlightServer(flight.FlightServerBase):
             tbl = pa.Table.from_batches([batch])
             qv = _vector_column_to_numpy(tbl.column("vector"))
             try:
-                ids, scores, ok = self._search(
-                    dataset, qv, k, filters=filters
-                )
+                if text_query and 0.0 <= hy_alpha < 1.0:
+                    ids, scores, ok = self.store.hybrid_search(
+                        dataset, qv, k,
+                        text_query=text_query, alpha=hy_alpha,
+                        filters=filters, fusion=hy_fusion,
+                        graph_alpha=hy_galpha, graph_depth=hy_gdepth,
+                    )
+                else:
+                    ids, scores, ok = self._search(
+                        dataset, qv, k, filters=filters
+                    )
             except KeyError:
                 if not fan_out:
                     raise flight.FlightServerError(
@@ -1048,6 +1074,13 @@ class LongbowFlightServer(flight.FlightServerBase):
                     ConsistencyError,
                 )
 
+                hy = None
+                if text_query and 0.0 <= hy_alpha < 1.0:
+                    hy = {
+                        "text_query": text_query, "alpha": hy_alpha,
+                        "fusion": hy_fusion, "graph_alpha": hy_galpha,
+                        "graph_depth": hy_gdepth,
+                    }
                 try:
                     ids, scores, ok = self.cluster.global_search(
                         dataset, qv, k,
@@ -1055,6 +1088,7 @@ class LongbowFlightServer(flight.FlightServerBase):
                         local=(ids, scores, ok),
                         metric=ds_metric,
                         consistency=cmd.get("consistency"),
+                        hybrid=hy,
                     )
                 except ConsistencyError as e:
                     raise flight.FlightUnavailableError(str(e)) from e

@@ -750,3 +750,51 @@ def test_exchange_batch_search_fans_out(three_partitioned_nodes):
     qi = t.column("query_index").to_numpy()
     hits = sum(1 for b in range(256) if b in ids[qi == b])
     assert hits == 256, f"only {hits}/256 queries found their row"
+
+
+def test_global_hybrid_search_forwards_text_query(three_nodes):
+    """Cross-node hybrid: text_query/alpha forward through global
+    search so each node runs its LOCAL BM25 + dense fusion, merged by
+    RRF (reference forwards the full VectorSearchRequest,
+    global_search.go:48; requests.go:4-21). BM25 docs are split across
+    nodes: the keyword-only match lives on node1 and must surface in a
+    search issued at node0."""
+    n0, n1, n2 = three_nodes
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal(8).astype(np.float32)
+    # node0: dense-close rows with unrelated text
+    v0 = q[None, :] + 0.05 * rng.standard_normal((10, 8)).astype(np.float32)
+    n0.store.put(
+        "hyb", np.arange(10), v0,
+        columns={"text": [f"common filler doc {i}" for i in range(10)]},
+    )
+    # node1: one dense-FAR row whose text matches the query exactly
+    v1 = q[None, :] + 5.0 + rng.standard_normal((5, 8)).astype(np.float32)
+    n1.store.put(
+        "hyb", np.arange(100, 105), v1,
+        columns={"text": [
+            "quantum flux capacitor blueprint",
+            "unrelated beta", "unrelated gamma", "unrelated delta",
+            "unrelated epsilon",
+        ]},
+    )
+    # node2: noise
+    v2 = q[None, :] + 3.0 + rng.standard_normal((5, 8)).astype(np.float32)
+    n2.store.put(
+        "hyb", np.arange(200, 205), v2,
+        columns={"text": [f"noise doc {i}" for i in range(5)]},
+    )
+
+    # dense-only global search from node0: the far row cannot appear
+    tbl = n0.client.search("hyb", q, k=5)
+    dense_ids = {tbl.column("id")[j].as_py() for j in range(5)}
+    assert 100 not in dense_ids
+
+    # hybrid global search: the node1 keyword match must surface
+    tbl = n0.client.search(
+        "hyb", q, k=5, text_query="quantum flux capacitor", alpha=0.3
+    )
+    hy_ids = [tbl.column("id")[j].as_py() for j in range(tbl.num_rows)]
+    assert 100 in hy_ids, hy_ids
+    # dense-close local rows still present (fusion, not replacement)
+    assert any(i < 10 for i in hy_ids), hy_ids

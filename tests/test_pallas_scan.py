@@ -119,17 +119,19 @@ def test_fused_scan_all_masked():
 
 def _sq8_setup(n=768, d=64, b=6, seed=5):
     """Global-affine SQ8 artifacts + the dequantized f32 corpus that
-    defines ground truth for the quantized scan."""
+    defines ground truth for the quantized scan. Codes are the
+    kernel's recentered-int8 convention (u8 - 128) with the shift
+    folded into lo_eff."""
     rng = np.random.default_rng(seed)
     corpus = rng.standard_normal((n, d)).astype(np.float32)
     queries = rng.standard_normal((b, d)).astype(np.float32)
     lo, hi = corpus.min(axis=0), corpus.max(axis=0)
     scale = np.maximum(hi - lo, 1e-12) / 255.0
-    codes = np.clip(
-        np.round((corpus - lo) / scale), 0, 255
-    ).astype(np.uint8)
-    deq = codes.astype(np.float32) * scale + lo
-    return queries, codes, deq, lo, scale
+    codes_u8 = np.clip(np.round((corpus - lo) / scale), 0, 255)
+    codes = (codes_u8 - 128).astype(np.int8)
+    lo_eff = lo + 128.0 * scale
+    deq = codes.astype(np.float32) * scale + lo_eff
+    return queries, codes, deq, lo_eff, scale
 
 
 def _sq8_fold(queries, lo, scale):
@@ -190,13 +192,16 @@ def test_fused_codes_group_term_residual():
     res = corpus - centers[np.repeat(gcid, LANES)]
     lo, hi = res.min(axis=0), res.max(axis=0)
     scale = np.maximum(hi - lo, 1e-12) / 255.0
-    codes = np.clip(np.round((res - lo) / scale), 0, 255).astype(np.uint8)
+    codes = (
+        np.clip(np.round((res - lo) / scale), 0, 255) - 128
+    ).astype(np.int8)
+    lo_eff = lo + 128.0 * scale
     deq = (
-        codes.astype(np.float32) * scale + lo
+        codes.astype(np.float32) * scale + lo_eff
         + centers[np.repeat(gcid, LANES)]
     )
     qs = queries * scale[None, :]
-    qn_eff = np.sum(queries * queries, axis=1) - 2.0 * (queries @ lo)
+    qn_eff = np.sum(queries * queries, axis=1) - 2.0 * (queries @ lo_eff)
     gt = -2.0 * (queries @ centers.T)[:, gcid]  # [B, n_groups]
     vn = np.sum(deq * deq, axis=1)
     valid = jnp.ones((n,), bool)

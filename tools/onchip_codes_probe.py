@@ -107,12 +107,17 @@ log("sq8 quantize on device...")
 
 @jax.jit
 def quantize(c):
+    """Recentered-int8 convention: codes = u8 - 128, lo_eff = lo +
+    128*scale (Mosaic has no unsigned->float cast)."""
     lo = jnp.min(c, axis=0); hi = jnp.max(c, axis=0)
     scale = jnp.maximum(hi - lo, 1e-12) / 255.0
-    codes = jnp.clip(jnp.round((c - lo) / scale), 0, 255).astype(jnp.uint8)
-    deq = codes.astype(jnp.float32) * scale[None, :] + lo[None, :]
+    codes = (
+        jnp.clip(jnp.round((c - lo) / scale), 0, 255) - 128.0
+    ).astype(jnp.int8)
+    lo_eff = lo + 128.0 * scale
+    deq = codes.astype(jnp.float32) * scale[None, :] + lo_eff[None, :]
     vn = jnp.sum(deq * deq, axis=1)
-    return codes, lo, scale, vn
+    return codes, lo_eff, scale, vn
 
 codes, lo, scale, vn = quantize(cj)
 float(jnp.sum(vn))
