@@ -120,10 +120,11 @@ def _scan_kernel(
     depth: int,
     has_gt: bool = False,
 ):
-    """Refs (in order): q [B,D], qn [B,1], tile [TILE_N,D] (bf16 or u8
-    codes), vn [1,TILE_N], [gt [B, TILE_N//LANES] when has_gt —
-    per-column-group additive score term, the sq8r cluster-center
-    fold], out_vals [B,depth*LANES] i32, out_ids i32, rv/ri scratch."""
+    """Refs (in order): q [B,D], qn [B,1], tile [TILE_N,D] (bf16 or i8
+    codes), vn [1,TILE_N], [gt [B, 128] when has_gt — THIS TILE's
+    per-column-group additive terms at columns [0, g), the sq8r
+    cluster-center fold (bf16)], out_vals [B,depth*LANES] i32,
+    out_ids i32, rv/ri scratch."""
     if has_gt:
         (q_ref, qn_ref, tile_ref, vn_ref, gt_ref,
          out_vals_ref, out_ids_ref, rv_ref, ri_ref) = refs
@@ -140,29 +141,11 @@ def _scan_kernel(
         rv_ref[:] = jnp.full_like(rv_ref, _MASKED_I32)
         ri_ref[:] = jnp.full_like(ri_ref, -1)
 
-    tile = tile_ref[:]
-    if tile.dtype != q_ref.dtype:
-        # int8 codes stream: 1 byte/dim of HBM traffic, converted to
-        # the query dtype in VMEM right before the MXU feed (-128..127
-        # is exactly representable in bf16's 8-bit significand).
-        # Codes are SIGNED (u8 - 128, shift folded into the affine):
-        # Mosaic has no unsigned->float lowering, the signed chain
-        # i8 -> i32 -> f32 -> bf16 is supported (lowering.py
-        # _convert_helper; measured on v5e round 5).
-        tile = tile.astype(q_ref.dtype)
-    scores = _tile_scores(q_ref[:], qn_ref[:], tile, vn_ref[:], mode)
-    if mode == "l2":
-        # the wrapper biased vn so every l2 score is strictly positive:
-        # the raw bitcast is then order-preserving — no negative-branch
-        # select on the [B, T] pass (ablation: ~10% kernel time at
-        # B=2048)
-        u = jax.lax.bitcast_convert_type(scores, jnp.int32)
-    else:  # ip scores can be negative: full sortable transform
-        u = _sortable_i32(scores)
     # pack the group id into the value's low bits (field width follows
-    # g: 5 bits at tile 4096): the vertical min then carries its own
-    # argmin (tie-break/truncation noise is <= 2^-18 relative — the
-    # serving pipeline re-ranks exactly anyway)
+    # g: 5 bits at tile 4096, 7 at the grouped path's 16384): the
+    # vertical min then carries its own argmin (tie-break/truncation
+    # noise is <= 2^-18 relative — the serving pipeline re-ranks the
+    # pool exactly anyway)
     id_bits = max((g - 1).bit_length(), 1)
     id_mask = (1 << id_bits) - 1
 
@@ -180,42 +163,84 @@ def _scan_kernel(
             rv_ref[:, d * LANES:(d + 1) * LANES] = nv
             ri_ref[:, d * LANES:(d + 1) * LANES] = ni
 
-    # half-split vertical reduce over 128-lane column SLICES of the
-    # native [B, T] layout (a [B, g, 128] reshape + 3D iota forces a
-    # tiled relayout — switching to slices bought ~25% at B>=512):
-    # two candidates per (query, lane) per tile for the same total
-    # reduce work as one full min, halving the same-residue collision
-    # window (only rows 128*j apart within a half-tile compete)
-    def half_min(j0, j1):
-        m = None
-        for j in range(j0, j1):
-            # round the score UP to the id-field boundary before
-            # packing: clearing low bits used to perturb a MASKED row's
-            # sentinel a few ulps BELOW _MASKED_I32, letting tombstoned
-            # rows enter the registers (then surface with "valid"
-            # scores when < ncand real rows exist). Rounding up keeps
-            # masked >= the register init so they never win a swap;
-            # real scores absorb <= id_mask ulps of upward tie-break
-            # noise (same magnitude the old truncation had, opposite
-            # sign), orders below the rerank's correction.
-            if gt_ref is None:
-                uj = u[:, j * LANES:(j + 1) * LANES]
-            else:
-                # per-group additive term (sq8r -2*q.center[cid] fold):
-                # one [B,1]->[B,LANES] broadcast add per column group,
-                # applied on the f32 score slice BEFORE the sortable
-                # bitcast. A MASKED row absorbs the add (3e38 + O(1e3)
-                # rounds back to 3e38), so masking still rides vn.
-                sj = scores[:, j * LANES:(j + 1) * LANES] + gt_ref[:, j:j + 1]
-                uj = jax.lax.bitcast_convert_type(sj, jnp.int32)
-            pj = jnp.bitwise_and(uj + id_mask, ~id_mask) | j
-            m = pj if m is None else jnp.minimum(m, pj)
-        return m
+    # The tile is processed in SUB-TILES of <=4096 rows: each sub-tile
+    # computes its [B, SUB] score block, packs, and min-reduces before
+    # the next starts, so score liveness never exceeds the proven
+    # 4096-tile footprint. The grouped (gt) path NEEDS tile_n=16384
+    # (128 groups — the Mosaic gt-block lane constraint) and a
+    # whole-tile [B, 16384] f32 score buffer stack-OOMed scoped VMEM
+    # (47.7M > 16M, measured round 5); without gt there is exactly one
+    # sub-tile and this is the original kernel unchanged.
+    sub_n = min(tile_n, 4096)
+    g_sub = sub_n // LANES
+    for s in range(tile_n // sub_n):
+        sub = tile_ref[s * sub_n:(s + 1) * sub_n, :]
+        if sub.dtype != q_ref.dtype:
+            # int8 codes stream: 1 byte/dim of HBM traffic, converted
+            # to the query dtype in VMEM right before the MXU feed
+            # (-128..127 is exact in bf16's 8-bit significand). Codes
+            # are SIGNED (u8 - 128, shift folded into the affine):
+            # Mosaic has no unsigned->float lowering, the signed chain
+            # i8 -> i32 -> f32 -> bf16 is supported (measured on v5e).
+            sub = sub.astype(q_ref.dtype)
+        scores = _tile_scores(
+            q_ref[:], qn_ref[:], sub,
+            vn_ref[:, s * sub_n:(s + 1) * sub_n], mode,
+        )
+        if gt_ref is None:
+            if mode == "l2":
+                # the wrapper biased vn so every l2 score is strictly
+                # positive: the raw bitcast is then order-preserving —
+                # no negative-branch select on the [B, T] pass
+                # (ablation: ~10% kernel time at B=2048)
+                u = jax.lax.bitcast_convert_type(scores, jnp.int32)
+            else:  # ip scores can be negative: full sortable transform
+                u = _sortable_i32(scores)
+        else:
+            u = None
 
-    for (j0, j1) in ((0, g // 2), (g // 2, g)) if g >= 2 else ((0, g),):
-        pm = half_min(j0, j1)
-        merge(jnp.bitwise_and(pm, ~id_mask),
-              jnp.bitwise_and(pm, id_mask) + step * g)
+        def half_min(j0, j1):
+            m = None
+            for j in range(j0, j1):
+                # round the score UP to the id-field boundary before
+                # packing: clearing low bits used to perturb a MASKED
+                # row's sentinel a few ulps BELOW _MASKED_I32, letting
+                # tombstoned rows enter the registers (then surface
+                # with "valid" scores when < ncand real rows exist).
+                # Rounding up keeps masked >= the register init so
+                # they never win a swap; real scores absorb <= id_mask
+                # ulps of upward tie-break noise, orders below the
+                # rerank's correction.
+                if gt_ref is None:
+                    uj = u[:, j * LANES:(j + 1) * LANES]
+                else:
+                    # per-group additive term (sq8r -2*q.center[cid]
+                    # fold): one [B,1]->[B,LANES] broadcast add per
+                    # column group on the f32 score slice BEFORE the
+                    # bitcast. A MASKED row absorbs the add (3e38 +
+                    # O(1e3) rounds back to 3e38), so masking still
+                    # rides vn.
+                    gj = s * g_sub + j
+                    sj = (
+                        scores[:, j * LANES:(j + 1) * LANES]
+                        + gt_ref[:, gj:gj + 1]
+                    )
+                    uj = jax.lax.bitcast_convert_type(sj, jnp.int32)
+                pj = jnp.bitwise_and(uj + id_mask, ~id_mask) | (
+                    s * g_sub + j
+                )
+                m = pj if m is None else jnp.minimum(m, pj)
+            return m
+
+        halves = (
+            ((0, g_sub // 2), (g_sub // 2, g_sub))
+            if g_sub >= 2
+            else ((0, g_sub),)
+        )
+        for (j0, j1) in halves:
+            pm = half_min(j0, j1)
+            merge(jnp.bitwise_and(pm, ~id_mask),
+                  jnp.bitwise_and(pm, id_mask) + step * g)
 
     @pl.when(step == nsteps - 1)
     def _emit():
@@ -507,6 +532,8 @@ def fused_codes_search(
 
     d_pad = pad_to(d, 128)
     tile_n = tile_n or tile_for_dim(d)
+    if group_term is not None and tile_n > 16384:
+        raise ValueError("group_term path supports tile_n <= 16384")
     n_pad = pad_to(n, tile_n)
     b_pad = pad_to(b, 16)
 
@@ -525,8 +552,27 @@ def fused_codes_search(
         valid = jnp.pad(valid.astype(bool), (0, n_pad - n))
         if group_term is not None:
             group_term = jnp.pad(
-                group_term, ((0, 0), (0, n_pad // LANES - n // LANES))
+                group_term, ((0, b_pad - group_term.shape[0]),
+                             (0, n_pad // LANES - group_term.shape[1]))
             )
+    if group_term is not None:
+        # Kernel-feed layout: one 128-lane block per TILE, this tile's
+        # g group values at columns [0, g) (zeros beyond). A direct
+        # [B, G] feed is impossible — Mosaic requires block lane dims
+        # divisible by 128, and the 16384-row tile that makes g == 128
+        # stack-OOMs scoped VMEM (47-115M > 16M, measured round 5).
+        # bf16: the term only steers the coarse pass (pool is re-ranked
+        # exactly); halves the extra HBM read.
+        ntiles = n_pad // tile_n
+        g = tile_n // LANES
+        group_term = (
+            jnp.pad(
+                group_term.reshape(b_pad, ntiles, g),
+                ((0, 0), (0, 0), (0, LANES - g)),
+            )
+            .reshape(b_pad, ntiles * LANES)
+            .astype(jnp.bfloat16)
+        )
 
     valid = valid.astype(bool)
     # positivity bias (see module docstring): must dominate the bf16
@@ -554,9 +600,12 @@ def fused_codes_search(
     args = [qs, qn, codes, vn]
     if has_gt:
         in_specs.append(
-            pl.BlockSpec((b_pad, g), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (b_pad, LANES), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            )
         )
-        args.append(group_term.astype(jnp.float32))
+        args.append(group_term)
     kernel = functools.partial(
         _scan_kernel, tile_n=tile_n, mode="l2", depth=depth,
         has_gt=has_gt,

@@ -440,3 +440,103 @@ def test_cosine_distance_convention_uniform_across_kinds():
             kind, dist[0], want[0]
         )
         assert dist[0] >= -1e-4, (kind, dist[0])  # 1-cos is >= 0
+
+
+# ---- sq8r two-region layout (round 5: fused-kernel physical layout) ----
+
+def _mk_sq8r(dim=16, n_clusters=8, rebuild_min=256):
+    from longbow_tpu.index.sq8 import SQ8ResidualIndex
+
+    idx = SQ8ResidualIndex(dim, n_clusters=n_clusters)
+    idx.rebuild_min = rebuild_min
+    return idx
+
+
+def test_sq8r_layout_ext_ids_stable_across_rebuilds():
+    """External row ids survive relayouts: add in batches crossing the
+    rebuild threshold, then verify every id still resolves to its own
+    vector (the slot-map indirection, reference counterpart
+    types/location_store.go remapping)."""
+    rng = np.random.default_rng(0)
+    idx = _mk_sq8r()
+    all_v = []
+    for _ in range(5):
+        v = rng.standard_normal((300, 16)).astype(np.float32)
+        rows = idx.add(v)
+        all_v.append(v)
+        assert list(rows) == list(
+            range(idx.count - 300, idx.count)
+        )
+    assert idx.m_live > 0, "no relayout ever ran"
+    vv = np.concatenate(all_v)
+    # each external id dequantizes to (approximately) its own vector
+    probe = np.asarray([3, 299, 300, 777, 1200, 1499])
+    got = idx.get_vectors(probe)
+    err = np.linalg.norm(got - vv[probe], axis=1)
+    assert (err < np.linalg.norm(vv[probe], axis=1) * 0.25).all()
+    # search by an exact stored vector returns its external id first
+    d, i = idx.search(vv[777], 3)
+    assert int(np.asarray(i)[0, 0]) == 777
+
+
+def test_sq8r_layout_groups_single_cluster():
+    """Invariant behind the kernel's group_term: every 128-row lane
+    group of the main region holds rows of ONE cluster only."""
+    import jax.numpy as jnp
+
+    from longbow_tpu.index.sq8 import GROUP
+
+    rng = np.random.default_rng(1)
+    idx = _mk_sq8r()
+    v = rng.standard_normal((1500, 16)).astype(np.float32)
+    idx.add(v)
+    idx._rebuild_layout()
+    # true assignment of the ORIGINAL vectors (dequantized rows can
+    # flip near Voronoi boundaries — not the invariant under test)
+    want_all = np.asarray(idx._assign(jnp.asarray(v)))
+    gcid = np.asarray(idx.m_gcid)
+    valid = np.asarray(idx.m_valid)
+    ext = np.asarray(idx.m_ext)
+    slots = np.nonzero(valid)[0]
+    got = gcid[slots // GROUP]
+    want = want_all[ext[slots]]
+    assert (got == want).all()
+    # padding slots are invalid and ext -1
+    assert (ext[~valid] == -1).all()
+
+
+def test_sq8r_layout_delete_across_regions():
+    rng = np.random.default_rng(2)
+    idx = _mk_sq8r()
+    v = rng.standard_normal((600, 16)).astype(np.float32)
+    idx.add(v)            # triggers rebuild (main region)
+    w = rng.standard_normal((50, 16)).astype(np.float32)
+    rows_w = idx.add(w)   # lands in delta
+    assert idx.d_count > 0
+    # delete one main row and one delta row
+    idx.delete_rows(np.asarray([5, rows_w[3]]))
+    d, i = idx.search(v[5], 5)
+    assert 5 not in np.asarray(i)[0].tolist()
+    d, i = idx.search(w[3], 5)
+    assert rows_w[3] not in np.asarray(i)[0].tolist()
+    # deleted ids survive a rebuild as deleted
+    idx._rebuild_layout()
+    d, i = idx.search(v[5], 5)
+    assert 5 not in np.asarray(i)[0].tolist()
+
+
+def test_sq8r_layout_filter_mask_external():
+    """filter_mask indexes EXTERNAL rows; the physical permutation
+    must not leak through."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    idx = _mk_sq8r()
+    v = rng.standard_normal((500, 16)).astype(np.float32)
+    idx.add(v)
+    mask = np.zeros(idx.capacity, bool)
+    mask[100:200] = True
+    d, i = idx.search(v[150], 5, filter_mask=jnp.asarray(mask))
+    ii = np.asarray(i)[0]
+    assert int(ii[0]) == 150
+    assert all(100 <= x < 200 for x in ii if x >= 0)

@@ -148,8 +148,22 @@ dt8 = measure(lambda q: sq8_search(q)[0])
 log(f"u8 B={B}: {dt8*1000:.2f} ms/batch = {B/dt8:.0f} QPS  ({dt/dt8:.2f}x vs bf16)")
 
 # ---- 3. group_term variant (sq8r fold shape) ----
+# pad to the grouped path's native 16384-aligned capacity (128 groups
+# per tile — the Mosaic gt-block constraint; real sq8r indexes keep
+# 16384-multiple capacities)
+N_PAD = -(-N // 16384) * 16384
 C = 1024
-G = N // LANES
+G = N_PAD // LANES
+
+@jax.jit
+def padded():
+    cp = jnp.zeros((N_PAD, D), jnp.int8).at[:N].set(codes)
+    vp = jnp.zeros((N_PAD,), jnp.float32).at[:N].set(vn)
+    valp = jnp.zeros((N_PAD,), bool).at[:N].set(True)
+    return cp, vp, valp
+
+codes_p, vn_p, valid_p = padded()
+float(jnp.sum(vn_p))
 kg = jax.random.PRNGKey(1)
 centers_g = jax.random.normal(kg, (C, D), jnp.float32)
 gcid = jax.random.randint(jax.random.PRNGKey(2), (G,), 0, C)
@@ -165,7 +179,7 @@ def fold_g(q):
 def sq8r_search(q):
     qs, qn_eff, gt_term = fold_g(q)
     return fused_codes_search(
-        qs, qn_eff, codes, vn, valid, 64, group_term=gt_term
+        qs, qn_eff, codes_p, vn_p, valid_p, 64, group_term=gt_term
     )
 
 log("u8+group_term kernel compile...")
@@ -176,6 +190,38 @@ log(f"u8+gt compile+run {time.time()-t0:.0f}s")
 dtg = measure(lambda q: sq8r_search(q)[0])
 log(f"u8+gt B={B}: {dtg*1000:.2f} ms/batch = {B/dtg:.0f} QPS  ({dt/dtg:.2f}x vs bf16)")
 
+# onehot-matmul group-term build (vs the [B, G] gather above): one
+# [C, G] bf16 constant, term = qc @ onehot rides the MXU
+onehot = (
+    (gcid[None, :] == jnp.arange(C, dtype=jnp.int32)[:, None])
+    .astype(jnp.bfloat16)
+)
+
+@jax.jit
+def fold_g2(q):
+    qs = q * scale[None, :]
+    qn_eff = jnp.sum(q * q, axis=1) - 2.0 * (q @ lo)
+    qc = (q @ centers_g.T).astype(jnp.bfloat16)
+    gt_term = -2.0 * jax.lax.dot_general(
+        qc, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return qs, qn_eff, gt_term
+
+def sq8r_search2(q):
+    qs, qn_eff, gt_term = fold_g2(q)
+    return fused_codes_search(
+        qs, qn_eff, codes_p, vn_p, valid_p, 64, group_term=gt_term
+    )
+
+log("onehot-fold variant compile...")
+t0 = time.time()
+d2, _ = sq8r_search2(qj)
+float(np.asarray(jnp.sum(d2)))
+log(f"onehot-fold compile+run {time.time()-t0:.0f}s")
+dtg2 = measure(lambda q: sq8r_search2(q)[0])
+log(f"u8+gt(onehot) B={B}: {dtg2*1000:.2f} ms/batch = {B/dtg2:.0f} QPS")
+
 log(f"SUMMARY bf16={dt*1000:.2f}ms u8={dt8*1000:.2f}ms u8gt={dtg*1000:.2f}ms "
-    f"pool64_hit={pool_hit:.4f}")
+    f"u8gt_onehot={dtg2*1000:.2f}ms pool64_hit={pool_hit:.4f}")
 _done.set()
