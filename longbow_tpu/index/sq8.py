@@ -195,7 +195,12 @@ class SQ8Index:
         return 0 if self.codes is None else self.codes.shape[0]
 
     def _prep(self, vecs) -> jax.Array:
-        v = jnp.asarray(np.ascontiguousarray(vecs, np.float32))
+        if isinstance(vecs, jax.Array):
+            # device-input fast path: never bounce 10M rows through
+            # host RAM (the np path re-uploads through the relay)
+            v = vecs.astype(jnp.float32)
+        else:
+            v = jnp.asarray(np.ascontiguousarray(vecs, np.float32))
         if self.metric == Metric.COSINE:
             v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-30)
         return v
@@ -207,6 +212,11 @@ class SQ8Index:
         full range): the stored codes are then the ingested bytes 1:1
         for int8 (uint8 recenters by -128, exactly invertible) — the
         reference's native int8 ingest path, no quantization loss."""
+        if isinstance(vecs, jax.Array):  # device input: no host fetch
+            v = self._prep(vecs)
+            self.lo = jnp.min(v, axis=0)
+            self.hi = jnp.max(v, axis=0)
+            return
         vecs_np = np.asarray(vecs)
         if self.metric == Metric.COSINE:
             vecs_np = vecs_np.astype(np.float32)  # codes store normalized

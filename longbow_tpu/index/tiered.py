@@ -134,7 +134,12 @@ class TieredIndex:
             q = q / np.maximum(
                 np.linalg.norm(q, axis=1, keepdims=True), 1e-30
             )
-        kk = min(max(k * self.rerank_factor, k), self.count)
+        # clamp the candidate pool at 64: SQ8Index's fused int8 kernel
+        # path (12x the XLA scan, round 5) serves k <= 64; beyond that
+        # the scan falls back to XLA. 64 exact-reranked candidates for
+        # k=10 keeps the tier's recall within noise of the old 80.
+        kk = min(max(k * self.rerank_factor, k), 64, self.count)
+        kk = max(kk, k)
         d, i = self._scan.search(q, kk, filter_mask=filter_mask)
         d = np.asarray(d)
         i = np.asarray(i)
