@@ -446,6 +446,67 @@ def main() -> None:
             log(f"graph bench skipped: {e}")
             graph_fields = {"graph_bench_error": str(e)[:200]}
 
+    # ---- equal-memory quantized tier (round 5: fused int8 kernel):
+    # sq8r at 1 byte/dim through the grouped Pallas path. Reported as
+    # secondary fields; gate is recall >= 0.95 per BASELINE config 4.
+    sq8_fields = {}
+    if on_tpu and os.environ.get("LONGBOW_BENCH_SQ8", "1") == "1":
+        try:
+            from longbow_tpu.index.sq8 import (
+                SQ8ResidualIndex, _sq8r_packed,
+            )
+            from longbow_tpu.ops.distance import Metric as _M
+
+            t0 = time.time()
+            sidx = SQ8ResidualIndex(D, n_clusters=1024)
+            sidx.rebuild_min = 1 << 62
+            sidx.train(cj[:131072])
+            for off in range(0, N, 250_000):
+                sidx.add(
+                    jax.lax.dynamic_slice_in_dim(cj, off, 250_000)
+                )
+            sidx._rebuild_layout()
+            sq8_build = time.time() - t0
+            log(f"sq8r build {sq8_build:.0f}s")
+            _, si = sidx.search(np.asarray(queries[:N_EVAL]), K)
+            si = np.asarray(si)
+            sq8_recall = float(np.mean([
+                len(set(si[i].tolist()) & set(gt[i].tolist())) / K
+                for i in range(N_EVAL)
+            ]))
+
+            def s_fn(q):
+                return _sq8r_packed(
+                    q, sidx.m_codes, sidx.m_gcid, sidx.m_norms,
+                    sidx.m_valid, sidx.m_ext, sidx.d_codes, sidx.d_cid,
+                    sidx.d_norms, sidx.d_valid, sidx.d_ext,
+                    sidx.centers, sidx.lo, sidx.hi, None,
+                    16, _M.L2, False, True,
+                )
+
+            qb = [_perturb(queries, i, 2048) for i in range(20)]
+            d0 = s_fn(qb[0])
+            float(np.asarray(_force_all(*([d0] * 20))))
+            t0 = time.perf_counter()
+            outs = [s_fn(q) for q in qb]
+            float(np.asarray(_force_all(*outs)))
+            s_dt = (time.perf_counter() - t0) / 20
+            sq8_fields = {
+                "sq8r_fused_qps_b2048": round(2048 / s_dt, 1),
+                "sq8r_ms_per_batch": round(s_dt * 1000, 3),
+                "sq8r_recall_at_10": round(sq8_recall, 4),
+                "sq8r_build_s": round(sq8_build, 1),
+                "sq8r_bytes_per_dim": 1,
+            }
+            log(
+                f"sq8r fused: {s_dt*1000:.2f} ms = {2048/s_dt:.0f} QPS"
+                f" recall {sq8_recall:.4f}"
+            )
+            del sidx
+        except Exception as e:
+            log(f"sq8r bench skipped: {e}")
+            sq8_fields = {"sq8r_bench_error": str(e)[:200]}
+
     baseline_qps = 2000.0
     result = {
         "metric": "flat_exact_qps_1M_128d_at_recall10>=0.95",
@@ -467,6 +528,7 @@ def main() -> None:
         "corpus_recipe": corpus_recipe,
         "git_commit": git_commit(),
         "baseline_note": "2000 QPS = 1/p95 of reference dense search on a 20x smaller corpus (docs/performance.md:18-53)",
+        **sq8_fields,
         **graph_fields,
     }
     if recall < 0.95:

@@ -447,6 +447,23 @@ def _relayout(
     dest = jnp.where(
         sc < C, jnp.take(off_pad, scc) + within, new_cap
     )
+    # GROUP INTERLEAVE (round-5 on-chip finding): with clusters laid
+    # out consecutively, a query's true top-k concentrates inside ONE
+    # half-tile of the fused kernel, and its per-lane half-tile min
+    # keeps only one candidate per lane — measured 1.4% recall@10 loss
+    # at 1M clustered. A golden-stride permutation of GROUPS scatters
+    # each cluster's groups ~0.62*G apart (different tiles), restoring
+    # the random-layout collision odds. Pure layout — zero scan cost.
+    g_total = new_cap // GROUP
+    stride = max(1, int(g_total * 0.6180339887)) | 1
+    import math as _math
+
+    while _math.gcd(stride, g_total) != 1:
+        stride += 2
+    g_new = (dest // GROUP * stride) % g_total
+    dest = jnp.where(
+        sc < C, g_new * GROUP + dest % GROUP, new_cap
+    )
 
     def scat(init, vals):
         return init.at[dest].set(jnp.take(vals, perm, axis=0), mode="drop")

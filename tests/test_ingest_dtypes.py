@@ -26,11 +26,10 @@ def test_int8_ingest_creates_identity_sq8():
     ds = store.get("i8")
     assert ds.index_kind == "sq8"
     inner = getattr(ds.index, "_inner", ds.index)
-    # stored codes are the input bytes, shifted by the identity affine
+    # round-5 convention: codes are RECENTERED int8 (u8 grid - 128),
+    # so int8 input stores its bytes 1:1
     codes = np.asarray(inner.codes[:64])
-    np.testing.assert_array_equal(
-        codes.astype(np.int16) - 128, v.astype(np.int16)
-    )
+    np.testing.assert_array_equal(codes, v)
     ids, scores = _search_ids(store, "i8", v[7].astype(np.float32))
     assert ids[0, 0] == 7 and float(scores[0, 0]) < 1e-3
 
@@ -43,7 +42,11 @@ def test_uint8_ingest_codes_roundtrip():
     ds = store.get("u8")
     assert ds.index_kind == "sq8"
     inner = getattr(ds.index, "_inner", ds.index)
-    np.testing.assert_array_equal(np.asarray(inner.codes[:50]), v)
+    # uint8 input recenters by -128 (exactly invertible)
+    np.testing.assert_array_equal(
+        np.asarray(inner.codes[:50]).astype(np.int16) + 128,
+        v.astype(np.int16),
+    )
     ids, scores = _search_ids(store, "u8", v[3].astype(np.float32))
     assert ids[0, 0] == 3 and float(scores[0, 0]) < 1e-3
 
@@ -95,9 +98,8 @@ def test_dtype_survives_wal_replay(tmp_path):
     assert store2.get("wi8").index_kind == "sq8"
     inner = store2.get("wi8").index
     inner = getattr(inner, "_inner", inner)
-    np.testing.assert_array_equal(
-        np.asarray(inner.codes[:30]).astype(np.int16) - 128,
-        vi.astype(np.int16),
+    np.testing.assert_array_equal(  # recentered-int8: bytes 1:1
+        np.asarray(inner.codes[:30]), vi
     )
     import jax.numpy as jnp
 
