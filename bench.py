@@ -481,7 +481,7 @@ def main() -> None:
                     sidx.m_valid, sidx.m_ext, sidx.d_codes, sidx.d_cid,
                     sidx.d_norms, sidx.d_valid, sidx.d_ext,
                     sidx.centers, sidx.lo, sidx.hi, None,
-                    16, _M.L2, False, True,
+                    16, _M.L2, False, True, sidx.d_count > 0,
                 )
 
             qb = [_perturb(queries, i, 2048) for i in range(20)]

@@ -530,19 +530,22 @@ def _region_scores(codes, cid, norms, valid, qs_bf16, q_lo, qc, qn, metric, chun
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "normalize", "fused")
+    jax.jit,
+    static_argnames=("k", "metric", "normalize", "fused", "has_delta"),
 )
 def _sq8r_packed(
     q,
     m_codes, m_gcid, m_norms, m_valid, m_ext,
     d_codes, d_cid, d_norms, d_valid, d_ext,
     centers, lo, hi, ext_mask,
-    k, metric, normalize, fused,
+    k, metric, normalize, fused, has_delta=True,
 ):
     """One program: main-region scan (fused kernel with per-group
     cluster term, or XLA fallback) + delta-region XLA scan + exact
-    dequantized re-rank of the merged pool + ext-id mapping. Packed
-    [B, 2k] like _sq8_fused_packed."""
+    dequantized re-rank (per region — a merged-pool where() doubled
+    the gather volume) + ext-id mapping. Packed [B, 2k] like
+    _sq8_fused_packed. has_delta=False (the common post-relayout
+    state) compiles the delta scan + its rerank out entirely."""
     from longbow_tpu.ops.pallas_scan import fused_codes_search
 
     scale, lo_eff = _affine(lo, hi)
@@ -551,12 +554,18 @@ def _sq8r_packed(
             jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30
         )
     qf = q.astype(jnp.float32)
+    # HIGHEST: qc feeds the EXACT re-rank below (q.center[cid] via
+    # element gather from this matrix) — DEFAULT precision would round
+    # the operands to bf16 and reinstate the noise the rerank removes
     qc = jax.lax.dot_general(  # [B, C] center inner products
         qf, centers, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     qn = jnp.sum(qf * qf, axis=1, keepdims=True)
-    q_lo = qf @ lo_eff[:, None]
+    q_lo = jnp.matmul(  # rerank term: f32-exact like qc
+        qf, lo_eff[:, None], precision=jax.lax.Precision.HIGHEST
+    )
     m_cap = m_codes.shape[0]
     d_cap = d_codes.shape[0]
 
@@ -567,8 +576,43 @@ def _sq8r_packed(
         return valid & m
 
     pool = max(64, k)
-    cand_d, cand_i, cand_region = [], [], []
 
+    def rerank(coarse_d, idx_in_region, codes, norms, cid_of, ext_of):
+        """Exact sq8r re-scoring of ONE region's candidate pool ->
+        (exact_d, ext_ids). Only the CODES rows are row-gathered; the
+        center term comes from the qc matrix and |v|^2 from the stored
+        dequant norms via ELEMENT gathers — gathering center rows and
+        materializing [B, pool, D] reconstructed vectors cost ~2x the
+        kernel time (measured: full program 21 ms vs 10.4 for
+        fold+kernel at 1M).
+
+        q.v = (q*s).codes + q.lo_eff + q.center[cid]; dist =
+        |q|^2 - 2 q.v + |v_deq|^2 — every term f32-exact given the
+        HIGHEST qc above."""
+        i_safe = jnp.maximum(idx_in_region, 0)
+        cc = jnp.take(codes, i_safe, axis=0).astype(jnp.float32)
+        cid_c = cid_of(i_safe)
+        ext_c = jnp.take(ext_of, i_safe)
+        ip = (
+            jnp.einsum(
+                "bd,bkd->bk", qf * scale[None, :], cc,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + q_lo
+            + jnp.take_along_axis(qc, cid_c, axis=1)
+        )
+        if metric == Metric.DOT:
+            ed = -ip
+        else:
+            nn = jnp.take(norms, i_safe)
+            ed = jnp.maximum(qn - 2.0 * ip + nn, 0.0)
+        ed = jnp.where(
+            (coarse_d < MASKED_GUARD) & (ext_c >= 0), ed, MASKED
+        )
+        return ed, ext_c
+
+    parts_d, parts_e = [], []
     if m_cap:
         mv = region_mask(m_ext, m_valid)
         if fused and metric != Metric.DOT:
@@ -590,10 +634,13 @@ def _sq8r_packed(
             neg, pos = jax.lax.top_k(-ad, min(pool, ad.shape[1]))
             dm = -neg
             im = jnp.take_along_axis(ai, pos, axis=1)
-        cand_d.append(dm)
-        cand_i.append(im)
-        cand_region.append(jnp.zeros(im.shape, jnp.int32))
-    if d_cap:
+        ed, ec = rerank(
+            dm, im, m_codes, m_norms,
+            lambda i: jnp.take(m_gcid, i // GROUP), m_ext,
+        )
+        parts_d.append(ed)
+        parts_e.append(ec)
+    if has_delta and d_cap:
         dv = region_mask(d_ext, d_valid)
         qs16 = (qf * scale[None, :]).astype(jnp.bfloat16)
         ad, ai = _region_scores(
@@ -602,51 +649,15 @@ def _sq8r_packed(
         )
         kd = min(pool, ad.shape[1])
         neg, pos = jax.lax.top_k(-ad, kd)
-        cand_d.append(-neg)
-        cand_i.append(jnp.take_along_axis(ai, pos, axis=1))
-        cand_region.append(jnp.ones((ai.shape[0], kd), jnp.int32))
+        ed, ec = rerank(
+            -neg, jnp.take_along_axis(ai, pos, axis=1), d_codes,
+            d_norms, lambda i: jnp.take(d_cid, i), d_ext,
+        )
+        parts_d.append(ed)
+        parts_e.append(ec)
 
-    d_all = jnp.concatenate(cand_d, axis=1)
-    i_all = jnp.concatenate(cand_i, axis=1)
-    r_all = jnp.concatenate(cand_region, axis=1)
-
-    # exact dequantized re-rank of the merged pool (codes + centers,
-    # f32 HIGHEST) — the final ranking is exact sq8r reconstruction
-    i_safe = jnp.maximum(i_all, 0)
-    if m_cap and d_cap:
-        cm = jnp.take(m_codes, i_safe, axis=0)
-        cd = jnp.take(d_codes, i_safe % d_cap, axis=0)
-        sel = (r_all == 0)[..., None]
-        cc = jnp.where(sel, cm, cd)
-        cid_m = jnp.take(m_gcid, i_safe // GROUP)
-        cid_d = jnp.take(d_cid, i_safe % d_cap)
-        cid_c = jnp.where(r_all == 0, cid_m, cid_d)
-        ext_m = jnp.take(m_ext, i_safe)
-        ext_d = jnp.take(d_ext, i_safe % d_cap)
-        ext_c = jnp.where(r_all == 0, ext_m, ext_d)
-    elif m_cap:
-        cc = jnp.take(m_codes, i_safe, axis=0)
-        cid_c = jnp.take(m_gcid, i_safe // GROUP)
-        ext_c = jnp.take(m_ext, i_safe)
-    else:
-        cc = jnp.take(d_codes, i_safe, axis=0)
-        cid_c = jnp.take(d_cid, i_safe)
-        ext_c = jnp.take(d_ext, i_safe)
-    vec = (
-        cc.astype(jnp.float32) * scale[None, None, :]
-        + lo_eff[None, None, :]
-        + jnp.take(centers, cid_c, axis=0)
-    )
-    ip = jnp.einsum(
-        "bd,bkd->bk", qf, vec, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    if metric == Metric.DOT:
-        ed = -ip
-    else:
-        cn = jnp.sum(vec * vec, axis=2)
-        ed = jnp.maximum(qn - 2.0 * ip + cn, 0.0)
-    ed = jnp.where((d_all < MASKED_GUARD) & (ext_c >= 0), ed, MASKED)
+    ed = jnp.concatenate(parts_d, axis=1)
+    ext_c = jnp.concatenate(parts_e, axis=1)
     neg, pos = jax.lax.top_k(-ed, k)
     ids = jnp.take_along_axis(ext_c, pos, axis=1)
     ids = jnp.where(-neg < MASKED_GUARD, ids, -1)
@@ -868,6 +879,12 @@ class SQ8ResidualIndex(SQ8Index):
         self, queries, k: int, *, filter_mask=None
     ) -> tuple[np.ndarray, np.ndarray]:
         q = np.atleast_2d(np.asarray(queries, np.float32))
+        if self.m_codes.shape[0] == 0 and self.d_count == 0:
+            b = q.shape[0]
+            return (
+                np.full((b, k), float(MASKED), np.float32),
+                np.full((b, k), -1, np.int64),
+            )
         normalize = self.metric == Metric.COSINE
         metric = Metric.L2 if normalize else self.metric
         fused = (
@@ -904,7 +921,7 @@ class SQ8ResidualIndex(SQ8Index):
                     self.d_valid, self.d_ext,
                     self.centers, self.lo, self.hi, mask,
                     min(k_pad, 64) if fused else k_pad, metric,
-                    normalize, fused,
+                    normalize, fused, self.d_count > 0,
                 )
                 for off in range(0, b_pad, chunk)
             ]

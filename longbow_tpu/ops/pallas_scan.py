@@ -123,17 +123,21 @@ def _scan_kernel(
     """Refs (in order): q [B,D], qn [B,1], tile [TILE_N,D] (bf16 or i8
     codes), vn [1,TILE_N], [gt [B, 128] when has_gt — THIS TILE's
     per-column-group additive terms at columns [0, g), the sq8r
-    cluster-center fold (bf16)], out_vals [B,depth*LANES] i32,
-    out_ids i32, rv/ri scratch."""
+    cluster-center fold (f32)], out_vals [B,depth*LANES] i32,
+    out_ids i32.
+
+    The candidate registers ARE the output blocks (constant-index
+    output blocks persist in VMEM across grid steps and write back
+    once) — a separate scratch + final copy doubled the scoped-VMEM
+    register footprint to 16MB at B=4096 and stack-OOMed the f32
+    group-term variant (19M > 16M, measured round 5)."""
     if has_gt:
         (q_ref, qn_ref, tile_ref, vn_ref, gt_ref,
-         out_vals_ref, out_ids_ref, rv_ref, ri_ref) = refs
+         rv_ref, ri_ref) = refs
     else:
-        (q_ref, qn_ref, tile_ref, vn_ref,
-         out_vals_ref, out_ids_ref, rv_ref, ri_ref) = refs
+        (q_ref, qn_ref, tile_ref, vn_ref, rv_ref, ri_ref) = refs
         gt_ref = None
     step = pl.program_id(0)
-    nsteps = pl.num_programs(0)
     g = tile_n // LANES  # column groups per tile
 
     @pl.when(step == 0)
@@ -241,11 +245,6 @@ def _scan_kernel(
             pm = half_min(j0, j1)
             merge(jnp.bitwise_and(pm, ~id_mask),
                   jnp.bitwise_and(pm, id_mask) + step * g)
-
-    @pl.when(step == nsteps - 1)
-    def _emit():
-        out_vals_ref[:] = rv_ref[:]
-        out_ids_ref[:] = ri_ref[:]
 
 
 @functools.partial(
@@ -400,10 +399,6 @@ def fused_flat_search(
         out_shape=[
             jax.ShapeDtypeStruct((b_pad, ncand), jnp.int32),
             jax.ShapeDtypeStruct((b_pad, ncand), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((b_pad, ncand), jnp.int32),
-            pltpu.VMEM((b_pad, ncand), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * n_pad * d_pad,
@@ -624,10 +619,6 @@ def fused_codes_search(
             jax.ShapeDtypeStruct((b_pad, ncand), jnp.int32),
             jax.ShapeDtypeStruct((b_pad, ncand), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((b_pad, ncand), jnp.int32),
-            pltpu.VMEM((b_pad, ncand), jnp.int32),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * n_pad * d_pad,
             bytes_accessed=n_pad * d_pad,
@@ -650,6 +641,75 @@ def fused_codes_search(
     if clamp_zero:  # l2-form: self-distance must not go negative
         out_vals = jnp.maximum(out_vals, 0.0)
     return out_vals, out_idx[:b, :k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "pool", "metric", "tile_n", "normalize",
+                     "interpret"),
+)
+def coarse_flat_search_rerank(
+    queries: jax.Array,
+    corpus: jax.Array,         # bf16 [N, D] — exact re-rank operand
+    codes: jax.Array,          # int8 [N, D] — coarse scan operand
+    lo: jax.Array,             # [D] f32 trained affine min
+    hi: jax.Array,             # [D] f32 trained affine max
+    coarse_norms_sq: jax.Array,  # [N] f32 |dequant(codes)|^2
+    valid: jax.Array,
+    k: int,
+    metric: str = Metric.L2,
+    *,
+    pool: int = 64,
+    extra_mask=None,
+    normalize: bool = False,
+    tile_n: int = 0,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Coarse-quantized flat search: the int8 codes kernel ranks a
+    candidate pool at HALF the bf16 kernel's HBM read (measured 1.24x
+    faster at 1M x 128 on v5e), then the pool re-ranks EXACTLY against
+    the bf16 storage in f32 HIGHEST — the same rerank stage as
+    flat_search_rerank, so final recall matches bf16 ranking quality
+    whenever the pool contains the true top-k (measured containment:
+    0.9984 of true top-10 in pool-64 at 1M clustered).
+
+    This is an ACCELERATOR for the flat tier (codes are derived data,
+    +1 byte/dim HBM; 3 bytes/dim total still beats the reference's
+    4-byte f32), not a compression tier — see index/sq8.py for those.
+    l2/cosine only (cosine = normalize=True upstream of quantization).
+    """
+    metric = Metric.validate(metric)
+    if metric == Metric.DOT:
+        raise ValueError("coarse_flat_search_rerank: l2/cosine only")
+    q = queries.astype(jnp.float32)
+    if normalize:
+        q = q / jnp.maximum(
+            jnp.linalg.norm(q, axis=1, keepdims=True), 1e-30
+        )
+    pool = max(pool, k)
+    scale = jnp.maximum(hi - lo, 1e-12) / 255.0
+    lo_eff = lo + 128.0 * scale
+    qs = q * scale[None, :]
+    qn_eff = jnp.sum(q * q, axis=1) - 2.0 * (q @ lo_eff)
+    d, i = fused_codes_search(
+        qs, qn_eff, codes, coarse_norms_sq, valid, pool,
+        extra_mask=extra_mask, tile_n=tile_n, interpret=interpret,
+    )
+    # exact re-rank against the bf16 storage (f32 HIGHEST arithmetic —
+    # identical to flat_search_rerank's rerank stage)
+    cand = jnp.take(corpus, jnp.maximum(i, 0), axis=0).astype(jnp.float32)
+    ip = jnp.einsum(
+        "bd,bkd->bk", q, cand, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    cn = jnp.sum(cand * cand, axis=2)
+    ed = jnp.maximum(qn - 2.0 * ip + cn, 0.0)
+    ed = jnp.where(d < MASKED_GUARD, ed, MASKED)
+    neg, pos = jax.lax.top_k(-ed, k)
+    idx = jnp.take_along_axis(i, pos, axis=1)
+    idx = jnp.where(-neg < MASKED_GUARD, idx, -1)
+    return -neg, idx
 
 
 @functools.partial(

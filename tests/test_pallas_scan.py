@@ -247,3 +247,46 @@ def test_fused_codes_tombstones_and_ghosts():
         assert set(i_np[r][real]) <= {0, 1, 2, 3}
         assert (i_np[r][~real] == -1).all()
         assert (d_np[r][~real] == np.float32(MASKED)).all()
+
+
+def test_coarse_flat_search_rerank_matches_bf16_ranking():
+    """The flat tier's int8 coarse scan + exact bf16 re-rank must
+    reproduce bf16-storage ranking quality (the coarse pass only
+    nominates the pool)."""
+    from longbow_tpu.ops.pallas_scan import coarse_flat_search_rerank
+
+    rng = np.random.default_rng(11)
+    n, d, b, k = 896, 64, 5, 10
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    c16 = jnp.asarray(corpus, jnp.bfloat16)
+    cf = np.asarray(c16.astype(jnp.float32))
+    lo = cf.min(axis=0) - 0.05
+    hi = cf.max(axis=0) + 0.05
+    scale = np.maximum(hi - lo, 1e-12) / 255.0
+    codes = (
+        np.clip(np.round((cf - lo) / scale), 0, 255) - 128
+    ).astype(np.int8)
+    deq = codes.astype(np.float32) * scale + (lo + 128 * scale)
+    cnorms = np.sum(deq * deq, axis=1)
+    valid = jnp.ones((n,), bool)
+    dist, idx = coarse_flat_search_rerank(
+        jnp.asarray(q), c16, jnp.asarray(codes), jnp.asarray(lo),
+        jnp.asarray(hi), jnp.asarray(cnorms), valid, k,
+        tile_n=256, interpret=True,
+    )
+    # oracle: exact f32 ranking against the bf16-rounded storage
+    want_d, want_i = exact_search(
+        jnp.asarray(q), jnp.asarray(cf), k, Metric.L2,
+        exact_precision=True,
+    )
+    overlap = np.mean([
+        len(set(np.asarray(idx)[i].tolist())
+            & set(np.asarray(want_i)[i].tolist())) / k
+        for i in range(b)
+    ])
+    assert overlap >= 0.9, overlap
+    np.testing.assert_allclose(
+        np.asarray(dist)[:, 0], np.asarray(want_d)[:, 0],
+        rtol=1e-3, atol=1e-3,
+    )

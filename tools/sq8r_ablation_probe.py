@@ -123,7 +123,17 @@ def stage_d(q):
     )
 
 dtD = measure(stage_d)
-log(f"D full packed: {dtD*1000:.2f} ms")
+log(f"D full packed (has_delta=True): {dtD*1000:.2f} ms")
+
+def stage_e(q):
+    return _sq8r_packed(
+        q, m_codes, m_gcid, m_norms, m_valid, idx.m_ext,
+        idx.d_codes, idx.d_cid, idx.d_norms, idx.d_valid, idx.d_ext,
+        centers, lo, hi, None, 16, Metric.L2, False, True, False,
+    )
+
+dtE = measure(stage_e)
+log(f"E packed has_delta=False: {dtE*1000:.2f} ms = {B/dtE:.0f} QPS")
 
 d, i = idx.search(np.asarray(qj[:NEV]), K)
 rec = float(np.mean([
