@@ -531,7 +531,9 @@ def _region_scores(codes, cid, norms, valid, qs_bf16, q_lo, qc, qn, metric, chun
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "normalize", "fused", "has_delta"),
+    static_argnames=(
+        "k", "metric", "normalize", "fused", "has_delta", "gt_bf16"
+    ),
 )
 def _sq8r_packed(
     q,
@@ -539,6 +541,7 @@ def _sq8r_packed(
     d_codes, d_cid, d_norms, d_valid, d_ext,
     centers, lo, hi, ext_mask,
     k, metric, normalize, fused, has_delta=True,
+    m_onehot=None, gt_bf16=False,
 ):
     """One program: main-region scan (fused kernel with per-group
     cluster term, or XLA fallback) + delta-region XLA scan + exact
@@ -572,35 +575,35 @@ def _sq8r_packed(
     def region_mask(ext, valid):
         if ext_mask is None:
             return valid
-        m = jnp.take(ext_mask, jnp.maximum(ext, 0)) & (ext >= 0)
-        return valid & m
+        # bounds-checked gather: the mask is sized to the EXTERNAL
+        # capacity; ext ids at/above its length (stale masks during
+        # growth) are excluded rather than read out of range
+        L = ext_mask.shape[0]
+        m = jnp.take(ext_mask, jnp.clip(ext, 0, L - 1))
+        return valid & m & (ext >= 0) & (ext < L)
 
     pool = max(64, k)
 
     def rerank(coarse_d, idx_in_region, codes, norms, cid_of, ext_of):
         """Exact sq8r re-scoring of ONE region's candidate pool ->
-        (exact_d, ext_ids). Only the CODES rows are row-gathered; the
-        center term comes from the qc matrix and |v|^2 from the stored
-        dequant norms via ELEMENT gathers — gathering center rows and
-        materializing [B, pool, D] reconstructed vectors cost ~2x the
-        kernel time (measured: full program 21 ms vs 10.4 for
-        fold+kernel at 1M).
-
-        q.v = (q*s).codes + q.lo_eff + q.center[cid]; dist =
-        |q|^2 - 2 q.v + |v_deq|^2 — every term f32-exact given the
-        HIGHEST qc above."""
+        (exact_d, ext_ids): row-gather codes + center rows, reconstruct
+        [B, pool, D] in f32, one HIGHEST einsum — the same shape as
+        _sq8_fused_packed's rerank, measured ~1.2 ms at B=2048/pool=64
+        (an element-gather variant via take_along_axis(qc, ...)
+        measured 6 ms SLOWER on v5e — batched axis-1 gathers lower
+        poorly)."""
         i_safe = jnp.maximum(idx_in_region, 0)
-        cc = jnp.take(codes, i_safe, axis=0).astype(jnp.float32)
+        cc = jnp.take(codes, i_safe, axis=0)
         cid_c = cid_of(i_safe)
         ext_c = jnp.take(ext_of, i_safe)
-        ip = (
-            jnp.einsum(
-                "bd,bkd->bk", qf * scale[None, :], cc,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            + q_lo
-            + jnp.take_along_axis(qc, cid_c, axis=1)
+        vec = (
+            cc.astype(jnp.float32) * scale[None, None, :]
+            + lo_eff[None, None, :]
+            + jnp.take(centers, cid_c, axis=0)
+        )
+        ip = jnp.einsum(
+            "bd,bkd->bk", qf, vec, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         if metric == Metric.DOT:
             ed = -ip
@@ -618,7 +621,20 @@ def _sq8r_packed(
         if fused and metric != Metric.DOT:
             qs = qf * scale[None, :]
             qn_eff = jnp.sum(qf * qf, axis=1) - 2.0 * (qf @ lo_eff)
-            gt = -2.0 * jnp.take(qc, m_gcid, axis=1)
+            if m_onehot is not None:
+                # [B,C] @ [C,G] onehot beats the [B,G] axis-1 gather
+                # (~2 ms at 1M, measured); HIGHEST keeps the term
+                # f32-exact (qc would otherwise round to bf16 in the
+                # MXU — the 1.4%-recall trap)
+                gt = -2.0 * jax.lax.dot_general(
+                    qc, m_onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:
+                gt = -2.0 * jnp.take(qc, m_gcid, axis=1)
+            if gt_bf16:
+                gt = gt.astype(jnp.bfloat16)
             dm, im = fused_codes_search(
                 qs, qn_eff, m_codes, m_norms, mv, pool, group_term=gt,
             )
@@ -720,6 +736,7 @@ class SQ8ResidualIndex(SQ8Index):
         self.d_ext: Optional[jax.Array] = None
         self.d_count = 0
         self.m_live = 0
+        self.m_onehot: Optional[jax.Array] = None
         # delta folds into main past max(rebuild_min, m_live/4)
         # (tests lower rebuild_min to exercise relayouts at toy sizes)
         self.rebuild_min = SQ8R_TILE
@@ -852,6 +869,20 @@ class SQ8ResidualIndex(SQ8Index):
         slot[: len(inv_np)] = inv_np
         self._slot = slot
         self.m_live = int((inv_np >= 0).sum())
+        # group-term onehot [C, G] f32 for the search fold (2 ms
+        # faster than the [B,G] gather at 1M); gather fallback past
+        # the memory budget (640 MB+ at 10M x C=4096)
+        budget = int(
+            os.environ.get("LONGBOW_SQ8R_ONEHOT_MB", "128")
+        ) * (1 << 20)
+        G = new_cap // GROUP
+        if self.n_clusters * G * 4 <= budget:
+            self.m_onehot = (
+                self.m_gcid[None, :]
+                == jnp.arange(self.n_clusters, dtype=jnp.int32)[:, None]
+            ).astype(jnp.float32)
+        else:
+            self.m_onehot = None
         # reset delta
         self.d_codes = self.d_cid = None
         self.d_norms = self.d_valid = self.d_ext = None
@@ -901,13 +932,9 @@ class SQ8ResidualIndex(SQ8Index):
             q = np.pad(q, ((0, b_pad - b), (0, 0)))
         mask = None
         if filter_mask is not None:
-            # mask is indexed by EXTERNAL row; pad to the slot-map size
-            # so in-jit ext gathers stay in range
-            mask = jnp.zeros((max(len(self._slot), 1),), bool)
-            fm = jnp.asarray(filter_mask)
-            mask = jax.lax.dynamic_update_slice(
-                mask, fm[: mask.shape[0]], (0,)
-            )
+            # indexed by EXTERNAL row; the packed jit bounds-checks its
+            # gathers (no eager pad dispatches on the serving path)
+            mask = jnp.asarray(filter_mask)
         chunk = min(b_pad, 4096)
         with self._mu:
             if self.d_codes is None:
@@ -922,6 +949,8 @@ class SQ8ResidualIndex(SQ8Index):
                     self.centers, self.lo, self.hi, mask,
                     min(k_pad, 64) if fused else k_pad, metric,
                     normalize, fused, self.d_count > 0,
+                    self.m_onehot,
+                    os.environ.get("LONGBOW_SQ8R_GT_BF16") == "1",
                 )
                 for off in range(0, b_pad, chunk)
             ]

@@ -562,14 +562,16 @@ def fused_codes_search(
         # recall@10 loss at 1M (0.9426 vs the XLA path's 0.9564).
         ntiles = n_pad // tile_n
         g = tile_n // LANES
-        group_term = (
-            jnp.pad(
-                group_term.reshape(b_pad, ntiles, g),
-                ((0, 0), (0, 0), (0, LANES - g)),
-            )
-            .reshape(b_pad, ntiles * LANES)
-            .astype(jnp.float32)
-        )
+        group_term = jnp.pad(
+            group_term.reshape(b_pad, ntiles, g),
+            ((0, 0), (0, 0), (0, LANES - g)),
+        ).reshape(b_pad, ntiles * LANES)
+        # dtype is the CALLER's choice: f32 is the safe default (bf16
+        # carries 2^-9 relative rounding into the coarse ranking);
+        # a caller may pass bf16 group_term to halve the side-input
+        # HBM read when its term magnitudes tolerate it
+        if group_term.dtype not in (jnp.float32, jnp.bfloat16):
+            group_term = group_term.astype(jnp.float32)
 
     valid = valid.astype(bool)
     # positivity bias (see module docstring): must dominate the bf16

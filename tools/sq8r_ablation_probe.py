@@ -135,6 +135,45 @@ def stage_e(q):
 dtE = measure(stage_e)
 log(f"E packed has_delta=False: {dtE*1000:.2f} ms = {B/dtE:.0f} QPS")
 
+# F: onehot group-term fold (f32 HIGHEST matmul instead of gather)
+def stage_f(q):
+    return _sq8r_packed(
+        q, m_codes, m_gcid, m_norms, m_valid, idx.m_ext,
+        idx.d_codes, idx.d_cid, idx.d_norms, idx.d_valid, idx.d_ext,
+        centers, lo, hi, None, 16, Metric.L2, False, True, False,
+        idx.m_onehot, False,
+    )
+
+if idx.m_onehot is not None:
+    dtF = measure(stage_f)
+    log(f"F onehot fold: {dtF*1000:.2f} ms = {B/dtF:.0f} QPS")
+    pf = np.asarray(stage_f(qj[:NEV]))
+    i_f = pf[:, 16:]
+    rec_f = float(np.mean([
+        len(set(i_f[j].tolist()) & set(gt[j].tolist())) / K
+        for j in range(NEV)
+    ]))
+    log(f"F recall: {rec_f:.4f}")
+
+# G: bf16 group-term (halved side-input read) — does recall hold with
+# the interleave in place?
+def stage_g(q):
+    return _sq8r_packed(
+        q, m_codes, m_gcid, m_norms, m_valid, idx.m_ext,
+        idx.d_codes, idx.d_cid, idx.d_norms, idx.d_valid, idx.d_ext,
+        centers, lo, hi, None, 16, Metric.L2, False, True, False,
+        idx.m_onehot, True,
+    )
+
+dtG = measure(stage_g)
+pg = np.asarray(stage_g(qj[:NEV]))
+i_g = pg[:, 16:]
+rec_g = float(np.mean([
+    len(set(i_g[j].tolist()) & set(gt[j].tolist())) / K
+    for j in range(NEV)
+]))
+log(f"G bf16-gt: {dtG*1000:.2f} ms = {B/dtG:.0f} QPS  recall {rec_g:.4f}")
+
 d, i = idx.search(np.asarray(qj[:NEV]), K)
 rec = float(np.mean([
     len(set(np.asarray(i)[j].tolist()) & set(gt[j].tolist())) / K
