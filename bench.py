@@ -482,6 +482,7 @@ def main() -> None:
                     sidx.d_norms, sidx.d_valid, sidx.d_ext,
                     sidx.centers, sidx.lo, sidx.hi, None,
                     16, _M.L2, False, True, sidx.d_count > 0,
+                    None, True,
                 )
 
             qb = [_perturb(queries, i, 2048) for i in range(20)]

@@ -869,11 +869,12 @@ class SQ8ResidualIndex(SQ8Index):
         slot[: len(inv_np)] = inv_np
         self._slot = slot
         self.m_live = int((inv_np >= 0).sum())
-        # group-term onehot [C, G] f32 for the search fold (2 ms
-        # faster than the [B,G] gather at 1M); gather fallback past
-        # the memory budget (640 MB+ at 10M x C=4096)
+        # group-term onehot [C, G] f32 for the search fold — measured
+        # SLOWER than the [B,G] gather at 1M (18.0 vs 15.4 ms: the
+        # HIGHEST 6-pass matmul costs more than the gather saves), so
+        # opt-in only (LONGBOW_SQ8R_ONEHOT_MB=128 to enable)
         budget = int(
-            os.environ.get("LONGBOW_SQ8R_ONEHOT_MB", "128")
+            os.environ.get("LONGBOW_SQ8R_ONEHOT_MB", "0")
         ) * (1 << 20)
         G = new_cap // GROUP
         if self.n_clusters * G * 4 <= budget:
@@ -950,7 +951,12 @@ class SQ8ResidualIndex(SQ8Index):
                     min(k_pad, 64) if fused else k_pad, metric,
                     normalize, fused, self.d_count > 0,
                     self.m_onehot,
-                    os.environ.get("LONGBOW_SQ8R_GT_BF16") == "1",
+                    # bf16 group term by default: halves the side-input
+                    # HBM read; recall measured IDENTICAL to f32 once
+                    # the group interleave landed (0.9592 vs 0.9594 at
+                    # 1M — the earlier 1.4% loss was the layout
+                    # collision, not gt precision). =0 opts back to f32.
+                    os.environ.get("LONGBOW_SQ8R_GT_BF16", "1") != "0",
                 )
                 for off in range(0, b_pad, chunk)
             ]

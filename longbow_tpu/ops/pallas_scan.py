@@ -556,10 +556,6 @@ def fused_codes_search(
         # [B, G] feed is impossible — Mosaic requires block lane dims
         # divisible by 128, and the 16384-row tile that makes g == 128
         # stack-OOMs scoped VMEM (47-115M > 16M, measured round 5).
-        # f32, NOT bf16: the term reaches |2*q.center| ~ thousands on
-        # clustered data, so bf16's 2^-9 relative rounding (+-8 at
-        # 4000) swamps inter-cluster candidate gaps — measured 1.4%
-        # recall@10 loss at 1M (0.9426 vs the XLA path's 0.9564).
         ntiles = n_pad // tile_n
         g = tile_n // LANES
         group_term = jnp.pad(

@@ -127,7 +127,7 @@ def sq8r_fn(q):
         q, idx.m_codes, idx.m_gcid, idx.m_norms, idx.m_valid, idx.m_ext,
         idx.d_codes, idx.d_cid, idx.d_norms, idx.d_valid, idx.d_ext,
         idx.centers, idx.lo, idx.hi, None,
-        16, Metric.L2, False, True, idx.d_count > 0,
+        16, Metric.L2, False, True, idx.d_count > 0, None, True,
     )
 
 d, i = idx.search(np.asarray(qj[:NEV]), K)

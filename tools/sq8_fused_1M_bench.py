@@ -120,7 +120,7 @@ fn_r = lambda q: _sq8r_packed(
     q, idx.m_codes, idx.m_gcid, idx.m_norms, idx.m_valid, idx.m_ext,
     idx.d_codes, idx.d_cid, idx.d_norms, idx.d_valid, idx.d_ext,
     idx.centers, idx.lo, idx.hi, None, 16, Metric.L2, False, True,
-    idx.d_count > 0,
+    idx.d_count > 0, None, True,
 )
 dt_r = measure(fn_r)
 log(f"sq8r fused: recall@10 {rec_r:.4f}  {dt_r*1000:.2f} ms = "
