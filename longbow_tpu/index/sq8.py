@@ -409,6 +409,8 @@ def _cluster_padded_total(m_gcid, m_valid, d_cid, d_valid, n_clusters):
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "new_cap", "ext_cap"),
+    donate_argnums=(0, 5),  # old main + delta codes: at 10M these are
+    # GBs and the relayout's concat/permute copies OOM HBM otherwise
 )
 def _relayout(
     m_codes, m_gcid, m_norms, m_valid, m_ext,

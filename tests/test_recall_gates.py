@@ -114,3 +114,38 @@ def test_gate_sq8_in_graph_10k_384d():
         [len(set(got[i]) & set(want[i])) / k for i in range(100)]
     )
     assert rec >= 0.95, f"SQ8-in-graph recall {rec} < 0.95"
+
+
+def test_gate_sq8r_262k_clustered():
+    """Quantized-tier gate (round 5): residual SQ8 at 262k clustered
+    must hold recall@10 >= 0.95 at 1 byte/dim through the two-region
+    layout + relayout machinery (the fused kernel serves this path on
+    TPU — benchmarks/sq8_fused_1M.json holds the 1M on-chip numbers:
+    0.9592 @ 141.5k QPS)."""
+    from longbow_tpu.index.sq8 import SQ8ResidualIndex
+
+    n, d, k = 262_144, 64, 10
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((512, d)).astype(np.float32) * 4.0
+    assign = rng.integers(0, 512, n)
+    v = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
+    idx = SQ8ResidualIndex(d, n_clusters=512)
+    idx.train(v[:65536])
+    for off in range(0, n, 65536):
+        idx.add(v[off : off + 65536])
+    idx._rebuild_layout()
+    q = centers[rng.integers(0, 512, 100)] + rng.standard_normal(
+        (100, d)
+    ).astype(np.float32)
+    _, er = exact_search(
+        jnp.asarray(q), jnp.asarray(v), k, exact_precision=True,
+        chunk_rows=65536,
+    )
+    er = np.asarray(er)
+    _, r = idx.search(q, k)
+    r = np.asarray(r)
+    rec = np.mean([
+        len(set(r[i].tolist()) & set(er[i].tolist())) / k
+        for i in range(100)
+    ])
+    assert rec >= 0.95, f"sq8r recall {rec}"
