@@ -684,6 +684,33 @@ def _sq8r_packed(
     )
 
 
+@jax.jit
+def _assign_chunked(v, centers):
+    """Nearest-center assignment, chunked over rows: the one-shot
+    [n, C] distance matrix hit 16 GB at 1M x 4096 clusters (OOMed the
+    10M build — one jitted lax.map keeps the block bounded)."""
+    cn = jnp.sum(centers * centers, axis=1)
+    n = v.shape[0]
+    chunk = min(n, 65536)
+    nb = -(-n // chunk)
+    n_pad = nb * chunk
+    if n_pad != n:
+        v = jnp.pad(v, ((0, n_pad - n), (0, 0)))
+
+    def one(b):
+        vv = jax.lax.dynamic_slice_in_dim(v, b * chunk, chunk)
+        ip = jax.lax.dot_general(
+            vv, centers, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.argmin(cn[None, :] - 2.0 * ip, axis=1).astype(
+            jnp.int32
+        )
+
+    out = jax.lax.map(one, jnp.arange(nb, dtype=jnp.int32))
+    return out.reshape(-1)[:n]
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
 def _delta_append(codes, norms, valid, cids, exts, nc, nn, ncid, next_, row):
     n = nc.shape[0]
@@ -803,12 +830,7 @@ class SQ8ResidualIndex(SQ8Index):
         self.hi = jnp.max(res, axis=0)
 
     def _assign(self, v: jax.Array) -> jax.Array:
-        ip = jax.lax.dot_general(
-            v, self.centers, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        cn = jnp.sum(self.centers * self.centers, axis=1)
-        return jnp.argmin(cn[None, :] - 2.0 * ip, axis=1).astype(jnp.int32)
+        return _assign_chunked(v, self.centers)
 
     # -- mutation -----------------------------------------------------
 

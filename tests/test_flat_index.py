@@ -176,3 +176,56 @@ def test_scan_mirror_survives_compaction():
     t_rows = np.asarray([ds._id_to_row[i] for i in (1, 3, 251)])
     got = ds.index.get_vectors(t_rows)
     assert np.allclose(got, v[[1, 3, 251]], atol=2e-2)
+
+
+def test_coarse_shadow_maintenance():
+    """The coarse int8 shadow (TPU serving accelerator) tracks ingest:
+    codes quantize the STORED rows, norms are dequant-consistent, and
+    growth/tombstones ride along. The shadow is maintenance-tested on
+    CPU; the kernel path it feeds is validated on-chip (interpret-mode
+    op test in test_pallas_scan.py)."""
+    import jax.numpy as jnp
+
+    from longbow_tpu.index.flat import FlatIndex
+
+    idx = FlatIndex(16, dtype=jnp.bfloat16)
+    idx._coarse_enabled = True  # CPU: force the TPU-only maintenance
+    rng = np.random.default_rng(0)
+    v1 = rng.standard_normal((300, 16)).astype(np.float32)
+    idx.add(v1)
+    idx.flush()
+    assert idx._coarse_codes is not None
+    assert idx._coarse_codes.dtype == jnp.int8
+    # codes dequantize back to ~the stored rows
+    lo = np.asarray(idx._coarse_lo)
+    hi = np.asarray(idx._coarse_hi)
+    scale = np.maximum(hi - lo, 1e-12) / 255.0
+    deq = (
+        np.asarray(idx._coarse_codes[:300]).astype(np.float32) * scale
+        + (lo + 128 * scale)
+    )
+    stored = np.asarray(idx.vectors[:300].astype(jnp.float32))
+    err = np.abs(deq - stored).max()
+    assert err <= (hi - lo).max() / 255.0 + 1e-5, err
+    # norms are |dequant|^2 (consistent-norms rule)
+    np.testing.assert_allclose(
+        np.asarray(idx._coarse_norms[:300]),
+        np.sum(deq * deq, axis=1), rtol=1e-5,
+    )
+    # growth keeps the shadow aligned
+    v2 = rng.standard_normal((5000, 16)).astype(np.float32)
+    idx.add(v2)
+    idx.flush()
+    assert idx._coarse_codes.shape[0] == idx.vectors.shape[0]
+    deq2 = (
+        np.asarray(idx._coarse_codes[300:5300]).astype(np.float32)
+        * scale + (lo + 128 * scale)
+    )
+    stored2 = np.asarray(idx.vectors[300:5300].astype(jnp.float32))
+    # later rows may clip at the trained affine's range — bound the
+    # non-clipped error only
+    inside = (stored2 >= lo) & (stored2 <= hi)
+    assert (
+        np.abs(deq2 - stored2)[inside].max()
+        <= (hi - lo).max() / 255.0 + 1e-5
+    )
