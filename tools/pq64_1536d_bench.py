@@ -1,0 +1,103 @@
+"""On-chip: the reference's 64x-compression config — 1536d -> PQ96
+(96 bytes/vector vs 6144 f32; /root/reference/docs/vectorsearch.md:
+97-102) at 200k rows, pure-ADC and f16-rerank variants.
+Writes benchmarks/pq64_1536d.json.
+"""
+import os as _o, sys
+sys.path.insert(0, _o.path.dirname(_o.path.dirname(_o.path.abspath(__file__))))
+import json, time, threading
+import numpy as np
+
+def log(m):
+    print(f"[pq64 {time.strftime('%H:%M:%S')}] {m}", file=sys.stderr, flush=True)
+
+up = threading.Event()
+def probe():
+    import jax; jax.devices(); up.set()
+threading.Thread(target=probe, daemon=True).start()
+if not up.wait(300):
+    log("RELAY DOWN"); sys.exit(3)
+
+_done = threading.Event()
+def _dl():
+    if not _done.wait(float(_o.environ.get("LONGBOW_PROBE_DEADLINE_S", "2400"))):
+        log("DEADLINE"); _o._exit(4)
+threading.Thread(target=_dl, daemon=True).start()
+
+import os, jax, jax.numpy as jnp
+cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "longbow_tpu", "xla")
+from longbow_tpu.config import machine_cache_tag
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(cache_dir, machine_cache_tag()))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from longbow_tpu.ops.distance import Metric, exact_search
+from longbow_tpu.index.pq import PQIndex
+
+N, D, K = 200_000, 1536, 10
+results = {}
+
+@jax.jit
+def gen():
+    kc, ka, kn = jax.random.split(jax.random.PRNGKey(3), 3)
+    centers = jax.random.normal(kc, (512, D), jnp.float32) * 3.0
+    assign = jax.random.randint(ka, (N + 512,), 0, 512)
+    v = centers[assign] + jax.random.normal(kn, (N + 512, D), jnp.float32)
+    return v[:N], v[N:]
+
+log("gen + oracle...")
+c2, q2 = gen()
+t0 = time.time()
+_, gt_i = exact_search(
+    q2[:128], c2, K, Metric.L2, exact_precision=True, chunk_rows=32768,
+)
+gt2 = np.asarray(gt_i)
+log(f"oracle {time.time()-t0:.0f}s")
+
+@jax.jit
+def _force(*ds): return sum(jnp.sum(x) for x in ds)
+
+q_np = np.asarray(q2[:128])
+
+for rerank, tag in ((False, "pq96_pure"), (True, "pq96_rerank_f16")):
+    t0 = time.time()
+    p = PQIndex(
+        D, m=96, rerank=rerank,
+        rerank_dtype=jnp.float16 if rerank else None,
+    )
+    p.train(np.asarray(c2[:65536]))
+    for off in range(0, N, 50_000):
+        p.add(np.asarray(c2[off:off + 50_000]))
+    bld = time.time() - t0
+    d, i = p.search(q_np, K)
+    i = np.asarray(i)
+    rec = float(np.mean([
+        len(set(i[j].tolist()) & set(gt2[j].tolist())) / K
+        for j in range(128)
+    ]))
+    qbs = [q_np + 1e-6 * j for j in range(5)]
+    d0, _ = p.search(qbs[0], K)
+    float(np.asarray(_force(*( [jnp.asarray(np.asarray(d0))] * 5 ))))
+    t0 = time.perf_counter()
+    outs = [jnp.asarray(np.asarray(p.search(q, K)[0])) for q in qbs]
+    float(np.asarray(_force(*outs)))
+    dt = (time.perf_counter() - t0) / 5
+    log(f"{tag}: recall {rec:.4f}  {dt*1000:.1f} ms/128q = "
+        f"{128/dt:.0f} QPS  build {bld:.0f}s")
+    results[tag] = {
+        "n": N, "d": D, "m": 96, "compression_x": 64,
+        "build_s": round(bld, 1),
+        "recall_at_10": round(rec, 4),
+        "qps_b128": round(128 / dt, 1),
+    }
+    del p
+
+out = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "benchmarks", "pq64_1536d.json")
+results["captured_at_utc"] = time.strftime(
+    "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+with open(out, "w") as f:
+    json.dump(results, f, indent=1)
+log(f"wrote {out}")
+log("SUMMARY " + json.dumps(results))
+_done.set()

@@ -184,63 +184,10 @@ results["sq8_10M"] = {
 del idx, idx2, cj
 import gc; gc.collect()
 
-# ---- 64x compression point: 1536d -> PQ96 (16 bytes/vector... 96) --
-if os.environ.get("LONGBOW_SKIP_PQ64", "0") != "1":
-    try:
-        from longbow_tpu.index.pq import PQIndex
-
-        N2, D2 = 200_000, 1536
-        log(f"PQ96 {N2}x{D2} (64x compression: 6144B -> 96B/vec)...")
-
-        @jax.jit
-        def gen2():
-            kc, ka, kn, kq = jax.random.split(jax.random.PRNGKey(3), 4)
-            centers = jax.random.normal(kc, (512, D2), jnp.float32) * 3.0
-            assign = jax.random.randint(ka, (N2 + 512,), 0, 512)
-            v = centers[assign] + jax.random.normal(
-                kn, (N2 + 512, D2), jnp.float32)
-            return v[:N2], v[N2:]
-
-        c2, q2 = gen2()
-        t0 = time.time()
-        _, gt2_i = exact_search(
-            q2[:128], c2, K, Metric.L2, exact_precision=True,
-            chunk_rows=32768,
-        )
-        gt2 = np.asarray(gt2_i)
-        log(f"1536d oracle {time.time()-t0:.0f}s")
-        for rerank, tag in ((False, "pq96_pure"), (True, "pq96_rerank_f16")):
-            t0 = time.time()
-            p = PQIndex(
-                D2, m=96, rerank=rerank,
-                rerank_dtype=jnp.float16 if rerank else None,
-            )
-            p.train(np.asarray(c2[:65536]))
-            for off in range(0, N2, 50_000):
-                p.add(np.asarray(c2[off:off + 50_000]))
-            bld = time.time() - t0
-            d, i = p.search(np.asarray(q2[:128]), K)
-            i = np.asarray(i)
-            rec_p = float(np.mean([
-                len(set(i[j].tolist()) & set(gt2[j].tolist())) / K
-                for j in range(128)
-            ]))
-            def pq_fn(q):
-                return p.search(np.asarray(q[:128]), K)[0]
-            dt_p = measure(lambda q: pq_fn(q), iters=5)
-            log(f"{tag}: recall {rec_p:.4f}  {dt_p*1000:.1f} ms/128q = "
-                f"{128/dt_p:.0f} QPS  build {bld:.0f}s")
-            results[tag] = {
-                "n": N2, "d": D2, "m": 96,
-                "compression_x": 64,
-                "build_s": round(bld, 1),
-                "recall_at_10": round(rec_p, 4),
-                "qps_b128": round(128 / dt_p, 1),
-            }
-            del p
-    except Exception as e:
-        log(f"PQ64 section failed: {e}")
-        results["pq64_error"] = str(e)[:300]
+# 64x compression point (1536d -> PQ96): separate tool
+# tools/pq64_1536d_bench.py -> benchmarks/pq64_1536d.json (this file
+# once reused the 128-dim query set for the 1536d index — own tool,
+# own queries).
 
 out = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "benchmarks", "pq_scale_10M.json")
