@@ -457,11 +457,18 @@ def _relayout(
     # each cluster's groups ~0.62*G apart (different tiles), restoring
     # the random-layout collision odds. Pure layout — zero scan cost.
     g_total = new_cap // GROUP
-    stride = max(1, int(g_total * 0.6180339887)) | 1
+    # OVERFLOW BOUND (round-5 10M bug): group_id * stride is int32 —
+    # a golden-ratio stride overflowed at ~80k groups (80255 * 49599
+    # = 3.98e9 > 2^31), wrapping products negative so groups COLLIDED
+    # in the scatter and rows vanished (recall 0.96 -> 0.43 between
+    # 5M and 10M rows; jax int64 is x64-gated so cap the stride
+    # instead — any coprime stride >= a few tile-widths spreads fine).
     import math as _math
 
-    while _math.gcd(stride, g_total) != 1:
-        stride += 2
+    max_stride = max((2**31 - 1) // max(g_total, 1) - 1, 1)
+    stride = min(max(1, int(g_total * 0.6180339887)), max_stride) | 1
+    while stride > 1 and _math.gcd(stride, g_total) != 1:
+        stride -= 2
     g_new = (dest // GROUP * stride) % g_total
     dest = jnp.where(
         sc < C, g_new * GROUP + dest % GROUP, new_cap

@@ -540,3 +540,26 @@ def test_sq8r_layout_filter_mask_external():
     ii = np.asarray(i)[0]
     assert int(ii[0]) == 150
     assert all(100 <= x < 200 for x in ii if x >= 0)
+
+
+def test_sq8r_interleave_stride_no_int32_overflow():
+    """Regression (round-5 10M collapse): the group-interleave stride
+    must keep group_id * stride inside int32 for ANY group count, and
+    stay a bijection (coprime). 80256 groups (10M rows) overflowed the
+    golden-ratio stride and collided groups in the relayout scatter."""
+    import math
+
+    for g_total in (32, 4096, 40150, 80256, 1 << 17, 1 << 20):
+        max_stride = max((2**31 - 1) // g_total - 1, 1)
+        stride = min(
+            max(1, int(g_total * 0.6180339887)), max_stride
+        ) | 1
+        while stride > 1 and math.gcd(stride, g_total) != 1:
+            stride -= 2
+        assert stride >= 1
+        assert math.gcd(stride, g_total) == 1
+        assert stride * (g_total - 1) < 2**31 - 1, g_total
+        # spread: consecutive groups land at least a tile apart for
+        # realistic sizes (>= 4096 groups)
+        if g_total >= 4096:
+            assert stride >= 32, (g_total, stride)
