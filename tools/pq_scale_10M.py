@@ -163,6 +163,7 @@ idx2 = SQ8Index(D)
 idx2.train(cj[:131072])
 for s in range(N // SLICE):
     idx2.add(jax.lax.dynamic_slice_in_dim(cj, s * SLICE, SLICE))
+float(jnp.sum(idx2.norms_sq))  # force: adds are async dispatches
 build2 = time.time() - t0
 from longbow_tpu.index.sq8 import _sq8_fused_packed
 
