@@ -149,3 +149,38 @@ def test_gate_sq8r_262k_clustered():
         for i in range(100)
     ])
     assert rec >= 0.95, f"sq8r recall {rec}"
+
+
+def test_gate_filtered_tombstoned_1m_flat():
+    """BASELINE config 3 machinery at 1M on the CPU path: predicate
+    masks at 50%/10%/1% selectivity + 10% tombstones through the flat
+    scan must match the filtered exact oracle (>=0.95; the scan is
+    exact so this really gates mask plumbing at scale). On-chip
+    recall/QPS artifact: benchmarks/filtered_1M.json (fused kernel +
+    graph tier). Reference: dataset.go:226-297 + adaptive_search.go:7."""
+    from longbow_tpu.ops.distance import Metric, exact_search
+
+    n, d, k = 1_000_000, 32, 10
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((50, d)).astype(np.float32)
+    alive = rng.random(n) >= 0.10
+    vj = jnp.asarray(v)
+    for sel in (0.5, 0.1, 0.01):
+        fmask = rng.random(n) < sel
+        eff = jnp.asarray(alive & fmask)
+        _, want = exact_search(
+            jnp.asarray(q), vj, k, Metric.L2, valid=eff,
+            exact_precision=True, chunk_rows=131072,
+        )
+        _, got = exact_search(
+            jnp.asarray(q), vj, k, Metric.L2,
+            valid=jnp.asarray(alive), extra_mask=jnp.asarray(fmask),
+            exact_precision=False, chunk_rows=131072,
+        )
+        want, got = np.asarray(want), np.asarray(got)
+        rec = np.mean([
+            len(set(got[i].tolist()) & set(want[i].tolist())) / k
+            for i in range(50)
+        ])
+        assert rec >= 0.95, (sel, rec)

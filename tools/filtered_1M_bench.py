@@ -156,14 +156,16 @@ for s in SELECTIVITIES:
     if graph_ok:
         try:
             gq = qj[:128]
-            gd, gr = gidx.search(gq, K, filter_mask=fmask)
+            cap_g = gidx.state.vectors.shape[0]
+            fmask_g = jnp.pad(fmask, (0, cap_g - N))
+            gd, gr = gidx.search(gq, K, filter_mask=fmask_g)
             g_got = np.asarray(gr)
             rec_g = float(np.mean([
                 len(set(g_got[j].tolist()) & set(gt[j].tolist())) / K
                 for j in range(128)
             ]))
             def g_fn(q):
-                return gidx.search(q[:128], K, filter_mask=fmask)[0]
+                return gidx.search(q[:128], K, filter_mask=fmask_g)[0]
             dt_g = measure(g_fn, iters=10)
             log(f"graph: recall {rec_g:.4f}  {dt_g*1000:.2f} ms/128q "
                 f"= {128/dt_g:.0f} QPS")
