@@ -163,6 +163,7 @@ class StorageEngine:
         # the WAL-size trigger may all fire together; write_snapshot's
         # directory rename-swap is not concurrency-safe
         self._snap_lock = threading.Lock()
+        self._snap_bg = None  # WAL-triggered background snapshot
 
     def commit_guard(self):
         """Context manager for the WAL-append+apply critical section."""
@@ -214,6 +215,15 @@ class StorageEngine:
 
         t0 = _time.perf_counter()
         with self._snap_lock:
+            # commit lock held only for the CAPTURE (state export +
+            # WAL rotation) — the file writes run outside it. The
+            # inline write used to block every put for the write's
+            # duration (round-5 profiled: sustained DoPut collapsed to
+            # the snapshot duty cycle). Crash safety: the rotated
+            # `wal.log.pre-snapshot` segment replays before the live
+            # log on recovery and is deleted only after write_snapshot
+            # atomically swaps the new snapshot in (replay of frames
+            # the snapshot already covers is idempotent — LWW upserts).
             self._commit_rw.acquire_write()
             try:
                 blobs = {}
@@ -221,10 +231,20 @@ class StorageEngine:
                     ds = store.get(name)
                     with ds._lock:
                         blobs[name] = self._export_dataset(ds)
-                final = write_snapshot(self.dir, blobs)
-                self.wal.truncate()
+                rotated = self.wal.rotate()
             finally:
                 self._commit_rw.release_write()
+            final = write_snapshot(self.dir, blobs)
+            stale = Path(str(self.wal.path) + self.wal.PRE_SNAPSHOT_SUFFIX)
+            if rotated is None:
+                # a previous snapshot failed after rotating: that
+                # segment is now covered by THIS snapshot — drop it.
+                # The live log keeps growing until the next rotation.
+                rotated = stale
+            try:
+                rotated.unlink()
+            except OSError:
+                pass
         if self.backend is not None:
             try:
                 self.backend.upload(final, "snapshot")
@@ -284,9 +304,28 @@ class StorageEngine:
         if (
             self.wal.size_bytes <= self.max_wal_bytes
             or self._snap_lock.locked()
+            or self._snap_bg is not None and self._snap_bg.is_alive()
         ):
             return False
-        self.snapshot(store)
+        # BACKGROUND, not inline (round-5 profiled finding): the
+        # WAL-size trigger fires on the ingest APPLY path, and an
+        # inline snapshot blocked every subsequent put for the whole
+        # write — sustained DoPut throughput collapsed to the snapshot
+        # duty cycle (~4 MB/s at max_wal_mb=100). The periodic
+        # snapshot thread already runs concurrently with applies, so
+        # the same consistency argument covers this thread.
+        import threading
+
+        def _bg():
+            try:
+                self.snapshot(store)
+            except Exception:  # never break ingest on snapshot failure
+                pass
+
+        self._snap_bg = threading.Thread(
+            target=_bg, daemon=True, name="longbow-wal-snapshot"
+        )
+        self._snap_bg.start()
         return True
 
     def recover(self, store) -> int:
@@ -342,7 +381,20 @@ class StorageEngine:
                 n += 1
         reg.set("longbow_warmup_progress_percent", 50)
         t_wal = _time.perf_counter()
-        for seq, ts, name, kind, payload in WAL.replay(self.dir / "wal.log"):
+        import itertools as _it
+
+        _pre = Path(
+            str(self.dir / "wal.log") + WAL.PRE_SNAPSHOT_SUFFIX
+        )
+        _frames = _it.chain(
+            # a pending pre-snapshot segment (crash mid-snapshot) is
+            # OLDER than the live log: replay it first. If the crash
+            # happened after the snapshot swap but before the segment
+            # was deleted, re-applying it is harmless (LWW upserts).
+            WAL.replay(_pre) if _pre.exists() else iter(()),
+            WAL.replay(self.dir / "wal.log"),
+        )
+        for seq, ts, name, kind, payload in _frames:
             try:
                 if kind == KIND_BATCH:
                     table = WAL.decode_batch(payload)

@@ -48,10 +48,14 @@ def write_snapshot(root: str | Path, datasets: dict) -> Path:
                 arrays[k] = v
             elif v is not None:
                 scalars[k] = v
-        np.savez_compressed(ddir / "index.npz", **arrays)
+        # UNCOMPRESSED npz (round-5 profiled finding): vector/code
+        # arrays are high-entropy — zlib bought ~0-5% size for 10-20x
+        # CPU and the single-core apply thread spent its life inside
+        # write_array during WAL-triggered snapshots
+        np.savez(ddir / "index.npz", **arrays)
         (ddir / "index_meta.json").write_text(json.dumps(scalars))
         if blob.get("aux"):
-            np.savez_compressed(ddir / "aux.npz", **blob["aux"])
+            np.savez(ddir / "aux.npz", **blob["aux"])
         if blob.get("json"):
             (ddir / "state.json").write_text(json.dumps(blob["json"]))
         if blob.get("bm25"):

@@ -234,6 +234,44 @@ class _UringBackend:
 class WAL:
     """Append-only CRC-framed log with group-commit fsync."""
 
+    PRE_SNAPSHOT_SUFFIX = ".pre-snapshot"
+
+    def _open_backend(self):
+        if self._io_uring:
+            try:
+                return _UringBackend(self.path)
+            except OSError:
+                pass  # fall back below (old kernel / seccomp / no lib)
+        if self._direct_io:
+            try:
+                return _DirectBackend(self.path)
+            except OSError:
+                pass  # fs without O_DIRECT (tmpfs/overlayfs): fall back
+        return _FileBackend(self.path)
+
+    def rotate(self):
+        """Move the live log aside as the snapshot capture point and
+        start a fresh one; returns the rotated Path. Returns None when
+        a previous rotation is still pending (an earlier snapshot
+        failed before covering it) — the caller must then leave the
+        live log alone and delete the stale segment only after its own
+        snapshot succeeds. Recovery replays `<wal>.pre-snapshot`
+        BEFORE the live log (idempotent: puts are LWW upserts)."""
+        from pathlib import Path as _P
+
+        pre = _P(str(self.path) + self.PRE_SNAPSHOT_SUFFIX)
+        with self._lock:
+            if pre.exists():
+                return None
+            self._backend.sync()
+            self._backend.close()
+            if self.path.exists():
+                self.path.rename(pre)
+            self._backend = self._open_backend()
+            self._total_bytes = 0
+            self._dirty = False
+            return pre
+
     def __init__(
         self,
         path: str | Path,
@@ -271,19 +309,9 @@ class WAL:
                 )
                 with open(self.path, "r+b") as f:
                     f.truncate(valid)
-        self._backend = None
-        if io_uring:
-            try:
-                self._backend = _UringBackend(self.path)
-            except OSError:
-                pass  # fall back below (old kernel / seccomp / no lib)
-        if self._backend is None and direct_io:
-            try:
-                self._backend = _DirectBackend(self.path)
-            except OSError:
-                pass  # fs without O_DIRECT (tmpfs/overlayfs): fall back
-        if self._backend is None:
-            self._backend = _FileBackend(self.path)
+        self._io_uring = io_uring
+        self._direct_io = direct_io
+        self._backend = self._open_backend()
         self._lock = threading.Lock()
         # running byte total: size_bytes on the put hot path must not
         # pay a flush+stat syscall pair under the appenders' lock

@@ -843,3 +843,50 @@ def test_s3_backend_full_snapshot_restore(tmp_path):
     assert store2.get("m").live_count == 30
     ids, _, _ = store2.search("m", v[4], 1, use_cache=False)
     assert ids[0, 0] == 4
+
+
+def test_wal_rotation_snapshot_crash_safety(tmp_path, monkeypatch):
+    """Round-5 snapshot restructure: the WAL rotates at snapshot
+    capture and file IO runs outside the commit lock. A snapshot that
+    FAILS after rotating must not lose the rotated segment — recovery
+    replays `wal.log.pre-snapshot` before the live log; a later
+    successful snapshot covers and deletes it."""
+    import longbow_tpu.storage.engine as eng
+
+    v = _vecs(40, 8)
+    store = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    store.put("r", np.arange(20), v[:20])
+
+    # snapshot that dies AFTER the rotation (during the write)
+    real_write = eng.write_snapshot
+
+    def boom(*a, **kw):
+        raise OSError("injected snapshot failure")
+
+    monkeypatch.setattr(eng, "write_snapshot", boom)
+    try:
+        store.snapshot()
+    except OSError:
+        pass
+    pre = tmp_path / "wal.log.pre-snapshot"
+    assert pre.exists(), "rotated segment must survive the failure"
+    # more writes land in the fresh live log
+    store.put("r", np.arange(20, 40), v[20:])
+    del store  # crash (close() would snapshot again)
+
+    # recovery replays pre-snapshot + live log
+    store2 = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    assert store2.get("r").live_count == 40
+    ids, _, _ = store2.search("r", v[7], 1, use_cache=False)
+    assert ids[0, 0] == 7
+    ids, _, _ = store2.search("r", v[33], 1, use_cache=False)
+    assert ids[0, 0] == 33
+
+    # a successful snapshot now covers and deletes the stale segment
+    monkeypatch.setattr(eng, "write_snapshot", real_write)
+    store2.snapshot()
+    assert not pre.exists()
+    store2.put("r", np.arange(40, 45), _vecs(5, 8, seed=2))
+    del store2
+    store3 = VectorStore(persist_dir=tmp_path, wal_sync="always")
+    assert store3.get("r").live_count == 45
