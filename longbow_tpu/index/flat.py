@@ -265,17 +265,19 @@ class FlatIndex:
         # 16k->262k, re-copying the staged prefix at every doubling
         # (profiled at ~19% of the apply thread)
         self._stage_hint = 0
-        # coarse int8 shadow (round 5): an sq8-style code per stored
-        # byte pair lets the serving scan read HALF the HBM bytes and
-        # re-rank the pool exactly against the bf16 storage — measured
-        # 1.24x the bf16 kernel's QPS at 1M x 128 with pool-64
-        # containing 0.9984 of the true top-10. Derived data (not
-        # exported; rebuilt on import), +1 byte/dim HBM (3 total vs
-        # the reference's 4). TPU bf16 indexes only;
-        # LONGBOW_FLAT_COARSE=0 opts out.
+        # coarse int8 shadow (round 5): sq8-style codes beside the
+        # bf16 storage halve the scan's HBM read; the pool re-ranks
+        # exactly against bf16 (recall measured identical, 0.9852 at
+        # 1M; tombstones/filters leak-free). OPT-IN
+        # (LONGBOW_FLAT_COARSE=1): measured end-to-end it is 0.96x
+        # the bf16 path at 1M x 128 — the lane-candidate kernel is
+        # COMPUTE-bound on v5e, so the halved read doesn't pay for the
+        # in-kernel i8->bf16 convert + the extra rerank gather
+        # (benchmarks/coarse_flat_1M.json). Kept for configs that go
+        # HBM-bound and as the int8-MXU stepping stone.
         self._coarse_enabled = (
             dtype == jnp.bfloat16
-            and os.environ.get("LONGBOW_FLAT_COARSE", "1") != "0"
+            and os.environ.get("LONGBOW_FLAT_COARSE", "0") == "1"
             and _on_tpu()
         )
         self._coarse_codes: Optional[jax.Array] = None
