@@ -40,6 +40,7 @@ from longbow_tpu.ops.distance import (
     squared_norms,
     tombstone_rows,
 )
+from longbow_tpu.ops.pallas_scan import flat_search_rerank
 from longbow_tpu.parallel.mesh import SHARD_AXIS
 
 MIN_SHARD_CAPACITY = 2048
@@ -48,7 +49,8 @@ MIN_SHARD_CAPACITY = 2048
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k", "metric", "mesh", "shard_rows", "normalize", "cosine"
+        "k", "metric", "mesh", "shard_rows", "normalize", "cosine",
+        "fused",
     ),
 )
 def _sharded_search(
@@ -63,6 +65,7 @@ def _sharded_search(
     shard_rows: int,
     normalize: bool,
     cosine: bool = False,
+    fused: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     n_shards = mesh.size
     if normalize:
@@ -79,10 +82,20 @@ def _sharded_search(
         valid = jnp.logical_and(valid, public_mask[pub_of_int])
 
     def local(c, nrm, vld, q):
-        d, i = exact_search(
-            q, c.astype(jnp.float32), k, metric,
-            corpus_norms_sq=nrm, valid=vld, exact_precision=False,
-        )
+        if fused:
+            # per-shard fused Pallas scan + exact re-rank (round 5):
+            # the XLA exact scan inside shard_map measured 96.8 ms vs
+            # the kernel's 9.9 ms at 1M on a 1-device mesh
+            # (benchmarks/mesh_overhead_1dev.json) — the mesh tier was
+            # paying 10x for not riding the kernel
+            d, i = flat_search_rerank(
+                q, c, nrm, vld, k, metric, pool=64,
+            )
+        else:
+            d, i = exact_search(
+                q, c.astype(jnp.float32), k, metric,
+                corpus_norms_sq=nrm, valid=vld, exact_precision=False,
+            )
         j = jax.lax.axis_index(SHARD_AXIS)
         # public id = slot * S + shard: capacity-independent
         gi = jnp.where(d < MASKED, i * n_shards + j, -1)
@@ -325,6 +338,13 @@ class ShardedFlatIndex:
                 shard_rows=self.shard_capacity,
                 normalize=normalize,
                 cosine=normalize,
+                # per-shard fused kernel on TPU (bf16, k<=64): the XLA
+                # scan inside shard_map measured 10x slower at 1M
+                fused=(
+                    jax.default_backend() in ("tpu", "axon")
+                    and self.dtype == jnp.bfloat16
+                    and k <= 64
+                ),
             )
 
     def get_vectors(self, rows: np.ndarray) -> np.ndarray:
