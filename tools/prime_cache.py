@@ -103,6 +103,16 @@ for cap in CAPS:
                 capacity=cap,
             )
             rng = np.random.default_rng(0)
+            # LONGBOW_PRIME_BULK=<rows>: also prime the BULK-build
+            # programs (their shapes follow the build segment size, so
+            # the 8192-row insert below does not cover them — measured:
+            # serving-primed deploys still built 1M cold at 8.7k vec/s
+            # vs 30.8k warm). Costs a real build of that size once.
+            bulk = int(_o.environ.get("LONGBOW_PRIME_BULK", "0"))
+            if bulk:
+                g.add(
+                    rng.standard_normal((bulk, DIM)).astype(np.float32)
+                )
             g.add(rng.standard_normal((8192, DIM)).astype(np.float32))
             for b in (128,):
                 g.search(
