@@ -455,6 +455,7 @@ class FilterCache:
         self._json = _json
         self.max_entries = max_entries
         self._d: OrderedDict[tuple, jax.Array] = OrderedDict()
+        self._counts: OrderedDict[tuple, int] = OrderedDict()
         self._version = 0  # bumped on every append/delete/compaction
         self._lock = _threading.Lock()  # vs concurrent invalidate()
 
@@ -462,6 +463,43 @@ class FilterCache:
         with self._lock:
             self._version += 1
             self._d.clear()
+            self._counts.clear()
+
+    def selectivity_count(
+        self, filters: list[Filter], mask: jax.Array
+    ) -> Optional[int]:
+        """Eligible-row count for a cached mask — computed ONCE per
+        (mask, store version) and cached (the device reduction +
+        scalar fetch costs a host round trip; amortized across the
+        mask's cache lifetime). Used to route highly-selective
+        predicates to the exact scan (reference's goal in
+        adaptive_search.go:7 oversampling)."""
+        import jax.numpy as _jnp
+
+        with self._lock:
+            ver = self._version
+            key = (
+                ver,
+                self._json.dumps(
+                    [
+                        [f.field, f.operator, f.value, f.logic]
+                        for f in filters
+                    ]
+                ),
+            )
+            hit = self._counts.get(key)
+            if hit is not None:
+                return hit
+        try:
+            cnt = int(_jnp.sum(mask))
+        except Exception:
+            return None
+        with self._lock:
+            if self._version == ver:
+                self._counts[key] = cnt
+                if len(self._counts) > self.max_entries:
+                    self._counts.popitem(last=False)
+        return cnt
 
     def get_or_eval(
         self, store: ColumnStore, filters: list[Filter]

@@ -390,6 +390,26 @@ class Dataset:
             r2i = self._row_to_id
             cols = self.columns
         mask = self.filter_mask(filters or [], _columns=cols, _index=idx)
+        if (
+            mask is not None
+            and not exact
+            and getattr(idx, "_graph", None) is not None
+        ):
+            # Selectivity routing (round 5): highly-selective
+            # predicates starve graph beams — measured 0.77 recall@10
+            # at 1% selectivity at 1M vs ~1.0 through the exact scan
+            # (benchmarks/filtered_1M.json). Below ~2% eligible rows,
+            # serve the filtered query from the exact path. The count
+            # is cached per (mask, store version), so the device
+            # reduction costs one round trip per distinct filter, not
+            # per query. (Reference pursues the same goal with
+            # adaptive oversampling, adaptive_search.go:7; the TPU
+            # answer is the scan it already has.)
+            cnt = self.filter_cache.selectivity_count(
+                filters or [], mask
+            )
+            if cnt is not None and cnt < max(4096, idx.capacity // 50):
+                exact = True
         # bucket the batch dim to powers of two for host-origin queries:
         # jitted search programs compile per input shape, and the
         # serving coalescer produces whatever size happened to queue —

@@ -112,3 +112,45 @@ def test_prefilter_survives_snapshot_roundtrip():
     assert list(np.flatnonzero(m)) == [0, 2]
     m = np.asarray(cs2.evaluate([Filter("cat", "in", ["y"])]))
     assert list(np.flatnonzero(m)) == [1]
+
+
+def test_selective_filter_routes_graph_to_exact():
+    """Round 5: predicates below ~2% selectivity starve graph beams
+    (measured 0.77 recall@10 at 1% at 1M — benchmarks/filtered_1M.json)
+    and must be served by the exact scan instead. Build a graph-tier
+    dataset, apply a ~0.5% filter, and require exact-level recall."""
+    import jax.numpy as jnp
+
+    from longbow_tpu.ops.distance import exact_search
+    from longbow_tpu.query.parser import Filter
+    from longbow_tpu.store.vector_store import VectorStore
+
+    rng = np.random.default_rng(0)
+    n, d, k = 20_000, 32, 10
+    v = rng.standard_normal((n, d)).astype(np.float32)
+    group = (np.arange(n) % 200)  # group==7 -> 0.5% of rows
+    store = VectorStore()
+    store.get_or_create("g", d, index_kind="hnsw")
+    for off in range(0, n, 5000):
+        store.put(
+            "g", np.arange(off, off + 5000), v[off : off + 5000],
+            columns={"grp": group[off : off + 5000]},
+        )
+    ds = store.get("g")
+    assert getattr(ds.index, "_graph", None) is not None, "graph never built"
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    eligible = jnp.asarray(group == 7)
+    _, want = exact_search(
+        jnp.asarray(q), jnp.asarray(v), k, valid=eligible,
+        exact_precision=True,
+    )
+    want = np.asarray(want)
+    ids, _, ok = store.search(
+        "g", q, k, filters=[Filter("grp", "=", "7")], use_cache=False
+    )
+    rec = np.mean([
+        len({ids[i, j] for j in range(k) if ok[i, j]}
+            & set(want[i].tolist())) / k
+        for i in range(16)
+    ])
+    assert rec >= 0.99, rec  # exact-path recall, not beam-starved
