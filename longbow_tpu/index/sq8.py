@@ -49,7 +49,10 @@ from longbow_tpu.ops.distance import (
 SQ8_TRAIN_THRESHOLD = 5000  # reference: arrow_hnsw.go:94
 MIN_CAPACITY = 4096
 GROUP = 128  # kernel lane-group width (pallas_scan.LANES)
-SQ8R_TILE = 16384  # grouped-path capacity quantum (128 groups/tile)
+# sq8r main-region capacity quantum. Must be a multiple of the kernel
+# tile (4096 at D<=128) so the fused path never pads in-program; 16384
+# also keeps the gt side-input's 4-tile lane blocks fully covered.
+SQ8R_TILE = 16384
 
 
 def _on_tpu() -> bool:
