@@ -142,6 +142,7 @@ idx2 = SQ8Index(D)
 idx2.train(cj[:131072])
 for off in range(0, N, 250_000):
     idx2.add(jax.lax.dynamic_slice_in_dim(cj, off, 250_000))
+float(jnp.sum(idx2.norms_sq))  # force: adds dispatch async
 build_p = time.time() - t0
 d, i = idx2.search(np.asarray(qj[:NEV]), K)
 rec_p = recall_of(np.asarray(i))
